@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Everything is delegated to the package's central query registry
+(``direct_spark_sql_spark.plans.registry``): one named entry per implemented
+operator from SURVEY.md §2 plus the LLM-pipeline extensions, each paired
+with a DuckDB oracle where SQL-expressible.
 """
 
 from __future__ import annotations
@@ -15,24 +14,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q5 shape: 6-way star join + agg) on sf0.001."""
+    from direct_spark_sql_spark.plans.tpch import q5_local_supplier_volume
+
+    return q5_local_supplier_volume(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator (SURVEY.md §2 + north-star ops)."""
+    from direct_spark_sql_spark.plans.registry import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {q.name: q.spark_fn for q in all_queries()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each query (omitted for the few
+    non-SQL-expressible ops — driver records a rows-only check for those)."""
+    from direct_spark_sql_spark.plans.registry import all_queries
+
+    return {q.name: q.oracle for q in all_queries() if q.oracle is not None}

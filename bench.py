@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line with per-query wall seconds.
+
+Each query is executed twice: a warmup to amortize JVM/codegen/scan-cache
+effects, then the measured run (the reference's latency story is exactly
+plan-cache-warm repeated queries — DirectSparkSession.scala:411-415 — so a
+warm measurement is the comparable number)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from direct_spark_sql_spark.session import Engine
+
+    engine = (
+        Engine.builder()
+        .master(f"local[{cpus}]")
+        .app_name("direct_spark_sql_spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .get_or_create()
+    )
+    spark = engine.spark
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from direct_spark_sql_spark.plans.registry import all_queries
+
+    bench_queries = [q for q in all_queries() if q.bench]
+
+    timings: dict[str, float] = {}
+    for q in bench_queries:
+        # warmup (plans JIT, files get OS-cached)
+        q.spark_fn(spark, sf_dir).collect()
+        t0 = time.perf_counter()
+        q.spark_fn(spark, sf_dir).collect()
+        timings[q.name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_warm",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

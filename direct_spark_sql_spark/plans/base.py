@@ -1,0 +1,116 @@
+"""Query registry primitives.
+
+Every capability of the engine is exposed as a named :class:`Query`:
+a Spark DataFrame builder plus (where SQL-expressible) the equivalent
+ANSI SQL that DuckDB runs as the correctness oracle — the rebuild's
+analogue of the reference's differential testing against vanilla Spark
+(reference: TestBase.scala:28-36, DirectExecSuite.scala).
+
+Conventions that make the differential hash-compare exact:
+
+- Every computed column is aliased identically on both sides.
+- Double aggregations route through DECIMAL casts sized to the data
+  (prices have 2 decimals, rates 2) so sums are exact decimal arithmetic —
+  order-independent and bit-identical across engines — then CAST back to
+  DOUBLE for a stable output schema.
+- Integer sums / ranks are cast to BIGINT on both sides (DuckDB widens
+  SUM(INTEGER) to HUGEINT; Spark keeps LONG).
+- Averages are computed as exact-decimal SUM divided by COUNT in DOUBLE:
+  one IEEE division of identical operands is deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from direct_spark_sql_spark.sources.registry import register_star_schema
+
+SparkFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    """A named engine capability with its differential oracle."""
+
+    name: str
+    spark_fn: SparkFn
+    #: ANSI SQL equivalent DuckDB can run over the same parquet views;
+    #: None for genuinely non-SQL-expressible ops (driver then records a
+    #: weaker rows-only check).
+    oracle: str | None
+    #: Free-form labels: "tpch", "join", "window", "dedup", ...
+    tags: tuple[str, ...] = ()
+    #: Included in bench.py's headline set.
+    bench: bool = False
+    doc: str = ""
+
+
+def sql_query(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Run a Spark-SQL query text against the registered star schema."""
+    register_star_schema(spark, sf_dir)
+    return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# Exact-arithmetic column helpers (Spark side).  The DuckDB oracle uses the
+# textual twins below.
+# ---------------------------------------------------------------------------
+
+#: DECIMAL shapes sized to the generated data (FIXTURES.md Part B): prices
+#: < 1e8 with 2 decimals, rates < 1 with 2 decimals, quantities integral.
+DEC_PRICE = "decimal(14,2)"
+DEC_RATE = "decimal(7,4)"
+DEC_QTY = "decimal(12,2)"
+DEC_VALUE = "decimal(14,2)"
+
+
+def dec_price_sql(col: str) -> str:
+    return f"CAST({col} AS DECIMAL(14,2))"
+
+
+def dec_rate_sql(col: str) -> str:
+    return f"CAST({col} AS DECIMAL(7,4))"
+
+
+def dec_qty_sql(col: str) -> str:
+    return f"CAST({col} AS DECIMAL(12,2))"
+
+
+#: revenue term: extendedprice * (1 - discount), exact decimal both engines.
+#: The (1 ± rate) factor is pinned to DECIMAL(8,4): Spark types a bare
+#: integer literal as DECIMAL(10,0), which would widen the product chain
+#: past precision 38 and trigger silent rounding (allowPrecisionLoss) —
+#: observed as a sum_charge mismatch at sf0.01.  Pinned: (14,2) * (8,4) ->
+#: (23,6); charge (23,6) * (8,4) -> (32,10); SUM stays <= 38 digits, exact.
+REVENUE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(14,2))"
+    " * CAST(1 - CAST(l_discount AS DECIMAL(7,4)) AS DECIMAL(8,4))"
+)
+
+CHARGE_SQL = f"({REVENUE_SQL}) * CAST(1 + CAST(l_tax AS DECIMAL(7,4)) AS DECIMAL(8,4))"
+
+
+# -- exact double egress ------------------------------------------------------
+#
+# Decimal→double conversion is only bit-identical across engines while the
+# decimal fits in 15 significant digits (≤ 2^53 unscaled): beyond that,
+# DuckDB double-rounds (int128 → double, then /10^scale) and can differ from
+# Java's correctly-rounded BigDecimal conversion by 1 ULP (observed on Q1
+# sum_charge at sf0.01).  Every money aggregate therefore lands in
+# DECIMAL(24,6) — exact for our magnitudes, 15-digit-safe — before the final
+# DOUBLE cast, on both sides.
+
+DEC_OUT = "decimal(24,6)"
+
+
+def sum_money(col) -> "F.Column":  # Spark side
+    from pyspark.sql import functions as F
+
+    return F.sum(col).cast(DEC_OUT).cast("double")
+
+
+def sum_money_sql(expr: str) -> str:  # DuckDB oracle side
+    return f"CAST(CAST(SUM({expr}) AS DECIMAL(24,6)) AS DOUBLE)"

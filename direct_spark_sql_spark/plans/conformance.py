@@ -1,0 +1,979 @@
+"""Conformance corpus: the reference engine's tested operator surface.
+
+Each query here corresponds to a capability the reference exercises in its
+own suite (DirectExecSuite.scala, see SURVEY.md §5) — all seven join types,
+hash/object/sort aggregation, grouping sets / rollup / cube, the window
+frame families, sorts + top-k, set operations, lateral view explode,
+one-row relation, scalar subqueries (a superset: the reference *rejects*
+those, DirectPlanConverter.scala:34-47), conditional expressions, and
+date/time arithmetic — re-expressed over the driver star schema with a
+DuckDB oracle for each.
+
+Everything here is pure DataFrame/SQL: Catalyst plans the join strategy
+(broadcast where a side is small, else shuffle hash / sort-merge under
+AQE), and whole-stage codegen fuses the pipelines — the machinery the
+reference hand-built (DirectWholeStageCodegenExec.scala) is inherited.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from direct_spark_sql_spark.plans.base import DEC_OUT, DEC_PRICE, Query
+from direct_spark_sql_spark.sources.registry import load_table
+
+
+# ---------------------------------------------------------------------------
+# Joins — all seven types of the reference's hash/NLJ paths
+# (DirectHashJoin.scala:27-243, NestedLoopJoinDirectExec.scala:33-362).
+# ---------------------------------------------------------------------------
+
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    )
+
+
+JOIN_INNER_ORACLE = """
+SELECT n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY n_nationkey
+"""
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        c.join(agg, c.c_custkey == agg.o_custkey, "left")
+        .select("c_custkey", "c_name", F.coalesce("n_orders", F.lit(0)).alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_LEFT_ORACLE = """
+SELECT c_custkey, c_name, COALESCE(n_orders, 0) AS n_orders
+FROM customer LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+) t ON c_custkey = o_custkey
+ORDER BY c_custkey
+"""
+
+
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .select("c_custkey", F.coalesce("n_orders", F.lit(0)).alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_RIGHT_ORACLE = """
+SELECT c_custkey, COALESCE(n_orders, 0) AS n_orders
+FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) t
+RIGHT JOIN customer ON o_custkey = c_custkey
+ORDER BY c_custkey
+"""
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer — the reference could only run this through its nested-loop
+    path (DirectHashJoin.scala:49-50 throws for FullOuter); Spark's sort-merge
+    full join is a strict superset."""
+    cust_nations = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp_nations = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust_nations.join(
+            supp_nations, cust_nations.c_nationkey == supp_nations.s_nationkey, "full"
+        )
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+JOIN_FULL_ORACLE = """
+SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey) c
+FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+  ON c_nationkey = s_nationkey
+ORDER BY nationkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers that have at least one open order (left-semi,
+    reference: DirectHashJoin.scala:169-182)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+ORDER BY c_custkey
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all (left-anti,
+    reference: DirectHashJoin.scala:202-214)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def join_existence_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → existence join (reference: DirectHashJoin.scala:184-200);
+    written in SQL because that is how the existence form arises."""
+    from direct_spark_sql_spark.plans.base import sql_query
+
+    return sql_query(
+        spark,
+        sf_dir,
+        """
+        SELECT s_suppkey, s_name,
+               s_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9000)
+                 AS has_rich_customer
+        FROM supplier ORDER BY s_suppkey
+        """,
+    )
+
+
+JOIN_EXISTENCE_ORACLE = """
+SELECT s_suppkey, s_name,
+       s_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9000)
+         AS has_rich_customer
+FROM supplier ORDER BY s_suppkey
+"""
+
+
+def join_nonequi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join (banded): parts priced within a size-dependent band —
+    the reference routes these to BroadcastNestedLoopJoin
+    (NestedLoopJoinDirectExec.scala); Spark does the same with an explicit
+    broadcast of the small bands side."""
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [(1, 0.0, 500.0), (2, 500.0, 1000.0), (3, 1000.0, 1500.0), (4, 1500.0, 1e9)],
+        "band_id int, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("band_id")
+    )
+
+
+JOIN_NONEQUI_ORACLE = """
+SELECT band_id, COUNT(*) AS n_parts
+FROM part
+JOIN (VALUES (1, 0.0, 500.0), (2, 500.0, 1000.0), (3, 1000.0, 1500.0), (4, 1500.0, 1e9))
+     AS bands(band_id, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band_id ORDER BY band_id
+"""
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two smallest dims (reference falls back to
+    vanilla CartesianProductExec, DirectPlanConverter.scala:198-199)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    return r.crossJoin(s).orderBy("r_name", "s_suppkey")
+
+
+JOIN_CROSS_ORACLE = "SELECT r_name, s_suppkey FROM region CROSS JOIN supplier ORDER BY r_name, s_suppkey"
+
+
+# ---------------------------------------------------------------------------
+# Aggregation — hash agg, distinct, object-hash (collect), sort agg,
+# empty-input global agg corner, grouping sets / rollup / cube.
+# ---------------------------------------------------------------------------
+
+def agg_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC_PRICE)).cast(DEC_OUT).cast("double").alias("total_bal"),
+            F.min(F.col("c_acctbal")).alias("min_bal"),
+            F.max(F.col("c_acctbal")).alias("max_bal"),
+            (F.sum(F.col("c_acctbal").cast(DEC_PRICE)).cast(DEC_OUT).cast("double") / F.count(F.lit(1)))
+            .alias("avg_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+AGG_GROUP_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DECIMAL(24,6)) AS DOUBLE) AS total_bal,
+       MIN(c_acctbal) AS min_bal,
+       MAX(c_acctbal) AS max_bal,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DECIMAL(24,6)) AS DOUBLE) / COUNT(*) AS avg_bal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate → Catalyst Expand rewrite (reference:
+    ExpandDirectExec.scala + Catalyst's RewriteDistinctAggregates)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def agg_empty_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregate over empty input emits exactly one default row —
+    the corner the reference special-cases (HashAggregateDirectExec.scala:101-103)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.lit(1) == F.lit(0))
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+AGG_EMPTY_ORACLE = """
+SELECT COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty, MAX(l_shipdate) AS max_ship
+FROM lineitem WHERE 1 = 0
+"""
+
+
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-hash aggregation (collect_list is a TypedImperativeAggregate —
+    reference: ObjectHashAggregateDirectExec.scala); joined to a string for a
+    deterministic, oracle-comparable rendering."""
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"))
+        .orderBy("n_regionkey")
+    )
+
+
+AGG_COLLECT_ORACLE = """
+SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS → ExpandExec (reference: ExpandDirectExec.scala:33-77,
+    test DirectExecSuite.scala:181-189)."""
+    from direct_spark_sql_spark.plans.base import sql_query
+
+    return sql_query(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderstatus, o_orderpriority
+        """,
+    )
+
+
+AGG_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+AGG_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+AGG_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def agg_pivot_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot expressed as conditional aggregation (the portable form; Spark's
+    df.pivot produces the same plan)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0)).alias("n_open"),
+            F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias("n_filled"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_PIVOT_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window functions — ranking, offset, moving and range frames
+# (reference: WindowDirectExecBase.scala:182-233 frame families).
+# ---------------------------------------------------------------------------
+
+def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number per partition — mirrors the reference's own window test
+    (DirectExecSuite.scala:94-101)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rank_in_nation"),
+        )
+        .filter(F.col("rank_in_nation") <= 3)
+        .orderBy("c_nationkey", "rank_in_nation")
+    )
+
+
+WINDOW_ROW_NUMBER_ORACLE = """
+SELECT * FROM (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT)
+           AS rank_in_nation
+  FROM customer
+) WHERE rank_in_nation <= 3
+ORDER BY c_nationkey, rank_in_nation
+"""
+
+
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        p.select(
+            "p_partkey",
+            "p_brand",
+            F.rank().over(w).cast("long").alias("price_rank"),
+            F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+            F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        )
+        .orderBy("p_brand", "price_rank", "p_partkey")
+    )
+
+
+WINDOW_RANK_ORACLE = """
+SELECT p_partkey, p_brand,
+       CAST(RANK()       OVER w AS BIGINT) AS price_rank,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS price_dense_rank,
+       CAST(NTILE(4)     OVER w AS BIGINT) AS price_quartile
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+ORDER BY p_brand, price_rank, p_partkey
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset frames (reference: OffsetWindowFunction path,
+    WindowDirectExecBase.scala:140-154)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.first("o_orderdate").over(w).alias("first_order_date"),
+    ).orderBy("o_orderkey")
+
+
+WINDOW_LAG_LEAD_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       LAG(o_totalprice, 1)  OVER w AS prev_price,
+       LEAD(o_totalprice, 1) OVER w AS next_price,
+       FIRST_VALUE(o_orderdate) OVER w AS first_order_date
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving frame (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — the
+    reference's 'Moving' frame family (WindowDirectExecBase.scala:182-233).
+    Exact-decimal sum / explicit count keeps the double deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            F.sum(F.col("o_totalprice").cast(DEC_PRICE)).over(w).cast(DEC_OUT).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg_price"),
+    ).orderBy("o_orderkey")
+
+
+WINDOW_MOVING_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DECIMAL(24,6)) AS DOUBLE)
+         / COUNT(*) OVER w AS moving_avg_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering — counts parts within ±5 of each
+    part's size (reference: Range bounds, WindowDirectExecBase.scala:67-117)."""
+    p = load_table(spark, sf_dir, "part")
+    w = W.orderBy("p_size").rangeBetween(-5, 5)
+    return p.select(
+        "p_partkey",
+        "p_size",
+        F.count(F.lit(1)).over(w).alias("n_similar_size"),
+    ).orderBy("p_partkey")
+
+
+WINDOW_RANGE_ORACLE = """
+SELECT p_partkey, p_size,
+       COUNT(*) OVER (ORDER BY p_size RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+         AS n_similar_size
+FROM part ORDER BY p_partkey
+"""
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growing frame (UNBOUNDED PRECEDING .. CURRENT ROW)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast(DEC_PRICE)).over(w).cast(DEC_OUT).cast("double").alias("running_total"),
+    ).orderBy("o_orderkey")
+
+
+WINDOW_RUNNING_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(24,6)) AS DOUBLE) AS running_total
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (reference: SortDirectExec, directLimit.scala).
+# ---------------------------------------------------------------------------
+
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → TakeOrderedAndProjectExec (reference:
+    TakeOrderedAndProjectDirectExec, directLimit.scala:33-64) — a bounded
+    priority queue per partition then a driver merge; never a full sort."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .limit(10)
+    )
+
+
+SORT_TOPK_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+"""
+
+
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select("s_suppkey", "s_nationkey", "s_acctbal").orderBy(
+        "s_nationkey", F.desc("s_acctbal"), "s_suppkey"
+    )
+
+
+SORT_MULTI_ORACLE = """
+SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+ORDER BY s_nationkey, s_acctbal DESC, s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations (reference: UnionDirectExec; INTERSECT/EXCEPT via Catalyst
+# rewrite to semi/anti joins — SURVEY.md §2.7).
+# ---------------------------------------------------------------------------
+
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct().orderBy("nationkey")
+
+
+SET_UNION_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        c.union(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("nationkey")
+    )
+
+
+SET_UNION_ALL_ORACLE = """
+SELECT nationkey, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey FROM supplier
+) GROUP BY nationkey ORDER BY nationkey
+"""
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+SET_INTERSECT_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s).orderBy("nationkey")
+
+
+SET_EXCEPT_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Generators / lateral view (reference: GenerateDirectExec.scala:53-116,
+# test: LATERAL VIEW explode(split(...)) DirectExecSuite.scala:46-58).
+# ---------------------------------------------------------------------------
+
+def lateral_view_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word frequency via explode(split()) — documents are space-separated
+    lowercase words, so a single-space split is identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+LATERAL_VIEW_ORACLE = """
+SELECT word, COUNT(*) AS n FROM (
+  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+) WHERE LENGTH(word) > 0
+GROUP BY word ORDER BY n DESC, word LIMIT 20
+"""
+
+
+def explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode over the embedding arrays (ordinal-preserving generate)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select("vec_id", F.col("pos").cast("long").alias("pos"),
+                F.round(F.col("val").cast("double"), 6).alias("val"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+POSEXPLODE_ORACLE = """
+SELECT vec_id, CAST(pos - 1 AS BIGINT) AS pos, ROUND(CAST(val AS DOUBLE), 6) AS val
+FROM (
+  SELECT vec_id, UNNEST(embedding) AS val,
+         GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+  FROM embeddings WHERE vec_id < 10
+)
+ORDER BY vec_id, pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery (superset: the reference rejects these,
+# DirectPlanConverter.scala:34-47) + one-row relation + CASE/COALESCE.
+# ---------------------------------------------------------------------------
+
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from direct_spark_sql_spark.plans.base import sql_query
+
+    return sql_query(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DECIMAL(24,6)) AS DOUBLE)
+                                  / COUNT(*) FROM customer)
+        ORDER BY c_custkey
+        """,
+    )
+
+
+SCALAR_SUBQUERY_ORACLE = """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DECIMAL(24,6)) AS DOUBLE)
+                          / COUNT(*) FROM customer)
+ORDER BY c_custkey
+"""
+
+
+def one_row_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT without FROM (reference: RDDScanDirectExec / OneRowRelation,
+    test DirectExecSuite.scala:152-157)."""
+    return spark.sql("SELECT 1 AS m, 'a' AS n, CAST(2.5 AS DOUBLE) AS p")
+
+
+ONE_ROW_ORACLE = "SELECT 1 AS m, 'a' AS n, CAST(2.5 AS DOUBLE) AS p"
+
+
+def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 200000, "large")
+            .when(F.col("o_totalprice") > 100000, "medium")
+            .otherwise("small")
+            .alias("size_class"),
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+                "status_label"
+            ),
+        )
+        .groupBy("size_class", "status_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("size_class", "status_label")
+    )
+
+
+CONDITIONAL_ORACLE = """
+SELECT CASE WHEN o_totalprice > 200000 THEN 'large'
+            WHEN o_totalprice > 100000 THEN 'medium'
+            ELSE 'small' END AS size_class,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+       COUNT(*) AS n
+FROM orders GROUP BY size_class, status_label ORDER BY size_class, status_label
+"""
+
+
+# ---------------------------------------------------------------------------
+# String / date expression surface (reference inherits the whole Spark
+# FunctionRegistry — SURVEY.md §2.9; these pin the common subset).
+# ---------------------------------------------------------------------------
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.lower("c_mktsegment").alias("lower_seg"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
+        F.col("c_name").like("%1%").alias("has_one"),
+    ).orderBy("c_custkey")
+
+
+STRING_FN_ORACLE = """
+SELECT c_custkey,
+       UPPER(c_name) AS upper_name,
+       LOWER(c_mktsegment) AS lower_seg,
+       SUBSTRING(c_name, 1, 8) AS name_prefix,
+       CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+       CONCAT_WS('-', c_mktsegment, c_name) AS seg_name,
+       c_name LIKE '%1%' AS has_one
+FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey
+"""
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.unix_timestamp("o_orderdate").alias("epoch_sec"),
+    ).orderBy("o_orderkey")
+
+
+DATE_FN_ORACLE = """
+SELECT o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+       CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS order_day,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS order_quarter,
+       CAST(o_orderdate AS DATE) AS order_date,
+       DATE_TRUNC('month', o_orderdate) AS month_start,
+       o_orderdate + INTERVAL 30 DAY AS due_ts,
+       CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_sec
+FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Batch time-window aggregation over the events table (reference resolves
+# TimeWindowing on batch data — SURVEY.md §2.11; streaming twin lives in
+# direct_spark_sql_spark.streaming).
+# ---------------------------------------------------------------------------
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows via F.window; window.start ≡ date_trunc."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC_PRICE)).cast(DEC_OUT).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_TUMBLING_ORACLE = """
+SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(24,6)) AS DOUBLE) AS total_value
+FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the props column (get_json_object)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        )
+        .filter(F.col("k_value") >= 50)
+        .orderBy("event_id")
+    )
+
+
+EVENTS_JSON_ORACLE = """
+SELECT event_id, CAST(props ->> 'k' AS BIGINT) AS k_value
+FROM events WHERE CAST(props ->> 'k' AS BIGINT) >= 50
+ORDER BY event_id
+"""
+
+
+def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a 30-minute gap — the
+    classic lag + cumulative-sum pattern, fully shuffle-parallel by user."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_timestamp("ts")
+        - F.unix_timestamp(F.lag("ts", 1).over(w))
+    )
+    sess = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_new_session"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        sess.select(
+            "user_id",
+            "event_id",
+            F.sum("is_new_session").over(w2).cast("long").alias("session_seq"),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_seq")
+    )
+
+
+EVENTS_SESSIONS_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN EPOCH(ts) - EPOCH(LAG(ts, 1) OVER w) > 1800
+                OR LAG(ts, 1) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_id,
+         CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+"""
+
+
+QUERIES = [
+    Query("join_inner", join_inner, JOIN_INNER_ORACLE, ("join",)),
+    Query("join_left_outer", join_left_outer, JOIN_LEFT_ORACLE, ("join",)),
+    Query("join_right_outer", join_right_outer, JOIN_RIGHT_ORACLE, ("join",)),
+    Query("join_full_outer", join_full_outer, JOIN_FULL_ORACLE, ("join",)),
+    Query("join_semi", join_semi, JOIN_SEMI_ORACLE, ("join",)),
+    Query("join_anti", join_anti, JOIN_ANTI_ORACLE, ("join",)),
+    Query("join_existence_in", join_existence_in, JOIN_EXISTENCE_ORACLE, ("join", "subquery")),
+    Query("join_nonequi_range", join_nonequi_range, JOIN_NONEQUI_ORACLE, ("join",)),
+    Query("join_cross", join_cross, JOIN_CROSS_ORACLE, ("join",)),
+    Query("agg_group_stats", agg_group_stats, AGG_GROUP_ORACLE, ("agg",)),
+    Query("agg_count_distinct", agg_count_distinct, AGG_DISTINCT_ORACLE, ("agg",)),
+    Query("agg_empty_input", agg_empty_input, AGG_EMPTY_ORACLE, ("agg",)),
+    Query("agg_collect_sorted", agg_collect_sorted, AGG_COLLECT_ORACLE, ("agg",)),
+    Query("agg_grouping_sets", agg_grouping_sets, AGG_GROUPING_SETS_ORACLE, ("agg",)),
+    Query("agg_rollup", agg_rollup, AGG_ROLLUP_ORACLE, ("agg",)),
+    Query("agg_cube", agg_cube, AGG_CUBE_ORACLE, ("agg",)),
+    Query("agg_pivot_manual", agg_pivot_manual, AGG_PIVOT_ORACLE, ("agg",)),
+    Query("window_row_number", window_row_number, WINDOW_ROW_NUMBER_ORACLE, ("window",)),
+    Query("window_rank_dense", window_rank_dense, WINDOW_RANK_ORACLE, ("window",)),
+    Query("window_lag_lead", window_lag_lead, WINDOW_LAG_LEAD_ORACLE, ("window",)),
+    Query("window_moving_avg", window_moving_avg, WINDOW_MOVING_ORACLE, ("window",)),
+    Query("window_range_frame", window_range_frame, WINDOW_RANGE_ORACLE, ("window",)),
+    Query("window_running_total", window_running_total, WINDOW_RUNNING_ORACLE, ("window",)),
+    Query("sort_topk", sort_topk, SORT_TOPK_ORACLE, ("sort",)),
+    Query("sort_multi_key", sort_multi_key, SORT_MULTI_ORACLE, ("sort",)),
+    Query("set_union_distinct", set_union_distinct, SET_UNION_ORACLE, ("setop",)),
+    Query("set_union_all", set_union_all, SET_UNION_ALL_ORACLE, ("setop",)),
+    Query("set_intersect", set_intersect, SET_INTERSECT_ORACLE, ("setop",)),
+    Query("set_except", set_except, SET_EXCEPT_ORACLE, ("setop",)),
+    Query("lateral_view_explode", lateral_view_explode, LATERAL_VIEW_ORACLE, ("generate",)),
+    Query("explode_posexplode", explode_posexplode, POSEXPLODE_ORACLE, ("generate",)),
+    Query("scalar_subquery", scalar_subquery, SCALAR_SUBQUERY_ORACLE, ("subquery",)),
+    Query("one_row_relation", one_row_relation, ONE_ROW_ORACLE, ("misc",)),
+    Query("conditional_case", conditional_case, CONDITIONAL_ORACLE, ("expr",)),
+    Query("string_functions", string_functions, STRING_FN_ORACLE, ("expr",)),
+    Query("date_functions", date_functions, DATE_FN_ORACLE, ("expr",)),
+    Query("events_tumbling_window", events_tumbling_window, EVENTS_TUMBLING_ORACLE,
+          ("events", "window"), bench=True),
+    Query("events_json_extract", events_json_extract, EVENTS_JSON_ORACLE, ("events",)),
+    Query("events_user_sessions", events_user_sessions, EVENTS_SESSIONS_ORACLE,
+          ("events", "window"), bench=True),
+]

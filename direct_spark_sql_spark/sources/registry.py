@@ -1,0 +1,91 @@
+"""File sources and the test-schema registry.
+
+The reference engine has *no* file sources in its direct path — data enters
+only through in-memory temp views (reference: LocalTableScanDirectExec.scala:27-52,
+DirectSparkSession.scala:129-137).  This rebuild is a superset: parquet /
+csv / json scans go through Spark's DataSource V2 readers, which give
+predicate pushdown, column pruning and partition pruning for free.
+
+``register_star_schema`` wires the driver-provided parquet tables
+(TESTDATA.md) into the session catalog as temp views so both the DataFrame
+and SQL surfaces can reach them by name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: Driver-provided tables (TESTDATA.md / FIXTURES.md Part B).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table.
+
+    A plain ``spark.read.parquet`` leaf: Catalyst pushes filters and prunes
+    columns into this scan, and on a real cluster the file is split into
+    ``spark.sql.files.maxPartitionBytes``-sized input partitions — the scan
+    scales horizontally with no code changes.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    reader rejects by default; we read it as a long (legacy conf) and
+    convert with exact integer µs arithmetic — identical to DuckDB's own
+    ns→µs truncation, so oracles stay bit-exact.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_star_schema(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view named after the table."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    """CSV source (superset of reference; header/infer options pass through)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        options.setdefault("inferSchema", "true")
+    options.setdefault("header", "true")
+    return reader.options(**options).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    """JSON-lines source (superset of reference)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink; ``partition_by`` produces hive-style partition dirs so
+    downstream reads get partition pruning."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,95 @@
+"""Shared fixtures: one local SparkSession, one DuckDB oracle connection,
+and the differential comparator used by every suite.
+
+The oracle pattern mirrors the reference's differential testing against
+vanilla Spark (TestBase.scala:28-36) with DuckDB as the second engine, per
+BASELINE.md's t2 gate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from direct_spark_sql_spark.sources.registry import TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "8")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from direct_spark_sql_spark.session import Engine
+
+    engine = (
+        Engine.builder()
+        .master(f"local[{CPUS}]")
+        .app_name("direct_spark_sql_spark-tests")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .get_or_create()
+    )
+    engine.spark.sparkContext.setLogLevel("ERROR")
+    yield engine.spark
+    engine.stop()
+
+
+@pytest.fixture(scope="session")
+def engine(spark):
+    from direct_spark_sql_spark.session import Engine
+
+    return Engine(spark)
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by value for order-insensitive compare;
+    strip timezones (Spark's Arrow collect localizes to the session TZ,
+    DuckDB returns naive timestamps)."""
+    import datetime as dt
+
+    out = df.copy()
+    for col in out.columns:
+        if isinstance(out[col].dtype, pd.DatetimeTZDtype):
+            out[col] = out[col].dt.tz_convert("UTC").dt.tz_localize(None)
+        # Spark collects DATE as python date objects; DuckDB returns
+        # datetime64 — unify both to datetime64[us]
+        if out[col].dtype == object:
+            sample = out[col].dropna()
+            if len(sample) > 0 and isinstance(sample.iloc[0], dt.date):
+                out[col] = pd.to_datetime(out[col])
+        # unify datetime resolutions (spark: us, duckdb: us/ns)
+        if pd.api.types.is_datetime64_any_dtype(out[col]):
+            out[col] = out[col].astype("datetime64[us]")
+    out = out.reindex(sorted(out.columns), axis=1)
+    if len(out) > 0:
+        out = out.sort_values(by=list(out.columns), ignore_index=True)
+    return out.reset_index(drop=True)
+
+
+def assert_matches_oracle(spark_df, oracle_con, oracle_sql: str, *, check_dtype=False):
+    """Differential check: Spark result ≡ DuckDB result (schema-sorted,
+    row-order-insensitive, exact values)."""
+    got = normalize(spark_df.toPandas())
+    want = normalize(oracle_con.execute(oracle_sql).df())
+    assert list(got.columns) == list(want.columns), (
+        f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=check_dtype, check_exact=True, check_like=True
+    )
