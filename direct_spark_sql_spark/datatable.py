@@ -18,6 +18,13 @@ from pyspark.sql import DataFrame, Row, SparkSession, types as T
 from direct_spark_sql_spark.coercion import coerce_row
 
 
+def as_struct_type(schema: T.StructType | str) -> T.StructType:
+    """Accept either a StructType or a DDL string ("name string, age int")."""
+    if isinstance(schema, str):
+        return T.StructType.fromDDL(schema)
+    return schema
+
+
 class DataTable:
     """A schema-tagged, materialized, row-oriented in-memory table."""
 
@@ -33,10 +40,11 @@ class DataTable:
 
     @classmethod
     def from_list_of_dicts(
-        cls, rows: Iterable[dict[str, Any]], schema: T.StructType
+        cls, rows: Iterable[dict[str, Any]], schema: T.StructType | str
     ) -> "DataTable":
         """Lenient ingress (reference: DirectDataTable.fromJavaMapList,
         DirectDataTable.scala:44-51 + JavaTypeConverter coercion)."""
+        schema = as_struct_type(schema)
         names = [f.name for f in schema.fields]
         data = [Row(**dict(zip(names, coerce_row(r, schema)))) for r in rows]
         return cls(schema, data)

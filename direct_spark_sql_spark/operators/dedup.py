@@ -1,0 +1,289 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+All candidate generation is *bucketed* — LSH band buckets or shared-shingle
+blocking — so no operator ever materializes an all-pairs join; that is the
+difference between "works on 60k rows" and "works on 100 TB":
+
+- MinHash-LSH: rows ≈ docs × shingles during hashing (one shuffle to build
+  signatures, one to bucket bands); candidate pairs only within equal band
+  hashes.  Expected candidates scale with true-duplicate density, not n².
+- SimHash: one shuffle to build 48-bit fingerprints; pigeonhole banding
+  (4 × 12 bits: any pair within Hamming distance 3 shares ≥1 exact band)
+  makes candidate generation an equi-join.
+- n-gram Jaccard: blocked on shared shingles, with a document-frequency cap
+  on shingles (``max_shingle_df``) — the classic stop-shingle guard that
+  caps join fan-out on power-law shingle distributions (skew guard).
+
+Every hash is from the deterministic MD5 family (hashing.py), so outputs
+are engine-reproducible — the DuckDB oracles in plans/pipeline.py replay
+the identical pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from direct_spark_sql_spark.hashing import MERSENNE_P, h64, minhash_coeffs
+from direct_spark_sql_spark.operators.text import tokens
+
+# MinHash configuration (shared with the oracle builders in plans/pipeline.py)
+NUM_PERM = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # NUM_PERM == LSH_BANDS * LSH_ROWS
+SHINGLE_N = 3
+COEFFS = minhash_coeffs(NUM_PERM)
+
+# SimHash configuration
+SIMHASH_BITS = 48
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 12
+
+
+def shingles(col: Column | str = "text", n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles of a text column.  Documents shorter
+    than n tokens contribute their full token span as a single shingle."""
+    toks = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact / fingerprint dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(
+    df: DataFrame, key: Column | str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Group rows by an exact key (raw text, MD5, or a content fingerprint);
+    emit one row per duplicate *group*: canonical keep-id (min id), group
+    size, and the sorted member list.  A single hash-shuffle on the key —
+    the 100 TB-safe shape for exact dedup."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    return (
+        df.groupBy(key_col.alias("dup_key"))
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min(id_col).alias("keep_id"),
+            F.array_join(F.array_sort(F.collect_list(F.col(id_col).cast("string"))), ",")
+            .alias("member_ids"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, m0..m{NUM_PERM-1}) minhash signature table.
+
+    h(shingle) = md5-derived 60-bit int mod P (P = 2^31-1); permutation i
+    takes min((a_i*h + b_i) mod P) over the document's shingle set.  One
+    explode + one groupBy — shuffle volume is O(total shingles)."""
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col)).alias("sh")).distinct()
+    h = sh.select(id_col, (h64(F.col("sh")) % MERSENNE_P).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(COEFFS)
+    ]
+    return h.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_table(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode signatures into (id, band_idx, band_hash) rows; equal
+    (band_idx, band_hash) buckets are the candidate blocks."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                h64(
+                    F.concat_ws(
+                        ",", *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(bands).alias("bd")).select(
+        id_col, "bd.band_idx", "bd.band_hash"
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline → (id_a, id_b, est_jaccard).
+
+    est_jaccard is the signature agreement fraction (matching minhash
+    coordinates / NUM_PERM) — the standard unbiased Jaccard estimator; use
+    ngram_jaccard_pairs for the exact verify pass when precision matters."""
+    sig = minhash_signatures(df, id_col, text_col)
+    bands = lsh_band_table(sig, id_col)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_PERM)])
+    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_PERM)])
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(NUM_PERM)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / F.lit(float(NUM_PERM))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact set similarity, shingle-blocked)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-gram shingle sets, blocked on
+    shared shingles.  ``max_shingle_df`` drops shingles appearing in more
+    than that many documents before pairing (stop-shingle skew guard) —
+    set sizes still count every shingle, so similarity is only
+    *underestimated* for pathological stop-shingle-only pairs."""
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col)).alias("sh")).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    blocked = sh
+    if max_shingle_df is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        blocked = sh.join(freq.filter(F.col("df") <= max_shingle_df), "sh")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) — 48-bit SimHash over token-frequency weights.
+
+    Each token hashes once (60-bit md5 family); bit j of the fingerprint is
+    the sign of Σ weight(token) * (±1 by bit j of the token hash).  One
+    explode + one two-level groupBy; shuffle volume O(total tokens)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    wt = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("w"))
+    h = wt.select(id_col, "w", h64(F.col("tok")).alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("w"))
+            .otherwise(-F.col("w"))
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = h.groupBy(id_col).agg(*bit_aggs)
+    fingerprint = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within ``max_hamming`` bit flips.
+
+    Pigeonhole banding: with 4 bands of 12 bits, any pair at Hamming
+    distance ≤ 3 must agree exactly on ≥ 1 band, so candidates come from an
+    equi-join on (band_idx, band_value) — never an all-pairs scan.  Raising
+    ``max_hamming`` past SIMHASH_BANDS-1 would need more bands."""
+    sig = simhash(df, id_col, text_col)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    bt = sig.select(id_col, "simhash", F.explode(bands).alias("bd")).select(
+        id_col, "simhash", "bd.band_idx", "bd.band_val"
+    )
+    a, b = bt.alias("a"), bt.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

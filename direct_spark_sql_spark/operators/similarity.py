@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, mirroring what a 100 TB pipeline needs:
+
+- :func:`cosine_topk` — brute-force scored scan for one query vector: a
+  single pass, no shuffle except the final top-k (TakeOrderedAndProject).
+  The per-row dot product runs in exact DECIMAL arithmetic via JVM
+  higher-order functions (zip_with + aggregate) — no Python, no UDF, and
+  bit-identical to the DuckDB oracle.
+- :func:`srp_near_duplicates` — signed-random-projection LSH (Charikar):
+  deterministic Rademacher (±1) hyperplanes turn each vector into band
+  fingerprints; candidate pairs come from equal-band equi-joins and are
+  then verified with the exact decimal cosine.  Candidates scale with
+  collision density, not n².
+
+Exactness note: every float is cast to DECIMAL(12,9) before arithmetic;
+sums of products stay ≤ DECIMAL(38,18); the final egress goes through
+DECIMAL(24,6) → DOUBLE (see plans/base.py for why that keeps both engines
+bit-identical).  Rademacher planes (±1 entries) keep the projections inside
+decimal arithmetic — a float-coefficient hyperplane would reintroduce
+nondeterministic float summation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DEC_ELEM = "decimal(12,9)"
+#: Accumulator is (28,18), NOT (38,18): Spark's decimal addition at the
+#: 38-digit cap reduces scale (→ (38,17), lossy and a type mismatch for
+#: F.aggregate's merge lambda).  At (28,18), (28,18)+(25,18) → (29,18)
+#: exactly, and the cast back to (28,18) only drops unused integer
+#: headroom — no rounding, values here are < 1e10.
+DEC_ACC = "decimal(28,18)"
+DEC_OUT = "decimal(24,6)"
+
+
+def _acc_add(acc: "Column", x: "Column") -> "Column":
+    return (acc + x).cast(DEC_ACC)
+
+SRP_BANDS = 2
+SRP_BITS_PER_BAND = 8
+
+
+def rademacher_planes(num_planes: int, dims: int, seed: str = "srp") -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from the MD5 bitstream — reproducible in
+    any engine / language without shared state."""
+    planes = []
+    for p in range(num_planes):
+        bits: list[int] = []
+        counter = 0
+        while len(bits) < dims:
+            digest = hashlib.md5(f"{seed}-{p}-{counter}".encode()).digest()
+            for byte in digest:
+                for k in range(8):
+                    bits.append(1 if (byte >> k) & 1 else -1)
+            counter += 1
+        planes.append(bits[:dims])
+    return planes
+
+
+def _dec_vec(col: Column | str) -> Column:
+    """float32 → DOUBLE → DECIMAL(12,9).  The double hop is load-bearing:
+    casting REAL straight to DECIMAL rounds differently in DuckDB (off by
+    1 in the 9th decimal for ~80% of values); via DOUBLE (exact widening)
+    both engines round the identical binary value."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double").cast(DEC_ELEM))
+
+
+def dot_dec(a: Column, b: Column) -> Column:
+    """Exact decimal dot product of two equal-length arrays (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast(DEC_ACC),
+        _acc_add,
+    )
+
+
+def norm_sq_dec(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x),
+        F.lit(0).cast(DEC_ACC),
+        _acc_add,
+    )
+
+
+def _to_double(dec_col: Column) -> Column:
+    return dec_col.cast(DEC_OUT).cast("double")
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Top-k rows of ``df`` by cosine similarity to the single-row ``query``
+    DataFrame (column ``{emb_col}``).  The query side is broadcast; the scan
+    side never shuffles until the bounded top-k."""
+    q = F.broadcast(query.select(F.col(emb_col).alias("__q")))
+    joined = df.crossJoin(q)
+    a = _dec_vec(emb_col)
+    b = _dec_vec("__q")
+    dot = _to_double(dot_dec(a, b))
+    na = _to_double(norm_sq_dec(a))
+    nb = _to_double(norm_sq_dec(b))
+    return (
+        joined.select(
+            F.col(id_col),
+            (dot / (F.sqrt(na) * F.sqrt(nb))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def srp_band_table(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dims: int = 64,
+    bands: int = SRP_BANDS,
+    bits_per_band: int = SRP_BITS_PER_BAND,
+) -> DataFrame:
+    """(id, band_idx, band_val) — Charikar sign bits grouped into bands.
+
+    bit(p) = [ Σ_i plane_p[i] * emb[i] > 0 ], computed in exact decimal so
+    the sign is engine-independent even at the boundary."""
+    planes = rademacher_planes(bands * bits_per_band, dims)
+    v = _dec_vec(emb_col)
+    # projection for plane p: aggregate of ±emb[i] — signs as a literal array
+    band_structs = []
+    for b in range(bands):
+        val: Column | None = None
+        for r in range(bits_per_band):
+            p = b * bits_per_band + r
+            signs = F.array(*[F.lit(s) for s in planes[p]])
+            proj = F.aggregate(
+                F.zip_with(v, signs, lambda x, s: x * s.cast(DEC_ELEM)),
+                F.lit(0).cast(DEC_ACC),
+                _acc_add,
+            )
+            bit = F.when(proj > 0, F.lit(1 << r).cast("long")).otherwise(F.lit(0).cast("long"))
+            val = bit if val is None else val + bit
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), val.alias("band_val"))
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bd")
+    ).select(id_col, "bd.band_idx", "bd.band_val")
+
+
+def srp_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dims: int = 64,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """LSH-bucketed near-duplicate pairs: candidates from equal SRP bands,
+    verified with the exact decimal cosine ≥ threshold."""
+    bt = srp_band_table(df, id_col, emb_col, dims)
+    a, b = bt.alias("a"), bt.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("__ea"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("__eb"))
+    ea, eb = _dec_vec("__ea"), _dec_vec("__eb")
+    cosine = _to_double(dot_dec(ea, eb)) / (
+        F.sqrt(_to_double(norm_sq_dec(ea))) * F.sqrt(_to_double(norm_sq_dec(eb)))
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

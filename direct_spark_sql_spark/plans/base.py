@@ -95,13 +95,18 @@ CHARGE_SQL = f"({REVENUE_SQL}) * CAST(1 + CAST(l_tax AS DECIMAL(7,4)) AS DECIMAL
 
 # -- exact double egress ------------------------------------------------------
 #
-# Decimal→double conversion is only bit-identical across engines while the
-# decimal fits in 15 significant digits (≤ 2^53 unscaled): beyond that,
-# DuckDB double-rounds (int128 → double, then /10^scale) and can differ from
-# Java's correctly-rounded BigDecimal conversion by 1 ULP (observed on Q1
-# sum_charge at sf0.01).  Every money aggregate therefore lands in
-# DECIMAL(24,6) — exact for our magnitudes, 15-digit-safe — before the final
-# DOUBLE cast, on both sides.
+# Two cross-engine hazards force every decimal aggregate through a
+# ROUND-to-6 + DECIMAL(24,6) funnel before the final DOUBLE cast:
+#
+# 1. Decimal→double conversion is only bit-identical while the decimal fits
+#    in 15 significant digits (≤ 2^53 unscaled): past that, DuckDB
+#    double-rounds (int128 → double, then /10^scale) and can differ from
+#    Java's correctly-rounded conversion by 1 ULP (seen on Q1 sum_charge).
+# 2. Decimal *downscale* casts round HALF_UP (away from zero) in Spark but
+#    TRUNCATE in DuckDB (seen on embedding norms: 0.999999936 → 1.000000 vs
+#    0.999999).  Both engines' ROUND(decimal, n) agree (half away from
+#    zero), so the oracle SQL wraps the expression in ROUND(x, 6) before
+#    its cast; Spark's cast already behaves as ROUND and needs no wrapper.
 
 DEC_OUT = "decimal(24,6)"
 
@@ -113,4 +118,4 @@ def sum_money(col) -> "F.Column":  # Spark side
 
 
 def sum_money_sql(expr: str) -> str:  # DuckDB oracle side
-    return f"CAST(CAST(SUM({expr}) AS DECIMAL(24,6)) AS DOUBLE)"
+    return f"CAST(CAST(ROUND(SUM({expr}), 6) AS DECIMAL(24,6)) AS DOUBLE)"

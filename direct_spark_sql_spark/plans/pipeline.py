@@ -1,0 +1,421 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal — the north-star operator surface (SURVEY.md §7.2 item 6),
+each bound to the driver's `documents` / `embeddings` tables with a DuckDB
+oracle that replays the *identical* deterministic pipeline (same MD5-family
+hashes, same decimal arithmetic), so even the probabilistic operators
+(MinHash-LSH, SimHash, SRP-LSH) are checked bit-exactly.
+
+The oracle SQL strings are generated from the same constants the Spark
+operators use (hash coefficients, band layout, Rademacher planes) — one
+source of truth in hashing.py / the operator modules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from direct_spark_sql_spark.hashing import MERSENNE_P, h64_sql
+from direct_spark_sql_spark.operators import dedup as dd
+from direct_spark_sql_spark.operators import multimodal as mm
+from direct_spark_sql_spark.operators import similarity as sim
+from direct_spark_sql_spark.operators import text as tx
+from direct_spark_sql_spark.plans.base import Query
+from direct_spark_sql_spark.sources.registry import load_table
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB fragments (twins of operators/text.py tokenization)
+# ---------------------------------------------------------------------------
+
+TOKS_SQL = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(toks) - 2, 1)), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+
+P = MERSENNE_P
+
+
+def _lexicon_sql(words: tuple[str, ...]) -> str:
+    inner = ", ".join(f"'{w}'" for w in words)
+    return f"[{inner}]"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = tx.tokens("text")
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        tx.regex_token_count("text").alias("n_regex_tokens"),
+    ).orderBy("doc_id")
+
+
+TEXT_TOKEN_STATS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+         AS n_regex_tokens
+FROM (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents)
+WHERE doc_id < 100 ORDER BY doc_id
+"""
+
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    return tx.quality_features(d).drop("text").orderBy("doc_id")
+
+
+_STOP_SQL = _lexicon_sql(tx.STOPWORDS)
+TEXT_QUALITY_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents WHERE doc_id < 200),
+f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_len,
+         CAST(len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) AS BIGINT) AS n_stop
+  FROM t
+)
+SELECT doc_id, n_tokens, n_unique_tokens,
+       CAST(n_unique_tokens AS DOUBLE) / n_tokens AS type_token_ratio,
+       CAST(total_len AS DOUBLE) / n_tokens AS avg_token_len,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       (CAST(n_unique_tokens AS DOUBLE) / n_tokens) * 0.5
+         + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.2
+         + LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality_score
+FROM f ORDER BY doc_id
+"""
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", tx.predicted_language("text").alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+def _lang_id_oracle() -> str:
+    hit_cols = ",\n         ".join(
+        f"CAST(len(list_filter(toks, t -> list_contains({_lexicon_sql(lex)}, t))) AS BIGINT) AS hit_{lang}"
+        for lang, lex in tx.LANG_LEXICONS.items()
+    )
+    langs_sorted = sorted(tx.LANG_LEXICONS)
+    best = "GREATEST(" + ", ".join(f"hit_{lang}" for lang in langs_sorted) + ")"
+    case = " ".join(f"WHEN hit_{lang} = best THEN '{lang}'" for lang in langs_sorted)
+    return f"""
+WITH t AS (SELECT doc_id, lang, {TOKS_SQL} AS toks FROM documents),
+h AS (SELECT doc_id, lang,
+         {hit_cols}
+      FROM t),
+p AS (SELECT lang, {best} AS best,
+             CASE WHEN {best} = 0 THEN 'und' {case} END AS predicted_lang
+      FROM h)
+SELECT lang, CASE WHEN best = 0 THEN 'und' ELSE predicted_lang END AS predicted_lang,
+       COUNT(*) AS n_docs
+FROM p GROUP BY 1, 2 ORDER BY lang, predicted_lang
+"""
+
+
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+    return tx.fingerprint(d).drop("text").orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents WHERE doc_id < 100)
+SELECT doc_id,
+       md5(text) AS fp_md5,
+       {h64_sql("array_to_string(list_sort(list_distinct(toks)), ' ')")} AS fp_content,
+       (SELECT COALESCE(SUM({h64_sql('u.tok')} % {P}), 0) % {P}
+        FROM unnest(toks) AS u(tok)) AS fp_rolling
+FROM t ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the order/multiplicity-insensitive content fingerprint
+    (catches token-reshuffled copies, which the driver corpus contains)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = tx.fingerprint(d)
+    return dd.exact_duplicate_groups(fp, "fp_content", "doc_id").orderBy("dup_key")
+
+
+DEDUP_EXACT_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+fp AS (SELECT doc_id,
+        {h64_sql("array_to_string(list_sort(list_distinct(toks)), ' ')")} AS fp_content
+       FROM t)
+SELECT fp_content AS dup_key,
+       COUNT(*) AS group_size,
+       MIN(doc_id) AS keep_id,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS member_ids
+FROM fp GROUP BY fp_content HAVING COUNT(*) > 1
+ORDER BY dup_key
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.ngram_jaccard_pairs(d, threshold=0.3, max_shingle_df=1000).orderBy(
+        "id_a", "id_b"
+    )
+
+
+DEDUP_NGRAM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS s FROM t),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+freq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+blocked AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s) WHERE df <= 1000),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM blocked a JOIN blocked b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.minhash_near_duplicates(d, min_est_jaccard=0.5).orderBy("id_a", "id_b")
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n        ".join(
+        f"MIN(({a} * h + {b}) % {P}) AS m{i}" for i, (a, b) in enumerate(dd.COEFFS)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_idx, {h} AS band_hash FROM sig".format(
+            b=b,
+            h=h64_sql(
+                "concat_ws(',', "
+                + ", ".join(f"m{b * dd.LSH_ROWS + r}" for r in range(dd.LSH_ROWS))
+                + ")"
+            ),
+        )
+        for b in range(dd.LSH_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(dd.NUM_PERM)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS s FROM t),
+h AS (SELECT doc_id, {h64_sql('s')} % {P} AS h FROM sh),
+sig AS (SELECT doc_id,
+        {sig_cols}
+        FROM h GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST({agree} AS DOUBLE) / {float(dd.NUM_PERM)} AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+WHERE CAST({agree} AS DOUBLE) / {float(dd.NUM_PERM)} >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.simhash_near_duplicates(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n        ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN w ELSE -w END) AS s{j}"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    fingerprint = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    mask = (1 << dd.SIMHASH_BAND_BITS) - 1
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band_idx, "
+        f"(simhash >> {b * dd.SIMHASH_BAND_BITS}) & {mask} AS band_val FROM sig"
+        for b in range(dd.SIMHASH_BANDS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+wt AS (SELECT doc_id, tok, COUNT(*) AS w FROM tok GROUP BY doc_id, tok),
+hh AS (SELECT doc_id, w, {h64_sql('tok')} AS h FROM wt),
+sums AS (SELECT doc_id,
+        {bit_sums}
+        FROM hh GROUP BY doc_id),
+sig AS (SELECT doc_id, ({fingerprint}) AS simhash FROM sums),
+bt AS ({band_selects})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bt a JOIN bt b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_EX_SQL = """
+ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS a
+  FROM embeddings
+)"""
+
+
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0)
+    return sim.cosine_topk(e.filter(F.col("vec_id") != 0), query, k=10)
+
+
+EMBEDDING_TOPK_ORACLE = f"""
+WITH {_EX_SQL.strip()},
+q AS (SELECT i, a AS b FROM ex WHERE vec_id = 0),
+d AS (
+  SELECT ex.vec_id,
+         CAST(CAST(ROUND(SUM(ex.a * q.b), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot,
+         CAST(CAST(ROUND(SUM(ex.a * ex.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS na,
+         CAST(CAST(ROUND(SUM(q.b * q.b), 6) AS DECIMAL(24,6)) AS DOUBLE) AS nb
+  FROM ex JOIN q ON ex.i = q.i
+  WHERE ex.vec_id <> 0
+  GROUP BY ex.vec_id
+)
+SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS cosine
+FROM d ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.srp_near_duplicates(e, dims=64, threshold=0.35).orderBy("id_a", "id_b")
+
+
+def _srp_oracle() -> str:
+    planes = sim.rademacher_planes(sim.SRP_BANDS * sim.SRP_BITS_PER_BAND, 64)
+    proj_cols = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(str(s) for s in plane) + "]"
+        proj_cols.append(f"SUM(a * (({lit})[s_i])) AS proj{p}")
+    projections = ",\n         ".join(proj_cols)
+    band_selects = []
+    for b in range(sim.SRP_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN proj{b * sim.SRP_BITS_PER_BAND + r} > 0 "
+            f"THEN CAST({1 << r} AS BIGINT) ELSE 0 END)"
+            for r in range(sim.SRP_BITS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band_idx, ({bits}) AS band_val FROM proj"
+        )
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS s_i,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS a
+  FROM embeddings
+),
+proj AS (SELECT vec_id,
+         {projections}
+         FROM ex GROUP BY vec_id),
+bt AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bt a JOIN bt b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+),
+norms AS (SELECT vec_id, CAST(CAST(ROUND(SUM(a * a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS nn
+          FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT c.id_a, c.id_b, CAST(CAST(ROUND(SUM(xa.a * xb.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot
+  FROM cand c
+  JOIN ex xa ON xa.vec_id = c.id_a
+  JOIN ex xb ON xb.vec_id = c.id_b AND xb.s_i = xa.s_i
+  GROUP BY c.id_a, c.id_b
+)
+SELECT d.id_a, d.id_b, d.dot / (sqrt(na.nn) * sqrt(nb.nn)) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.id_a
+JOIN norms nb ON nb.vec_id = d.id_b
+WHERE d.dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (stubbed decode — rows-only driver check; exercised in tests)
+# ---------------------------------------------------------------------------
+
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing over mapInPandas: documents' text bytes stand
+    in for media payloads; the decode step is the deterministic fake."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = mm.attach_binary(d, "text", "application/octet-stream", "source")
+    return mm.extract_features(media, fake=True).orderBy("doc_id")
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    media = mm.attach_binary(d, "text", "video/fake", "source")
+    return mm.sample_frames(media, n_frames=4).orderBy("doc_id", "frame_idx")
+
+
+QUERIES = [
+    Query("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_ORACLE,
+          ("text", "pipeline")),
+    Query("text_quality_scores", text_quality_scores, TEXT_QUALITY_ORACLE,
+          ("text", "pipeline")),
+    Query("text_language_id", text_language_id, _lang_id_oracle(),
+          ("text", "pipeline"), bench=True),
+    Query("text_fingerprints", text_fingerprints, TEXT_FINGERPRINT_ORACLE,
+          ("text", "pipeline")),
+    Query("dedup_exact_fingerprint", dedup_exact_fingerprint, DEDUP_EXACT_ORACLE,
+          ("dedup", "pipeline"), bench=True),
+    Query("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE,
+          ("dedup", "pipeline")),
+    Query("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle(),
+          ("dedup", "pipeline"), bench=True),
+    Query("dedup_simhash", dedup_simhash, _simhash_oracle(),
+          ("dedup", "pipeline")),
+    Query("embedding_cosine_topk", embedding_cosine_topk, EMBEDDING_TOPK_ORACLE,
+          ("similarity", "pipeline"), bench=True),
+    Query("embedding_near_duplicates", embedding_near_duplicates, _srp_oracle(),
+          ("similarity", "pipeline")),
+    Query("multimodal_feature_extract", multimodal_feature_extract, None,
+          ("multimodal", "pipeline")),
+    Query("multimodal_frame_sample", multimodal_frame_sample, None,
+          ("multimodal", "pipeline")),
+]

@@ -144,7 +144,7 @@ class Engine:
         self,
         name: str,
         rows: Iterable[dict[str, Any]] | DataTable | DataFrame,
-        schema: T.StructType | None = None,
+        schema: T.StructType | str | None = None,
     ) -> None:
         """Register in-memory data as a (possibly db-qualified) temp view.
 
