@@ -85,9 +85,14 @@ def minhash_signatures(
     """(id, m0..m{NUM_PERM-1}) minhash signature table.
 
     h(shingle) = md5-derived 60-bit int mod P (P = 2^31-1); permutation i
-    takes min((a_i*h + b_i) mod P) over the document's shingle set.  One
-    explode + one groupBy — shuffle volume is O(total shingles)."""
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col)).alias("sh")).distinct()
+    takes min((a_i*h + b_i) mod P) over the document's shingle set.
+
+    The exploded shingles are already per-document distinct (shingles()
+    applies array_distinct) and MIN is duplicate-insensitive besides, so no
+    distinct shuffle is needed: the only shuffle is the partial+final MIN
+    aggregation, which map-side-combines to NUM_PERM values per document
+    per partition before moving anything."""
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col)).alias("sh"))
     h = sh.select(id_col, (h64(F.col("sh")) % MERSENNE_P).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"m{i}")
@@ -127,11 +132,27 @@ def minhash_near_duplicates(
 
     est_jaccard is the signature agreement fraction (matching minhash
     coordinates / NUM_PERM) — the standard unbiased Jaccard estimator; use
-    ngram_jaccard_pairs for the exact verify pass when precision matters."""
-    sig = minhash_signatures(df, id_col, text_col)
-    bands = lsh_band_table(sig, id_col)
+    ngram_jaccard_pairs for the exact verify pass when precision matters.
+
+    The full signature rides along in the band table as an array column, so
+    agreement is computed directly on the joined candidate rows — no
+    join-back to the signature table (saves two shuffles of the signature
+    table per query; band-table duplication costs LSH_BANDS × NUM_PERM
+    longs per document, the standard space-for-shuffle LSH trade)."""
+    sig = minhash_signatures(df, id_col, text_col).withColumn(
+        "sig", F.array(*[F.col(f"m{i}") for i in range(NUM_PERM)])
+    )
+    bands = _band_table_with_sig(sig, id_col)
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"), F.col("b.sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -139,24 +160,34 @@ def minhash_near_duplicates(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
-    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_PERM)])
-    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_PERM)])
-    agree = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(NUM_PERM)
-    )
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
             (agree.cast("double") / F.lit(float(NUM_PERM))).alias("est_jaccard"),
         )
+        # a pair sharing k bands appears k times; the same (id_a, id_b) row
+        # always carries the same est_jaccard, so plain distinct dedups it
+        .distinct()
         .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
+def _band_table_with_sig(sig: DataFrame, id_col: str) -> DataFrame:
+    """Band table that carries the signature array alongside each band row."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                h64(
+                    F.concat_ws(
+                        ",", *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sig.select(F.col(id_col), F.col("sig"), F.explode(bands).alias("bd")).select(
+        id_col, "sig", "bd.band_idx", "bd.band_hash"
     )
 
 
