@@ -118,6 +118,97 @@ def cosine_topk(
     )
 
 
+def cosine_dec(a: Column, b: Column) -> Column:
+    """Exact-deterministic cosine of two decimal vectors: decimal dot and
+    norms → DECIMAL(24,6) → DOUBLE, then sqrt/divide (single correctly-
+    rounded IEEE ops, identical in every engine)."""
+    return _to_double(dot_dec(a, b)) / (
+        F.sqrt(_to_double(norm_sq_dec(a))) * F.sqrt(_to_double(norm_sq_dec(b)))
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """IVF cell assignment: each vector gets the centroid with the highest
+    cosine (ties → lowest cell id).
+
+    Scale shape: the centroid set (K rows) is collapsed to a single-row
+    array and broadcast, and the argmax runs *inside the row scan* via
+    F.aggregate — a map-only pass with no shuffle at any input size.  At
+    100 TB the output would be written partitioned by ``cell_col`` so
+    probes prune partitions; here it feeds the probe join directly."""
+    cents = F.broadcast(
+        centroids.select(
+            F.struct(
+                F.col(id_col).alias("cell"), F.col(emb_col).alias("cemb")
+            ).alias("c")
+        ).agg(F.sort_array(F.collect_list("c")).alias("__cents"))
+    )
+    v = _dec_vec(emb_col)
+    best = F.aggregate(
+        F.col("__cents"),
+        F.struct(
+            F.lit(-1).cast("long").alias("cell"), F.lit(-2.0).alias("cos")
+        ),
+        lambda acc, c: F.when(
+            cosine_dec(v, _dec_vec(c["cemb"])) > acc["cos"],
+            F.struct(
+                c["cell"].cast("long").alias("cell"),
+                cosine_dec(v, _dec_vec(c["cemb"])).alias("cos"),
+            ),
+        ).otherwise(acc),
+    )
+    return df.crossJoin(cents).select(
+        "*", best["cell"].alias(cell_col)
+    ).drop("__cents")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose cell is among the
+    ``nprobe`` cells nearest the query.
+
+    Probing is a K-row problem (centroids × 1 query), so the probe list is
+    computed exactly and broadcast; the base-side work is one map-only
+    assignment + a broadcast semi-join + the bounded top-k.  Recall is
+    approximate by construction (vectors in unprobed cells are unseen) —
+    the trade the IVF structure exists to make."""
+    assigned = ivf_assign(df, centroids, id_col, emb_col)
+    q = F.broadcast(query.select(F.col(emb_col).alias("__q")))
+    probe = (
+        centroids.crossJoin(q)
+        .select(
+            F.col(id_col).cast("long").alias("cell_id"),
+            cosine_dec(_dec_vec(emb_col), _dec_vec("__q")).alias("__pcos"),
+        )
+        .orderBy(F.desc("__pcos"), "cell_id")
+        .limit(nprobe)
+        .select("cell_id")
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cell_id", "left_semi")
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            cosine_dec(_dec_vec(emb_col), _dec_vec("__q")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
 def srp_band_table(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -319,6 +319,86 @@ FROM d ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+IVF_K = 8
+IVF_NPROBE = 2
+
+
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: vec 0 is the query, vecs 1..IVF_K double as the
+    (deterministic, zero-iteration) centroids, search probes IVF_NPROBE
+    cells.  The oracle replays the identical assignment and probe, so the
+    approximation itself is checked bit-exactly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0)
+    base = e.filter(F.col("vec_id") != 0)
+    centroids = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K))
+    return sim.ivf_topk(base, query, centroids, k=10, nprobe=IVF_NPROBE)
+
+
+_IVF_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS a
+  FROM embeddings
+),
+nrm AS (
+  SELECT vec_id, CAST(CAST(ROUND(SUM(a * a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS nn
+  FROM ex GROUP BY vec_id
+),
+cc AS (
+  SELECT x.vec_id, c.vec_id AS cell_id,
+         CAST(CAST(ROUND(SUM(x.a * c.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot
+  FROM ex x
+  JOIN ex c ON c.i = x.i AND c.vec_id BETWEEN 1 AND {IVF_K}
+  WHERE x.vec_id >= 1
+  GROUP BY x.vec_id, c.vec_id
+),
+cosc AS (
+  SELECT cc.vec_id, cc.cell_id, cc.dot / (sqrt(nx.nn) * sqrt(nc.nn)) AS cos
+  FROM cc
+  JOIN nrm nx ON nx.vec_id = cc.vec_id
+  JOIN nrm nc ON nc.vec_id = cc.cell_id
+),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id) AS rn
+    FROM cosc
+  ) WHERE rn = 1
+),
+qd AS (
+  SELECT c.vec_id AS cell_id,
+         CAST(CAST(ROUND(SUM(q.a * c.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot
+  FROM ex q
+  JOIN ex c ON c.i = q.i AND c.vec_id BETWEEN 1 AND {IVF_K}
+  WHERE q.vec_id = 0
+  GROUP BY c.vec_id
+),
+probe AS (
+  SELECT cell_id FROM (
+    SELECT qd.cell_id, qd.dot / (sqrt(nq.nn) * sqrt(nc.nn)) AS cos
+    FROM qd
+    JOIN nrm nq ON nq.vec_id = 0
+    JOIN nrm nc ON nc.vec_id = qd.cell_id
+    ORDER BY cos DESC, qd.cell_id LIMIT {IVF_NPROBE}
+  )
+),
+bd AS (
+  SELECT x.vec_id,
+         CAST(CAST(ROUND(SUM(x.a * q.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot
+  FROM ex x
+  JOIN ex q ON q.i = x.i AND q.vec_id = 0
+  WHERE x.vec_id IN (SELECT a2.vec_id FROM assign a2 JOIN probe USING (cell_id))
+  GROUP BY x.vec_id
+)
+SELECT bd.vec_id, bd.dot / (sqrt(nx.nn) * sqrt(nq.nn)) AS cosine
+FROM bd
+JOIN nrm nx ON nx.vec_id = bd.vec_id
+JOIN nrm nq ON nq.vec_id = 0
+ORDER BY cosine DESC, bd.vec_id LIMIT 10
+"""
+
+
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return sim.srp_near_duplicates(e, dims=64, threshold=0.35).orderBy("id_a", "id_b")
@@ -411,6 +491,8 @@ QUERIES = [
     Query("dedup_simhash", dedup_simhash, _simhash_oracle(),
           ("dedup", "pipeline")),
     Query("embedding_cosine_topk", embedding_cosine_topk, EMBEDDING_TOPK_ORACLE,
+          ("similarity", "pipeline"), bench=True),
+    Query("embedding_ivf_topk", embedding_ivf_topk, _IVF_ORACLE,
           ("similarity", "pipeline"), bench=True),
     Query("embedding_near_duplicates", embedding_near_duplicates, _srp_oracle(),
           ("similarity", "pipeline")),
