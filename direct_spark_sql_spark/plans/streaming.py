@@ -1,0 +1,111 @@
+"""Streaming conformance queries.
+
+Each entry runs a Structured Streaming pipeline to completion over the
+closed parquet input (Trigger.AvailableNow → memory sink) and returns the
+result table, so the driver can diff it against a DuckDB oracle exactly
+like a batch query.  This checks the strongest property streaming can
+offer on a finite input: **stream/batch equivalence** — the streaming plan
+over the whole input equals the batch answer.
+
+The reference has no streaming (SURVEY.md §2.11); these are north-star
+extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from direct_spark_sql_spark.plans.base import Query
+from direct_spark_sql_spark.plans.conformance import EVENTS_TUMBLING_ORACLE
+from direct_spark_sql_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    stream_session_windows,
+    stream_tumbling_totals,
+    stream_user_counts_stateful,
+)
+
+
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch events_tumbling_window query — same
+    oracle, proving stream/batch equivalence on the closed input."""
+    events = read_events_stream(spark, sf_dir)
+    result = run_available_now(
+        stream_tumbling_totals(events), "stream_tumbling", "complete"
+    )
+    return result.orderBy("window_start", "event_type")
+
+
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    result = run_available_now(
+        stream_session_windows(events, gap="30 minutes"), "stream_sessions", "complete"
+    )
+    return result.orderBy("user_id", "session_start")
+
+
+# session_window semantics: an event at ts extends its session to ts+gap,
+# sessions merge on overlap (strict <), so the batch-SQL island boundary is
+# ``diff >= gap``; session_end = last event + gap.  Diffs compared in exact
+# integer microseconds (epoch_us) — double seconds would round off the µs.
+SESSION_WINDOW_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, seq
+ORDER BY user_id, session_start
+"""
+
+
+def streaming_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState).  Update mode
+    emits one snapshot per user per micro-batch; n_events is strictly
+    increasing per user, so the lexicographic max struct is the final
+    state."""
+    events = read_events_stream(spark, sf_dir)
+    snapshots = run_available_now(
+        stream_user_counts_stateful(events), "stream_user_counts", "update"
+    )
+    final = snapshots.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "total_value")).alias("s")
+    )
+    return final.select(
+        "user_id", F.col("s.n_events").alias("n_events"),
+        F.col("s.total_value").alias("total_value"),
+    ).orderBy("user_id")
+
+
+USER_COUNTS_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(ROUND(value * 100)) / 100.0 AS total_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+QUERIES = [
+    Query("streaming_tumbling_window", streaming_tumbling_window,
+          EVENTS_TUMBLING_ORACLE, ("streaming", "window"),
+          doc="watermarked tumbling agg, stream==batch on closed input"),
+    Query("streaming_session_window", streaming_session_window,
+          SESSION_WINDOW_ORACLE, ("streaming", "window"),
+          doc="built-in session_window with watermark"),
+    Query("streaming_user_counts", streaming_user_counts,
+          USER_COUNTS_ORACLE, ("streaming", "stateful"),
+          doc="applyInPandasWithState running per-user totals"),
+]

@@ -1,0 +1,15 @@
+from direct_spark_sql_spark.streaming.pipelines import (
+    read_events_stream,
+    run_available_now,
+    stream_session_windows,
+    stream_tumbling_totals,
+    stream_user_counts_stateful,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_available_now",
+    "stream_session_windows",
+    "stream_tumbling_totals",
+    "stream_user_counts_stateful",
+]

@@ -1,0 +1,190 @@
+"""Structured Streaming pipelines over the events stream.
+
+The reference has no streaming at all (SURVEY.md §2.11) — this module is
+the north-star extension: the same event-analytics the batch conformance
+queries compute (plans/conformance.py events_*), re-expressed as
+Structured Streaming with watermarks, so one codebase serves both the
+backfill (batch over parquet) and the live path (the same plan over a
+Kafka/file stream).
+
+Design rules:
+
+- Every transformation takes and returns a DataFrame, so it composes with
+  either ``spark.read`` (batch) or ``spark.readStream`` (streaming) input —
+  the Spark unification this engine exists to exploit.
+- Watermarks bound state: tumbling/session aggregations keep only windows
+  newer than the watermark, so state size is O(active windows), not
+  O(stream history) — the property that lets these run forever at
+  100 TB/day.
+- The stateful per-user operator uses ``applyInPandasWithState`` (Arrow-
+  batched, grouped state with timeouts) — the PySpark-native analogue of a
+  custom stateful operator.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from direct_spark_sql_spark.plans.base import DEC_OUT, DEC_PRICE
+
+#: events.parquet physical schema (ts is TIMESTAMP(NANOS), which Spark
+#: reads as long under the legacy conf — converted to µs right after scan,
+#: mirroring sources/registry.py:load_table).
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """``readStream`` over the events parquet.
+
+    File-source streaming is the test harness stand-in for Kafka: same
+    downstream plan, different source.  ``max_files_per_trigger`` splits
+    multi-file inputs into multiple micro-batches (used by tests to prove
+    state carries across batches)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def stream_tumbling_totals(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window totals — the streaming twin of the batch
+    ``events_tumbling_window`` conformance query (identical output schema,
+    identical values when run over the same closed input)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC_PRICE)).cast(DEC_OUT).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (built-in ``session_window``: an event
+    extends its session to ts+gap; overlapping extents merge).  Watermark
+    closes sessions once no extension can arrive."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# -- custom stateful operator ------------------------------------------------
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_USER_COUNTS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _update_user_counts(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    """Running per-user totals with explicit grouped state: reads the prior
+    (count, sum) tuple, folds in this batch's rows, writes it back, and
+    emits the updated snapshot.  value is summed in integer cents so the
+    running total is order- and batch-split-independent."""
+    (user_id,) = key
+    if state.exists:
+        n, total_cents = state.get
+    else:
+        n, total_cents = 0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        # cents as float is exact for our magnitudes (< 2^53)
+        total_cents += float(round(pdf["value"].mul(100).round().sum()))
+    state.update((n, total_cents))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [total_cents / 100.0]}
+    )
+
+
+def stream_user_counts_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, value total), emitted as an updated snapshot per
+    micro-batch.  The grouped state is the explicit analogue of what the
+    windowed aggregations keep internally — this is the extension point for
+    operators Spark lacks (complex sessionization, CEP, decaying counters).
+    """
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_counts,
+            outputStructType=_USER_COUNTS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# -- harness -----------------------------------------------------------------
+
+def run_available_now(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming DataFrame to completion over the currently-available
+    input (Trigger.AvailableNow) into an in-memory sink; return the result
+    table.  ``complete`` mode re-emits full aggregation state, so for a
+    closed input the memory table equals the batch answer; for the stateful
+    operator use ``update`` and reduce to the latest row per key."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(name)
