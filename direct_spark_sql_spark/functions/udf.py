@@ -1,0 +1,88 @@
+"""Registered UDF surface — the user-extension point.
+
+The reference registers Hive UDF/UDAF/UDTFs into its session catalog so
+SQL text can call them (DirectSessionCatalog.scala:62-112, tested at
+DirectExecSuite.scala:159-178).  The PySpark-native equivalents:
+
+- scalar **pandas UDFs** (Arrow-batched, ~10-100× faster than row-at-a-time
+  Python UDFs) registered with ``spark.udf.register`` → callable from SQL;
+- **grouped-agg pandas UDFs** — the UDAF analogue;
+- array-returning UDFs consumed by ``explode`` — the UDTF analogue.
+
+Every function here duplicates a native column function (functions/columns)
+or a simple SQL expression so tests can difference the UDF path against the
+JVM path; real pipelines should prefer the native versions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import SparkSession, functions as F, types as T
+
+from direct_spark_sql_spark.hashing import _HEX_CHARS
+
+#: registered names, all prefixed to avoid builtin collisions
+UDF_PREFIX = "dss_"
+
+
+@F.pandas_udf(T.LongType())
+def _h64_udf(s: pd.Series) -> pd.Series:
+    """Vectorized twin of hashing.h64 (md5-derived 60-bit int)."""
+    return s.astype(str).map(
+        lambda x: int(hashlib.md5(x.encode()).hexdigest()[:_HEX_CHARS], 16)
+    )
+
+
+@F.pandas_udf(T.LongType())
+def _token_count_udf(s: pd.Series) -> pd.Series:
+    return s.str.split(" ").map(lambda ts: sum(1 for t in ts if t))
+
+
+@F.pandas_udf(T.DoubleType())
+def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """float64 cosine of two array columns (approximate — the exact-decimal
+    path is operators.similarity.cosine_dec)."""
+    out = np.empty(len(a))
+    for i, (x, y) in enumerate(zip(a, b)):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        denom = np.sqrt(x @ x) * np.sqrt(y @ y)
+        out[i] = (x @ y) / denom if denom else float("nan")
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.DoubleType())
+def _median_udaf(v: pd.Series) -> float:
+    """Grouped-aggregate pandas UDF (UDAF analogue): exact median."""
+    return float(v.median())
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _char_ngrams_udf(s: pd.Series) -> pd.Series:
+    """Array-returning UDF (UDTF analogue once exploded): character
+    3-grams of the input string."""
+    return s.map(lambda x: [x[i : i + 3] for i in range(max(len(x) - 2, 1))])
+
+
+def register_udfs(spark: SparkSession) -> dict[str, str]:
+    """Register the UDF surface into the session; returns {name: kind}.
+
+    SQL can then call e.g. ``SELECT dss_h64(name) FROM t`` or
+    ``SELECT dss_median(value) FROM t GROUP BY k``."""
+    reg = {
+        "h64": (_h64_udf, "scalar pandas_udf"),
+        "token_count": (_token_count_udf, "scalar pandas_udf"),
+        "cosine": (_cosine_udf, "scalar pandas_udf"),
+        "median": (_median_udaf, "grouped-agg pandas_udf"),
+        "char_ngrams": (_char_ngrams_udf, "array-returning pandas_udf"),
+    }
+    out: dict[str, str] = {}
+    for name, (fn, kind) in reg.items():
+        full = f"{UDF_PREFIX}{name}"
+        spark.udf.register(full, fn)
+        out[full] = kind
+    return out

@@ -123,6 +123,11 @@ class Engine:
         #: (DirectSessionCatalog.scala:55).
         self._qualified_views: dict[str, DataFrame] = {}
         self._lock = threading.Lock()
+        #: UDF surface (reference: DirectSessionCatalog.scala:62-112 Hive
+        #: UDF registration): engine functions callable from SQL text.
+        from direct_spark_sql_spark.functions import register_udfs
+
+        self.registered_udfs = register_udfs(spark)
 
     @staticmethod
     def builder() -> EngineBuilder:
