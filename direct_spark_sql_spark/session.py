@@ -26,6 +26,7 @@ and per-execution-stable ``now()`` semantics
 
 from __future__ import annotations
 
+import re
 import threading
 from collections import OrderedDict
 from typing import Any, Iterable
@@ -108,6 +109,11 @@ class _LRU:
         with self._lock:
             self._data.clear()
 
+    def drop_where(self, predicate) -> None:
+        with self._lock:
+            for key in [k for k in self._data if predicate(k)]:
+                del self._data[key]
+
 
 class Engine:
     """PySpark-native engine session with the reference's API surface."""
@@ -172,9 +178,13 @@ class Engine:
             df.createOrReplaceTempView(self._mangle(name))
         else:
             df.createOrReplaceTempView(name)
-        # data changed → cached results for this namespace may be stale; the
-        # plan cache holds *lazy* DataFrames which re-read the view on next
-        # execution, so only re-registration of a different schema matters.
+        # The reference's cache contract is plan-by-name, data-re-read-at-
+        # execution (NamedLocalRelation.scala:25-44).  A cached *analyzed*
+        # DataFrame has already bound the previous LocalRelation, so any
+        # cached statement that references this view must be dropped; it
+        # re-analyzes (and re-binds fresh data) on its next execution.
+        pattern = re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)
+        self._plan_cache.drop_where(lambda key: pattern.search(key) is not None)
 
     @staticmethod
     def _mangle(qualified: str) -> str:

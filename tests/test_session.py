@@ -1,0 +1,291 @@
+"""Session-facade conformance: the reference's own test-suite semantics
+(DirectExecSuite.scala, RegisterTableTest.java — see FIXTURES.md Part A)
+ported to the Engine API.  These exercise the full facade path
+(register_table coercion → temp view → sql_directly → DataTable egress),
+complementing the registry suite which exercises query semantics over the
+star schema.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import threading
+import time
+from decimal import Decimal
+
+import pytest
+
+#: reference fixture A1/A2 (DirectExecSuite.scala:31-38)
+PEOPLE = [
+    {"name": "a", "age": 2, "genda": 0},
+    {"name": "bbb", "age": 2, "genda": 1},
+    {"name": "c", "age": 3, "genda": 0},
+    {"name": "ddd", "age": 4, "genda": 1},
+    {"name": "e", "age": 5, "genda": 1},
+]
+PEOPLE2 = [
+    {"name": "a", "age": 1, "genda": 0},
+    {"name": "b", "age": 2, "genda": 1},
+    {"name": "c", "age": 3, "genda": 0},
+]
+PEOPLE_SCHEMA = "name string, age int, genda int"
+
+
+@pytest.fixture(scope="module")
+def people_engine(engine):
+    engine.register_table("people", PEOPLE, PEOPLE_SCHEMA)
+    engine.register_table("people2", PEOPLE2, PEOPLE_SCHEMA)
+    return engine
+
+
+def _rows(table):
+    return table.to_list_of_dicts()
+
+
+# -- joins (DirectExecSuite.scala:84-150) ------------------------------------
+
+def test_inner_join(people_engine):
+    t = people_engine.sql_directly(
+        "SELECT t1.name, t1.age, t2.age AS age2 FROM people t1 "
+        "JOIN people2 t2 ON t1.name = t2.name ORDER BY t1.name"
+    )
+    assert _rows(t) == [
+        {"name": "a", "age": 2, "age2": 1},
+        {"name": "c", "age": 3, "age2": 3},
+    ]
+
+
+def test_left_and_right_join(people_engine):
+    left = people_engine.sql_directly(
+        "SELECT t1.name, t2.age AS age2 FROM people t1 "
+        "LEFT JOIN people2 t2 ON t1.name = t2.name ORDER BY t1.name"
+    )
+    assert {r["name"]: r["age2"] for r in _rows(left)} == {
+        "a": 1, "bbb": None, "c": 3, "ddd": None, "e": None,
+    }
+    right = people_engine.sql_directly(
+        "SELECT t2.name, t1.age FROM people t1 "
+        "RIGHT JOIN people2 t2 ON t1.name = t2.name ORDER BY t2.name"
+    )
+    assert {r["name"]: r["age"] for r in _rows(right)} == {"a": 2, "b": None, "c": 3}
+
+
+def test_semi_and_anti_join(people_engine):
+    semi = people_engine.sql_directly(
+        "SELECT name FROM people WHERE name IN (SELECT name FROM people2) ORDER BY name"
+    )
+    assert [r["name"] for r in _rows(semi)] == ["a", "c"]
+    anti = people_engine.sql_directly(
+        "SELECT name FROM people WHERE name NOT IN (SELECT name FROM people2) ORDER BY name"
+    )
+    assert [r["name"] for r in _rows(anti)] == ["bbb", "ddd", "e"]
+
+
+# -- aggregation (DirectExecSuite.scala:60-82, 180-189) ----------------------
+
+def test_group_by_count_and_approx_distinct(people_engine):
+    t = people_engine.sql_directly(
+        "SELECT genda, COUNT(*) AS n, APPROX_COUNT_DISTINCT(age) AS nd "
+        "FROM people GROUP BY genda ORDER BY genda"
+    )
+    assert _rows(t) == [
+        {"genda": 0, "n": 2, "nd": 2},
+        {"genda": 1, "n": 3, "nd": 3},
+    ]
+
+
+def test_grouping_sets(people_engine):
+    t = people_engine.sql_directly(
+        "SELECT genda, age, COUNT(*) AS n FROM people "
+        "GROUP BY GROUPING SETS ((genda), (age)) ORDER BY genda, age"
+    )
+    rows = _rows(t)
+    # 2 genda groups + 4 distinct ages
+    assert len(rows) == 6
+
+
+# -- window / union / generate (DirectExecSuite.scala:46-58, 94-110) ---------
+
+def test_window_row_number(people_engine):
+    t = people_engine.sql_directly(
+        "SELECT name, ROW_NUMBER() OVER (PARTITION BY genda ORDER BY name) AS rn "
+        "FROM people ORDER BY genda, rn"
+    )
+    assert [(r["name"], r["rn"]) for r in _rows(t)] == [
+        ("a", 1), ("c", 2), ("bbb", 1), ("ddd", 2), ("e", 3),
+    ]
+
+
+def test_union_distinct(people_engine):
+    t = people_engine.sql_directly(
+        "SELECT name FROM people UNION SELECT name FROM people2 ORDER BY name"
+    )
+    assert [r["name"] for r in _rows(t)] == ["a", "b", "bbb", "c", "ddd", "e"]
+
+
+def test_lateral_view_explode_split(people_engine):
+    t = people_engine.sql_directly(
+        "SELECT name, ch FROM people LATERAL VIEW explode(split(name, '')) t AS ch "
+        "WHERE name = 'bbb'"
+    )
+    assert [r["ch"] for r in _rows(t)] == ["b", "b", "b"]
+
+
+# -- misc corners (DirectExecSuite.scala:152-157, 205-225, 301-320, 376-382) -
+
+def test_one_row_relation(people_engine):
+    t = people_engine.sql_directly("SELECT 1 AS m, 'a' AS n")
+    assert _rows(t) == [{"m": 1, "n": "a"}]
+
+
+def test_limit_and_topk(people_engine):
+    assert len(people_engine.sql_directly("SELECT * FROM people LIMIT 3")) == 3
+    t = people_engine.sql_directly(
+        "SELECT name FROM people ORDER BY age DESC, name LIMIT 2"
+    )
+    assert [r["name"] for r in _rows(t)] == ["e", "ddd"]
+
+
+def test_empty_result(people_engine):
+    t = people_engine.sql_directly("SELECT * FROM people WHERE 1 = 0")
+    assert len(t) == 0
+    assert [f.name for f in t.schema.fields] == ["name", "age", "genda"]
+
+
+def test_empty_input_global_agg(people_engine):
+    """Global aggregate over empty input emits exactly one row
+    (HashAggregateDirectExec.scala:79-103 corner)."""
+    t = people_engine.sql_directly(
+        "SELECT COUNT(*) AS n, SUM(age) AS s FROM people WHERE 1 = 0"
+    )
+    assert _rows(t) == [{"n": 0, "s": None}]
+
+
+# -- 11-type coercion round-trip (RegisterTableTest.java:17-65) --------------
+
+WIDE_SCHEMA = (
+    "a int, b bigint, c timestamp, d decimal(38,18), e float, f double, "
+    "g boolean, h short, i byte, j date, k string"
+)
+
+
+def test_wide_type_coercion_roundtrip(engine):
+    engine.register_table(
+        "wide_types",
+        [
+            {"a": "10", "b": "10", "c": 1565748795542, "d": "23", "e": "2.3",
+             "f": "24.03", "g": "true", "h": "1", "i": "12",
+             "j": 1565748795542, "k": 2342.23},
+            {"a": 200, "b": 10, "c": "1565748795542", "d": 900000, "e": 9.08,
+             "f": 9.0008, "h": 12, "i": 23, "j": "1565748795542", "k": "plain"},
+        ],
+        WIDE_SCHEMA,
+    )
+    rows = _rows(engine.sql_directly("SELECT * FROM wide_types ORDER BY a"))
+    r0, r1 = rows
+    assert r0["a"] == 10 and r0["b"] == 10
+    # epoch-millis → UTC timestamp (documented deviation: UTC, not local TZ)
+    assert r0["c"] == dt.datetime(2019, 8, 14, 2, 13, 15, 542000)
+    assert r0["d"] == Decimal("23").scaleb(0).quantize(Decimal(1).scaleb(-18))
+    assert abs(r0["e"] - 2.3) < 1e-6 and r0["f"] == 24.03
+    assert r0["g"] is True and r1["g"] is None
+    assert r0["h"] == 1 and r0["i"] == 12
+    assert r0["j"] == dt.date(2019, 8, 14)
+    assert r0["k"] == "2342.23"
+    assert r1["a"] == 200 and r1["k"] == "plain"
+
+
+# -- view round-trip / execute-into-view (DirectExecSuite.scala:191-203) -----
+
+def test_view_roundtrip_and_execute_into_view(people_engine):
+    n = people_engine.execute_and_register_temp_view(
+        "SELECT genda, COUNT(*) AS n FROM people GROUP BY genda", "genda_counts"
+    )
+    assert n == 2
+    t = people_engine.sql_directly("SELECT * FROM genda_counts ORDER BY genda")
+    assert _rows(t) == [{"genda": 0, "n": 2}, {"genda": 1, "n": 3}]
+    back = people_engine.temp_view("genda_counts")
+    assert sorted(_rows(back), key=lambda r: r["genda"]) == _rows(t)
+
+
+def test_db_qualified_temp_view(people_engine):
+    """db-qualified temp views (reference: DirectSessionCatalog.scala:130-145)."""
+    people_engine.register_table("mm.test", PEOPLE2, PEOPLE_SCHEMA)
+    t = people_engine.sql_directly("SELECT COUNT(*) AS n FROM mm.test")
+    assert _rows(t) == [{"n": 3}]
+    assert "mm.test" in people_engine.list_tables()
+
+
+# -- plan cache semantics ----------------------------------------------------
+
+def test_cached_plan_sees_fresh_view_data(engine):
+    """The reference's core cache contract: plans cache by name, data is
+    re-read at execution (NamedLocalRelation.scala:25-44).  Re-registering
+    a view must be visible to the cached statement."""
+    engine.register_table("fresh_t", [{"x": 1}], "x int")
+    sql = "SELECT SUM(x) AS s FROM fresh_t"
+    assert _rows(engine.sql_directly(sql)) == [{"s": 1}]
+    engine.register_table("fresh_t", [{"x": 5}, {"x": 6}], "x int")
+    assert _rows(engine.sql_directly(sql)) == [{"s": 11}]
+
+
+def test_namespace_isolates_cache(engine):
+    engine.register_table("ns_t", [{"x": 1}], "x int")
+    engine.set_namespace("tenant-a")
+    assert _rows(engine.sql_directly("SELECT COUNT(*) AS n FROM ns_t")) == [{"n": 1}]
+    engine.set_namespace("tenant-b")
+    assert _rows(engine.sql_directly("SELECT COUNT(*) AS n FROM ns_t")) == [{"n": 1}]
+    engine.set_namespace("")
+
+
+def test_new_session_isolated_views(people_engine):
+    """Per-session catalogs over a shared context
+    (DirectExecSuite.scala:259-299)."""
+    other = people_engine.new_session()
+    other.register_table("people", PEOPLE2, PEOPLE_SCHEMA)
+    n_other = _rows(other.sql_directly("SELECT COUNT(*) AS n FROM people"))
+    n_orig = _rows(people_engine.sql_directly("SELECT COUNT(*) AS n FROM people"))
+    assert n_other == [{"n": 3}]
+    assert n_orig == [{"n": 5}]
+
+
+# -- time semantics (DirectExecSuite.scala:322-374) --------------------------
+
+def test_time_changes_across_executions(engine):
+    t1 = _rows(engine.sql_directly("SELECT unix_timestamp() AS ts"))[0]["ts"]
+    time.sleep(1.1)
+    t2 = _rows(engine.sql_directly("SELECT unix_timestamp() AS ts"))[0]["ts"]
+    assert t2 > t1
+
+
+def test_time_stable_within_execution(engine):
+    r = _rows(
+        engine.sql_directly(
+            "SELECT current_timestamp() AS a, current_timestamp() AS b"
+        )
+    )[0]
+    assert r["a"] == r["b"]
+
+
+# -- concurrency smoke (DirectExecSuite.scala:227-257) -----------------------
+
+def test_concurrent_shared_engine(people_engine):
+    errors: list[Exception] = []
+
+    def worker():
+        try:
+            for _ in range(5):
+                t = people_engine.sql_directly(
+                    "SELECT t1.name, t1.age FROM people t1 "
+                    "JOIN people2 t2 ON t1.age = t2.age ORDER BY t1.name"
+                )
+                assert [r["name"] for r in _rows(t)] == ["a", "bbb", "c"]
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
