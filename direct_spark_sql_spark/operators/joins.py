@@ -1,0 +1,112 @@
+"""Temporal join operators: as-of join and range join.
+
+The reference has neither (SURVEY.md §2.3 "range / as-of / interval joins:
+absent") — these are north-star extensions for event-stream analytics,
+built from DataFrame primitives so Catalyst plans them:
+
+- :func:`asof_join` — for each left row, the latest right row with
+  ``right_ts <= left_ts`` per key, via the union-marker + running
+  ``last(ignorenulls)`` window trick: one shuffle on (key), one sort per
+  partition, **no range expansion** — the shape that survives skewed keys
+  and 100 TB inputs, unlike a naive ``t2.ts <= t1.ts`` theta-join whose
+  intermediate is quadratic in events-per-key.
+- :func:`range_join` — equi-key + interval-overlap join expressed so the
+  equality conjunct drives a hash join and the range residual filters
+  post-probe (Catalyst does exactly this for mixed predicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Left as-of join: enrich each left row with the most recent right row
+    at or before its timestamp, matched on ``key``.
+
+    Implementation: tag both inputs, union them, and carry right-side
+    values forward with ``last(x, ignorenulls=True)`` over
+    (key ORDER BY ts, side) — right rows sort before left rows at equal
+    timestamps, so an exactly-simultaneous right row IS visible to the
+    left row (ASOF ``<=`` semantics, matching DuckDB's ASOF JOIN).
+
+    If several right rows share (key, ts), the one latest in the union
+    sort order wins; pre-deduplicate the right side if that order is not
+    meaningful.  ``tolerance`` (e.g. ``"7 days"``) nulls out matches older
+    than the window, like pandas ``merge_asof``.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (key, right_ts)]
+
+    lt = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*left.columns).alias("__l"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__r_ts"),
+    )
+    rt = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(lt.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(right_ts).alias("__r_ts"),
+    )
+    unioned = lt.unionByName(rt)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "__side",
+        "__l",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in right_cols
+        ],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__c_ts"),
+    ).filter(F.col("__side") == 1)
+    if tolerance is not None:
+        in_window = F.col("__c_ts") >= (
+            F.col("__l").getField(left_ts) - F.expr(f"INTERVAL {tolerance}")
+        )
+        carried = carried.select(
+            "__side",
+            "__l",
+            *[
+                F.when(in_window, F.col(f"__c_{c}")).otherwise(F.lit(None)).alias(f"__c_{c}")
+                for c in right_cols
+            ],
+            F.when(in_window, F.col("__c_ts")).otherwise(F.lit(None)).alias("__c_ts"),
+        )
+    return carried.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__c_{c}").alias(c) for c in right_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column,
+    lower: Column,
+    upper: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-key + range join: ``on`` is the equality conjunct (drives the
+    hash join / shuffle), ``lower``/``upper`` are the range bounds applied
+    as the join residual.  Catalyst evaluates mixed predicates exactly this
+    way when the condition is a conjunction — this helper just makes the
+    contract explicit and keeps callers from writing a pure theta-join."""
+    return left.join(right, on & lower & upper, how)

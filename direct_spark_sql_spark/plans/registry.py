@@ -17,6 +17,10 @@ def all_queries() -> list[Query]:
     queries += tpch_extra.QUERIES
     queries += conformance.QUERIES
 
+    from direct_spark_sql_spark.plans import temporal
+
+    queries += temporal.QUERIES
+
     try:
         from direct_spark_sql_spark.plans import pipeline
 

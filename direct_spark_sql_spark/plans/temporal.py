@@ -1,0 +1,133 @@
+"""Temporal-join conformance queries (as-of, range) over events ⋈ orders.
+
+The DuckDB oracle uses its native ``ASOF JOIN`` — an independent
+implementation of the same semantics — so this is a true differential
+check of the union-marker/window as-of algorithm in operators/joins.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from direct_spark_sql_spark.operators.joins import asof_join, range_join
+from direct_spark_sql_spark.plans.base import Query
+from direct_spark_sql_spark.sources.registry import load_table
+
+
+def _dedup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One order per (custkey, orderdate) — keep max orderkey — so the
+    as-of match is deterministic on both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    return (
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max(F.struct("o_orderkey", "o_totalprice")).alias("s"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            F.col("s.o_orderkey").alias("o_orderkey"),
+            F.col("s.o_totalprice").alias("o_totalprice"),
+        )
+    )
+
+
+_DEDUP_ORDERS_SQL = """
+  SELECT o_custkey, o_orderdate,
+         MAX(o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY o_custkey, o_orderdate
+"""
+
+
+def asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event enriched with the user's most recent order at event time."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _dedup_orders(spark, sf_dir).withColumnRenamed("o_custkey", "user_id")
+    return asof_join(
+        e, o, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+    ).orderBy("event_id")
+
+
+ASOF_ORACLE = f"""
+WITH od AS ({_DEDUP_ORDERS_SQL})
+SELECT e.event_id, e.user_id, e.ts,
+       od.o_orderkey, od.o_orderdate, od.o_totalprice
+FROM events e
+ASOF LEFT JOIN od
+  ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+def asof_event_order_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with a tolerance window: matches older than the window null out
+    (pandas merge_asof semantics).  8400 days splits the generated data
+    (events are 2024, orders 1995-2001) into kept and nulled matches."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _dedup_orders(spark, sf_dir).withColumnRenamed("o_custkey", "user_id")
+    return asof_join(
+        e, o, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"], tolerance="8400 DAYS",
+    ).orderBy("event_id")
+
+
+ASOF_TOL_ORACLE = f"""
+WITH od AS ({_DEDUP_ORDERS_SQL}),
+m AS (
+  SELECT e.event_id, e.user_id, e.ts, od.o_orderkey, od.o_orderdate
+  FROM events e
+  ASOF LEFT JOIN od
+    ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN o_orderdate >= ts - INTERVAL 8400 DAY THEN o_orderkey END AS o_orderkey,
+       CASE WHEN o_orderdate >= ts - INTERVAL 8400 DAY THEN o_orderdate END AS o_orderdate
+FROM m ORDER BY event_id
+"""
+
+
+def range_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event, how many of the same user's events fell in the
+    preceding hour — a self range join where the user_id equality drives
+    the hash join and the time bounds are the residual."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    a = e.alias("a")
+    b = e.select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+    joined = range_join(
+        a, b,
+        on=F.col("a.user_id") == F.col("b_user"),
+        lower=F.col("b_ts") >= F.col("a.ts") - F.expr("INTERVAL 1 HOUR"),
+        upper=F.col("b_ts") < F.col("a.ts"),
+    )
+    return (
+        joined.groupBy(F.col("a.event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_recent_events"))
+        .orderBy("event_id")
+    )
+
+
+RANGE_ORACLE = """
+SELECT a.event_id, COUNT(*) AS n_recent_events
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts - INTERVAL 1 HOUR
+ AND b.ts < a.ts
+GROUP BY a.event_id
+ORDER BY a.event_id
+"""
+
+
+QUERIES = [
+    Query("asof_event_order", asof_event_order, ASOF_ORACLE,
+          ("join", "temporal"), bench=True,
+          doc="as-of join via union-marker + window (vs DuckDB ASOF JOIN)"),
+    Query("asof_event_order_tolerance", asof_event_order_tolerance, ASOF_TOL_ORACLE,
+          ("join", "temporal"), doc="as-of join with tolerance window"),
+    Query("range_event_order", range_event_order, RANGE_ORACLE,
+          ("join", "temporal"), doc="equi+range join residual"),
+]
