@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from direct_spark_sql_spark.plans.base import DEC_OUT, DEC_PRICE, Query
+from direct_spark_sql_spark.plans.base import DEC_OUT, DEC_PRICE, DEC_QTY, Query
 from direct_spark_sql_spark.sources.registry import load_table
 
 
@@ -934,6 +934,166 @@ FROM numbered GROUP BY user_id, session_seq ORDER BY user_id, session_seq
 """
 
 
+# ---------------------------------------------------------------------------
+# Nested types: array construction/manipulation and struct access (inside
+# queries the reference inherits the full Catalyst type system — SURVEY.md
+# §1.2; the rebuild exercises it explicitly).
+# ---------------------------------------------------------------------------
+
+def nested_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order sorted quantity array: size, first/last element, a joined
+    string egress, and a (min,max) struct unpacked to columns."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    per_order = l.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.col("l_quantity").cast("int"))).alias("qtys")
+    )
+    return (
+        per_order.select(
+            "l_orderkey",
+            F.size("qtys").cast("long").alias("n_items"),
+            F.element_at("qtys", 1).alias("min_qty"),
+            F.element_at("qtys", -1).alias("max_qty"),
+            F.array_join(F.transform("qtys", lambda x: x.cast("string")), ",").alias("qty_list"),
+            F.size(F.array_distinct("qtys")).cast("long").alias("n_distinct"),
+            F.size(F.filter("qtys", lambda x: x >= 25)).cast("long").alias("n_high"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+NESTED_ARRAY_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         list_sort(array_agg(CAST(l_quantity AS INTEGER))) AS qtys
+  FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(qtys) AS BIGINT) AS n_items,
+       qtys[1] AS min_qty,
+       qtys[-1] AS max_qty,
+       array_to_string(qtys, ',') AS qty_list,
+       CAST(len(list_distinct(qtys)) AS BIGINT) AS n_distinct,
+       CAST(len(list_filter(qtys, x -> x >= 25)) AS BIGINT) AS n_high
+FROM per_order ORDER BY l_orderkey
+"""
+
+
+def nested_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map built from grouped keys (status → count per priority) read back
+    via element_at; struct round-trip."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = (
+        o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("o_orderstatus", "cnt")))
+            ).alias("status_counts")
+        )
+    )
+    return counts.select(
+        "o_orderpriority",
+        F.element_at("status_counts", "F").alias("n_f"),
+        F.element_at("status_counts", "O").alias("n_o"),
+        F.element_at("status_counts", "P").alias("n_p"),
+    ).orderBy("o_orderpriority")
+
+
+NESTED_MAP_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates via exact-decimal moment sums.  Builtin stddev/corr
+# accumulate in floating point (order-dependent, engine-dependent); the
+# two-pass moment formulas below use exact decimal Σx, Σx², Σxy, so both
+# engines compute identical doubles from identical operands.
+# ---------------------------------------------------------------------------
+
+def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    x = F.col("c_acctbal").cast(DEC_PRICE)
+    n = F.count(F.lit(1)).cast("double")
+    s1 = F.sum(x).cast("decimal(24,6)").cast("double")
+    s2 = F.sum((x * x).cast("decimal(28,4)")).cast("decimal(30,6)").cast("double")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            ((n * s2 - s1 * s1) / (n * (n - F.lit(1.0)))).alias("var_samp"),
+            F.sqrt((n * s2 - s1 * s1) / (n * (n - F.lit(1.0)))).alias("stddev_samp"),
+            (s1 / n).alias("mean"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+AGG_MOMENT_ORACLE = """
+WITH m AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         COUNT(*) AS n_out,
+         CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 6) AS DECIMAL(24,6)) AS DOUBLE) AS s1,
+         CAST(CAST(ROUND(SUM(CAST(CAST(c_acctbal AS DECIMAL(14,2)) * CAST(c_acctbal AS DECIMAL(14,2)) AS DECIMAL(28,4))), 6) AS DECIMAL(30,6)) AS DOUBLE) AS s2
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n_out AS n,
+       (n * s2 - s1 * s1) / (n * (n - 1.0)) AS var_samp,
+       sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))) AS stddev_samp,
+       s1 / n AS mean
+FROM m ORDER BY c_mktsegment
+"""
+
+
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity and extended price per return flag,
+    from exact decimal moment sums."""
+    l = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(DEC_QTY)
+    y = F.col("l_extendedprice").cast(DEC_PRICE)
+    n = F.count(F.lit(1)).cast("double")
+    # moments round to integers before the double cast: Σy² reaches ~2e13
+    # here (~2e19 unscaled at scale 6), far past the 15-significant-digit
+    # window where decimal→double is bit-identical across engines (see
+    # plans/base.py); at scale 0 every moment stays below 2^53 up to sf≈1.
+    sx = F.sum(x).cast("decimal(24,0)").cast("double")
+    sy = F.sum(y).cast("decimal(24,0)").cast("double")
+    sxx = F.sum((x * x).cast("decimal(28,4)")).cast("decimal(30,0)").cast("double")
+    syy = F.sum((y * y).cast("decimal(30,4)")).cast("decimal(32,0)").cast("double")
+    sxy = F.sum((x * y).cast("decimal(29,4)")).cast("decimal(31,0)").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return (
+        l.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), corr.alias("qty_price_corr"))
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_CORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS n_out,
+         CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 0) AS DECIMAL(24,0)) AS DOUBLE) AS sx,
+         CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 0) AS DECIMAL(24,0)) AS DOUBLE) AS sy,
+         CAST(CAST(ROUND(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,4))), 0) AS DECIMAL(30,0)) AS DOUBLE) AS sxx,
+         CAST(CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2)) AS DECIMAL(30,4))), 0) AS DECIMAL(32,0)) AS DOUBLE) AS syy,
+         CAST(CAST(ROUND(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2)) AS DECIMAL(29,4))), 0) AS DECIMAL(31,0)) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_out AS n,
+       (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS qty_price_corr
+FROM m ORDER BY l_returnflag
+"""
+
+
 QUERIES = [
     Query("join_inner", join_inner, JOIN_INNER_ORACLE, ("join",)),
     Query("join_left_outer", join_left_outer, JOIN_LEFT_ORACLE, ("join",)),
@@ -976,4 +1136,8 @@ QUERIES = [
     Query("events_json_extract", events_json_extract, EVENTS_JSON_ORACLE, ("events",)),
     Query("events_user_sessions", events_user_sessions, EVENTS_SESSIONS_ORACLE,
           ("events", "window"), bench=True),
+    Query("nested_array_ops", nested_array_ops, NESTED_ARRAY_ORACLE, ("nested",)),
+    Query("nested_map_struct", nested_map_struct, NESTED_MAP_ORACLE, ("nested",)),
+    Query("agg_moment_stats", agg_moment_stats, AGG_MOMENT_ORACLE, ("agg", "stats")),
+    Query("agg_correlation", agg_correlation, AGG_CORR_ORACLE, ("agg", "stats")),
 ]
