@@ -1,0 +1,86 @@
+"""Connected components via min-label propagation — the clustering step
+that turns near-duplicate *pairs* into duplicate *groups* (so a pipeline
+keeps one canonical doc per group, not one per pair).
+
+Implementation: iterative small-step joins.  Each round every node adopts
+the minimum label among itself and its neighbors; fixpoint is reached in
+O(graph diameter) rounds — near-dup graphs are unions of small cliques, so
+2-3 rounds in practice.  Each round is one shuffle join + one aggregation;
+``localCheckpoint`` truncates the lineage so plans don't grow with the
+iteration count (the classic large-scale iterative-algorithm hygiene).
+
+This is the one operator in the engine that *must* be iterative — there is
+no single-pass SQL for transitive closure — so it is driver-coordinated
+(loop in Python) but fully distributed per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component =
+    minimum node id in the connected component (deterministic canonical)."""
+    sym = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select("node").distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    for _ in range(max_iter):
+        nbr_labels = labels.select(
+            F.col("node").alias("lbl_node"), F.col("component").alias("lbl_comp")
+        )
+        nbr_min = (
+            sym.join(nbr_labels, sym.nbr == F.col("lbl_node"))
+            .groupBy(sym.node.alias("n"))
+            .agg(F.min("lbl_comp").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == F.col("n"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "node")
+            .filter(F.col("a.component") != F.col("b.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_groups(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Collapse near-duplicate pairs into groups: (component, group_size,
+    member_ids csv) — one row per duplicate cluster."""
+    cc = connected_components(pairs, id_a, id_b)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("node").cast("string"))), ","
+            ).alias("member_ids"),
+        )
+    )

@@ -1,0 +1,75 @@
+"""Deterministic sampling and corpus statistics.
+
+Random-number sampling (``df.sample``/``sampleBy``) is seed-deterministic
+only within one engine — no oracle can replay it.  Training-data pipelines
+want *hash* sampling anyway: membership is a pure function of the row key,
+so re-runs, backfills, and incremental loads select the same rows, and
+train/eval splits never leak when the corpus is re-partitioned.
+
+All operators are single-pass, map-only or one-aggregation shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from direct_spark_sql_spark.hashing import h64
+from direct_spark_sql_spark.operators.text import tokens
+
+#: hash-bucket space for sampling rates (1e4 → 0.01% rate granularity)
+SAMPLE_BUCKETS = 10_000
+
+
+def sample_bucket(key: Column | str) -> Column:
+    """Stable bucket in [0, SAMPLE_BUCKETS) from the row key."""
+    return h64(key) % SAMPLE_BUCKETS
+
+
+def hash_sample(df: DataFrame, key: str, rate: float) -> DataFrame:
+    """Keep ~rate of rows, deterministically by key hash."""
+    return df.filter(sample_bucket(F.col(key)) < int(rate * SAMPLE_BUCKETS))
+
+
+def hash_split(df: DataFrame, key: str, eval_rate: float = 0.1) -> DataFrame:
+    """Disjoint train/eval split as a labeled column — the leak-proof
+    split: membership depends only on the key."""
+    return df.withColumn(
+        "split",
+        F.when(
+            sample_bucket(F.col(key)) < int(eval_rate * SAMPLE_BUCKETS), "eval"
+        ).otherwise("train"),
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame, key: str, stratum: str, rates: dict[str, float]
+) -> DataFrame:
+    """Per-stratum hash sampling (e.g. downsample dominant languages).
+    Strata absent from ``rates`` are dropped — the curation semantic."""
+    rate_col = None
+    for value, rate in sorted(rates.items()):
+        cond = F.col(stratum) == value
+        bound = F.lit(int(rate * SAMPLE_BUCKETS))
+        rate_col = F.when(cond, bound) if rate_col is None else rate_col.when(cond, bound)
+    rate_col = rate_col.otherwise(F.lit(0))
+    return df.filter(sample_bucket(F.col(key)) < rate_col)
+
+
+def vocabulary(
+    df: DataFrame, text_col: str = "text", min_df: int = 2
+) -> DataFrame:
+    """Corpus vocabulary: per-token total frequency and document frequency.
+    One explode + one aggregation; both counts map-side combine.  The
+    standard first pass of tokenizer/vocab construction."""
+    tok = df.select(F.explode(tokens(text_col)).alias("token"), F.lit(1).alias("one"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(
+            df.select(F.explode(F.array_distinct(tokens(text_col))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df")),
+            "token",
+        )
+        .filter(F.col("df") >= min_df)
+    )

@@ -205,7 +205,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_near_duplicates(d, min_est_jaccard=0.5).orderBy("id_a", "id_b")
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_ctes() -> str:
+    """CTE block ending in ``pairs`` = the minhash near-dup pairs at
+    est_jaccard >= 0.5 (shared by the pairs oracle and the duplicate-
+    cluster oracle)."""
     sig_cols = ",\n        ".join(
         f"MIN(({a} * h + {b}) % {P}) AS m{i}" for i, (a, b) in enumerate(dd.COEFFS)
     )
@@ -223,8 +226,7 @@ def _minhash_oracle() -> str:
     agree = " + ".join(
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(dd.NUM_PERM)
     )
-    return f"""
-WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    return f"""t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
 sh AS (SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS s FROM t),
 h AS (SELECT doc_id, {h64_sql('s')} % {P} AS h FROM sh),
 sig AS (SELECT doc_id,
@@ -235,13 +237,20 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-)
-SELECT id_a, id_b, CAST({agree} AS DOUBLE) / {float(dd.NUM_PERM)} AS est_jaccard
-FROM cand
-JOIN sig sa ON sa.doc_id = id_a
-JOIN sig sb ON sb.doc_id = id_b
-WHERE CAST({agree} AS DOUBLE) / {float(dd.NUM_PERM)} >= 0.5
-ORDER BY id_a, id_b
+),
+pairs AS (
+  SELECT id_a, id_b, CAST({agree} AS DOUBLE) / {float(dd.NUM_PERM)} AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b
+  WHERE CAST({agree} AS DOUBLE) / {float(dd.NUM_PERM)} >= 0.5
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_pairs_ctes()}
+SELECT id_a, id_b, est_jaccard FROM pairs ORDER BY id_a, id_b
 """
 
 
@@ -281,6 +290,200 @@ FROM bt a JOIN bt b
   ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ORDER BY id_a, id_b
+"""
+
+
+def dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate *clusters*: connected components over the MinHash-LSH
+    pair graph (min-label propagation, operators/graph.py), one row per
+    duplicate group with its canonical min id."""
+    from direct_spark_sql_spark.operators.graph import duplicate_groups
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dd.minhash_near_duplicates(d, min_est_jaccard=0.5)
+    return duplicate_groups(pairs).orderBy("component")
+
+
+def _dup_groups_oracle() -> str:
+    """Transitive closure by recursive CTE over the same minhash pairs."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+),
+comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
+SELECT component, COUNT(*) AS group_size,
+       string_agg(CAST(node AS VARCHAR), ',' ORDER BY CAST(node AS VARCHAR)) AS member_ids
+FROM comp GROUP BY component ORDER BY component
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / vocabulary / end-to-end curation
+# ---------------------------------------------------------------------------
+
+_BUCKET_SQL = f"{h64_sql('doc_id')} % {10_000}"
+
+
+def sample_hash_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% hash sample — replayable in any engine, stable
+    under re-partitioning (unlike rng sampling)."""
+    from direct_spark_sql_spark.operators.sampling import hash_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_sample(d, "doc_id", 0.2).orderBy("doc_id")
+
+
+SAMPLE_UNIFORM_ORACLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_BUCKET_SQL} < 2000 ORDER BY doc_id
+"""
+
+
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-proof train/eval split: membership is a pure function of the
+    key, so the split survives reruns and incremental loads."""
+    from direct_spark_sql_spark.operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        hash_split(d, "doc_id", eval_rate=0.1)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split")
+    )
+
+
+SAMPLE_SPLIT_ORACLE = f"""
+SELECT CASE WHEN {_BUCKET_SQL} < 1000 THEN 'eval' ELSE 'train' END AS split,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY split ORDER BY split
+"""
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language downsampling (the rebalance step of corpus curation):
+    keep 50% of dominant 'en', all of 'fr'/'de', drop the rest."""
+    from direct_spark_sql_spark.operators.sampling import stratified_hash_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sampled = stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 0.5, "fr": 1.0, "de": 1.0}
+    )
+    return (
+        sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("lang")
+    )
+
+
+SAMPLE_STRATIFIED_ORACLE = f"""
+SELECT lang, COUNT(*) AS n_docs
+FROM documents
+WHERE {_BUCKET_SQL} < (CASE lang WHEN 'en' THEN 5000
+                                 WHEN 'fr' THEN 10000
+                                 WHEN 'de' THEN 10000 ELSE 0 END)
+GROUP BY lang ORDER BY lang
+"""
+
+
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary with total and document frequency, min_df-pruned — the
+    first pass of tokenizer/vocab construction."""
+    from direct_spark_sql_spark.operators.sampling import vocabulary
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        vocabulary(d, min_df=5)
+        .orderBy(F.desc("tf"), "token")
+        .limit(200)
+    )
+
+
+VOCABULARY_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+tok AS (SELECT unnest(toks) AS token FROM t),
+tf AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+dtok AS (SELECT DISTINCT doc_id, unnest(list_distinct(toks)) AS token FROM t),
+df AS (SELECT token, COUNT(*) AS df FROM dtok GROUP BY token)
+SELECT token, tf.tf, df.df FROM tf JOIN df USING (token)
+WHERE df.df >= 5
+ORDER BY tf.tf DESC, token LIMIT 200
+"""
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: keep documents that (1) classify as English,
+    (2) clear a quality bar, (3) are the canonical (min-id) copy within
+    their exact-content duplicate group.  The composed form of the text /
+    dedup operators — one pipeline, no collect."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = tx.quality_features(d)
+    scored = feats.select(
+        "doc_id", "text", "n_tokens", "quality_score",
+        tx.predicted_language("text").alias("plang"),
+    )
+    fp = tx.fingerprint(scored)
+    from pyspark.sql import Window as W
+
+    canonical = fp.withColumn(
+        "keep_id", F.min("doc_id").over(W.partitionBy("fp_content"))
+    )
+    return (
+        canonical.filter(
+            (F.col("plang") == "en")
+            & (F.col("quality_score") >= 0.5)
+            & (F.col("doc_id") == F.col("keep_id"))
+        )
+        .select("doc_id", "n_tokens", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+def _curation_oracle() -> str:
+    hit_cols = ",\n         ".join(
+        f"CAST(len(list_filter(toks, t -> list_contains({_lexicon_sql(lex)}, t))) AS BIGINT) AS hit_{lang}"
+        for lang, lex in tx.LANG_LEXICONS.items()
+    )
+    langs_sorted = sorted(tx.LANG_LEXICONS)
+    best = "GREATEST(" + ", ".join(f"hit_{lang}" for lang in langs_sorted) + ")"
+    case = " ".join(f"WHEN hit_{lang} = {best} THEN '{lang}'" for lang in langs_sorted)
+    return f"""
+WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+f AS (
+  SELECT doc_id, text, toks,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_len,
+         CAST(len(list_filter(toks, t2 -> list_contains({_lexicon_sql(tx.STOPWORDS)}, t2))) AS BIGINT) AS n_stop,
+         {hit_cols}
+  FROM t
+),
+scored AS (
+  SELECT doc_id, toks, n_tokens,
+         (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.5
+           + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.2
+           + LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality_score,
+         CASE WHEN {best} = 0 THEN 'und' {case} END AS plang
+  FROM f
+),
+fp AS (
+  SELECT doc_id, n_tokens, quality_score, plang,
+         {h64_sql("array_to_string(list_sort(list_distinct(toks)), ' ')")} AS fp_content
+  FROM scored
+),
+canon AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY fp_content) AS keep_id FROM fp
+)
+SELECT doc_id, n_tokens, quality_score
+FROM canon
+WHERE plang = 'en' AND quality_score >= 0.5 AND doc_id = keep_id
+ORDER BY doc_id
 """
 
 
@@ -490,6 +693,20 @@ QUERIES = [
           ("dedup", "pipeline"), bench=True),
     Query("dedup_simhash", dedup_simhash, _simhash_oracle(),
           ("dedup", "pipeline")),
+    Query("dedup_duplicate_groups", dedup_duplicate_groups, _dup_groups_oracle(),
+          ("dedup", "pipeline", "graph"),
+          doc="connected components over the near-dup pair graph"),
+    Query("sample_hash_uniform", sample_hash_uniform, SAMPLE_UNIFORM_ORACLE,
+          ("sampling", "pipeline")),
+    Query("sample_hash_split", sample_hash_split, SAMPLE_SPLIT_ORACLE,
+          ("sampling", "pipeline")),
+    Query("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE,
+          ("sampling", "pipeline")),
+    Query("corpus_vocabulary", corpus_vocabulary, VOCABULARY_ORACLE,
+          ("text", "pipeline"), bench=True),
+    Query("corpus_curation", corpus_curation, _curation_oracle(),
+          ("text", "dedup", "pipeline"), bench=True,
+          doc="lang filter + quality bar + canonical-copy dedup, one pipeline"),
     Query("embedding_cosine_topk", embedding_cosine_topk, EMBEDDING_TOPK_ORACLE,
           ("similarity", "pipeline"), bench=True),
     Query("embedding_ivf_topk", embedding_ivf_topk, _IVF_ORACLE,
