@@ -142,30 +142,45 @@ def ivf_assign(
     F.aggregate — a map-only pass with no shuffle at any input size.  At
     100 TB the output would be written partitioned by ``cell_col`` so
     probes prune partitions; here it feeds the probe join directly."""
+    # Decimal higher-order-function arithmetic runs interpreted, so every
+    # redundant evaluation costs real time: centroid vectors are cast to
+    # decimal and norm'ed ONCE at collection (K rows), and the data row's
+    # decimal vector + norm are hoisted into their own projection so the
+    # per-centroid transform only computes the K dot products.
     cents = F.broadcast(
         centroids.select(
             F.struct(
-                F.col(id_col).alias("cell"), F.col(emb_col).alias("cemb")
+                F.col(id_col).alias("cell"),
+                _dec_vec(emb_col).alias("cdec"),
+                F.sqrt(_to_double(norm_sq_dec(_dec_vec(emb_col)))).alias("cnorm"),
             ).alias("c")
         ).agg(F.sort_array(F.collect_list("c")).alias("__cents"))
     )
-    v = _dec_vec(emb_col)
-    best = F.aggregate(
+    prepped = (
+        df.crossJoin(cents)
+        .withColumn("__vdec", _dec_vec(emb_col))
+        .withColumn("__vnorm", F.sqrt(_to_double(norm_sq_dec(F.col("__vdec")))))
+    )
+    scored = F.transform(
         F.col("__cents"),
+        lambda c: F.struct(
+            c["cell"].cast("long").alias("cell"),
+            (
+                _to_double(dot_dec(F.col("__vdec"), c["cdec"]))
+                / (F.col("__vnorm") * c["cnorm"])
+            ).alias("cos"),
+        ),
+    )
+    best = F.aggregate(
+        scored,
         F.struct(
             F.lit(-1).cast("long").alias("cell"), F.lit(-2.0).alias("cos")
         ),
-        lambda acc, c: F.when(
-            cosine_dec(v, _dec_vec(c["cemb"])) > acc["cos"],
-            F.struct(
-                c["cell"].cast("long").alias("cell"),
-                cosine_dec(v, _dec_vec(c["cemb"])).alias("cos"),
-            ),
-        ).otherwise(acc),
+        lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
     )
-    return df.crossJoin(cents).select(
-        "*", best["cell"].alias(cell_col)
-    ).drop("__cents")
+    return prepped.select("*", best["cell"].alias(cell_col)).drop(
+        "__cents", "__vdec", "__vnorm"
+    )
 
 
 def ivf_topk(
