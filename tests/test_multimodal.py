@@ -1,0 +1,75 @@
+"""Multimodal plumbing tests beyond the registry's rows-only check: the
+mapInPandas operators must produce schema-exact, content-correct output
+(verified against a driver-side recomputation on a small sample), handle
+null/empty payloads, and reassemble frames back into the payload prefix.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from direct_spark_sql_spark.operators import multimodal as mm
+from direct_spark_sql_spark.sources.registry import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    d = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 50)
+    return mm.attach_binary(d, "text", "application/octet-stream", "source")
+
+
+def test_metadata_struct(media):
+    row = media.select("media", "media_meta").first()
+    assert row.media_meta.mime == "application/octet-stream"
+    assert row.media_meta.n_bytes == len(row.media)
+    assert row.media_meta.source.startswith("src")
+
+
+def test_feature_extract_matches_local_recompute(spark, media):
+    feats = {r.doc_id: r for r in mm.extract_features(media, fake=True).collect()}
+    src = {r.doc_id: bytes(r.media) for r in media.select("doc_id", "media").collect()}
+    assert feats.keys() == src.keys()
+    for doc_id, payload in src.items():
+        r = feats[doc_id]
+        assert r.n_bytes == len(payload)
+        assert r.byte_sum == sum(payload)
+        assert r.byte_min == min(payload)
+        assert r.byte_max == max(payload)
+        assert r.width * r.height >= len(payload)
+
+
+def test_feature_extract_real_decode_raises(spark, media):
+    with pytest.raises(Exception) as exc_info:
+        mm.extract_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sample_reassembles_prefix(spark, media):
+    frames = mm.sample_frames(media, n_frames=4).collect()
+    src = {r.doc_id: bytes(r.media) for r in media.select("doc_id", "media").collect()}
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.frame_idx)
+        payload = src[doc_id]
+        step = max(len(payload) // 4, 1)
+        joined = b"".join(bytes(r.frame_bytes) for r in rows)
+        assert joined == payload[: len(joined)]
+        assert all(len(bytes(r.frame_bytes)) <= step for r in rows)
+
+
+def test_null_payload_handling(spark):
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, None), (3, b"")], "doc_id long, media binary"
+    )
+    feats = {r.doc_id: r for r in mm.extract_features(df, fake=True).collect()}
+    assert feats[2].n_bytes == 0 and feats[2].byte_sum == 0
+    assert feats[3].n_bytes == 0
+    frames = mm.sample_frames(df).collect()
+    assert {r.doc_id for r in frames} == {1}
