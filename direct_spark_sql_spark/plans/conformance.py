@@ -1094,6 +1094,43 @@ FROM m ORDER BY l_returnflag
 """
 
 
+def events_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup reuse: daily totals computed FROM the hourly
+    rollup (sum of sums), not from raw events.  The oracle aggregates the
+    raw events directly, so the test proves the reuse is lossless — the
+    property that lets a warehouse serve coarse queries from materialized
+    fine-grained aggregates.  Sums stay in exact decimal between levels
+    (rounding per level would break the equivalence)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC_PRICE)).alias("value_dec"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "hour_start").alias("day_start"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("value_dec").cast(DEC_OUT).cast("double").alias("total_value"),
+        )
+        .orderBy("day_start", "event_type")
+    )
+
+
+EVENTS_ROLLUP_ORACLE = """
+SELECT DATE_TRUNC('day', ts) AS day_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 6) AS DECIMAL(24,6)) AS DOUBLE) AS total_value
+FROM events GROUP BY day_start, event_type ORDER BY day_start, event_type
+"""
+
+
 QUERIES = [
     Query("join_inner", join_inner, JOIN_INNER_ORACLE, ("join",)),
     Query("join_left_outer", join_left_outer, JOIN_LEFT_ORACLE, ("join",)),
@@ -1140,4 +1177,6 @@ QUERIES = [
     Query("nested_map_struct", nested_map_struct, NESTED_MAP_ORACLE, ("nested",)),
     Query("agg_moment_stats", agg_moment_stats, AGG_MOMENT_ORACLE, ("agg", "stats")),
     Query("agg_correlation", agg_correlation, AGG_CORR_ORACLE, ("agg", "stats")),
+    Query("events_rollup_reuse", events_rollup_reuse, EVENTS_ROLLUP_ORACLE,
+          ("events", "agg"), doc="daily from hourly rollup — lossless reuse"),
 ]

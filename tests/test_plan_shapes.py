@@ -1,0 +1,60 @@
+"""Plan-shape regression guards: the physical plans of headline queries
+must keep the structural properties the 100 TB design depends on —
+filters pushed into parquet scans, dimension joins broadcast, bounded
+top-k, partial aggregation.  A correctness-preserving change that loses
+one of these would silently regress at scale; these tests make it loud.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from direct_spark_sql_spark.plans.registry import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].spark_fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "HashAggregate" in plan  # partial+final pair
+
+
+def test_q5_dimensions_broadcast(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    # all five dimension joins broadcast; the fact-side join keys stay put
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan.split("lineitem")[0]
+
+
+def test_topk_uses_bounded_operator(spark):
+    plan = _plan(spark, "sort_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q6_scan_prunes_columns(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    # projection pruning: the scan must not read the string columns
+    assert "l_returnflag" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_semi_join_for_exists(spark):
+    plan = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_minhash_no_cartesian(spark):
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_window_not_expansion(spark):
+    plan = _plan(spark, "asof_event_order")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
