@@ -530,6 +530,37 @@ FROM part ORDER BY p_partkey
 """
 
 
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with an INTERVAL bound over a timestamp ordering —
+    trailing 30-day order volume per customer (reference: date/timestamp
+    range frames via DateAdd/TimeAdd, WindowDirectExecBase.scala:97-102).
+    Interval frames are SQL-surface-only in Spark (DataFrame rangeBetween
+    takes numerics), so this also exercises the spark.sql path."""
+    from direct_spark_sql_spark.plans.base import sql_query
+
+    return sql_query(
+        spark, sf_dir,
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER
+                    (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                    AS DECIMAL(24,6)) AS DOUBLE) AS trailing_30d_volume
+        FROM orders ORDER BY o_orderkey
+        """,
+    )
+
+
+WINDOW_RANGE_INTERVAL_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 6)
+            AS DECIMAL(24,6)) AS DOUBLE) AS trailing_30d_volume
+FROM orders ORDER BY o_orderkey
+"""
+
+
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Growing frame (UNBOUNDED PRECEDING .. CURRENT ROW)."""
     o = load_table(spark, sf_dir, "orders")
@@ -1154,6 +1185,8 @@ QUERIES = [
     Query("window_lag_lead", window_lag_lead, WINDOW_LAG_LEAD_ORACLE, ("window",)),
     Query("window_moving_avg", window_moving_avg, WINDOW_MOVING_ORACLE, ("window",)),
     Query("window_range_frame", window_range_frame, WINDOW_RANGE_ORACLE, ("window",)),
+    Query("window_range_interval", window_range_interval, WINDOW_RANGE_INTERVAL_ORACLE,
+          ("window",), doc="interval RANGE frame on timestamp ordering"),
     Query("window_running_total", window_running_total, WINDOW_RUNNING_ORACLE, ("window",)),
     Query("sort_topk", sort_topk, SORT_TOPK_ORACLE, ("sort",)),
     Query("sort_multi_key", sort_multi_key, SORT_MULTI_ORACLE, ("sort",)),
