@@ -325,6 +325,22 @@ FROM comp GROUP BY component ORDER BY component
 """
 
 
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch of lineitem part keys — engine-portable
+    (deterministic hash) unlike HLL, so the *estimate itself* is oracle-
+    checked, not just the row count."""
+    from direct_spark_sql_spark.operators.sketches import kmv_distinct_estimate
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return kmv_distinct_estimate(l, "l_partkey", k=256)
+
+
+def _kmv_oracle() -> str:
+    from direct_spark_sql_spark.operators.sketches import kmv_estimate_sql
+
+    return kmv_estimate_sql("lineitem", "l_partkey", k=256)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / vocabulary / end-to-end curation
 # ---------------------------------------------------------------------------
@@ -704,6 +720,8 @@ QUERIES = [
           ("sampling", "pipeline")),
     Query("corpus_vocabulary", corpus_vocabulary, VOCABULARY_ORACLE,
           ("text", "pipeline"), bench=True),
+    Query("sketch_kmv_distinct", sketch_kmv_distinct, _kmv_oracle(),
+          ("sketch", "pipeline"), doc="KMV distinct-count sketch, estimate oracle-checked"),
     Query("corpus_curation", corpus_curation, _curation_oracle(),
           ("text", "dedup", "pipeline"), bench=True,
           doc="lang filter + quality bar + canonical-copy dedup, one pipeline"),
