@@ -10,12 +10,13 @@ from direct_spark_sql_spark.plans.base import Query
 def all_queries() -> list[Query]:
     # Imports are deferred so that a failure in one module (e.g. an optional
     # dependency) doesn't take down the whole registry.
-    from direct_spark_sql_spark.plans import conformance, tpch, tpch_extra
+    from direct_spark_sql_spark.plans import conformance, conformance_ext, tpch, tpch_extra
 
     queries: list[Query] = []
     queries += tpch.QUERIES
     queries += tpch_extra.QUERIES
     queries += conformance.QUERIES
+    queries += conformance_ext.QUERIES
 
     from direct_spark_sql_spark.plans import temporal
 
