@@ -356,6 +356,161 @@ def array_functions_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_query(spark, sf_dir, _ARRAY_EXT_SPARK)
 
 
+# ---------------------------------------------------------------------------
+# JSON function suite: json_tuple (generator — must sit in a LATERAL VIEW,
+# Spark rejects it nested in expressions), from_json struct access, to_json
+# round-trip.  Reference surface: the inherited FunctionRegistry plus
+# GenerateDirectExec for json_tuple (GenerateDirectExec.scala:53-116).
+# ---------------------------------------------------------------------------
+
+_JSON_SUITE_SPARK = """
+SELECT event_id,
+       CAST(jt.jk AS BIGINT) AS jt_k,
+       from_json(props, 'k BIGINT').k AS fj_k,
+       to_json(from_json(props, 'k BIGINT')) AS rt,
+       CAST(get_json_object(props, '$.k') AS BIGINT) + 1 AS k_plus
+FROM events
+LATERAL VIEW json_tuple(props, 'k') jt AS jk
+WHERE event_id <= 500 ORDER BY event_id
+"""
+
+_JSON_SUITE_ORACLE = """
+SELECT event_id,
+       CAST(props ->> 'k' AS BIGINT) AS jt_k,
+       CAST(props ->> 'k' AS BIGINT) AS fj_k,
+       '{"k":' || (props ->> 'k') || '}' AS rt,
+       CAST(props ->> 'k' AS BIGINT) + 1 AS k_plus
+FROM events WHERE event_id <= 500 ORDER BY event_id
+"""
+
+
+def events_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_query(spark, sf_dir, _JSON_SUITE_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT ALL / EXCEPT ALL (multiplicity-preserving set ops; Catalyst
+# rewrites them to aggregated joins — the distinct variants live in
+# conformance.py).  Counts aggregated so the multiplicity is what's checked.
+# ---------------------------------------------------------------------------
+
+_INTERSECT_ALL_SQL = """
+SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT c_nationkey AS nationkey FROM customer WHERE c_custkey <= 500
+  INTERSECT ALL
+  SELECT s_nationkey FROM supplier
+) GROUP BY nationkey ORDER BY nationkey
+"""
+
+_EXCEPT_ALL_SQL = """
+SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT c_nationkey AS nationkey FROM customer WHERE c_custkey <= 500
+  EXCEPT ALL
+  SELECT s_nationkey FROM supplier
+) GROUP BY nationkey ORDER BY nationkey
+"""
+
+
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_query(spark, sf_dir, _INTERSECT_ALL_SQL)
+
+
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_query(spark, sf_dir, _EXCEPT_ALL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# LATERAL VIEW OUTER posexplode — the outer=true generator corner
+# (GenerateDirectExec.scala:86-87, 99-100: null row for empty output).
+# ---------------------------------------------------------------------------
+
+_EXPLODE_OUTER_SPARK = """
+SELECT o_orderkey, pos, qty FROM (
+  SELECT o.o_orderkey,
+         CASE WHEN o.o_orderstatus = 'P' THEN array()
+              ELSE qtys END AS arr
+  FROM orders o JOIN (
+    SELECT l_orderkey, array_sort(collect_list(CAST(l_quantity AS INT))) AS qtys
+    FROM lineitem GROUP BY l_orderkey
+  ) l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey <= 300
+)
+LATERAL VIEW OUTER posexplode(arr) t AS pos, qty
+ORDER BY o_orderkey, pos
+"""
+
+_EXPLODE_OUTER_ORACLE = """
+WITH base AS (
+  SELECT o.o_orderkey,
+         CASE WHEN o.o_orderstatus = 'P' THEN []
+              ELSE qtys END AS arr
+  FROM orders o JOIN (
+    SELECT l_orderkey, list_sort(array_agg(CAST(l_quantity AS INTEGER))) AS qtys
+    FROM lineitem GROUP BY l_orderkey
+  ) l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey <= 300
+)
+SELECT o_orderkey,
+       CASE WHEN len(arr) = 0 THEN NULL ELSE CAST(u.i - 1 AS INTEGER) END AS pos,
+       CASE WHEN len(arr) = 0 THEN NULL ELSE arr[CAST(u.i AS INTEGER)] END AS qty
+FROM base
+LEFT JOIN LATERAL (SELECT unnest(range(1, greatest(len(arr), 1) + 1)) AS i) u ON TRUE
+WHERE u.i <= greatest(len(arr), 1)
+ORDER BY o_orderkey, pos
+"""
+
+
+def explode_outer_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with status 'P' get an empty array; OUTER posexplode must
+    still emit one (orderkey, NULL, NULL) row for them."""
+    return sql_query(spark, sf_dir, _EXPLODE_OUTER_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Bitwise aggregates + count_if
+# ---------------------------------------------------------------------------
+
+_BITWISE_SQL = """
+SELECT o_orderpriority,
+       CAST(bit_and(o_orderkey) AS BIGINT) AS band,
+       CAST(bit_or(o_orderkey) AS BIGINT) AS bor,
+       CAST(bit_xor(o_orderkey) AS BIGINT) AS bxor,
+       CAST(count_if(o_orderkey % 2 = 0) AS BIGINT) AS n_even
+FROM orders WHERE o_orderkey <= 1000 GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_query(spark, sf_dir, _BITWISE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Math scalar suite — the cross-engine-safe subset: abs/ceil/floor/sign/%,
+# round-to-1-decimal, sqrt (IEEE correctly-rounded everywhere), x*x, and
+# greatest/least.  exp/ln/pow are deliberately absent: libm implementations
+# may differ in the last ULP between engines.
+# ---------------------------------------------------------------------------
+
+_MATH_SQL = """
+SELECT o_orderkey,
+       abs(-o_totalprice) AS ab,
+       CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+       CAST(floor(o_totalprice) AS BIGINT) AS fl,
+       round(o_totalprice, 1) AS rnd1,
+       CAST(sign(o_totalprice - 150000) AS BIGINT) AS sg,
+       CAST(o_orderkey % 7 AS BIGINT) AS md,
+       sqrt(o_totalprice) AS sq,
+       o_totalprice * o_totalprice AS p2,
+       greatest(o_totalprice, 100000.0) AS gr,
+       least(o_totalprice, 100000.0) AS le
+FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey
+"""
+
+
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_query(spark, sf_dir, _MATH_SQL)
+
+
 QUERIES = [
     Query("agg_percentile", agg_percentile, _PERCENTILE_SQL, ("agg",),
           doc="percentile_disc/percentile_cont/median ordered-set aggregates"),
@@ -381,4 +536,17 @@ QUERIES = [
           doc="split_part/translate/initcap/pads/regexp_* suite"),
     Query("array_functions_ext", array_functions_ext, _ARRAY_EXT_ORACLE, ("functions",),
           doc="slice/reverse/position/remove/sequence/flatten/repeat/overlap suite"),
+    Query("events_json_suite", events_json_suite, _JSON_SUITE_ORACLE, ("functions", "json"),
+          doc="json_tuple (LATERAL VIEW), from_json, to_json round-trip"),
+    Query("set_intersect_all", set_intersect_all, _INTERSECT_ALL_SQL, ("setop",),
+          doc="INTERSECT ALL multiplicity semantics"),
+    Query("set_except_all", set_except_all, _EXCEPT_ALL_SQL, ("setop",),
+          doc="EXCEPT ALL multiplicity semantics"),
+    Query("explode_outer_empty", explode_outer_empty, _EXPLODE_OUTER_ORACLE,
+          ("generator",),
+          doc="LATERAL VIEW OUTER posexplode null row on empty arrays"),
+    Query("agg_bitwise", agg_bitwise, _BITWISE_SQL, ("agg",),
+          doc="bit_and/bit_or/bit_xor aggregates + count_if"),
+    Query("math_functions", math_functions, _MATH_SQL, ("functions",),
+          doc="cross-engine-safe math scalar suite"),
 ]
