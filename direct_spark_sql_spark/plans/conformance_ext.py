@@ -511,6 +511,119 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_query(spark, sf_dir, _MATH_SQL)
 
 
+# ---------------------------------------------------------------------------
+# Aggregate FILTER clause + several DISTINCT aggregates in one query (the
+# Catalyst count-distinct→Expand rewrite the reference leans on —
+# SURVEY.md §2.4 "distinct agg")
+# ---------------------------------------------------------------------------
+
+_FILTER_DISTINCT_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+       CAST(COUNT(*) FILTER (WHERE l_discount = 0) AS BIGINT) AS n_nodisc,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linenumber = 1) AS DOUBLE) AS qty_l1
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def agg_filter_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_query(spark, sf_dir, _FILTER_DISTINCT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# try_* error-safe functions (NULL instead of error/overflow)
+# ---------------------------------------------------------------------------
+
+_TRY_SPARK = """
+SELECT o_orderkey,
+       try_divide(o_totalprice, o_orderkey % 3) AS td,
+       try_cast(o_orderstatus AS INT) AS tc,
+       try_add(o_orderkey, 9223372036854775807) AS ta,
+       CAST(try_to_number('12.34', '99.99') AS DOUBLE) AS tn
+FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey
+"""
+
+_TRY_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice / (o_orderkey % 3) END AS td,
+       TRY_CAST(o_orderstatus AS INTEGER) AS tc,
+       CASE WHEN o_orderkey = 0 THEN 9223372036854775807 END AS ta,
+       CAST(12.34 AS DOUBLE) AS tn
+FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey
+"""
+
+
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_divide → NULL on /0, try_cast → NULL on bad parse, try_add →
+    NULL on BIGINT overflow (except orderkey 0, which doesn't overflow —
+    the oracle spells out both branches)."""
+    return sql_query(spark, sf_dir, _TRY_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Date arithmetic suite
+# ---------------------------------------------------------------------------
+
+_DATE_ARITH_SPARK = """
+SELECT o_orderkey,
+       date_add(CAST(o_orderdate AS DATE), 45) AS plus45,
+       date_sub(CAST(o_orderdate AS DATE), 10) AS minus10,
+       CAST(datediff(DATE '1998-12-31', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_left,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+       add_months(CAST(o_orderdate AS DATE), 2) AS plus2m,
+       CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey
+"""
+
+_DATE_ARITH_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) + 45 AS plus45,
+       CAST(o_orderdate AS DATE) - 10 AS minus10,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_left,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey
+"""
+
+
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add/sub/diff/last_day/trunc-week/add_months + day-of extractors.
+    DuckDB counts dayofweek from 0=Sunday where Spark counts from
+    1=Sunday — the oracle shifts by one."""
+    return sql_query(spark, sf_dir, _DATE_ARITH_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Explicit NULLS FIRST / NULLS LAST ordering (sort + window order specs)
+# ---------------------------------------------------------------------------
+
+_NULLS_ORDER_SQL = """
+SELECT c_custkey, n_orders,
+       CAST(row_number() OVER (ORDER BY n_orders DESC NULLS LAST, c_custkey) AS BIGINT) AS rn
+FROM (
+  SELECT c_custkey, CASE WHEN COUNT(o_orderkey) = 0 THEN NULL
+                         ELSE CAST(COUNT(o_orderkey) AS BIGINT) END AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  WHERE c_custkey <= 300
+  GROUP BY c_custkey
+)
+ORDER BY n_orders ASC NULLS FIRST, c_custkey
+"""
+
+
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_query(spark, sf_dir, _NULLS_ORDER_SQL)
+
+
 QUERIES = [
     Query("agg_percentile", agg_percentile, _PERCENTILE_SQL, ("agg",),
           doc="percentile_disc/percentile_cont/median ordered-set aggregates"),
@@ -549,4 +662,13 @@ QUERIES = [
           doc="bit_and/bit_or/bit_xor aggregates + count_if"),
     Query("math_functions", math_functions, _MATH_SQL, ("functions",),
           doc="cross-engine-safe math scalar suite"),
+    Query("agg_filter_multi_distinct", agg_filter_multi_distinct, _FILTER_DISTINCT_SQL,
+          ("agg",),
+          doc="aggregate FILTER clause + two DISTINCT aggregates (Expand rewrite)"),
+    Query("try_functions", try_functions, _TRY_ORACLE, ("functions",),
+          doc="try_divide/try_cast/try_add/try_to_number NULL-on-error semantics"),
+    Query("date_arithmetic", date_arithmetic, _DATE_ARITH_ORACLE, ("functions",),
+          doc="date add/sub/diff/last_day/trunc-week/add_months + extractors"),
+    Query("sort_nulls_ordering", sort_nulls_ordering, _NULLS_ORDER_SQL, ("sort",),
+          doc="explicit NULLS FIRST/LAST in sort and window order specs"),
 ]
