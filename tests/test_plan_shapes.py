@@ -58,3 +58,50 @@ def test_asof_join_is_window_not_expansion(spark):
     assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _executed_plan_after_action(spark, name: str) -> str:
+    """AQE finalizes reuse decisions only during execution — inspect the
+    plan AFTER an action, not before."""
+    df = QUERIES[name].spark_fn(spark, SF_DIR)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_band_selfjoin_reuses_exchange(spark):
+    """The LSH band table feeds both sides of the candidate self-join; the
+    signature pipeline (shingle → md5 → 16-way min agg) must be computed
+    once and reused, not evaluated per join side."""
+    plan = _executed_plan_after_action(spark, "dedup_minhash_lsh")
+    assert "ReusedExchange" in plan or "ReusedSubquery" in plan or (
+        plan.count("Scan parquet") <= 2
+    ), "band-table self-join recomputes the signature pipeline per side"
+
+
+def test_shingles_stay_out_of_python(spark):
+    """Shingling is a regexp_extract_all JVM expression — a regression to a
+    Python UDF would show as BatchEvalPython/ArrowEvalPython in the plan."""
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_sliding_window_single_shuffle(spark):
+    """The sliding-window expansion is a generator (Expand/Explode), not a
+    join: one shuffle for the window aggregation, no nested-loop join."""
+    plan = _plan(spark, "events_sliding_window")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_not_in_uses_null_aware_anti_join(spark):
+    plan = _plan(spark, "join_not_in_nulls")
+    assert "LeftAnti" in plan
+
+
+def test_ivf_centroids_broadcast_not_shuffled(spark):
+    """IVF assignment is map-only: the centroid array is broadcast; no
+    shuffle may appear below the final top-k."""
+    plan = _plan(spark, "embedding_ivf_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
