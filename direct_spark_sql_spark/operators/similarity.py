@@ -118,6 +118,41 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Top-k per query vector for a BATCH of queries — the ANN-service
+    request shape (one shuffle total, not one job per query).
+
+    The query set is broadcast (requests are small; the base table is the
+    100 TB side), every partition scores its rows against all queries
+    map-side, and a single window ranks per query id.  Returns
+    (q_id, id, cosine, rk) with rk ≤ k."""
+    from pyspark.sql import Window as W
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"), F.col(emb_col).alias("__q")
+        )
+    )
+    scored = df.crossJoin(q).select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        cosine_dec(_dec_vec(emb_col), _dec_vec("__q")).alias("cosine"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), id_col)
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def cosine_dec(a: Column, b: Column) -> Column:
     """Exact-deterministic cosine of two decimal vectors: decimal dot and
     norms → DECIMAL(24,6) → DOUBLE, then sqrt/divide (single correctly-

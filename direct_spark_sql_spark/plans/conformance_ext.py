@@ -624,6 +624,47 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_query(spark, sf_dir, _NULLS_ORDER_SQL)
 
 
+# ---------------------------------------------------------------------------
+# Top-k per group: window rank + filter, the shape Catalyst optimizes with
+# a rank-limit pushdown (WindowGroupLimit) instead of full-partition sorts.
+# ---------------------------------------------------------------------------
+
+_TOPK_PER_GROUP_SQL = """
+SELECT n_name, c_custkey, c_acctbal, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) WHERE rk <= 3 ORDER BY n_name, rk
+"""
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_query(spark, sf_dir, _TOPK_PER_GROUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Equal-width histogram: two-pass (global min/max, then bucket) in exact
+# decimal arithmetic.  FLOOR is explicit on both sides: Spark's decimal→
+# BIGINT cast truncates where DuckDB's rounds.
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_SQL = """
+WITH b AS (
+  SELECT CAST(MIN(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS lo,
+         CAST(MAX(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS hi
+  FROM orders
+)
+SELECT CAST(LEAST(CAST(FLOOR((CAST(o_totalprice AS DECIMAL(14,2)) - lo) * 10 / (hi - lo)) AS BIGINT), 9) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders, b
+GROUP BY 1 ORDER BY bucket
+"""
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_query(spark, sf_dir, _HISTOGRAM_SQL)
+
+
 QUERIES = [
     Query("agg_percentile", agg_percentile, _PERCENTILE_SQL, ("agg",),
           doc="percentile_disc/percentile_cont/median ordered-set aggregates"),
@@ -671,4 +712,8 @@ QUERIES = [
           doc="date add/sub/diff/last_day/trunc-week/add_months + extractors"),
     Query("sort_nulls_ordering", sort_nulls_ordering, _NULLS_ORDER_SQL, ("sort",),
           doc="explicit NULLS FIRST/LAST in sort and window order specs"),
+    Query("topk_per_group", topk_per_group, _TOPK_PER_GROUP_SQL, ("window", "sort"),
+          doc="per-group top-3 via window rank filter (WindowGroupLimit shape)"),
+    Query("agg_histogram", agg_histogram, _HISTOGRAM_SQL, ("agg",),
+          doc="two-pass equal-width decimal histogram (explicit FLOOR both engines)"),
 ]

@@ -692,6 +692,70 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.sample_frames(media, n_frames=4).orderBy("doc_id", "frame_idx")
 
 
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode-independent half of the multimodal plumbing, oracle-
+    checked: binary payload attachment, typed metadata struct, byte length
+    (UTF-8 octets, not characters) and a payload MD5 — all JVM-side."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    media = mm.attach_binary(d, "text", "text/plain", "lang")
+    return media.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.md5("media").alias("payload_md5"),
+    ).orderBy("doc_id")
+
+
+MULTIMODAL_META_ORACLE = """
+SELECT doc_id, 'text/plain' AS mime,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+def embedding_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors for each of 5 query vectors in ONE job (broadcast
+    query batch + window rank) — the ANN-service request shape."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    base = e.filter(F.col("vec_id") > 4)
+    return sim.cosine_topk_batch(base, queries, k=3).orderBy("q_id", "rk")
+
+
+EMBEDDING_BATCH_TOPK_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS a
+  FROM embeddings
+),
+nrm AS (
+  SELECT vec_id, sqrt(CAST(CAST(ROUND(SUM(a * a), 6) AS DECIMAL(24,6)) AS DOUBLE)) AS nn
+  FROM ex GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS q_id, x.vec_id,
+         CAST(CAST(ROUND(SUM(x.a * q.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot
+  FROM ex x JOIN ex q ON q.i = x.i AND q.vec_id <= 4
+  WHERE x.vec_id > 4
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.q_id, d.vec_id, d.dot / (nx.nn * nq.nn) AS cosine
+  FROM dots d JOIN nrm nx ON nx.vec_id = d.vec_id JOIN nrm nq ON nq.vec_id = d.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT q_id, vec_id, cosine, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3 ORDER BY q_id, rk
+"""
+
+
 QUERIES = [
     Query("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_ORACLE,
           ("text", "pipeline")),
@@ -735,4 +799,10 @@ QUERIES = [
           ("multimodal", "pipeline")),
     Query("multimodal_frame_sample", multimodal_frame_sample, None,
           ("multimodal", "pipeline")),
+    Query("multimodal_metadata", multimodal_metadata, MULTIMODAL_META_ORACLE,
+          ("multimodal", "pipeline"),
+          doc="binary payload + metadata struct, UTF-8 octet length, payload MD5"),
+    Query("embedding_batch_topk", embedding_batch_topk, EMBEDDING_BATCH_TOPK_ORACLE,
+          ("similarity", "pipeline"),
+          doc="top-k per query vector for a broadcast query batch, one job"),
 ]
