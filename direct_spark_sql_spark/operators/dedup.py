@@ -85,6 +85,36 @@ def exact_duplicate_groups(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    block_key: Column,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Fuzzy duplicate pairs by Levenshtein distance, blocked on
+    ``block_key`` so candidate generation is an equi-join (never all-pairs).
+
+    The classic blocking for edit distance is a stable substructure the
+    edit can't move far (a middle token, a length band, a prefix); rows
+    sharing the key are compared exactly with the JVM ``levenshtein``
+    expression.  Output: (text_a, text_b, dist) with dist ≤ max_distance.
+    """
+    t = df.select(block_key.alias("__bk"), F.col(text_col).alias("__t")).distinct()
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__bk") == F.col("b.__bk")) & (F.col("a.__t") < F.col("b.__t")),
+        )
+        .select(
+            F.col("a.__t").alias("text_a"),
+            F.col("b.__t").alias("text_b"),
+            F.levenshtein("a.__t", "b.__t").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_distance)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -625,6 +625,49 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Encoding / binary-representation suite: hex, base64 round-trip, base
+# conversion, shifts, bitwise scalars.  DuckDB spells conv(x,10,16) as
+# to_hex and conv(x,10,2) as to_binary; ^ is xor().
+# ---------------------------------------------------------------------------
+
+_ENCODING_SPARK = """
+SELECT n_nationkey,
+       hex(n_name) AS name_hex,
+       lower(hex(n_nationkey)) AS key_hex,
+       base64(CAST(n_name AS BINARY)) AS name_b64,
+       CAST(unbase64(base64(CAST(n_name AS BINARY))) AS STRING) AS b64_rt,
+       conv(CAST(n_nationkey AS STRING), 10, 16) AS key_conv16,
+       conv(CAST(n_nationkey AS STRING), 10, 2) AS key_conv2,
+       CAST(shiftleft(n_nationkey, 3) AS BIGINT) AS shl,
+       CAST(shiftright(n_nationkey, 1) AS BIGINT) AS shr,
+       CAST(n_nationkey & 5 AS BIGINT) AS band_5,
+       CAST(n_nationkey | 8 AS BIGINT) AS bor_8,
+       CAST(n_nationkey ^ 3 AS BIGINT) AS bxor_3
+FROM nation ORDER BY n_nationkey
+"""
+
+_ENCODING_ORACLE = """
+SELECT n_nationkey,
+       hex(n_name) AS name_hex,
+       lower(hex(n_nationkey)) AS key_hex,
+       to_base64(CAST(n_name AS BLOB)) AS name_b64,
+       CAST(from_base64(to_base64(CAST(n_name AS BLOB))) AS VARCHAR) AS b64_rt,
+       to_hex(n_nationkey) AS key_conv16,
+       to_binary(n_nationkey) AS key_conv2,
+       CAST(n_nationkey << 3 AS BIGINT) AS shl,
+       CAST(n_nationkey >> 1 AS BIGINT) AS shr,
+       CAST(n_nationkey & 5 AS BIGINT) AS band_5,
+       CAST(n_nationkey | 8 AS BIGINT) AS bor_8,
+       CAST(xor(n_nationkey, 3) AS BIGINT) AS bxor_3
+FROM nation ORDER BY n_nationkey
+"""
+
+
+def encoding_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_query(spark, sf_dir, _ENCODING_SPARK)
+
+
+# ---------------------------------------------------------------------------
 # Top-k per group: window rank + filter, the shape Catalyst optimizes with
 # a rank-limit pushdown (WindowGroupLimit) instead of full-partition sorts.
 # ---------------------------------------------------------------------------
@@ -716,4 +759,6 @@ QUERIES = [
           doc="per-group top-3 via window rank filter (WindowGroupLimit shape)"),
     Query("agg_histogram", agg_histogram, _HISTOGRAM_SQL, ("agg",),
           doc="two-pass equal-width decimal histogram (explicit FLOOR both engines)"),
+    Query("encoding_functions", encoding_functions, _ENCODING_ORACLE, ("functions",),
+          doc="hex/base64 round-trip/conv base conversion/shifts/bitwise scalars"),
 ]

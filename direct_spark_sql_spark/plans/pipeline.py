@@ -692,6 +692,30 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.sample_frames(media, n_frames=4).orderBy("doc_id", "frame_idx")
 
 
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy pairs over part names, blocked on the second
+    name token (the noun survives small edits to the adjective) — an
+    equi-join candidate structure, never all-pairs."""
+    p = load_table(spark, sf_dir, "part").select("p_name")
+    return dd.edit_distance_pairs(
+        p, "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)),
+        max_distance=3,
+    ).orderBy("text_a", "text_b")
+
+
+DEDUP_LEVENSHTEIN_ORACLE = """
+WITH p AS (SELECT DISTINCT p_name FROM part),
+pairs AS (
+  SELECT a.p_name AS text_a, b.p_name AS text_b,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+  FROM p a JOIN p b
+    ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+   AND a.p_name < b.p_name
+)
+SELECT text_a, text_b, dist FROM pairs WHERE dist <= 3 ORDER BY text_a, text_b
+"""
+
+
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode-independent half of the multimodal plumbing, oracle-
     checked: binary payload attachment, typed metadata struct, byte length
@@ -799,6 +823,9 @@ QUERIES = [
           ("multimodal", "pipeline")),
     Query("multimodal_frame_sample", multimodal_frame_sample, None,
           ("multimodal", "pipeline")),
+    Query("dedup_levenshtein", dedup_levenshtein, DEDUP_LEVENSHTEIN_ORACLE,
+          ("dedup", "pipeline"),
+          doc="edit-distance fuzzy pairs, token-blocked candidate join"),
     Query("multimodal_metadata", multimodal_metadata, MULTIMODAL_META_ORACLE,
           ("multimodal", "pipeline"),
           doc="binary payload + metadata struct, UTF-8 octet length, payload MD5"),
