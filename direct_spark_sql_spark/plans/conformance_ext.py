@@ -708,6 +708,32 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_query(spark, sf_dir, _HISTOGRAM_SQL)
 
 
+# ---------------------------------------------------------------------------
+# first_value / last_value / nth_value / lag-with-default over explicit
+# frames (the reference's Offset + Entire-partition frame families,
+# WindowDirectExecBase.scala:182-233).  last_value needs the UNBOUNDED
+# FOLLOWING frame — the default frame ends at CURRENT ROW in both engines.
+# ---------------------------------------------------------------------------
+
+_FIRST_LAST_NTH_SQL = """
+SELECT o_orderkey,
+       first_value(o_orderkey) OVER w AS first_k,
+       last_value(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_k,
+       nth_value(o_orderkey, 3) OVER w AS third_k,
+       first_value(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS first_in_frame,
+       CAST(lag(o_orderkey, 2, -1) OVER w AS BIGINT) AS lag2_default
+FROM orders WHERE o_orderkey <= 1500
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_query(spark, sf_dir, _FIRST_LAST_NTH_SQL)
+
+
 QUERIES = [
     Query("agg_percentile", agg_percentile, _PERCENTILE_SQL, ("agg",),
           doc="percentile_disc/percentile_cont/median ordered-set aggregates"),
@@ -761,4 +787,7 @@ QUERIES = [
           doc="two-pass equal-width decimal histogram (explicit FLOOR both engines)"),
     Query("encoding_functions", encoding_functions, _ENCODING_ORACLE, ("functions",),
           doc="hex/base64 round-trip/conv base conversion/shifts/bitwise scalars"),
+    Query("window_first_last_nth", window_first_last_nth, _FIRST_LAST_NTH_SQL,
+          ("window",),
+          doc="first/last/nth_value + lag-with-default over explicit frames"),
 ]
