@@ -105,3 +105,37 @@ def test_ivf_centroids_broadcast_not_shuffled(spark):
     plan = _plan(spark, "embedding_ivf_topk")
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+#: Queries whose plans legitimately contain a nested-loop/cartesian join:
+#: every one broadcasts a provably-bounded side (a literal band table, a
+#: single-row aggregate, or the ANN query batch) — the 100 TB-safe cases.
+_NLJ_ALLOWED = {
+    "join_cross",            # deliberate cross join conformance query
+    "join_nonequi_range",    # theta join, broadcast side = 4-row band table
+    "q11_important_parts",   # scalar subquery → broadcast 1-row threshold
+    "q22_idle_customers",    # scalar subquery → broadcast 1-row avg
+    "agg_histogram",         # broadcast 1-row (min, max) bounds
+    "embedding_cosine_topk",   # broadcast single query vector
+    "embedding_ivf_topk",      # broadcast query vector + centroid array
+    "embedding_batch_topk",    # broadcast bounded query batch
+}
+
+
+@pytest.mark.parametrize(
+    "query", list(QUERIES.values()), ids=[q.name for q in QUERIES.values()]
+)
+def test_no_unbounded_nested_loop_joins(query, spark):
+    """Plan hygiene across the whole registry: no CartesianProduct or
+    BroadcastNestedLoopJoin may appear unless the query is allowlisted
+    with a bounded broadcast side.  A new query that accidentally plans a
+    quadratic join fails here before it ships."""
+    df = query.spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    has_nlj = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+    if query.name in _NLJ_ALLOWED:
+        return  # bounded-by-construction; presence is expected and fine
+    assert not has_nlj, (
+        f"{query.name} plans a nested-loop/cartesian join; either fix the "
+        "join or allowlist it with a boundedness justification"
+    )
