@@ -625,6 +625,80 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# inline() generator: array<struct> → rows (the remaining UDTF shape after
+# explode/posexplode/json_tuple/stack)
+# ---------------------------------------------------------------------------
+
+_INLINE_SPARK = """
+SELECT n_name, k, CAST(v AS BIGINT) AS v FROM (
+  SELECT n_name,
+         array(named_struct('k', 'nat', 'v', n_nationkey),
+               named_struct('k', 'reg', 'v', n_regionkey)) AS kvs
+  FROM nation
+)
+LATERAL VIEW inline(kvs) t AS k, v
+ORDER BY n_name, k
+"""
+
+_INLINE_ORACLE = """
+SELECT n_name, k, CAST(v AS BIGINT) AS v FROM (
+  SELECT n_name, 'nat' AS k, n_nationkey AS v FROM nation
+  UNION ALL
+  SELECT n_name, 'reg' AS k, n_regionkey AS v FROM nation
+) ORDER BY n_name, k
+"""
+
+
+def inline_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_query(spark, sf_dir, _INLINE_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Map function suite: map built from grouped entries, then keys/values/
+# size/element_at/contains/aggregate-over-values.  The oracle replays the
+# same facts relationally (DuckDB maps don't round-trip through pandas, so
+# the egress is sorted joined strings + scalars).
+# ---------------------------------------------------------------------------
+
+_MAP_FUNCS_SPARK = """
+WITH m AS (
+  SELECT o_orderpriority,
+         map_from_entries(array_sort(collect_list(struct(o_orderstatus, cnt)))) AS smap
+  FROM (SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1, 2)
+  GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       array_join(map_keys(smap), ',') AS keys,
+       array_join(transform(map_values(smap), x -> CAST(x AS STRING)), ',') AS vals,
+       CAST(size(smap) AS BIGINT) AS n_keys,
+       element_at(smap, 'O') AS n_open,
+       map_contains_key(smap, 'F') AS has_f,
+       CAST(aggregate(map_values(smap), CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT) AS total
+FROM m ORDER BY o_orderpriority
+"""
+
+_MAP_FUNCS_ORACLE = """
+WITH c AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority,
+       string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS keys,
+       string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY o_orderstatus) AS vals,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       MAX(CASE WHEN o_orderstatus = 'O' THEN cnt END) AS n_open,
+       bool_or(o_orderstatus = 'F') AS has_f,
+       CAST(SUM(cnt) AS BIGINT) AS total
+FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def map_functions_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_query(spark, sf_dir, _MAP_FUNCS_SPARK)
+
+
+# ---------------------------------------------------------------------------
 # Encoding / binary-representation suite: hex, base64 round-trip, base
 # conversion, shifts, bitwise scalars.  DuckDB spells conv(x,10,16) as
 # to_hex and conv(x,10,2) as to_binary; ^ is xor().
@@ -790,4 +864,8 @@ QUERIES = [
     Query("window_first_last_nth", window_first_last_nth, _FIRST_LAST_NTH_SQL,
           ("window",),
           doc="first/last/nth_value + lag-with-default over explicit frames"),
+    Query("inline_generator", inline_generator, _INLINE_ORACLE, ("generator",),
+          doc="inline() over array<struct> → rows"),
+    Query("map_functions_ext", map_functions_ext, _MAP_FUNCS_ORACLE, ("functions",),
+          doc="map keys/values/size/element_at/contains/aggregate suite"),
 ]
