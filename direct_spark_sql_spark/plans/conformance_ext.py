@@ -625,6 +625,38 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Built-in relational pivot (df.groupBy().pivot().agg()) — the manual
+# CASE-WHEN twin lives in conformance.py (agg_pivot_manual).  Spark yields
+# NULL for absent (group, pivot-value) combos where the count_if oracle
+# yields 0 — coalesced on the Spark side.
+# ---------------------------------------------------------------------------
+
+def agg_pivot_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).cast("long"))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_PIVOT_BUILTIN_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # inline() generator: array<struct> → rows (the remaining UDTF shape after
 # explode/posexplode/json_tuple/stack)
 # ---------------------------------------------------------------------------
@@ -864,6 +896,8 @@ QUERIES = [
     Query("window_first_last_nth", window_first_last_nth, _FIRST_LAST_NTH_SQL,
           ("window",),
           doc="first/last/nth_value + lag-with-default over explicit frames"),
+    Query("agg_pivot_builtin", agg_pivot_builtin, _PIVOT_BUILTIN_ORACLE, ("agg",),
+          doc="df.groupBy().pivot().agg() with explicit value list"),
     Query("inline_generator", inline_generator, _INLINE_ORACLE, ("generator",),
           doc="inline() over array<struct> → rows"),
     Query("map_functions_ext", map_functions_ext, _MAP_FUNCS_ORACLE, ("functions",),

@@ -66,3 +66,16 @@ def test_parquet_predicate_pushdown_visible(spark):
     l = load_table(spark, SF_DIR, "lineitem").filter(F.col("l_quantity") < 5.0)
     plan = l._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5.0)" in plan
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC source/sink parity: write the nation table as ORC, read it back,
+    contents must equal the parquet original (column order preserved)."""
+    from direct_spark_sql_spark.sources.registry import load_table
+
+    src = load_table(spark, SF_DIR, "nation")
+    dest = str(tmp_path / "nation_orc")
+    src.write.mode("overwrite").orc(dest)
+    back = spark.read.orc(dest)
+    assert back.schema == src.schema
+    assert sorted(back.collect()) == sorted(src.collect())
