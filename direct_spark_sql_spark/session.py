@@ -50,7 +50,20 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.codegen.wholeStage": "true",
 }
 
-_TIME_FUNCS = ("current_date", "current_timestamp", "now", "unix_timestamp()")
+#: Time-dependent function detection (plan-cache bypass).  Word-boundary
+#: anchored so substrings inside identifiers (``known``, ``nowhere``,
+#: ``renowned``) don't spuriously bypass the cache; ``now``/``unix_timestamp``
+#: only count when called with zero args (with args unix_timestamp parses a
+#: column and is cache-safe).
+_TIME_FUNCS_RE = re.compile(
+    r"\bcurrent_date\b|\bcurrent_timestamp\b|\blocaltimestamp\b"
+    r"|\bnow\s*\(\s*\)|\bunix_timestamp\s*\(\s*\)",
+    re.IGNORECASE,
+)
+
+#: Quoted spans a qualified-name rewrite must not touch: single-quoted SQL
+#: string literals (with '' escapes) and backtick-quoted identifiers.
+_QUOTED_SPAN_RE = re.compile(r"'(?:[^']|'')*'|`(?:[^`]|``)*`")
 
 
 class EngineBuilder:
@@ -191,11 +204,35 @@ class Engine:
         return qualified.replace(".", "__")
 
     def _rewrite_qualified(self, sql: str) -> str:
-        """Rewrite ``db.table`` references for registered qualified views."""
-        out = sql
-        for name in self._qualified_views:
-            out = out.replace(name, self._mangle(name))
-        return out
+        """Rewrite ``db.table`` references for registered qualified views.
+
+        Identifier-boundary aware: longest name first (so ``db.tab`` never
+        clobbers a ``db.table2`` reference), anchored so neither side of the
+        match continues into a longer identifier or deeper qualifier, and
+        quoted spans (string literals, backtick identifiers) are skipped.
+        """
+        if not self._qualified_views:
+            return sql
+        names = sorted(self._qualified_views, key=len, reverse=True)
+        pattern = re.compile(
+            "|".join(rf"(?<![\w.$]){re.escape(n)}(?![\w.$])" for n in names),
+            re.IGNORECASE,
+        )
+        # Map lowercase registered name -> mangled form for case-insensitive
+        # resolution (Spark identifiers are case-insensitive by default).
+        mangled = {n.lower(): self._mangle(n) for n in self._qualified_views}
+
+        def _rewrite_segment(segment: str) -> str:
+            return pattern.sub(lambda m: mangled[m.group(0).lower()], segment)
+
+        out: list[str] = []
+        pos = 0
+        for span in _QUOTED_SPAN_RE.finditer(sql):
+            out.append(_rewrite_segment(sql[pos : span.start()]))
+            out.append(span.group(0))
+            pos = span.end()
+        out.append(_rewrite_segment(sql[pos:]))
+        return "".join(out)
 
     # -- query --------------------------------------------------------------
 
@@ -238,8 +275,7 @@ class Engine:
         return count
 
     def _uses_time(self, sql: str) -> bool:
-        low = sql.lower()
-        return any(fn in low for fn in _TIME_FUNCS)
+        return _TIME_FUNCS_RE.search(sql) is not None
 
     # -- egress -------------------------------------------------------------
 

@@ -216,6 +216,40 @@ def test_db_qualified_temp_view(people_engine):
     assert "mm.test" in people_engine.list_tables()
 
 
+def test_qualified_rewrite_identifier_boundaries(people_engine):
+    """Overlapping qualified names must not clobber each other, and names
+    inside string literals must survive the rewrite untouched."""
+    people_engine.register_table("db.tab", PEOPLE2, PEOPLE_SCHEMA)
+    people_engine.register_table("db.table2", PEOPLE, PEOPLE_SCHEMA)
+    t = people_engine.sql_directly(
+        "SELECT (SELECT COUNT(*) FROM db.tab) AS a, "
+        "(SELECT COUNT(*) FROM db.table2) AS b, 'db.tab' AS lit"
+    )
+    assert _rows(t) == [{"a": 3, "b": 5, "lit": "db.tab"}]
+    # prefix name registered *after* the longer one still resolves both ways
+    t2 = people_engine.sql_directly(
+        "SELECT COUNT(*) AS n FROM db.table2 WHERE name <> 'db.tab'"
+    )
+    assert _rows(t2) == [{"n": 5}]
+
+
+def test_uses_time_word_boundaries(engine):
+    """Identifiers containing time-function substrings (``known``) must not
+    bypass the plan cache; genuine time functions must."""
+    assert not engine._uses_time("SELECT known FROM t WHERE renowned = 'nowhere'")
+    assert not engine._uses_time("SELECT unix_timestamp(col) FROM t")
+    assert engine._uses_time("SELECT now()")
+    assert engine._uses_time("SELECT unix_timestamp( )")
+    assert engine._uses_time("SELECT CURRENT_DATE")
+    assert engine._uses_time("select current_timestamp() as ts")
+    # end-to-end: a 'known'-containing statement is served from the cache
+    engine.register_table("known_t", [{"known": 1}], "known int")
+    sql = "SELECT known FROM known_t"
+    df1 = engine.dataframe(sql)
+    df2 = engine.dataframe(sql)
+    assert df1 is df2
+
+
 # -- plan cache semantics ----------------------------------------------------
 
 def test_cached_plan_sees_fresh_view_data(engine):
@@ -289,3 +323,74 @@ def test_concurrent_shared_engine(people_engine):
     for th in threads:
         th.join()
     assert not errors
+
+
+# -- concurrency soak (DirectExecSuite.scala:227-299 parity) ------------------
+
+import os as _os
+
+#: Reference parity is 10 threads × 30 s (DirectExecSuite.scala:227-299);
+#: override for quick local iteration with SPARK_GRAFT_SOAK_SECS.
+_SOAK_SECS = float(_os.environ.get("SPARK_GRAFT_SOAK_SECS", "30"))
+
+
+def _run_soak(n_threads: int, secs: float, worker) -> list[Exception]:
+    errors: list[Exception] = []
+    deadline = time.monotonic() + secs
+
+    def loop(idx: int):
+        try:
+            while time.monotonic() < deadline:
+                worker(idx)
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=loop, args=(i,)) for i in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    return errors
+
+
+def test_soak_shared_engine(people_engine):
+    """10 threads hammering one shared engine (and its plan cache) with the
+    reference's repeated join+agg shape for the full soak window
+    (DirectExecSuite.scala:227-257): zero mismatches, zero exceptions."""
+
+    def worker(_idx: int):
+        t = people_engine.sql_directly(
+            "SELECT t2.genda, COUNT(*) AS n, SUM(t1.age) AS total_age "
+            "FROM people t1 JOIN people2 t2 ON t1.name = t2.name "
+            "GROUP BY t2.genda ORDER BY t2.genda"
+        )
+        assert _rows(t) == [
+            {"genda": 0, "n": 2, "total_age": 5},
+        ]
+
+    assert _run_soak(10, _SOAK_SECS, worker) == []
+
+
+def test_soak_per_thread_sessions_same_named_views(people_engine):
+    """10 threads, each on its own new_session() registering a *same-named*
+    view with thread-specific data (DirectExecSuite.scala:259-299): catalog
+    and plan-cache isolation must hold under sustained load."""
+    sessions = [people_engine.new_session() for _ in range(10)]
+    for i, s in enumerate(sessions):
+        s.register_table(
+            "soak_people",
+            [{"name": f"t{i}", "age": i, "genda": i % 2}] * (i + 1),
+            PEOPLE_SCHEMA,
+        )
+
+    def worker(idx: int):
+        s = sessions[idx]
+        t = s.sql_directly(
+            "SELECT COUNT(*) AS n, MIN(name) AS who, SUM(age) AS total "
+            "FROM soak_people"
+        )
+        assert _rows(t) == [
+            {"n": idx + 1, "who": f"t{idx}", "total": idx * (idx + 1)}
+        ]
+
+    assert _run_soak(10, _SOAK_SECS, worker) == []
