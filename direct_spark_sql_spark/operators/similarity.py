@@ -218,6 +218,194 @@ def ivf_assign(
     )
 
 
+#: index paths already written by this process (avoids re-listing the FS on
+#: every probe; the existence check still makes cold processes reuse a
+#: previously-built index on disk).
+_IVF_BUILT: set[str] = set()
+
+
+def ivf_build(
+    df: DataFrame,
+    centroids: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Build the IVF index: assign every vector to its nearest centroid and
+    materialize the table **partitioned by cell_id**.
+
+    This is the offline half of the build/probe split: the N×K assignment
+    scan happens once, not per query.  At 100 TB the partitioned layout is
+    the whole point — a probe reads only the ``nprobe`` cell directories
+    (static partition pruning), never the full corpus.
+
+    The vector's decimal norm² (as the exact DOUBLE the cosine needs) is
+    precomputed into the index: it is query-independent, and the decimal
+    HOF arithmetic runs interpreted, so storing it halves+ the per-probe
+    row work (dot only, no norms)."""
+    assigned = ivf_assign(df, centroids, id_col, emb_col).withColumn(
+        "__norm_sq_d", _to_double(norm_sq_dec(_dec_vec(emb_col)))
+    )
+    # repartition by cell → one file per cell per shuffle partition, so a
+    # probe opens O(nprobe) files instead of O(nprobe × writer-tasks).
+    assigned.repartition("cell_id").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(index_path)
+    _IVF_BUILT.add(index_path)
+
+
+def ivf_probe_cells(
+    query: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> list[int]:
+    """The ``nprobe`` cell ids nearest the query vector.
+
+    Probing is a K-row problem (K centroids × 1 query) — K is bounded by
+    design (√N cells even at 100 TB is ~10⁵ rows, kilobytes per row), so
+    collecting nprobe ints to the coordinator is the intended pattern
+    (same shape as a FAISS coordinator choosing probe lists), not a
+    driver-side data loop."""
+    return _ivf_probe(query, centroids, nprobe, id_col, emb_col)[0]
+
+
+def _ivf_probe(
+    query: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str,
+    emb_col: str,
+) -> tuple[list[int], float]:
+    """One K-row job: (probed cell ids, query norm² as exact double).
+
+    The query norm is query-constant, so fetching it here (a free extra
+    column on nprobe rows) means the per-row probe scan never evaluates a
+    norm — only the dot product."""
+    q = F.broadcast(query.select(F.col(emb_col).alias("__q")))
+    rows = (
+        centroids.crossJoin(q)
+        .select(
+            F.col(id_col).cast("long").alias("cell_id"),
+            cosine_dec(_dec_vec(emb_col), _dec_vec("__q")).alias("__pcos"),
+            _to_double(norm_sq_dec(_dec_vec("__q"))).alias("__qn"),
+        )
+        .orderBy(F.desc("__pcos"), "cell_id")
+        .limit(nprobe)
+        .collect()
+    )
+    return [r["cell_id"] for r in rows], (rows[0]["__qn"] if rows else 0.0)
+
+
+def _pydec9(x: float) -> "Decimal":
+    """Python replica of Spark's DOUBLE → DECIMAL(12,9) cast: shortest
+    decimal repr (BigDecimal.valueOf semantics ≙ Python repr) quantized
+    HALF_UP to 9 dp.  Verified bit-identical by the differential suite."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(x)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+
+
+def _pydec_to_double(d: "Decimal") -> float:
+    """DECIMAL → DECIMAL(24,6) → DOUBLE, Python twin of :func:`_to_double`."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(d.quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
+
+#: coordinator-cached centroid metadata per index: (cell_id, decimal vector,
+#: norm² as exact double).  Centroids are index *metadata* (K ≈ √N rows even
+#: at 100 TB) — an ANN service loads them once at index-open; re-collecting
+#: them per query would pay a full job for a constant.
+_IVF_CENTROIDS: dict[str, list[tuple[int, list, float]]] = {}
+
+#: resolved index DataFrame per (spark app, path) — skips per-query
+#: partition-tree re-listing; safe because a built index is immutable.
+_IVF_INDEX_DF: dict[tuple[str, str], DataFrame] = {}
+
+
+def _collect_centroids(
+    centroids: DataFrame, id_col: str, emb_col: str
+) -> list[tuple[int, list, float]]:
+    rows = centroids.select(
+        F.col(id_col).cast("long").alias("__cid"),
+        F.col(emb_col).cast("array<double>").alias("__e"),
+    ).collect()
+    out = []
+    for r in rows:
+        cdec = [_pydec9(x) for x in r["__e"]]
+        cn = _pydec_to_double(sum(x * x for x in cdec))
+        out.append((r["__cid"], cdec, cn))
+    return out
+
+
+def _probe_select(
+    cents: list[tuple[int, list, float]], qvec: list[float], nprobe: int
+) -> tuple[list[int], float]:
+    """Exact-decimal probe argmax in Python — the FAISS-coordinator shape.
+
+    The decimal arithmetic replicates the JVM/DuckDB funnel exactly (same
+    quantization points: →(12,9) HALF_UP, sum exact, →(24,6) HALF_UP →
+    correctly-rounded double, IEEE sqrt/divide), so probe selection is
+    bit-identical to the all-Spark path.  Returns (cell ids, query norm²).
+    """
+    import math
+
+    qdec = [_pydec9(x) for x in qvec]
+    qn = _pydec_to_double(sum(x * x for x in qdec))
+    scored = []
+    for cid, cdec, cn in cents:
+        dot = _pydec_to_double(sum(a * b for a, b in zip(cdec, qdec)))
+        denom = math.sqrt(cn) * math.sqrt(qn)
+        scored.append((dot / denom if denom else float("nan"), cid))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [cid for _, cid in scored[:nprobe]], qn
+
+
+def ivf_topk_vec(
+    spark,
+    qvec: list[float],
+    index_path: str,
+    centroids: DataFrame | None = None,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ANN-service request shape: the query arrives as a *vector* (the way a
+    real serving request does), the index was built offline, the centroids
+    live in coordinator memory — the per-request work is ONE Spark job: a
+    partition-pruned scan of ``nprobe`` cells + per-row decimal dot +
+    bounded top-k.  ``centroids`` is only consulted (and collected once) if
+    this index's metadata isn't cached yet."""
+    cents = _IVF_CENTROIDS.get(index_path)
+    if cents is None:
+        if centroids is None:
+            raise ValueError("centroids required on first use of this index")
+        cents = _collect_centroids(centroids, id_col, emb_col)
+        _IVF_CENTROIDS[index_path] = cents
+    cells, q_norm_sq = _probe_select(cents, list(qvec), nprobe)
+    df_key = (spark.sparkContext.applicationId, index_path)
+    assigned = _IVF_INDEX_DF.get(df_key)
+    if assigned is None:
+        assigned = spark.read.parquet(index_path)
+        _IVF_INDEX_DF[df_key] = assigned
+    q_lit = F.array(*[F.lit(x).cast("double").cast(DEC_ELEM) for x in qvec])
+    return (
+        assigned.filter(F.col("cell_id").isin(cells))
+        .select(
+            F.col(id_col),
+            (
+                _to_double(dot_dec(_dec_vec(emb_col), q_lit))
+                / (F.sqrt(F.col("__norm_sq_d")) * F.sqrt(F.lit(q_norm_sq)))
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query: DataFrame,
@@ -226,33 +414,66 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    index_path: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score only vectors whose cell is among the
     ``nprobe`` cells nearest the query.
 
-    Probing is a K-row problem (centroids × 1 query), so the probe list is
-    computed exactly and broadcast; the base-side work is one map-only
-    assignment + a broadcast semi-join + the bounded top-k.  Recall is
+    Build/probe split: the assignment table is materialized once at
+    ``index_path`` (partitioned by cell_id) and reused by every subsequent
+    query; the per-query work is the K-row probe + a partition-pruned scan
+    of ``nprobe`` cells + the bounded top-k.  Without ``index_path`` the
+    assignment is computed inline (one-shot mode — correct, but it rescans
+    the corpus per query; always pass a path in service shape).  Recall is
     approximate by construction (vectors in unprobed cells are unseen) —
     the trade the IVF structure exists to make."""
-    assigned = ivf_assign(df, centroids, id_col, emb_col)
-    q = F.broadcast(query.select(F.col(emb_col).alias("__q")))
-    probe = (
-        centroids.crossJoin(q)
-        .select(
-            F.col(id_col).cast("long").alias("cell_id"),
-            cosine_dec(_dec_vec(emb_col), _dec_vec("__q")).alias("__pcos"),
+    spark = df.sparkSession
+    if index_path is not None:
+        import os
+
+        if index_path not in _IVF_BUILT and not os.path.exists(
+            os.path.join(index_path, "_SUCCESS")
+        ):
+            ivf_build(df, centroids, index_path, id_col, emb_col)
+        _IVF_BUILT.add(index_path)
+        # The index is immutable once built: reuse the resolved DataFrame so
+        # repeat queries skip re-listing the partition tree (a real cost in
+        # a service loop, and exactly what a long-running reader would do).
+        df_key = (spark.sparkContext.applicationId, index_path)
+        assigned = _IVF_INDEX_DF.get(df_key)
+        if assigned is None:
+            assigned = spark.read.parquet(index_path)
+            _IVF_INDEX_DF[df_key] = assigned
+    else:
+        assigned = ivf_assign(df, centroids, id_col, emb_col).withColumn(
+            "__norm_sq_d", _to_double(norm_sq_dec(_dec_vec(emb_col)))
         )
-        .orderBy(F.desc("__pcos"), "cell_id")
-        .limit(nprobe)
-        .select("cell_id")
-    )
+
+    cents = _IVF_CENTROIDS.get(index_path) if index_path is not None else None
+    if cents is None:
+        cents = _collect_centroids(centroids, id_col, emb_col)
+        if index_path is not None:
+            _IVF_CENTROIDS[index_path] = cents
+    qrows = query.select(F.col(emb_col).cast("array<double>").alias("__e")).collect()
+    qvec = qrows[0]["__e"] if qrows else []
+    cells, q_norm_sq = _probe_select(cents, qvec, nprobe) if qvec else ([], 0.0)
+    # The query vector is inlined as a typed decimal literal array: the scan
+    # job then has NO broadcast exchange and no join at all — one pruned
+    # file scan + per-row dot + bounded top-k.
+    q_lit = F.array(*[F.lit(x).cast("double").cast(DEC_ELEM) for x in qvec])
     return (
-        assigned.join(F.broadcast(probe), "cell_id", "left_semi")
-        .crossJoin(q)
+        # literal IN-list on the partition column → static partition
+        # pruning: the scan touches only the nprobe cell directories.
+        # Per-row work is ONE decimal dot product; both norms come
+        # precomputed (index column / probe-time literal), and the division
+        # is the same exact-double expression the oracle evaluates.
+        assigned.filter(F.col("cell_id").isin(cells))
         .select(
             F.col(id_col),
-            cosine_dec(_dec_vec(emb_col), _dec_vec("__q")).alias("cosine"),
+            (
+                _to_double(dot_dec(_dec_vec(emb_col), q_lit))
+                / (F.sqrt(F.col("__norm_sq_d")) * F.sqrt(F.lit(q_norm_sq)))
+            ).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
