@@ -840,6 +840,48 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_query(spark, sf_dir, _FIRST_LAST_NTH_SQL)
 
 
+# ---------------------------------------------------------------------------
+# pandas UDF over a window frame (reference: WindowDirectExecBase.scala:149
+# passes arbitrary window functions — including Python-evaluated ones —
+# through the reused physical operator; SURVEY §2.10's last row)
+# ---------------------------------------------------------------------------
+
+
+def window_pandas_udf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF evaluated over a bounded window frame
+    (WindowInPandasExec).  Median over integral quantities keeps the
+    float64 interpolation exact cross-engine (halves of small ints)."""
+    from pyspark.sql import Window as W
+
+    from direct_spark_sql_spark.functions.udf import _median_udaf
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    # l_quantity completes the ordering: rows still tied are identical in
+    # every frame input, so the ROWS frame is deterministic cross-engine.
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+        .rowsBetween(-2, 0)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        _median_udaf(F.col("l_quantity")).over(w).alias("median_qty"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+_WINDOW_PANDAS_MEDIAN_SQL = """
+SELECT l_orderkey, l_linenumber, l_suppkey,
+       CAST(median(l_quantity) OVER (
+            PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS median_qty
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
 QUERIES = [
     Query("agg_percentile", agg_percentile, _PERCENTILE_SQL, ("agg",),
           doc="percentile_disc/percentile_cont/median ordered-set aggregates"),
@@ -902,4 +944,8 @@ QUERIES = [
           doc="inline() over array<struct> → rows"),
     Query("map_functions_ext", map_functions_ext, _MAP_FUNCS_ORACLE, ("functions",),
           doc="map keys/values/size/element_at/contains/aggregate suite"),
+    Query("window_pandas_udf_median", window_pandas_udf_median,
+          _WINDOW_PANDAS_MEDIAN_SQL, ("window", "udf"),
+          doc="grouped-agg pandas UDF over a bounded window frame "
+              "(WindowInPandasExec)"),
 ]
