@@ -3,12 +3,13 @@
 Media bytes (image/audio/video) travel as a ``binary`` column next to a
 metadata struct; decode / feature-extraction / frame-sampling run as
 Arrow-batched ``mapInPandas`` operators so each task processes whole
-record batches without per-row Python overhead.  The Spark-side plumbing
-(schemas, batch iteration, partition behavior) is real and tested; the
-actual codec calls are STUBBED — this container has no image/audio
-libraries — behind ``_decode_image_bytes``, which raises
-``NotImplementedError`` unless ``fake=True`` selects the deterministic
-byte-statistics fake used by the tests.
+record batches without per-row Python overhead.  Image decode is REAL for
+PPM / BMP / PNG via the pure-stdlib codecs in
+:mod:`direct_spark_sql_spark.operators.imagecodec`; other media types
+(audio/video codecs, JPEG, ...) would slot in behind the same
+``decode_image`` seam but need libraries this container doesn't ship.
+``fake=True`` keeps the deterministic byte-statistics path for opaque
+(non-image) payloads.
 
 Scale: mapInPandas preserves partitioning (no shuffle); batch size follows
 ``spark.sql.execution.arrow.maxRecordsPerBatch``.  For 100 TB of media the
@@ -70,23 +71,101 @@ def attach_binary(df: DataFrame, payload_col: str, mime: str, source_col: str) -
 
 
 def _decode_image_bytes(payload: bytes, fake: bool) -> tuple[int, int, int, int, int]:
-    """STUB decode step.  Real implementation would hand ``payload`` to an
-    image codec (PIL / libvips / ffmpeg for video) and return pixel stats +
-    dimensions.  The ``fake`` path computes deterministic byte statistics so
-    the surrounding Spark plumbing is fully testable without codecs."""
-    if not fake:
-        raise NotImplementedError(
-            "media codecs are not available in this environment; "
-            "pass fake=True for the deterministic byte-stats fake"
-        )
+    """Decode step behind :func:`extract_features`.
+
+    ``fake=False`` runs the REAL pure-stdlib decode (PPM/BMP/PNG) and
+    returns pixel-level stats + true dimensions; unrecognized payloads
+    raise ValueError.  ``fake=True`` computes deterministic byte statistics
+    instead, for opaque (non-image) payloads and plumbing tests."""
     n = len(payload)
     if n == 0:
         return 0, 0, 0, 0, 0
+    if not fake:
+        from direct_spark_sql_spark.operators.imagecodec import decode_image
+
+        _fmt, width, height, rgb = decode_image(payload)
+        return sum(rgb), min(rgb), max(rgb), width, height
     byte_sum = sum(payload)
     # fake "dimensions": a deterministic function of the payload length
     width = int(n**0.5) or 1
     height = (n + width - 1) // width
     return byte_sum, min(payload), max(payload), width, height
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+    ]
+)
+
+
+def synthesize_images(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Deterministic real-format test images, one per input id.
+
+    Dimensions and pixels are pure functions of the id (so an oracle can
+    recompute the expected stats arithmetically): ``w = 4 + id % 13``,
+    ``h = 3 + id % 11``, each RGB channel of pixel (x, y) is
+    ``(x*7 + y*13 + id*31) % 256``, and the container format cycles
+    ppm/bmp/png by ``id % 3``.  Encoding happens executor-side in
+    Arrow-batched mapInPandas — the driver never sees a payload."""
+    from direct_spark_sql_spark.operators.imagecodec import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
+
+    encoders = {0: encode_ppm, 1: encode_bmp, 2: encode_png}
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField(media_col, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = 4 + i % 13, 3 + i % 11
+                rgb = bytes(
+                    (x * 7 + y * 13 + i * 31) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for _c in range(3)
+                )
+                rows.append((i, encoders[i % 3](w, h, rgb)))
+            yield pd.DataFrame(rows, columns=[id_col, media_col])
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+def extract_image_features(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """REAL image decode via Arrow-batched mapInPandas: sniff + decode each
+    payload (PPM/BMP/PNG), emit true dimensions and pixel statistics."""
+    from direct_spark_sql_spark.operators.imagecodec import decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                fmt, w, h, rgb = decode_image(bytes(payload))
+                rows.append(
+                    (int(doc_id), fmt, w, h, w * h, sum(rgb), min(rgb), max(rgb))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
 def extract_features(

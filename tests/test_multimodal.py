@@ -41,12 +41,53 @@ def test_feature_extract_matches_local_recompute(spark, media):
         assert r.width * r.height >= len(payload)
 
 
-def test_feature_extract_real_decode_raises(spark, media):
+def test_feature_extract_real_decode_rejects_non_image(spark, media):
+    """fake=False now runs the REAL decode; opaque text payloads must be
+    rejected (ValueError via the codec sniffer), not silently faked."""
     with pytest.raises(Exception) as exc_info:
         mm.extract_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
-    )
+    assert "unrecognized image payload" in str(exc_info.value)
+
+
+def test_real_decode_round_trip_all_formats(spark):
+    """Executor-side encode → decode for every codec: dimensions and pixel
+    stats must match a driver-side recomputation from the pixel formula."""
+    ids = spark.range(0, 30).selectExpr("id AS doc_id")
+    feats = {
+        r.doc_id: r
+        for r in mm.extract_image_features(mm.synthesize_images(ids)).collect()
+    }
+    assert len(feats) == 30
+    for i in range(30):
+        w, h = 4 + i % 13, 3 + i % 11
+        vals = [
+            (x * 7 + y * 13 + i * 31) % 256 for y in range(h) for x in range(w)
+        ]
+        r = feats[i]
+        assert r.fmt == {0: "ppm", 1: "bmp", 2: "png"}[i % 3]
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert r.px_sum == 3 * sum(vals)
+        assert (r.px_min, r.px_max) == (min(vals), max(vals))
+
+
+def test_extract_features_fake_false_on_real_images(spark):
+    """The legacy feature extractor's non-fake path decodes real images:
+    byte stats are over decoded RGB, dimensions are true."""
+    ids = spark.range(0, 6).selectExpr("id AS doc_id")
+    feats = {
+        r.doc_id: r
+        for r in mm.extract_features(
+            mm.synthesize_images(ids), fake=False
+        ).collect()
+    }
+    for i in range(6):
+        w, h = 4 + i % 13, 3 + i % 11
+        vals = [
+            (x * 7 + y * 13 + i * 31) % 256 for y in range(h) for x in range(w)
+        ]
+        r = feats[i]
+        assert (r.width, r.height) == (w, h)
+        assert r.byte_sum == 3 * sum(vals)
 
 
 def test_frame_sample_reassembles_prefix(spark, media):
