@@ -706,15 +706,47 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
-# Multimodal (stubbed decode — rows-only driver check; exercised in tests)
+# Multimodal — REAL decode (pure-stdlib PPM/BMP/PNG codecs); the oracle
+# recomputes the expected dimensions and pixel statistics arithmetically,
+# so the encode→decode round-trip is hash-checked end to end.
 # ---------------------------------------------------------------------------
 
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing over mapInPandas: documents' text bytes stand
-    in for media payloads; the decode step is the deterministic fake."""
+    """Encode deterministic real-format images (ppm/bmp/png cycling by
+    doc_id) executor-side, then DECODE them with the real stdlib codecs and
+    emit true dimensions + pixel stats.  Both halves run as Arrow-batched
+    mapInPandas; the oracle recomputes every value from the pixel formula,
+    so a decoder bug (dimensions, row padding, filter math, channel order)
+    breaks the hash match."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    media = mm.attach_binary(d, "text", "application/octet-stream", "source")
-    return mm.extract_features(media, fake=True).orderBy("doc_id")
+    imgs = mm.synthesize_images(d)
+    return mm.extract_image_features(imgs).orderBy("doc_id")
+
+
+_MULTIMODAL_FEATURES_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+  FROM documents WHERE doc_id < 100
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (x.x * 7 + y.y * 13 + d.doc_id * 31) % 256 AS v
+  FROM d
+  JOIN generate_series(0, 16) x(x) ON x.x < d.w
+  JOIN generate_series(0, 13) y(y) ON y.y < d.h
+)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'png' END AS fmt,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(3 * SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM px
+GROUP BY doc_id, w, h
+ORDER BY doc_id
+"""
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -850,8 +882,9 @@ QUERIES = [
           ("similarity", "pipeline"), bench=True),
     Query("embedding_near_duplicates", embedding_near_duplicates, _srp_oracle(),
           ("similarity", "pipeline")),
-    Query("multimodal_feature_extract", multimodal_feature_extract, None,
-          ("multimodal", "pipeline")),
+    Query("multimodal_feature_extract", multimodal_feature_extract,
+          _MULTIMODAL_FEATURES_ORACLE, ("multimodal", "pipeline"),
+          doc="real PPM/BMP/PNG encode→decode round-trip, pixel-stat oracle"),
     Query("multimodal_frame_sample", multimodal_frame_sample, None,
           ("multimodal", "pipeline")),
     Query("dedup_levenshtein", dedup_levenshtein, DEDUP_LEVENSHTEIN_ORACLE,
