@@ -882,6 +882,42 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+# ---------------------------------------------------------------------------
+# JAR-packaged JVM UDFs registered through the DDL surface (reference:
+# CREATE FUNCTION ... AS 'class', DirectSessionCatalog.scala:72-91;
+# DirectExecSuite.scala:159-178)
+# ---------------------------------------------------------------------------
+
+
+def udf_java_vowels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calls two JAR-packaged Java UDFs (compiled from
+    functions/javasrc at first use, registered via registerJavaFunction
+    with inferred return types) from SQL text over the part table."""
+    from direct_spark_sql_spark.functions.jvm import register_builtin_java_udfs
+
+    register_builtin_java_udfs(spark)
+    return sql_query(
+        spark,
+        sf_dir,
+        """
+        SELECT p_partkey,
+               CAST(java_vowels(p_name) AS BIGINT) AS n_vowels,
+               java_repeat(p_brand, CAST(p_size % 3 AS INT)) AS brand_rep
+        FROM part ORDER BY p_partkey
+        """,
+    )
+
+
+_JAVA_UDF_ORACLE = """
+SELECT p_partkey,
+       CAST(length(lower(p_name))
+            - length(regexp_replace(lower(p_name), '[aeiou]', '', 'g'))
+            AS BIGINT) AS n_vowels,
+       repeat(p_brand, CAST(p_size % 3 AS INT)) AS brand_rep
+FROM part ORDER BY p_partkey
+"""
+
+
 QUERIES = [
     Query("agg_percentile", agg_percentile, _PERCENTILE_SQL, ("agg",),
           doc="percentile_disc/percentile_cont/median ordered-set aggregates"),
@@ -948,4 +984,7 @@ QUERIES = [
           _WINDOW_PANDAS_MEDIAN_SQL, ("window", "udf"),
           doc="grouped-agg pandas UDF over a bounded window frame "
               "(WindowInPandasExec)"),
+    Query("udf_java_vowels", udf_java_vowels, _JAVA_UDF_ORACLE, ("udf",),
+          doc="JAR-packaged Java UDF1/UDF2 registered by class name, "
+              "called from SQL (Hive-UDF DDL parity)"),
 ]

@@ -65,6 +65,16 @@ _TIME_FUNCS_RE = re.compile(
 #: string literals (with '' escapes) and backtick-quoted identifiers.
 _QUOTED_SPAN_RE = re.compile(r"'(?:[^']|'')*'|`(?:[^`]|``)*`")
 
+#: The reference's JVM-function registration DDL
+#: (DirectSessionCatalog.scala:72-91): CREATE [TEMPORARY] FUNCTION name
+#: AS 'class' [USING JAR 'path'].  Routed to registerJavaFunction.
+_FUNCTION_DDL_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?FUNCTION\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+AS\s+'(?P<cls>[\w.$]+)'"
+    r"(?:\s+USING\s+JAR\s+'(?P<jar>[^']+)')?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 
 class EngineBuilder:
     """``Engine.builder().master(...).config(...).get_or_create()``."""
@@ -246,6 +256,11 @@ class Engine:
         (DirectCurrentDate.scala:26-50).  Re-analyzing per call restores
         one-value-per-execution semantics, stable across the whole plan.
         """
+        ddl = _FUNCTION_DDL_RE.match(sql)
+        if ddl:
+            return self._register_function_ddl(
+                ddl.group("name"), ddl.group("cls"), ddl.group("jar")
+            )
         if self._uses_time(sql):
             return self.spark.sql(self._rewrite_qualified(sql))
         key = self._cache_key(sql)
@@ -276,6 +291,19 @@ class Engine:
 
     def _uses_time(self, sql: str) -> bool:
         return _TIME_FUNCS_RE.search(sql) is not None
+
+    def _register_function_ddl(self, name: str, cls: str, jar: str | None) -> DataFrame:
+        """JVM UDF DDL surface (reference: CREATE FUNCTION ... AS 'class',
+        DirectSessionCatalog.scala:72-91; DirectExecSuite.scala:159-178).
+        The class must implement org.apache.spark.sql.api.java.UDF1..22;
+        the return type is inferred from its generic signature.  Returns an
+        empty result like any DDL statement."""
+        from direct_spark_sql_spark.functions.jvm import register_java_function
+
+        register_java_function(self.spark, name, cls, jar_path=jar)
+        return self.spark.sql(
+            f"SELECT '{name}' AS function_registered"
+        ).limit(0)
 
     # -- egress -------------------------------------------------------------
 
