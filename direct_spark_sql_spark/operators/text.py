@@ -148,3 +148,155 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         h64(sorted_uniq).alias("fp_content"),
         rolling.alias("fp_rolling"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+#: Conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB):
+#: plain character classes, bounded repetition, \b word boundaries.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII detection + redaction — the compliance pass every
+    training-data pipeline runs before publishing a corpus.
+
+    Adds match counts per category (emails, NANP-style phone numbers,
+    IPv4 addresses), a ``has_pii`` flag, and ``redacted`` text with each
+    match replaced by a typed placeholder.  Pure JVM regex column work:
+    map-only, no shuffle, safe at any scale."""
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0)).cast("long")
+    n_phones = F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0)).cast("long")
+    n_ipv4 = F.size(F.regexp_extract_all(c, F.lit(PII_IPV4_RE), 0)).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IPV4_RE,
+        "<IP>",
+    )
+    return df.select(
+        "*",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ipv4.alias("n_ipv4"),
+        ((n_emails + n_phones + n_ipv4) > 0).alias("has_pii"),
+        redacted.alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition features (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """ALL word n-grams in order (multiplicity preserved — the repetition
+    signals need totals, unlike dedup's distinct shingles).  Same fast
+    zero-width-lookahead regex formulation as :func:`~direct_spark_sql_spark
+    .operators.dedup.shingles`; documents shorter than n tokens contribute
+    their full token span as one gram."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.regexp_replace(c, " +", " "), "^ | $", "")
+    body = " ".join(["[^ ]+"] * n)
+    full = F.regexp_extract_all(norm, F.lit(f"(^|[ ])(?=({body}))"), 2)
+    toks = tokens(c)
+    return F.when(F.size(toks) >= n, full).otherwise(
+        F.array(F.array_join(toks, " "))
+    )
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText family):
+    duplicate-token fraction, duplicate-3-gram fraction, and the fraction
+    of tokens taken by the single most frequent token.
+
+    The duplicate fractions are map-only array arithmetic; the top-token
+    share is one hash aggregation keyed (doc, token) with map-side combine
+    then a per-doc rollup — shuffle volume is bounded by vocabulary size
+    per document, not corpus size."""
+    toks = tokens(text_col)
+    grams = word_ngrams(text_col, 3)
+    n_tok = F.size(toks).cast("long")
+    n_gram = F.size(grams).cast("long")
+    base = df.select(
+        "*",
+        n_tok.alias("__n_tok"),
+        ((n_tok - F.size(F.array_distinct(toks))).cast("double") / n_tok).alias(
+            "dup_token_frac"
+        ),
+        ((n_gram - F.size(F.array_distinct(grams))).cast("double") / n_gram).alias(
+            "dup_3gram_frac"
+        ),
+        F.explode(toks).alias("__tok"),
+    )
+    id_cols = [c for c in df.columns]
+    counted = base.groupBy(*id_cols, "__n_tok", "dup_token_frac",
+                           "dup_3gram_frac", "__tok").count()
+    return (
+        counted.groupBy(*id_cols, "__n_tok", "dup_token_frac", "dup_3gram_frac")
+        .agg(F.max("count").alias("__top"))
+        .select(
+            *id_cols,
+            F.col("__n_tok").alias("n_tokens"),
+            "dup_token_frac",
+            "dup_3gram_frac",
+            (F.col("__top").cast("double") / F.col("__n_tok")).alias(
+                "top_token_frac"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval decontamination
+# ---------------------------------------------------------------------------
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_shared: int = 1,
+    max_gram_df: int = 100,
+) -> DataFrame:
+    """(train_id, eval_id, n_shared) pairs of documents sharing ≥
+    ``min_shared`` distinct word n-grams — the benchmark-decontamination
+    sweep run before training (find eval/test material leaked into the
+    training corpus).
+
+    Candidate generation is an equi-join on the gram itself, never
+    all-pairs; grams present in more than ``max_gram_df`` training docs are
+    dropped first (boilerplate stop-gram guard — the same skew cap as
+    n-gram Jaccard's ``max_shingle_df``, bounding join fan-out on power-law
+    gram distributions).  At 100 TB the join key would be the gram's 64-bit
+    hash with a verify pass; here the raw gram keeps the oracle equi-join
+    bit-identical."""
+    tg = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g"),
+    )
+    eg = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g"),
+    )
+    rare = (
+        tg.groupBy("g")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_gram_df)
+        .select("g")
+    )
+    return (
+        tg.join(rare, "g", "left_semi")
+        .join(eg, "g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

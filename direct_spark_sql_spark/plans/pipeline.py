@@ -843,6 +843,136 @@ FROM ranked WHERE rk <= 3 ORDER BY q_id, rk
 """
 
 
+# ---------------------------------------------------------------------------
+# PII scan / repetition quality / train-eval decontamination
+# ---------------------------------------------------------------------------
+
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over documents with deterministic planted
+    PII (both engines construct the identical augmented text, so the
+    pattern counts and the redacted-text MD5 are hash-checked exactly)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(F.lit(" from 10.0."), (did % 200).cast("string"),
+                         F.lit(".15")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(F.lit(" call 555-867-"),
+                         F.lpad((did % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text2"),
+    )
+    return (
+        tx.pii_scan(aug, "text2")
+        .select(
+            "doc_id", "n_emails", "n_phones", "n_ipv4", "has_pii",
+            F.md5("redacted").alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.0.' || (doc_id % 200) || '.15' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text2
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text2, '{tx.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text2, '{tx.PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text2, '{tx.PII_IPV4_RE}')) AS BIGINT) AS n_ipv4,
+       (len(regexp_extract_all(text2, '{tx.PII_EMAIL_RE}'))
+        + len(regexp_extract_all(text2, '{tx.PII_PHONE_RE}'))
+        + len(regexp_extract_all(text2, '{tx.PII_IPV4_RE}'))) > 0 AS has_pii,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+           text2, '{tx.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{tx.PII_PHONE_RE}', '<PHONE>', 'g'),
+           '{tx.PII_IPV4_RE}', '<IP>', 'g')) AS redacted_md5
+FROM aug ORDER BY doc_id
+"""
+
+
+#: ALL 3-grams (multiplicity preserved), short docs → whole-span gram —
+#: the non-distinct twin of SHINGLES_SQL.
+_NGRAMS3_SQL = (
+    "list_transform(generate_series(1, greatest(len(toks) - 2, 1)), "
+    "i -> array_to_string(toks[i:i+2], ' '))"
+)
+
+
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.repetition_features(d).drop("text").orderBy("doc_id")
+
+
+_REPETITION_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, {_NGRAMS3_SQL} AS grams FROM t),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+cnt AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+top AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM cnt GROUP BY 1)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - len(list_distinct(t.toks)) AS DOUBLE) / len(t.toks)
+         AS dup_token_frac,
+       CAST(len(g.grams) - len(list_distinct(g.grams)) AS DOUBLE) / len(g.grams)
+         AS dup_3gram_frac,
+       CAST(top.mx AS DOUBLE) / top.tot AS top_token_frac
+FROM t JOIN g USING (doc_id) JOIN top USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+def decontamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: eval slice = doc_id % 10 == 0, find train
+    docs sharing any distinct 5-gram (boilerplate grams df-capped)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    eval_df = d.filter(F.col("doc_id") % 10 == 0)
+    return tx.contamination_pairs(
+        train, eval_df, n=5, min_shared=1, max_gram_df=100
+    ).orderBy("train_id", "eval_id")
+
+
+_NGRAMS5_SQL = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 4, 1)), "
+    "i -> array_to_string(toks[i:i+4], ' ')))"
+)
+
+_DECONTAMINATION_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, unnest({_NGRAMS5_SQL}) AS g FROM t),
+tg AS (SELECT doc_id AS train_id, g FROM g WHERE doc_id % 10 <> 0),
+eg AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 10 = 0),
+rare AS (SELECT g FROM tg GROUP BY g HAVING COUNT(*) <= 100)
+SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM tg JOIN rare USING (g) JOIN eg USING (g)
+GROUP BY train_id, eval_id
+HAVING COUNT(*) >= 1
+ORDER BY train_id, eval_id
+"""
+
+
 QUERIES = [
     Query("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_ORACLE,
           ("text", "pipeline")),
@@ -852,6 +982,16 @@ QUERIES = [
           ("text", "pipeline"), bench=True),
     Query("text_fingerprints", text_fingerprints, TEXT_FINGERPRINT_ORACLE,
           ("text", "pipeline")),
+    Query("text_pii_scan", text_pii_scan, _PII_ORACLE, ("text", "pipeline"),
+          doc="PII detect+redact (emails/phones/IPv4), planted-PII oracle "
+              "incl. redacted-text MD5"),
+    Query("text_repetition_scores", text_repetition_scores, _REPETITION_ORACLE,
+          ("text", "pipeline"),
+          doc="Gopher-style repetition signals: dup-token/dup-3gram/"
+              "top-token fractions"),
+    Query("decontamination_ngrams", decontamination_ngrams,
+          _DECONTAMINATION_ORACLE, ("dedup", "pipeline"),
+          doc="train/eval 5-gram overlap sweep, df-capped gram blocking"),
     Query("dedup_exact_fingerprint", dedup_exact_fingerprint, DEDUP_EXACT_ORACLE,
           ("dedup", "pipeline"), bench=True),
     Query("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE,

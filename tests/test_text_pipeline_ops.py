@@ -1,0 +1,81 @@
+"""Behavior tests for the round-2 training-pipeline text operators: PII
+detect/redact, repetition quality signals, and train/eval decontamination.
+The registry oracle sweep checks them bit-exactly against DuckDB; these pin
+the operator-level semantics on crafted inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from direct_spark_sql_spark.operators import text as tx
+
+
+def test_pii_scan_detects_and_redacts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jo.smith+x@mail-host.org or 555-123-4567"),
+            (2, "server at 192.168.0.1 and backup 10.0.0.2"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in tx.pii_scan(df).collect()}
+    assert (rows[1].n_emails, rows[1].n_phones, rows[1].n_ipv4) == (1, 1, 0)
+    assert rows[1].redacted == "reach me at <EMAIL> or <PHONE>"
+    assert (rows[2].n_ipv4, rows[2].n_emails) == (2, 0)
+    assert rows[2].redacted == "server at <IP> and backup <IP>"
+    assert not rows[3].has_pii and rows[3].redacted == rows[3].text
+
+
+def test_repetition_features_on_crafted_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # one token repeated 4x
+            (2, "w x y z"),            # all unique
+            (3, "p q p q p q"),        # "p q p"/"q p q" alternating grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in tx.repetition_features(df).collect()}
+    assert rows[1].dup_token_frac == 0.75          # 4 tokens, 1 distinct
+    assert rows[1].dup_3gram_frac == 0.5           # grams: aaa, aaa (2 of 1)
+    assert rows[1].top_token_frac == 1.0
+    assert rows[2].dup_token_frac == 0.0
+    assert rows[2].top_token_frac == 0.25
+    assert rows[3].dup_3gram_frac == 0.5           # 4 grams, 2 distinct
+    assert rows[3].top_token_frac == 0.5
+
+
+def test_contamination_finds_planted_overlap(spark):
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [
+            (1, "completely unrelated training text about spark engines"),
+            (2, f"prefix words then {shared} and a suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"eval question mentions {shared} verbatim")],
+        "doc_id long, text string",
+    )
+    pairs = tx.contamination_pairs(train, ev, n=5, min_shared=1).collect()
+    assert [(p.train_id, p.eval_id) for p in pairs] == [(2, 100)]
+    assert pairs[0].n_shared >= 6  # 10-token span → 6 shared 5-grams
+
+
+def test_contamination_df_cap_drops_boilerplate(spark):
+    boiler = "standard legal disclaimer applies to this document footer"
+    train = spark.createDataFrame(
+        [(i, f"doc {i} body text . {boiler}") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"totally new eval material . {boiler}")],
+        "doc_id long, text string",
+    )
+    # every train doc shares only the boilerplate grams; df cap 3 < 5 docs
+    # drops them, so no pair survives
+    assert tx.contamination_pairs(train, ev, n=5, max_gram_df=3).count() == 0
+    # without the cap all 5 pairs appear
+    assert tx.contamination_pairs(train, ev, n=5, max_gram_df=100).count() == 5
