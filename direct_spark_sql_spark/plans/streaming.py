@@ -17,10 +17,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from direct_spark_sql_spark.plans.base import Query
 from direct_spark_sql_spark.plans.conformance import EVENTS_TUMBLING_ORACLE
+from direct_spark_sql_spark.plans.conformance_ext import _SLIDING_ORACLE
 from direct_spark_sql_spark.streaming import (
     read_events_stream,
     run_available_now,
+    stream_click_purchase_join,
+    stream_dedup_hourly,
     stream_session_windows,
+    stream_sliding_totals,
     stream_tumbling_totals,
     stream_user_counts_stateful,
 )
@@ -98,6 +102,56 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch events_sliding_window query — same
+    oracle (each event expands into 2 overlapping 1h/30min windows)."""
+    events = read_events_stream(spark, sf_dir)
+    result = run_available_now(
+        stream_sliding_totals(events), "stream_sliding", "complete"
+    )
+    return result.orderBy("win_start", "event_type")
+
+
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream self-join (click → purchase attribution
+    within 1 hour).  Inner join in append mode emits every match on a
+    closed input, so the result equals the batch time-range join."""
+    events = read_events_stream(spark, sf_dir)
+    result = run_available_now(
+        stream_click_purchase_join(events, horizon="1 hour"),
+        "stream_attribution", "append",
+    )
+    return result.orderBy("click_id", "purchase_id")
+
+
+STREAM_JOIN_ORACLE = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id, c.ts AS click_ts, p.ts AS purchase_ts, p.value AS amount
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+ORDER BY click_id, purchase_id
+"""
+
+
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over (user, event_type, hour): with a
+    test watermark spanning the whole closed input, first-sighting dedup
+    equals batch DISTINCT on the key columns."""
+    events = read_events_stream(spark, sf_dir)
+    result = run_available_now(
+        stream_dedup_hourly(events), "stream_dedup", "append"
+    )
+    return result.orderBy("user_id", "event_type", "hour_ts")
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hour_ts
+FROM events ORDER BY user_id, event_type, hour_ts
+"""
+
+
 QUERIES = [
     Query("streaming_tumbling_window", streaming_tumbling_window,
           EVENTS_TUMBLING_ORACLE, ("streaming", "window"),
@@ -108,4 +162,13 @@ QUERIES = [
     Query("streaming_user_counts", streaming_user_counts,
           USER_COUNTS_ORACLE, ("streaming", "stateful"),
           doc="applyInPandasWithState running per-user totals"),
+    Query("streaming_sliding_window", streaming_sliding_window,
+          _SLIDING_ORACLE, ("streaming", "window"),
+          doc="watermarked sliding-window agg, stream==batch"),
+    Query("streaming_stream_stream_join", streaming_stream_stream_join,
+          STREAM_JOIN_ORACLE, ("streaming", "join"),
+          doc="watermarked stream-stream time-range join (attribution)"),
+    Query("streaming_dedup_watermark", streaming_dedup_watermark,
+          STREAM_DEDUP_ORACLE, ("streaming", "dedup"),
+          doc="dropDuplicatesWithinWatermark first-sighting dedup"),
 ]

@@ -1,7 +1,10 @@
 from direct_spark_sql_spark.streaming.pipelines import (
     read_events_stream,
     run_available_now,
+    stream_click_purchase_join,
+    stream_dedup_hourly,
     stream_session_windows,
+    stream_sliding_totals,
     stream_tumbling_totals,
     stream_user_counts_stateful,
 )
@@ -9,7 +12,10 @@ from direct_spark_sql_spark.streaming.pipelines import (
 __all__ = [
     "read_events_stream",
     "run_available_now",
+    "stream_click_purchase_join",
+    "stream_dedup_hourly",
     "stream_session_windows",
+    "stream_sliding_totals",
     "stream_tumbling_totals",
     "stream_user_counts_stateful",
 ]

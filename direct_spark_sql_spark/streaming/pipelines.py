@@ -109,6 +109,92 @@ def stream_session_windows(
     )
 
 
+def stream_sliding_totals(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window totals — streaming twin of the batch
+    ``events_sliding_window`` query (each event lands in window/slide
+    overlapping windows; identical output schema and values on a closed
+    input).  State is O(active windows × event types), watermark-bounded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast(DEC_OUT).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def stream_click_purchase_join(
+    events: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked stream-stream inner join: attribute each purchase to the
+    clicks by the same user in the preceding ``horizon``.
+
+    Both sides carry a watermark and the join condition bounds purchase
+    time to ``[click_ts, click_ts + horizon]``, so Spark can evict join
+    state once the watermark passes a row's last possible match — the
+    state-cleanup contract that lets a stream-stream join run indefinitely.
+    Self-joining one source stream (filtered twice) is the standard funnel
+    / attribution shape."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + INTERVAL {horizon}"
+        ),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id", "click_ts",
+             "purchase_ts", "amount")
+
+
+def stream_dedup_hourly(
+    events: DataFrame, watermark: str = "35 days"
+) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark``: first sighting
+    of each (user, event_type, hour) wins; later duplicates arriving within
+    the watermark horizon are dropped and the per-key state is evicted once
+    the watermark passes — bounded state, unlike a global ``distinct`` over
+    an unbounded stream.  The wide test watermark spans the whole closed
+    input so the result equals batch DISTINCT; production would use e.g.
+    ``1 hour``."""
+    return (
+        events.withColumn("hour_ts", F.date_trunc("hour", F.col("ts")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour_ts"])
+        .select("user_id", "event_type", "hour_ts")
+    )
+
+
 # -- custom stateful operator ------------------------------------------------
 
 _STATE_SCHEMA = T.StructType(

@@ -94,3 +94,96 @@ def test_stream_batch_unification(spark):
         .sort_values(["window_start", "event_type"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(via_batch, via_stream, check_dtype=False)
+
+
+def test_late_data_dropped_past_watermark(spark, tmp_path):
+    """Watermark contract, provable only across micro-batches: an event
+    arriving after the watermark passed its window's end must be dropped,
+    and append mode must emit exactly the finalized windows.
+
+    Spark uses the two-watermark model (SPARK-40925): late-record
+    filtering in batch N uses the watermark committed at the END of batch
+    N-1, so a late event is provably dropped two batches after the data
+    that advanced the watermark.  Batch A (10:15, 11:20, 12:30) → commit
+    advances the watermark to 11:30; batch B (12:45) runs with eviction
+    watermark 11:45 and emits window 10; batch C replays a late 10:45
+    event — its window end 11:00 ≤ the 11:30 late-events watermark, so it
+    is dropped — plus a 14:30 event whose window never finalizes."""
+    import os
+    import datetime as dt
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    batches = {
+        "a": [(1, ts(10, 15), 7, 1.0), (2, ts(11, 20), 7, 1.0),
+              (3, ts(12, 30), 7, 1.0)],
+        "b": [(9, ts(12, 45), 7, 1.0)],
+        "c": [(4, ts(10, 45), 7, 1.0), (5, ts(14, 30), 7, 1.0)],
+    }
+    src = tmp_path / "late_src"
+    # file-stream micro-batch order follows modification time: force a<b<c
+    now = 1_700_000_000
+    for i, (sub, rows) in enumerate(batches.items()):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / sub)
+        )
+        mtime = now - 120 * (len(batches) - i)
+        for root, _dirs, files in os.walk(str(src / sub)):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "n")
+    )
+    query = (
+        agg.writeStream.format("memory").queryName("late_drop")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    query.awaitTermination()
+    dropped = sum(
+        so["numRowsDroppedByWatermark"]
+        for p in query.recentProgress
+        for so in p["stateOperators"]
+    )
+    got = {
+        r.win_start.hour: r.n
+        for r in spark.table("late_drop").collect()
+    }
+    assert dropped == 1  # the replayed 10:45
+    # hour 10 excludes the late replay; 14:30's window never finalized
+    assert got == {10: 1, 11: 1, 12: 2}
+
+
+def test_stream_stream_join_horizon(spark):
+    """stream_click_purchase_join unit semantics on a batch DataFrame (the
+    unification contract): purchases inside [click, click+1h] match, a
+    purchase 1h1m later and one 1m earlier do not."""
+    import datetime as dt
+    from direct_spark_sql_spark.streaming import stream_click_purchase_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, t0, 7, "click", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=59), 7, "purchase", 9.5, "{}"),
+        (3, t0 + dt.timedelta(minutes=61), 7, "purchase", 1.0, "{}"),
+        (4, t0 - dt.timedelta(minutes=1), 7, "purchase", 2.0, "{}"),
+        (5, t0 + dt.timedelta(minutes=30), 8, "purchase", 3.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = stream_click_purchase_join(ev).collect()
+    assert [(r.click_id, r.purchase_id, r.amount) for r in got] == [(1, 2, 9.5)]
