@@ -1,0 +1,138 @@
+"""Retrieval operators for training-data pipelines: document chunking and
+BM25 keyword search.
+
+Chunking splits each document into fixed-size overlapping token windows —
+the unit a RAG / pretraining pipeline actually feeds downstream — without
+ever leaving the JVM: ``sequence`` generates chunk starts, ``posexplode``
+fans them out, ``slice`` + ``array_join`` materialize the chunk text.
+Scale: a pure per-row generate (no shuffle); output size is bounded by
+``ceil(n_tokens / stride)`` rows per document.
+
+BM25 is the classic sparse-retrieval scorer.  The implementation is the
+scale-correct shape: tokenize once, explode only the tokens that match the
+query terms (the explode is filtered *before* the shuffle), aggregate
+tf/df/dl with partial+final hash aggs, broadcast the tiny per-term df and
+corpus stats back, and score JVM-side.  No all-pairs work anywhere; cost is
+O(matching tokens), not O(corpus × terms).
+
+Cross-engine exactness: every floating-point step is either pure IEEE
+arithmetic on identical operands (deterministic across engines) or ``ln``
+on identical doubles (same libm result for the same input on this host);
+per-term scores are snapped to integer 1e-8 units with ``floor(x*1e8+0.5)``
+(floor of a double is exact in both engines) so the final per-document sum
+is an order-independent BIGINT sum, then one exact division back to DOUBLE.
+
+Reference parity note: the reference engine (direct-spark-sql) has no
+retrieval operators; these extend the surface for LLM-data workloads
+(SURVEY.md north-star extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from direct_spark_sql_spark.operators import text as tx
+
+#: Default chunking geometry: 32-token windows, stride 24 (8-token overlap).
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+#: BM25 hyperparameters (the canonical Robertson defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: 1e-8 fixed-point snap for per-term scores (see module docstring).
+_UNITS = 100000000.0
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Fixed-size overlapping token-window chunks with token offsets.
+
+    Output: one row per chunk — (id, chunk_idx, start_token,
+    n_chunk_tokens, chunk_text).  The last chunk of a document may be
+    short; documents with no tokens produce no chunks.
+    """
+    toks = tx.tokens(text_col)
+    d = (
+        docs.select(F.col(id_col), toks.alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    d = d.select(
+        id_col,
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("n_tokens") - 1, F.lit(stride))
+        ).alias("chunk_idx", "start_token"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start_token") + 1, chunk_tokens)
+    return d.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_token").cast("long").alias("start_token"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def _dbl(c: str) -> Column:
+    return F.col(c).cast("double")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents by BM25 score for a bag-of-terms query.
+
+    idf uses the +1 ("BM25+-style") form ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    so scores are always positive.  Ties break on id for a deterministic
+    top-k cut.
+    """
+    base = docs.select(F.col(id_col), tx.tokens(text_col).alias("toks")).withColumn(
+        "dl", F.size("toks").cast("long")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        base.select(id_col, F.explode("toks").alias("term"))
+        .filter(F.array_contains(term_arr, F.col("term")))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(base.select(id_col, "dl"), id_col)
+        .join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = _dbl("sum_dl") / _dbl("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (_dbl("n_docs") - _dbl("df") + F.lit(0.5)) / (_dbl("df") + F.lit(0.5))
+    )
+    denom = _dbl("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (_dbl("dl") / avgdl)
+    )
+    term_score = idf * (_dbl("tf") * (F.lit(k1) + F.lit(1.0))) / denom
+    units = F.floor(term_score * F.lit(_UNITS) + F.lit(0.5)).cast("long")
+    return (
+        scored.select(id_col, units.alias("units"))
+        .groupBy(id_col)
+        .agg((F.sum("units").cast("double") / F.lit(_UNITS)).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -30,6 +30,13 @@ def all_queries() -> list[Query]:
         pass
 
     try:
+        from direct_spark_sql_spark.plans import pipeline_ext
+
+        queries += pipeline_ext.QUERIES
+    except ImportError:  # pragma: no cover - optional module during build-out
+        pass
+
+    try:
         from direct_spark_sql_spark.plans import streaming
 
         queries += streaming.QUERIES

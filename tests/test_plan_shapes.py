@@ -119,6 +119,7 @@ _NLJ_ALLOWED = {
     "embedding_cosine_topk",   # broadcast single query vector
     "embedding_ivf_topk",      # broadcast query vector + centroid array
     "embedding_batch_topk",    # broadcast bounded query batch
+    "bm25_search",             # broadcast 1-row corpus stats (N, sum_dl)
 }
 
 
