@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from direct_spark_sql_spark.operators import merge as mg
+from direct_spark_sql_spark.operators import profile as pf
 from direct_spark_sql_spark.operators import retrieval as rt
 from direct_spark_sql_spark.plans.base import Query
 from direct_spark_sql_spark.plans.pipeline import TOKS_SQL
@@ -86,6 +88,164 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# CDC merge (latest-wins upsert) and SCD-2 history
+#
+# The changeset is derived deterministically from orders itself so the
+# DuckDB oracle can replay it: updates for keys % 7 = 0 (reprice +10,
+# status 'P', seq 1), deletes for keys % 11 = 3 (seq 2, outranks the
+# update when both hit a key), inserts at key + 10_000_000 for keys
+# % 13 = 1 (seq 1).
+# ---------------------------------------------------------------------------
+
+_PRICE_D = 'CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE)'
+_PRICE_UP_D = 'CAST(CAST(o_totalprice AS DECIMAL(14,2)) + 10 AS DOUBLE)'
+
+
+def _orders_base_and_changes(spark: SparkSession, sf_dir: str):
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        price.cast("double").alias("o_totalprice"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("P").alias("o_orderstatus"),
+        (price + F.lit(10)).cast("double").alias("o_totalprice"),
+        F.lit("U").alias("op"),
+        F.lit(1).cast("long").alias("change_seq"),
+    )
+    dele = orders.filter(F.col("o_orderkey") % 11 == 3).select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit("D").alias("op"),
+        F.lit(2).cast("long").alias("change_seq"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 13 == 1).select(
+        (F.col("o_orderkey") + F.lit(10000000)).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        price.cast("double").alias("o_totalprice"),
+        F.lit("I").alias("op"),
+        F.lit(1).cast("long").alias("change_seq"),
+    )
+    return base, upd.unionByName(dele).unionByName(ins)
+
+
+_CDC_CTES = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, {_PRICE_D} AS o_totalprice,
+         'B' AS op, CAST(0 AS BIGINT) AS change_seq
+  FROM orders),
+upd AS (
+  SELECT o_orderkey, 'P' AS o_orderstatus, {_PRICE_UP_D} AS o_totalprice,
+         'U' AS op, CAST(1 AS BIGINT) AS change_seq
+  FROM orders WHERE o_orderkey % 7 = 0),
+del AS (
+  SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderstatus,
+         CAST(NULL AS DOUBLE) AS o_totalprice,
+         'D' AS op, CAST(2 AS BIGINT) AS change_seq
+  FROM orders WHERE o_orderkey % 11 = 3),
+ins AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus,
+         {_PRICE_D} AS o_totalprice, 'I' AS op, CAST(1 AS BIGINT) AS change_seq
+  FROM orders WHERE o_orderkey % 13 = 1),
+combined AS (
+  SELECT * FROM base UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins)
+"""
+
+
+def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, changes = _orders_base_and_changes(spark, sf_dir)
+    return mg.apply_cdc(base, changes, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+MERGE_CDC_ORACLE = _CDC_CTES + """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY change_seq DESC) AS rn
+      FROM combined)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY o_orderkey
+"""
+
+
+def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, changes = _orders_base_and_changes(spark, sf_dir)
+    return mg.scd2_history(base, changes, ["o_orderkey"]).orderBy(
+        "o_orderkey", "valid_from"
+    )
+
+
+MERGE_SCD2_ORACLE = _CDC_CTES + """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       change_seq AS valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM (SELECT *, lead(change_seq) OVER (PARTITION BY o_orderkey
+                                       ORDER BY change_seq ASC) AS valid_to
+      FROM combined)
+WHERE op <> 'D'
+ORDER BY o_orderkey, valid_from
+"""
+
+
+# ---------------------------------------------------------------------------
+# Table profiling
+# ---------------------------------------------------------------------------
+
+#: (column, SQL expr for numeric min/max or None) — shared spec for the
+#: Spark builder and the generated oracle.
+_PROFILE_SPEC: list[tuple[str, str | None]] = [
+    ("o_orderkey", "CAST({c} AS DOUBLE)"),
+    ("o_custkey", "CAST({c} AS DOUBLE)"),
+    ("o_orderstatus", None),
+    ("o_totalprice", "CAST({c} AS DOUBLE)"),
+    ("o_orderdate", "CAST(epoch_us({c}) AS DOUBLE)"),
+    ("o_orderpriority", None),
+]
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    numeric: dict[str, F.Column | None] = {}
+    for c, expr in _PROFILE_SPEC:
+        if expr is None:
+            numeric[c] = None
+        elif c == "o_orderdate":
+            # parquet timestamps load as NTZ; the session TZ is pinned UTC,
+            # so the ltz hop is identity and unix_micros == DuckDB epoch_us.
+            numeric[c] = F.unix_micros(F.col(c).cast("timestamp_ltz")).cast("double")
+        else:
+            numeric[c] = F.col(c).cast("double")
+    return pf.profile_table(orders, numeric)
+
+
+def _profile_oracle() -> str:
+    aggs = ["CAST(count(*) AS BIGINT) AS n_rows"]
+    rows = []
+    for c, expr in _PROFILE_SPEC:
+        aggs.append(f"CAST(count(*) - count({c}) AS BIGINT) AS null_{c}")
+        aggs.append(f"CAST(count(DISTINCT {c}) AS BIGINT) AS dist_{c}")
+        if expr is None:
+            aggs.append(f"CAST(NULL AS DOUBLE) AS min_{c}")
+            aggs.append(f"CAST(NULL AS DOUBLE) AS max_{c}")
+        else:
+            aggs.append(f"{expr.format(c=f'min({c})')} AS min_{c}")
+            aggs.append(f"{expr.format(c=f'max({c})')} AS max_{c}")
+        rows.append(
+            f"SELECT '{c}' AS col_name, n_rows, null_{c} AS n_null, "
+            f"dist_{c} AS n_distinct, min_{c} AS min_num, max_{c} AS max_num FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(aggs) + " FROM orders)\n"
+        + "\nUNION ALL ".join(rows)
+        + "\nORDER BY col_name"
+    )
+
+
 QUERIES = [
     Query("doc_chunking", doc_chunking, DOC_CHUNKING_ORACLE,
           ("text", "pipeline", "retrieval"), bench=True,
@@ -95,4 +255,15 @@ QUERIES = [
           ("text", "pipeline", "retrieval"), bench=True,
           doc="BM25 top-k keyword retrieval: filtered-explode tf, "
               "broadcast df/stats, fixed-point exact scores"),
+    Query("merge_cdc_upsert", merge_cdc_upsert, MERGE_CDC_ORACLE,
+          ("merge", "pipeline"),
+          doc="latest-wins CDC MERGE (insert/update/delete changeset), "
+              "one shuffle on the key"),
+    Query("merge_scd2_history", merge_scd2_history, MERGE_SCD2_ORACLE,
+          ("merge", "pipeline"),
+          doc="SCD-2 validity intervals via lead() over change sequence"),
+    Query("table_profile", table_profile, _profile_oracle(),
+          ("profile", "pipeline"),
+          doc="per-column rowcount/nulls/exact-distinct/min/max in one "
+              "scan, inline-fanned to rows"),
 ]
