@@ -110,3 +110,34 @@ def range_join(
     way when the condition is a conjunction — this helper just makes the
     contract explicit and keeps callers from writing a pure theta-join."""
     return left.join(right, on & lower & upper, how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_on: Column,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Pre-salted equi-join for skewed keys.
+
+    The probe side gets a deterministic salt in ``[0, n_salt)`` derived
+    from ``salt_on`` (any column that varies within a hot key); the build
+    side is replicated ``n_salt`` times via a tiny ``explode(sequence)``.
+    Joining on ``(on, salt)`` splits each hot key's rows across ``n_salt``
+    reducers, bounding the largest shuffle partition at ~1/n_salt of the
+    hottest key — the classic remedy when AQE skew-join handling is
+    unavailable (streaming joins, fixed partitioning contracts) or the
+    skew exceeds what partition splitting can fix.  The result is
+    identical to the unsalted join; only the partitioning changes.
+
+    Cost model at 100 TB: replicating the smaller side ×n_salt is a
+    deliberate trade — pick n_salt ≈ (hottest-key rows / target partition
+    rows), keep the replicated side the smaller input.
+    """
+    l = left.withColumn("_salt", F.pmod(salt_on.cast("long"), F.lit(n_salt)).cast("int"))
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return l.join(r, [on, "_salt"], how).drop("_salt")

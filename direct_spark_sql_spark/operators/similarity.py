@@ -549,3 +549,37 @@ def srp_near_duplicates(
         .select("id_a", "id_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def quantize_int8(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization: codes in [-127, 127] with the
+    vector's own (min, max) as the dequantization scale.
+
+    The memory lever for ANN at 100 TB: a float32 embedding column shrinks
+    4× (plus 16 bytes of scale per vector), which is what lets an IVF /
+    LSH index for a billion-vector corpus fit in cluster RAM.  Map-only —
+    no shuffle, no Python; the transform runs per row.
+
+    Cross-engine exactness: float32 widens to DOUBLE exactly, then
+    ``floor((v - mn) * 254 / rng + 0.5)`` is pure IEEE arithmetic + an
+    exact floor, so codes are bit-identical in any engine. Constant
+    vectors (rng = 0) quantize to all-zero codes.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    mn = F.array_min(x)
+    mx = F.array_max(x)
+    rng = mx - mn
+    codes = F.transform(
+        x,
+        lambda v: F.when(rng == F.lit(0.0), F.lit(0)).otherwise(
+            (F.floor((v - mn) * F.lit(254.0) / rng + F.lit(0.5)) - F.lit(127)).cast("int")
+        ),
+    )
+    return emb.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        mn.alias("scale_min"),
+        mx.alias("scale_max"),
+    )

@@ -11,10 +11,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from direct_spark_sql_spark.operators import joins as jn
 from direct_spark_sql_spark.operators import merge as mg
 from direct_spark_sql_spark.operators import profile as pf
 from direct_spark_sql_spark.operators import retrieval as rt
-from direct_spark_sql_spark.plans.base import Query
+from direct_spark_sql_spark.operators import similarity as sim
+from direct_spark_sql_spark.plans.base import Query, sql_query
 from direct_spark_sql_spark.plans.pipeline import TOKS_SQL
 from direct_spark_sql_spark.sources.registry import load_table
 
@@ -246,6 +248,118 @@ def _profile_oracle() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Skew-salted join (result == plain join; only partitioning differs, so
+# the oracle is simply the unsalted join)
+# ---------------------------------------------------------------------------
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = jn.salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders,
+        on="o_orderkey",
+        salt_on=F.col("l_linenumber"),
+        n_salt=8,
+    )
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(14,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(7,4)")).cast("decimal(8,4)")
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(revenue).cast("decimal(24,6)").cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+JOIN_SKEW_SALTED_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+             * CAST(1 - CAST(l_discount AS DECIMAL(7,4)) AS DECIMAL(8,4))), 6)
+            AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = sim.quantize_int8(emb)
+    # CSV-serialize the code vector for the differential compare (array
+    # columns don't row-sort in the harness); values stay bit-exact.
+    return q.select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes_csv"),
+        "scale_min",
+        "scale_max",
+    ).orderBy("vec_id")
+
+
+QUANTIZE_ORACLE = """
+SELECT vec_id,
+       array_to_string(
+         CASE WHEN rng = 0.0
+              THEN list_transform(x, v -> 0)
+              ELSE list_transform(x, v ->
+                   CAST(FLOOR((v - mn) * 254.0 / rng + 0.5) - 127 AS INTEGER))
+         END, ',') AS codes_csv,
+       mn AS scale_min, mx AS scale_max
+FROM (
+  SELECT vec_id, x, list_min(x) AS mn, list_max(x) AS mx,
+         list_max(x) - list_min(x) AS rng
+  FROM (SELECT vec_id,
+               list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x
+        FROM embeddings)
+)
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bounded approx-percentile (same contract as agg_approx_distinct_bounded:
+# both engines agree on the exact value; Spark additionally asserts its
+# sketch estimate lands within the bound)
+# ---------------------------------------------------------------------------
+
+_APPROX_PCT_SPARK = """
+SELECT l_returnflag,
+       CAST(ROUND(percentile(l_extendedprice, 0.5), 4) AS DOUBLE) AS exact_median,
+       abs(percentile_approx(l_extendedprice, 0.5, 10000)
+           - percentile(l_extendedprice, 0.5))
+         <= 0.01 * percentile(l_extendedprice, 0.5) AS approx_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+_APPROX_PCT_ORACLE = """
+SELECT l_returnflag,
+       CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) AS exact_median,
+       TRUE AS approx_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def agg_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx's KLL-style sketch differs from any other engine's,
+    so (as with HLL) the estimate itself can't hash-match; both engines
+    agree on the exact interpolated median and Spark asserts the sketch
+    lands within ±1%."""
+    return sql_query(spark, sf_dir, _APPROX_PCT_SPARK)
+
+
 QUERIES = [
     Query("doc_chunking", doc_chunking, DOC_CHUNKING_ORACLE,
           ("text", "pipeline", "retrieval"), bench=True,
@@ -266,4 +380,16 @@ QUERIES = [
           ("profile", "pipeline"),
           doc="per-column rowcount/nulls/exact-distinct/min/max in one "
               "scan, inline-fanned to rows"),
+    Query("join_skew_salted", join_skew_salted, JOIN_SKEW_SALTED_ORACLE,
+          ("join", "pipeline"),
+          doc="pre-salted skew join (salt probe side, replicate build "
+              "side x8); result equals the unsalted join"),
+    Query("embedding_quantize_int8", embedding_quantize_int8, QUANTIZE_ORACLE,
+          ("similarity", "pipeline"),
+          doc="per-vector int8 scalar quantization (4x memory), "
+              "bit-exact codes via IEEE-only arithmetic"),
+    Query("agg_approx_percentile_bounded", agg_approx_percentile_bounded,
+          _APPROX_PCT_ORACLE, ("agg", "sketch"),
+          doc="percentile_approx within +-1% of exact (both engines agree "
+              "on the exact interpolated median)"),
 ]

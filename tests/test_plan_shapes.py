@@ -140,3 +140,12 @@ def test_no_unbounded_nested_loop_joins(query, spark):
         f"{query.name} plans a nested-loop/cartesian join; either fix the "
         "join or allowlist it with a boundedness justification"
     )
+
+
+def test_salted_join_expands_build_side(spark):
+    """join_skew_salted must actually salt: the build side is replicated
+    via explode(sequence) (a Generate node) and the join keys include the
+    salt, so a hot key's rows land on n_salt different reducers."""
+    plan = _plan(spark, "join_skew_salted")
+    assert "Generate explode" in plan or "Generate" in plan, plan
+    assert "_salt" in plan
