@@ -114,3 +114,43 @@ def test_null_payload_handling(spark):
     assert feats[3].n_bytes == 0
     frames = mm.sample_frames(df).collect()
     assert {r.doc_id for r in frames} == {1}
+
+
+def test_binary_file_source_ingestion(spark, tmp_path):
+    """The real ingestion path for image corpora: files on disk read via
+    Spark's binaryFile source (path/length/content columns), then decoded
+    by the same mapInPandas feature extractor — stats must match the
+    synthesizer's closed-form pixel formula."""
+    from direct_spark_sql_spark.operators.imagecodec import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
+
+    encoders = {0: ("ppm", encode_ppm), 1: ("bmp", encode_bmp), 2: ("png", encode_png)}
+    expected = {}
+    for i in range(9):
+        w, h = 4 + i % 13, 3 + i % 11
+        rgb = bytes(
+            (x * 7 + y * 13 + i * 31) % 256
+            for y in range(h)
+            for x in range(w)
+            for _c in range(3)
+        )
+        ext, enc = encoders[i % 3]
+        (tmp_path / f"img_{i:03d}.{ext}").write_bytes(enc(w, h, rgb))
+        expected[i] = (ext, w, h, sum(rgb), min(rgb), max(rgb))
+
+    files = spark.read.format("binaryFile").load(str(tmp_path))
+    assert set(files.columns) == {"path", "modificationTime", "length", "content"}
+    media = files.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.", 1).cast("long").alias("doc_id"),
+        F.col("content").alias("media"),
+    )
+    feats = {r.doc_id: r for r in mm.extract_image_features(media).collect()}
+    assert feats.keys() == expected.keys()
+    for i, (ext, w, h, s, mn, mx) in expected.items():
+        r = feats[i]
+        assert (r.fmt, r.width, r.height) == (ext, w, h)
+        assert (r.px_sum, r.px_min, r.px_max) == (s, mn, mx)
+        assert r.n_pixels == w * h

@@ -187,3 +187,46 @@ def test_stream_stream_join_horizon(spark):
     )
     got = stream_click_purchase_join(ev).collect()
     assert [(r.click_id, r.purchase_id, r.amount) for r in got] == [(1, 2, 9.5)]
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restart semantics: a stopped query restarted with the same
+    checkpoint must resume from the committed offset — the second run may
+    read ONLY the files that arrived after the first run, and the file
+    sink's commit log keeps the output exactly-once across the restart."""
+    import datetime as dt
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    src, ckpt, out = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+
+    def write_file(sub, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / sub)
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    write_file("a", [(1, t0, 7, 1.0), (2, t0, 8, 2.0)])
+    assert run_once() == 2
+
+    write_file("b", [(3, t0, 9, 3.0)])
+    # second run resumes from the checkpoint: only file b is read
+    assert run_once() == 1
+
+    got = sorted(r.event_id for r in spark.read.parquet(str(out)).collect())
+    assert got == [1, 2, 3]  # no reprocessing, no duplicates
