@@ -112,6 +112,105 @@ def range_join(
     return left.join(right, on & lower & upper, how)
 
 
+def _interval_micros(bin_width: str) -> Column:
+    """Microseconds in a day-time interval literal, as a constant-folded
+    column (``CAST(interval AS long)`` would yield the interval's natural
+    unit — 30 for '30 minutes' — not micros)."""
+    return F.expr(f"unix_micros(timestamp'1970-01-01 00:00:00Z' + INTERVAL {bin_width})")
+
+
+def interval_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_width: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join WITHOUT an equi-key, as a binned equi-join.
+
+    ``points.point_ts BETWEEN intervals.start_ts AND intervals.end_ts``
+    has no equality conjunct, so Catalyst can only plan it as a broadcast
+    nested loop — quadratic work and a single-executor bottleneck at
+    100 TB.  The scale path quantizes time into fixed-width bins: each
+    point lands in exactly one bin, each interval is exploded to one row
+    per bin it touches (``sequence(floor(start/W), floor(end/W))``), and
+    the join becomes a hash equi-join on ``bin`` with the BETWEEN residual
+    applied post-probe.  Every qualifying pair matches exactly once (the
+    point's bin is unique), so no dedup pass is needed.
+
+    Cost model: the interval side is replicated ``len/W + 1``× — pick
+    ``bin_width`` on the order of the typical interval length so the
+    blow-up is ~2× while bins stay selective.  Shuffle is bounded by
+    rows×replication, never |points|×|intervals|.
+    """
+    w_us = _interval_micros(bin_width)
+    p = points.withColumn(
+        "__bin", (F.unix_micros(F.col(point_ts)) / w_us).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col(start_ts)) / w_us).cast("long"),
+                (F.unix_micros(F.col(end_ts)) / w_us).cast("long"),
+            )
+        ),
+    )
+    cond = (
+        (p["__bin"] == iv["__bin"])
+        & (p[point_ts] >= iv[start_ts])
+        & (p[point_ts] <= iv[end_ts])
+    )
+    return p.join(iv, cond, how).drop("__bin")
+
+
+def overlap_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: str = "30 minutes",
+) -> DataFrame:
+    """Interval-overlap join (``l_start <= r_end AND r_start <= l_end``)
+    without an equi-key, as a binned equi-join.
+
+    Both sides explode across the bins their interval touches and hash-
+    join on ``bin``.  A pair whose intervals share several bins would
+    match once per shared bin; the classic first-common-bin guard —
+    keep only the match in ``bin == max(floor(l_start/W), floor(r_start/W))``
+    — dedups with a filter instead of a shuffle-heavy ``distinct``.
+    """
+    w_us = _interval_micros(bin_width)
+
+    def binned(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    (F.unix_micros(F.col(s)) / w_us).cast("long"),
+                    (F.unix_micros(F.col(e)) / w_us).cast("long"),
+                )
+            ),
+        )
+
+    lb, rb = binned(left, l_start, l_end), binned(right, r_start, r_end)
+    first_common = F.greatest(
+        (F.unix_micros(lb[l_start]) / w_us).cast("long"),
+        (F.unix_micros(rb[r_start]) / w_us).cast("long"),
+    )
+    cond = (
+        (lb["__bin"] == rb["__bin"])
+        & (lb[l_start] <= rb[r_end])
+        & (rb[r_start] <= lb[l_end])
+        & (lb["__bin"] == first_common)
+    )
+    return lb.join(rb, cond, "inner").drop("__bin")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

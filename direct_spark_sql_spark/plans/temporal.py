@@ -9,7 +9,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from direct_spark_sql_spark.operators.joins import asof_join, range_join
+from direct_spark_sql_spark.operators.joins import (
+    asof_join,
+    interval_join_binned,
+    overlap_join_binned,
+    range_join,
+)
 from direct_spark_sql_spark.plans.base import Query
 from direct_spark_sql_spark.sources.registry import load_table
 
@@ -122,6 +127,107 @@ ORDER BY a.event_id
 """
 
 
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-equi-key point-in-interval join at scale: every event that falls
+    inside a 30-minute attention window opened by a purchase event, joined
+    via time-bin hashing (operators/joins.py:interval_join_binned) instead
+    of the nested loop the raw BETWEEN predicate would plan.  The oracle is
+    the naive BETWEEN theta-join — same semantics, independent plan."""
+    e = load_table(spark, sf_dir, "events")
+    points = e.select("event_id", "user_id", "ts")
+    windows = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+        )
+    )
+    joined = interval_join_binned(
+        points, windows, "ts", "start_ts", "end_ts", bin_width="30 minutes"
+    )
+    return (
+        joined.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.min("event_id").cast("long").alias("first_event_id"),
+        )
+        .orderBy("window_id")
+    )
+
+
+INTERVAL_BINNED_ORACLE = """
+SELECT w.window_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT p.user_id) AS n_users,
+       MIN(p.event_id) AS first_event_id
+FROM (
+  SELECT event_id AS window_id, ts AS start_ts,
+         ts + INTERVAL 30 MINUTE AS end_ts
+  FROM events WHERE event_type = 'purchase'
+) w
+JOIN events p
+  ON p.ts >= w.start_ts AND p.ts <= w.end_ts
+GROUP BY w.window_id
+ORDER BY w.window_id
+"""
+
+
+def join_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join without an equi-key: error-burst
+    windows [ts, ts+20min] overlapping purchase windows [ts, ts+30min],
+    deduped by the first-common-bin guard (a filter, not a distinct).
+    The oracle is the naive overlap theta-join."""
+    e = load_table(spark, sf_dir, "events")
+    errors = (
+        e.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("ts").alias("e_start"),
+            (F.col("ts") + F.expr("INTERVAL 20 MINUTES")).alias("e_end"),
+        )
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("b_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("b_end"),
+        )
+    )
+    joined = overlap_join_binned(
+        errors, purchases, "e_start", "e_end", "b_start", "b_end",
+        bin_width="30 minutes",
+    )
+    return (
+        joined.groupBy("err_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlapping"),
+            F.min("buy_id").cast("long").alias("first_buy_id"),
+        )
+        .orderBy("err_id")
+    )
+
+
+OVERLAP_BINNED_ORACLE = """
+WITH err AS (
+  SELECT event_id AS err_id, ts AS e_start, ts + INTERVAL 20 MINUTE AS e_end
+  FROM events WHERE event_type = 'error'
+), buy AS (
+  SELECT event_id AS buy_id, ts AS b_start, ts + INTERVAL 30 MINUTE AS b_end
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT err_id,
+       COUNT(*) AS n_overlapping,
+       MIN(buy_id) AS first_buy_id
+FROM err JOIN buy
+  ON e_start <= b_end AND b_start <= e_end
+GROUP BY err_id
+ORDER BY err_id
+"""
+
+
 QUERIES = [
     Query("asof_event_order", asof_event_order, ASOF_ORACLE,
           ("join", "temporal"), bench=True,
@@ -130,4 +236,10 @@ QUERIES = [
           ("join", "temporal"), doc="as-of join with tolerance window"),
     Query("range_event_order", range_event_order, RANGE_ORACLE,
           ("join", "temporal"), doc="equi+range join residual"),
+    Query("join_interval_binned", join_interval_binned, INTERVAL_BINNED_ORACLE,
+          ("join", "temporal"),
+          doc="no-key point-in-interval join via time-bin hashing (vs naive BETWEEN)"),
+    Query("join_overlap_binned", join_overlap_binned, OVERLAP_BINNED_ORACLE,
+          ("join", "temporal"),
+          doc="no-key interval-overlap join via time bins + first-common-bin dedup"),
 ]

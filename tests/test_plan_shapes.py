@@ -149,3 +149,14 @@ def test_salted_join_expands_build_side(spark):
     plan = _plan(spark, "join_skew_salted")
     assert "Generate explode" in plan or "Generate" in plan, plan
     assert "_salt" in plan
+
+
+def test_binned_interval_join_is_equi_join(spark):
+    # The raw BETWEEN predicate has no equality conjunct and would plan as
+    # BroadcastNestedLoopJoin (quadratic); the binned rewrite must hash-join
+    # on the time bin with the range residual post-probe.
+    for name in ("join_interval_binned", "join_overlap_binned"):
+        plan = _plan(spark, name)
+        assert "HashJoin" in plan, name
+        assert "NestedLoop" not in plan, name
+        assert "CartesianProduct" not in plan, name
