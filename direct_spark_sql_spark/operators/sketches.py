@@ -62,3 +62,97 @@ SELECT kth_hash,
        END AS estimate
 FROM kth
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan, J.Algorithms'05): frequency
+# estimation in d×w fixed memory, mergeable by cell-wise addition — the
+# bounded-memory heavy-hitters story at 100 TB (per-partition sketches
+# partial-aggregate map-side; the reduced sketch is ≤ d·w rows regardless
+# of input size).  Hashing is the engine-portable MD5 family (hashing.py),
+# so a DuckDB oracle replays estimates — including collisions — bit-exactly.
+# ---------------------------------------------------------------------------
+
+
+def cms_build(df: DataFrame, col: str, d: int = 4, w: int = 64) -> DataFrame:
+    """Count-min sketch of ``col``'s value frequencies: one row per
+    non-empty cell, ``(row_i, bucket, cnt)``, at most d·w rows.
+
+    Each value increments one bucket per hash row; the groupBy partial-
+    aggregates map-side, so the shuffle carries at most d·w rows per
+    partition no matter how large the input."""
+    cells = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row_i"),
+                    F.pmod(
+                        h64(F.concat(F.lit(f"cms{i}|"), F.col(col).cast("string"))),
+                        F.lit(w),
+                    ).cast("int").alias("bucket"),
+                )
+                for i in range(d)
+            ])
+        ).alias("c")
+    )
+    return (
+        cells.groupBy(F.col("c.row_i").alias("row_i"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, d: int = 4, w: int = 64
+) -> DataFrame:
+    """Point-query the sketch for each key: est = min over hash rows of the
+    key's bucket count (missing cell ⇒ 0).  ``keys`` is the small side —
+    broadcast against the ≤ d·w-row sketch."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row_i"),
+                    F.pmod(
+                        h64(F.concat(F.lit(f"cms{i}|"), F.col(key_col).cast("string"))),
+                        F.lit(w),
+                    ).cast("int").alias("bucket"),
+                )
+                for i in range(d)
+            ])
+        ).alias("p"),
+    ).select(key_col, F.col("p.row_i").alias("row_i"), F.col("p.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["row_i", "bucket"], "left")
+    return (
+        joined.groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est"))
+    )
+
+
+def cms_sql(table_expr: str, val_expr: str, keys_expr: str, key_col: str,
+            d: int = 4, w: int = 64) -> str:
+    """DuckDB twin: build the identical sketch over ``val_expr`` drawn from
+    ``table_expr`` and estimate each key produced by ``keys_expr``."""
+    from direct_spark_sql_spark.hashing import h64_sql
+
+    def bucket(expr: str, i: int) -> str:
+        salted = "'cms" + str(i) + "|' || CAST(" + expr + " AS VARCHAR)"
+        return f"({h64_sql(salted)} % {w})"
+
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {i} AS row_i, {bucket(val_expr, i)} AS bucket FROM {table_expr}"
+        for i in range(d)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {key_col}, {i} AS row_i, {bucket(key_col, i)} AS bucket FROM ks"
+        for i in range(d)
+    )
+    return f"""
+WITH cells AS ({cell_rows}),
+sketch AS (SELECT row_i, bucket, COUNT(*) AS cnt FROM cells GROUP BY row_i, bucket),
+ks AS ({keys_expr}),
+probes AS ({probe_rows})
+SELECT p.{key_col}, MIN(COALESCE(s.cnt, 0)) AS cms_est
+FROM probes p LEFT JOIN sketch s USING (row_i, bucket)
+GROUP BY p.{key_col}
+"""

@@ -341,6 +341,45 @@ def _kmv_oracle() -> str:
     return kmv_estimate_sql("lineitem", "l_partkey", k=256)
 
 
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over document tokens, point-queried for every
+    vocabulary word alongside its exact count — d×w fixed memory with the
+    deterministic MD5 hash family, so the estimates (collisions included)
+    hash-match the DuckDB replay.  w=64 < vocabulary spread forces real
+    collisions: the CMS ≥ exact guarantee is visibly exercised."""
+    from direct_spark_sql_spark.operators.sketches import cms_build, cms_estimate
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    sketch = cms_build(toks, "token", d=4, w=64)
+    est = cms_estimate(sketch, toks.distinct(), "token", d=4, w=64)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    return (
+        est.join(exact, "token")
+        .select("token", "cms_est", "exact_cnt")
+        .orderBy(F.desc("cms_est"), "token")
+    )
+
+
+def _cms_oracle() -> str:
+    from direct_spark_sql_spark.operators.sketches import cms_sql
+
+    inner = cms_sql("tok", "token", "SELECT DISTINCT token FROM tok", "token", d=4, w=64)
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token FROM documents
+), tok AS (SELECT token FROM toks WHERE token <> ''),
+est AS (SELECT * FROM ({inner}) x),
+exact AS (SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY token)
+SELECT est.token, est.cms_est, exact.exact_cnt
+FROM est JOIN exact USING (token)
+ORDER BY est.cms_est DESC, est.token
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / vocabulary / end-to-end curation
 # ---------------------------------------------------------------------------
@@ -1013,6 +1052,9 @@ QUERIES = [
           ("text", "pipeline"), bench=True),
     Query("sketch_kmv_distinct", sketch_kmv_distinct, _kmv_oracle(),
           ("sketch", "pipeline"), doc="KMV distinct-count sketch, estimate oracle-checked"),
+    Query("sketch_cms_heavy_hitters", sketch_cms_heavy_hitters, _cms_oracle(),
+          ("sketch", "pipeline"),
+          doc="count-min frequency sketch, estimates (incl. collisions) oracle-checked"),
     Query("corpus_curation", corpus_curation, _curation_oracle(),
           ("text", "dedup", "pipeline"), bench=True,
           doc="lang filter + quality bar + canonical-copy dedup, one pipeline"),
