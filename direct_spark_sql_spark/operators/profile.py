@@ -54,3 +54,72 @@ def profile_table(
         ]
     )
     return one.select(F.inline(rows)).orderBy("col_name")
+
+
+def constraint_audit(
+    df: DataFrame,
+    row_checks: dict[str, Column],
+    unique_checks: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Declarative expectations over a table, evaluated in ONE scan.
+
+    ``row_checks`` maps check name → a boolean Column that is true for a
+    VIOLATING row (``col.isNull()``, ``~col.isin(...)``, ``col <= 0``);
+    ``unique_checks`` maps check name → key columns that must be unique
+    (violations = n_rows − n_distinct, computed in the same aggregate —
+    Catalyst plans the multi-distinct as one Expand, still a single pass).
+
+    Returns one row per check: (check, violations, n_rows, passed),
+    ordered by check name.  Shape at scale: every conditional count
+    partial-aggregates map-side; the shuffle is one row per partition.
+    """
+    unique_checks = unique_checks or {}
+    aggs: list[Column] = [F.count(F.lit(1)).cast("long").alias("_n_rows")]
+    for name, cond in row_checks.items():
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_v_{name}")
+        )
+    for name, cols in unique_checks.items():
+        aggs.append(
+            (F.count(F.lit(1)) - F.countDistinct(*[F.col(c) for c in cols]))
+            .cast("long")
+            .alias(f"_v_{name}")
+        )
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                F.col(f"_v_{name}").alias("violations"),
+                F.col("_n_rows").alias("n_rows"),
+                (F.col(f"_v_{name}") == 0).alias("passed"),
+            )
+            for name in [*row_checks, *unique_checks]
+        ]
+    )
+    return one.select(F.inline(rows)).orderBy("check")
+
+
+def fk_violations(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str, name: str
+) -> DataFrame:
+    """Referential-integrity check as a LEFT ANTI join count — the only
+    expectation that genuinely needs a second input.  The anti join
+    shuffles on the key (or broadcasts a small parent); the count is the
+    violation total, emitted in the same (check, violations, n_rows,
+    passed) shape so it unions with :func:`constraint_audit` output."""
+    n_rows = child.agg(F.count(F.lit(1)).cast("long").alias("n")).select("n")
+    orphans = (
+        child.join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            child_key,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+    )
+    return orphans.crossJoin(n_rows).select(
+        F.lit(name).alias("check"),
+        "violations",
+        F.col("n").alias("n_rows"),
+        (F.col("violations") == 0).alias("passed"),
+    )

@@ -248,6 +248,52 @@ def _profile_oracle() -> str:
     )
 
 
+def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations suite over orders: null / domain / range /
+    uniqueness checks fold into ONE aggregate scan (map-side partials, one
+    row per partition shuffled); the referential-integrity check is the one
+    extra input — a LEFT ANTI join against customer — unioned in the same
+    report shape.  The dbt-test / Deequ-style contract a 100 TB ingestion
+    gate runs before publishing a partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    audit = pf.constraint_audit(
+        orders,
+        row_checks={
+            "not_null_custkey": F.col("o_custkey").isNull(),
+            "status_in_domain": ~F.col("o_orderstatus").isin("F", "O", "P"),
+            "positive_totalprice": F.col("o_totalprice") <= 0,
+        },
+        unique_checks={"unique_orderkey": ["o_orderkey"]},
+    )
+    fk = pf.fk_violations(
+        orders, customer, "o_custkey", "c_custkey", "fk_custkey_exists"
+    )
+    return audit.unionByName(fk).orderBy("check")
+
+
+CONSTRAINT_AUDIT_ORACLE = """
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_dom,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_pos,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uni
+  FROM orders
+), fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS v
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT 'fk_custkey_exists' AS "check", fk.v AS violations, s.n_rows, fk.v = 0 AS passed FROM fk, s
+UNION ALL SELECT 'not_null_custkey', v_nn, n_rows, v_nn = 0 FROM s
+UNION ALL SELECT 'positive_totalprice', v_pos, n_rows, v_pos = 0 FROM s
+UNION ALL SELECT 'status_in_domain', v_dom, n_rows, v_dom = 0 FROM s
+UNION ALL SELECT 'unique_orderkey', v_uni, n_rows, v_uni = 0 FROM s
+ORDER BY "check"
+"""
+
+
 # ---------------------------------------------------------------------------
 # Skew-salted join (result == plain join; only partitioning differs, so
 # the oracle is simply the unsalted join)
@@ -376,6 +422,9 @@ QUERIES = [
     Query("merge_scd2_history", merge_scd2_history, MERGE_SCD2_ORACLE,
           ("merge", "pipeline"),
           doc="SCD-2 validity intervals via lead() over change sequence"),
+    Query("quality_constraint_audit", quality_constraint_audit, CONSTRAINT_AUDIT_ORACLE,
+          ("quality", "pipeline"),
+          doc="declarative expectations: null/domain/range/unique in one scan + anti-join FK"),
     Query("table_profile", table_profile, _profile_oracle(),
           ("profile", "pipeline"),
           doc="per-column rowcount/nulls/exact-distinct/min/max in one "
