@@ -583,3 +583,39 @@ def quantize_int8(
         mn.alias("scale_min"),
         mx.alias("scale_max"),
     )
+
+
+def kmeans_refine_step(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """One spherical k-means (Lloyd) refinement step — how IVF centroids
+    are trained at scale (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI'11 uses exactly this loop for coarse
+    quantizers).
+
+    E-step: :func:`ivf_assign` (broadcast centroids, map-only argmax —
+    no shuffle).  M-step: per-cluster per-dimension mean via ONE hash
+    aggregate on (cluster, dim) after posexplode — the only shuffle, keyed
+    by K×dims values, so reducers stay balanced no matter how skewed the
+    cluster sizes are (a groupBy(cluster) of whole vectors would put a
+    mega-cluster on one reducer; exploding by dimension spreads it).
+
+    Element sums run in exact decimal (order-independent), so the refined
+    centroids are engine-replayable; the final mean is one IEEE division.
+    Returns (cluster_id, dim_i, centroid, n_members) — dim_i is 1-based.
+    """
+    assigned = ivf_assign(df, centroids, id_col, emb_col, cell_col="cluster_id")
+    elems = assigned.select(
+        "cluster_id", F.posexplode(_dec_vec(emb_col)).alias("dim_i0", "a")
+    )
+    return (
+        elems.groupBy("cluster_id", (F.col("dim_i0") + 1).alias("dim_i"))
+        .agg(
+            (_to_double(F.sum("a")) / F.count(F.lit(1)).cast("double")).alias("centroid"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .orderBy("cluster_id", "dim_i")
+    )

@@ -624,6 +624,57 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One spherical-k-means refinement of the IVF seed centroids over the
+    full embedding table — the centroid-training loop body an IVF index
+    build runs at scale.  Per-dimension means aggregate in exact decimal,
+    so the refined centroids hash-match the DuckDB replay of the same
+    E/M step."""
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K))
+    return sim.kmeans_refine_step(e, centroids)
+
+
+_KMEANS_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS a
+  FROM embeddings
+),
+nrm AS (
+  SELECT vec_id, CAST(CAST(ROUND(SUM(a * a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS nn
+  FROM ex GROUP BY vec_id
+),
+cc AS (
+  SELECT x.vec_id, c.vec_id AS cluster_id,
+         CAST(CAST(ROUND(SUM(x.a * c.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot
+  FROM ex x
+  JOIN ex c ON c.i = x.i AND c.vec_id BETWEEN 1 AND {IVF_K}
+  GROUP BY x.vec_id, c.vec_id
+),
+cosc AS (
+  SELECT cc.vec_id, cc.cluster_id, cc.dot / (sqrt(nx.nn) * sqrt(nc.nn)) AS cos
+  FROM cc
+  JOIN nrm nx ON nx.vec_id = cc.vec_id
+  JOIN nrm nc ON nc.vec_id = cc.cluster_id
+),
+assign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster_id) AS rn
+    FROM cosc
+  ) WHERE rn = 1
+)
+SELECT s.cluster_id, ex.i AS dim_i,
+       CAST(CAST(ROUND(SUM(ex.a), 6) AS DECIMAL(24,6)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM assign s JOIN ex ON ex.vec_id = s.vec_id
+GROUP BY s.cluster_id, ex.i
+ORDER BY s.cluster_id, dim_i
+"""
+
+
 _IVF_ORACLE = f"""
 WITH ex AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -1062,6 +1113,9 @@ QUERIES = [
           ("similarity", "pipeline"), bench=True),
     Query("embedding_ivf_topk", embedding_ivf_topk, _IVF_ORACLE,
           ("similarity", "pipeline"), bench=True),
+    Query("embedding_kmeans_refine", embedding_kmeans_refine, _KMEANS_ORACLE,
+          ("similarity", "pipeline"),
+          doc="spherical k-means Lloyd step (IVF centroid training), exact-decimal means"),
     Query("embedding_near_duplicates", embedding_near_duplicates, _srp_oracle(),
           ("similarity", "pipeline")),
     Query("multimodal_feature_extract", multimodal_feature_extract,
