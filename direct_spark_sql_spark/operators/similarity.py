@@ -367,7 +367,7 @@ def ivf_topk_vec(
     spark,
     qvec: list[float],
     index_path: str,
-    centroids: DataFrame | None = None,
+    centroids=None,
     k: int = 10,
     nprobe: int = 2,
     id_col: str = "vec_id",
@@ -377,12 +377,16 @@ def ivf_topk_vec(
     real serving request does), the index was built offline, the centroids
     live in coordinator memory — the per-request work is ONE Spark job: a
     partition-pruned scan of ``nprobe`` cells + per-row decimal dot +
-    bounded top-k.  ``centroids`` is only consulted (and collected once) if
-    this index's metadata isn't cached yet."""
+    bounded top-k.  ``centroids`` (a DataFrame, or a zero-arg callable
+    returning one so steady-state requests skip even the DataFrame
+    construction) is only consulted — and collected, once — if this
+    index's metadata isn't cached yet."""
     cents = _IVF_CENTROIDS.get(index_path)
     if cents is None:
         if centroids is None:
             raise ValueError("centroids required on first use of this index")
+        if callable(centroids):
+            centroids = centroids()
         cents = _collect_centroids(centroids, id_col, emb_col)
         _IVF_CENTROIDS[index_path] = cents
     cells, q_norm_sq = _probe_select(cents, list(qvec), nprobe)
@@ -391,16 +395,28 @@ def ivf_topk_vec(
     if assigned is None:
         assigned = spark.read.parquet(index_path)
         _IVF_INDEX_DF[df_key] = assigned
-    q_lit = F.array(*[F.lit(x).cast("double").cast(DEC_ELEM) for x in qvec])
+    # The whole projection is built as ONE SQL text: per-element F.lit and
+    # per-lambda Column construction cost a Py4J round trip each (~0.4 s of
+    # driver latency for 64 dims — measured; it dominated the request before
+    # the Spark job even started).  String→DOUBLE casts parse correctly-
+    # rounded, so the literal funnel (float→double→DECIMAL(12,9)) is
+    # identical to the Column version the oracle replays.
+    q_arr = "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in qvec) + ")"
+    dot = (
+        f"aggregate(zip_with("
+        f"transform({emb_col}, x -> CAST(CAST(x AS DOUBLE) AS {DEC_ELEM})), "
+        f"transform({q_arr}, x -> CAST(x AS {DEC_ELEM})), "
+        f"(x, y) -> x * y), "
+        f"CAST(0 AS {DEC_ACC}), (acc, x) -> CAST(acc + x AS {DEC_ACC}))"
+    )
+    cosine = (
+        f"CAST(CAST({dot} AS {DEC_OUT}) AS DOUBLE)"
+        f" / (sqrt(__norm_sq_d) * sqrt(CAST('{float(q_norm_sq)!r}' AS DOUBLE)))"
+    )
+    cell_list = ",".join(str(int(c)) for c in cells) or "-1"
     return (
-        assigned.filter(F.col("cell_id").isin(cells))
-        .select(
-            F.col(id_col),
-            (
-                _to_double(dot_dec(_dec_vec(emb_col), q_lit))
-                / (F.sqrt(F.col("__norm_sq_d")) * F.sqrt(F.lit(q_norm_sq)))
-            ).alias("cosine"),
-        )
+        assigned.where(f"cell_id IN ({cell_list})")
+        .selectExpr(id_col, f"{cosine} AS cosine")
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
@@ -460,7 +476,7 @@ def ivf_topk(
     # The query vector is inlined as a typed decimal literal array: the scan
     # job then has NO broadcast exchange and no join at all — one pruned
     # file scan + per-row dot + bounded top-k.
-    q_lit = F.array(*[F.lit(x).cast("double").cast(DEC_ELEM) for x in qvec])
+    q_lit = _dec_vec(F.lit([float(x) for x in qvec]).cast("array<double>"))
     return (
         # literal IN-list on the partition column → static partition
         # pruning: the scan touches only the nprobe cell directories.

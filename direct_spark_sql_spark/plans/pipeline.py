@@ -608,17 +608,21 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import duckdb
 
-    e = load_table(spark, sf_dir, "embeddings")
-    base = e.filter(F.col("vec_id") != 0)
-    centroids = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K))
+    def centroids() -> DataFrame:
+        e = load_table(spark, sf_dir, "embeddings")
+        return e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K))
+
     index_path = _ivf_index_path(sf_dir)
     if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
-        sim.ivf_build(base, centroids, index_path)
+        e = load_table(spark, sf_dir, "embeddings")
+        sim.ivf_build(e.filter(F.col("vec_id") != 0), centroids(), index_path)
     # the "request payload": 1 row read driver-side (milliseconds, no job)
     qvec = duckdb.sql(
         "SELECT embedding FROM read_parquet(?) WHERE vec_id = 0",
         params=[os.path.join(sf_dir, "embeddings.parquet")],
     ).fetchone()[0]
+    # centroids passed lazily: steady-state requests (metadata cached)
+    # skip even the load_table/DataFrame construction driver work.
     return sim.ivf_topk_vec(
         spark, qvec, index_path, centroids=centroids, k=10, nprobe=IVF_NPROBE
     )

@@ -120,6 +120,8 @@ _NLJ_ALLOWED = {
     "embedding_ivf_topk",      # broadcast query vector + centroid array
     "embedding_batch_topk",    # broadcast bounded query batch
     "bm25_search",             # broadcast 1-row corpus stats (N, sum_dl)
+    "embedding_kmeans_refine",  # ivf_assign: broadcast 1-row centroid array
+    "quality_constraint_audit",  # fk check: 1-row agg × 1-row agg cross
 }
 
 
