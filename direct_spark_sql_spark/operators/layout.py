@@ -1,0 +1,74 @@
+"""Physical data layout: bucketed tables for shuffle-free co-located joins.
+
+The reference executes every join over in-memory temp views (hash build +
+probe per query, DirectExecSuite.scala join coverage); it has no
+persistent-layout layer because it never outlives a session.  At cluster
+scale the dominant cost of a *recurring* big-big join is the shuffle
+exchange on the join key — 100 TB re-hashed across the wire on every run.
+Bucketing amortizes that exchange into the one-time write: both sides are
+written hash-partitioned into the same number of buckets on the join key,
+and every later join on that key plans with ZERO Exchange nodes (Spark
+reads bucket i of each side on the same task).  The same property makes
+bucketed `groupBy(bucket_key)` aggregation shuffle-free.
+
+Verification: `tests/test_plan_shapes.py` pins the bucketed join plan to
+SortMergeJoin with no ShuffleExchange on either side; the registry query
+`join_bucketed_colocated` hash-matches the plain (unbucketed) oracle —
+layout must change the plan, never the result.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def bucketed_table(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    build: Callable[[], DataFrame],
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Idempotently materialize ``build()`` as a bucketed external table.
+
+    Three entry states, cheapest first:
+
+    1. table already in this session's catalog → reuse (no I/O);
+    2. files exist from an earlier session but the (in-memory) catalog
+       doesn't know them → register an external bucketed table over the
+       existing files (DDL only — Spark recovers the bucket id of each
+       file from its ``_0000N`` filename component);
+    3. nothing exists → bucketed write via ``bucketBy().sortBy()``.
+
+    The bucket spec lives in the catalog, not the files: reading the same
+    parquet with a bare ``spark.read.parquet`` yields correct DATA but a
+    shuffling PLAN.  That asymmetry is why this helper owns registration.
+    """
+    if spark.catalog.tableExists(name):
+        return spark.table(name)
+    sort_cols = list(sort_cols or bucket_cols)
+    cluster = ", ".join(bucket_cols)
+    sorted_by = ", ".join(sort_cols)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        schema_ddl = spark.read.parquet(path).schema.toDDL()
+        spark.sql(
+            f"CREATE TABLE {name} ({schema_ddl}) USING PARQUET "
+            f"CLUSTERED BY ({cluster}) SORTED BY ({sorted_by}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+        )
+        return spark.table(name)
+    (
+        build()
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*sort_cols)
+        .option("path", path)
+        .saveAsTable(name)
+    )
+    return spark.table(name)

@@ -16,7 +16,13 @@ from direct_spark_sql_spark.operators import merge as mg
 from direct_spark_sql_spark.operators import profile as pf
 from direct_spark_sql_spark.operators import retrieval as rt
 from direct_spark_sql_spark.operators import similarity as sim
-from direct_spark_sql_spark.plans.base import Query, sql_query
+from direct_spark_sql_spark.plans.base import (
+    DEC_OUT,
+    Query,
+    REVENUE_SQL,
+    sql_query,
+    sum_money_sql,
+)
 from direct_spark_sql_spark.plans.pipeline import TOKS_SQL
 from direct_spark_sql_spark.sources.registry import load_table
 
@@ -406,7 +412,77 @@ def agg_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
     return sql_query(spark, sf_dir, _APPROX_PCT_SPARK)
 
 
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (physical layout; see operators/layout.py)
+# ---------------------------------------------------------------------------
+
+def _bucket_root(sf_dir: str) -> tuple[str, str]:
+    """(warehouse dir, catalog-safe tag) for this dataset's bucketed copies."""
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = (os.path.basename(os.path.normpath(sf_dir)) or "default").replace(".", "_")
+    return os.path.join(repo_root, "spark-warehouse", "bucketed", tag), tag
+
+
+def bucketed_order_lineitem(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Both join sides bucketed ×16 on the order key (projected to the
+    joined columns — bucketed copies are layout for ONE recurring join,
+    not a second copy of the table)."""
+    from direct_spark_sql_spark.operators import layout as lo
+
+    root, tag = _bucket_root(sf_dir)
+    o = lo.bucketed_table(
+        spark, f"bkt_orders_{tag}", f"{root}/orders",
+        lambda: load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"),
+        ["o_orderkey"], 16,
+    )
+    l = lo.bucketed_table(
+        spark, f"bkt_lineitem_{tag}", f"{root}/lineitem",
+        lambda: load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"),
+        ["l_orderkey"], 16,
+    )
+    return o, l
+
+
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority over the BUCKETED copies: the big-big
+    join runs bucket-to-bucket with no shuffle exchange (plan pinned in
+    tests/test_plan_shapes.py::test_bucketed_join_has_no_exchange); the
+    oracle is the plain unbucketed join — layout must change the plan,
+    never the result."""
+    from direct_spark_sql_spark.plans.tpch import _revenue
+
+    o, l = bucketed_order_lineitem(spark, sf_dir)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(_revenue()).cast(DEC_OUT).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+JOIN_BUCKETED_ORACLE = f"""
+SELECT o_orderpriority,
+       {sum_money_sql(REVENUE_SQL)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = [
+    Query("join_bucketed_colocated", join_bucketed_colocated, JOIN_BUCKETED_ORACLE,
+          ("join", "layout", "pipeline"),
+          doc="both sides pre-bucketed x16 on the order key: zero-exchange "
+              "big-big join; result equals the unbucketed oracle"),
     Query("doc_chunking", doc_chunking, DOC_CHUNKING_ORACLE,
           ("text", "pipeline", "retrieval"), bench=True,
           doc="overlapping token-window chunks (32/24) with offsets, "

@@ -144,6 +144,27 @@ def test_no_unbounded_nested_loop_joins(query, spark):
     )
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """The whole point of the bucketed layout: joining the two bucketed
+    copies on the bucket key must plan with ZERO shuffle exchanges (each
+    task reads bucket i of both sides).  Broadcast is disabled so the
+    small-SF plan is the same SortMergeJoin a 100 TB run would use."""
+    from direct_spark_sql_spark.plans.pipeline_ext import bucketed_order_lineitem
+
+    o, l = bucketed_order_lineitem(spark, SF_DIR)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = l.join(o, l.l_orderkey == o.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join must not shuffle"
+    # the scans advertise the bucket layout
+    assert "Bucketed: true" in plan
+
+
 def test_salted_join_expands_build_side(spark):
     """join_skew_salted must actually salt: the build side is replicated
     via explode(sequence) (a Generate node) and the join keys include the
