@@ -68,6 +68,38 @@ def _char_ngrams_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda x: [x[i : i + 3] for i in range(max(len(x) - 2, 1))])
 
 
+class _SplitWordsUDTF:
+    """Native Python UDTF (Spark 4): one input row → N output rows with a
+    declared table schema — the true analogue of the reference's Hive
+    GenericUDTF surface (registered by DirectSessionCatalog, exercised via
+    LATERAL in its SQL).  Tokenizes on single spaces, skipping empties, so
+    the DuckDB twin is ``list_filter(string_split(text,' '), …)``.
+
+    This is the *extension* surface, not the hot path: each row crosses
+    into Python.  Pipelines tokenizing at scale should use the JVM
+    explode/split path (operators/text.py) — the conformance test proves
+    both produce identical rows."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        i = 0
+        for w in text.split(" "):
+            if w:
+                yield w, i, len(w)
+                i += 1
+
+
+def register_udtfs(spark: SparkSession) -> dict[str, str]:
+    """Register native Python UDTFs (SQL-callable via LATERAL)."""
+    from pyspark.sql.functions import udtf
+
+    cls = udtf(_SplitWordsUDTF, returnType="word string, idx int, n_chars int")
+    name = f"{UDF_PREFIX}split_words"
+    spark.udtf.register(name, cls)
+    return {name: "python udtf"}
+
+
 def register_udfs(spark: SparkSession) -> dict[str, str]:
     """Register the UDF surface into the session; returns {name: kind}.
 

@@ -918,7 +918,44 @@ FROM part ORDER BY p_partkey
 """
 
 
+def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Python UDTF invoked through SQL LATERAL: per input document
+    the UDTF yields one (word, idx, n_chars) row.  Completes §2.10's UDTF
+    row with the real table-function surface (the array-UDF + explode
+    shape in functions/udf.py remains the fast-path analogue)."""
+    from direct_spark_sql_spark.functions.udf import register_udtfs
+
+    register_udtfs(spark)
+    return sql_query(
+        spark,
+        sf_dir,
+        """
+        SELECT d.doc_id, s.word, s.idx, s.n_chars
+        FROM documents d, LATERAL dss_split_words(d.text) s
+        WHERE d.doc_id < 50
+        ORDER BY d.doc_id, s.idx
+        """,
+    )
+
+
+_UDTF_SPLIT_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+  FROM documents WHERE doc_id < 50
+),
+w AS (
+  SELECT doc_id, unnest(toks) AS word, generate_subscripts(toks, 1) - 1 AS idx
+  FROM t
+)
+SELECT doc_id, word, CAST(idx AS INT) AS idx, CAST(length(word) AS INT) AS n_chars
+FROM w ORDER BY doc_id, idx
+"""
+
+
 QUERIES = [
+    Query("udtf_split_words", udtf_split_words, _UDTF_SPLIT_ORACLE, ("udf", "generator"),
+          doc="native Python UDTF (Spark 4) called via SQL LATERAL, "
+              "row->table fan-out with declared schema"),
     Query("agg_percentile", agg_percentile, _PERCENTILE_SQL, ("agg",),
           doc="percentile_disc/percentile_cont/median ordered-set aggregates"),
     Query("agg_grouping_id", agg_grouping_id, _GROUPING_ID_SQL, ("agg",),
