@@ -119,6 +119,17 @@ def _interval_micros(bin_width: str) -> Column:
     return F.expr(f"unix_micros(timestamp'1970-01-01 00:00:00Z' + INTERVAL {bin_width})")
 
 
+def _epoch_us(col: str) -> Column:
+    """Epoch microseconds of a timestamp column, NTZ-safe.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ (what Spark 4 infers for
+    parquet ``timestamp[us]`` without UTC adjustment); the engine pins
+    ``spark.sql.session.timeZone=UTC`` (session.py:ENGINE_CONF), so the
+    NTZ→LTZ cast is an identity on the underlying micros and the binning
+    stays deterministic."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
 def interval_join_binned(
     points: DataFrame,
     intervals: DataFrame,
@@ -147,14 +158,14 @@ def interval_join_binned(
     """
     w_us = _interval_micros(bin_width)
     p = points.withColumn(
-        "__bin", (F.unix_micros(F.col(point_ts)) / w_us).cast("long")
+        "__bin", (_epoch_us(point_ts) / w_us).cast("long")
     )
     iv = intervals.withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                (F.unix_micros(F.col(start_ts)) / w_us).cast("long"),
-                (F.unix_micros(F.col(end_ts)) / w_us).cast("long"),
+                (_epoch_us(start_ts) / w_us).cast("long"),
+                (_epoch_us(end_ts) / w_us).cast("long"),
             )
         ),
     )
@@ -191,16 +202,16 @@ def overlap_join_binned(
             "__bin",
             F.explode(
                 F.sequence(
-                    (F.unix_micros(F.col(s)) / w_us).cast("long"),
-                    (F.unix_micros(F.col(e)) / w_us).cast("long"),
+                    (_epoch_us(s) / w_us).cast("long"),
+                    (_epoch_us(e) / w_us).cast("long"),
                 )
             ),
         )
 
     lb, rb = binned(left, l_start, l_end), binned(right, r_start, r_end)
     first_common = F.greatest(
-        (F.unix_micros(lb[l_start]) / w_us).cast("long"),
-        (F.unix_micros(rb[r_start]) / w_us).cast("long"),
+        (F.unix_micros(lb[l_start].cast("timestamp")) / w_us).cast("long"),
+        (F.unix_micros(rb[r_start].cast("timestamp")) / w_us).cast("long"),
     )
     cond = (
         (lb["__bin"] == rb["__bin"])
