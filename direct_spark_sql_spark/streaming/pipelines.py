@@ -32,9 +32,11 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from direct_spark_sql_spark.plans.base import DEC_OUT, DEC_PRICE
 
-#: events.parquet physical schema (ts is TIMESTAMP(NANOS), which Spark
-#: reads as long under the legacy conf — converted to µs right after scan,
-#: mirroring sources/registry.py:load_table).
+#: events.parquet physical schema: ``ts`` is read as a raw long (the
+#: legacy conf covers TIMESTAMP(NANOS) files; micros files also read as
+#: int64 under an explicit LongType schema) and converted to µs right
+#: after the scan.  The file's actual unit is sniffed from the parquet
+#: footer (driver-side, once) so both generations of the testdata work.
 _EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -64,7 +66,16 @@ def read_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    to_us = 1000 if _events_ts_unit(sf_dir) == "ns" else 1
+    return df.withColumn("ts", F.timestamp_micros(F.expr(f"ts DIV {to_us}")))
+
+
+def _events_ts_unit(sf_dir: str) -> str:
+    """Time unit ('us' | 'ns') of events.ts from the parquet footer."""
+    import pyarrow.parquet as pq
+
+    ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    return getattr(ts_type, "unit", "us")
 
 
 def stream_tumbling_totals(
