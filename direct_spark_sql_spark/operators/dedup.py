@@ -61,6 +61,63 @@ def shingles(col: Column | str = "text", n: int = SHINGLE_N) -> Column:
     )
 
 
+def token_windows(col: Column | str = "text", w: int = 8) -> Column:
+    """ALL word w-gram windows of a text column (stride 1, repeats kept —
+    unlike :func:`shingles`, which dedups).  Documents shorter than w
+    tokens contribute their full token span as one window.  Same
+    anchored-lookahead regex as ``shingles`` (the 5×-faster formulation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.regexp_replace(c, " +", " "), "^ | $", "")
+    body = " ".join(["[^ ]+"] * w)
+    full = F.regexp_extract_all(norm, F.lit(f"(^|[ ])(?=({body}))"), 2)
+    toks = tokens(c)
+    return F.when(F.size(toks) >= w, full).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_docs: int = 2,
+    top_k: int = 20,
+) -> DataFrame:
+    """Exact-substring duplication: token spans repeated across documents.
+
+    The ExactSubstr observation (suffix-array dedup literature): training
+    corpora repeat long verbatim spans — boilerplate, licenses, templated
+    text — that document-level near-dup misses.  A full distributed
+    suffix array is unnecessary for span *detection*: every duplicated
+    span of length ≥ w contains a duplicated w-token window, so rolling
+    w-gram windows (stride 1) grouped corpus-wide find exactly the
+    duplicated regions.
+
+    Scale shape: per-row window generation (no shuffle), then ONE hash
+    aggregation on the window text — partial/final combine, collision
+    density bounded by real duplication — then a bounded top-k
+    (TakeOrderedAndProject).  No self-join, no quadratic stage.
+
+    Output: (gram_fp, gram, n_docs, n_occurrences) for the top_k most
+    repeated spans appearing in ≥ min_docs distinct documents, ordered by
+    occurrence count (ties: gram text — a total order, since gram is the
+    group key).
+    """
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(token_windows(text_col, window)).alias("gram"),
+    )
+    agg = grams.groupBy("gram").agg(
+        F.countDistinct("doc").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+    return (
+        agg.filter(F.col("n_docs") >= min_docs)
+        .select(h64(F.col("gram")).alias("gram_fp"), "gram", "n_docs", "n_occurrences")
+        .orderBy(F.desc("n_occurrences"), "gram")
+        .limit(top_k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact / fingerprint dedup
 # ---------------------------------------------------------------------------

@@ -136,3 +136,97 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+#: TF-IDF pairwise cosine: stop-term pruning bound (terms appearing in more
+#: documents carry no discrimination and would dominate the inverted-index
+#: join — the standard df cap).
+TFIDF_MAX_DF = 100
+
+#: idf is snapped to integer milli-units (floor(idf * 1e3 + 0.5)) so every
+#: weight, squared norm, and dot product is exact BIGINT arithmetic —
+#: order-independent and < 2^53, hence bit-identical across engines.
+TFIDF_IDF_UNITS = 1000
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.35,
+    top_k: int = 50,
+    max_df: int = TFIDF_MAX_DF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs TF-IDF cosine similarity above a threshold, via the
+    inverted index — the sparse-vector complement to the dense embedding
+    ops in operators/similarity.py.
+
+    Scale shape: tokenize → per-(doc, term) tf (one hash agg) → per-term
+    df with a stop-term cap (``df <= max_df`` bounds every posting list,
+    so the term-blocked self-join materializes at most ``df²`` pairs per
+    term — never |corpus|²) → pair dot products as ONE aggregation.
+    The df cap is semantic, not just physical: high-df terms are
+    stopwords, exactly what tf-idf down-weights anyway.
+
+    Exactness: weights are integer tf × integer milli-idf; dots and
+    squared norms are exact BIGINT sums (< 2^53, converts to DOUBLE
+    losslessly); the final cosine is a deterministic IEEE sqrt/divide on
+    identical operands in every engine.
+
+    Output: (doc_a, doc_b, cosine) with doc_a < doc_b, cosine >=
+    threshold, top_k rows by (cosine desc, doc_a, doc_b).
+    """
+    base = docs.select(F.col(id_col), tx.tokens(text_col).alias("toks"))
+    n_docs = base.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+    tf = (
+        base.select(id_col, F.explode("toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") <= max_df)
+    )
+    # integer milli-idf: ln((N+1)/(df+1)) + 1, smoothed, floor-snapped
+    idf_milli = F.floor(
+        (
+            F.log((_dbl("n_docs") + F.lit(1.0)) / (_dbl("df") + F.lit(1.0)))
+            + F.lit(1.0)
+        )
+        * F.lit(float(TFIDF_IDF_UNITS))
+        + F.lit(0.5)
+    ).cast("long")
+    weights = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(id_col, "term", (F.col("tf") * idf_milli).alias("w"))
+    )
+    norms = weights.groupBy(id_col).agg(F.sum(F.col("w") * F.col("w")).alias("norm2"))
+
+    a = weights.select(
+        F.col(id_col).alias("doc_a"), F.col("term").alias("term"), F.col("w").alias("wa")
+    )
+    b = weights.select(
+        F.col(id_col).alias("doc_b"), F.col("term").alias("term"), F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("norm2").alias("na2"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("norm2").alias("nb2"))
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .orderBy(F.desc("cosine"), "doc_a", "doc_b")
+        .limit(top_k)
+    )

@@ -73,3 +73,33 @@ def vocabulary(
         )
         .filter(F.col("df") >= min_df)
     )
+
+
+def domain_weighted_sample(
+    df: DataFrame,
+    key: str,
+    domain: str,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Data-mixing resample: keep each row with its domain's probability,
+    deterministically by (domain, key) hash — the mixture-weights step of
+    corpus assembly (e.g. upweight curated sources, downsample crawl).
+
+    Unlike :func:`stratified_hash_sample`, unlisted domains get
+    ``default_weight`` rather than being dropped, and the hash is salted
+    with the domain so the same key is an independent draw in each domain.
+    Map-only, no shuffle; membership survives repartitioning/backfills.
+    """
+    rate_col = None
+    for value, rate in sorted(weights.items()):
+        cond = F.col(domain) == value
+        bound = F.lit(int(rate * SAMPLE_BUCKETS))
+        rate_col = F.when(cond, bound) if rate_col is None else rate_col.when(cond, bound)
+    rate_col = (
+        F.lit(int(default_weight * SAMPLE_BUCKETS))
+        if rate_col is None
+        else rate_col.otherwise(F.lit(int(default_weight * SAMPLE_BUCKETS)))
+    )
+    bucket = h64(F.concat_ws(":", F.col(domain), F.col(key))) % SAMPLE_BUCKETS
+    return df.filter(bucket < rate_col)

@@ -1,0 +1,242 @@
+"""Round-2 analytics extensions: event funnels, cohort retention,
+exact-substring span dedup, sparse TF-IDF cosine pairs, domain-weighted
+data mixing.
+
+Same contract as plans/pipeline.py: every query is a (Spark builder,
+DuckDB oracle SQL) pair, bit-exact by construction — integer-encoded
+event ordering, BIGINT fixed-point weights, single-division doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from direct_spark_sql_spark.hashing import h64_sql
+from direct_spark_sql_spark.operators import analytics as an
+from direct_spark_sql_spark.operators import dedup as dd
+from direct_spark_sql_spark.operators import retrieval as rt
+from direct_spark_sql_spark.operators import sampling as sp
+from direct_spark_sql_spark.operators.text import tokens
+from direct_spark_sql_spark.plans.base import Query
+from direct_spark_sql_spark.plans.pipeline import TOKS_SQL
+from direct_spark_sql_spark.sources.registry import load_table
+
+# ---------------------------------------------------------------------------
+# Ordered funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return an.funnel_counts(e, FUNNEL_STAGES)
+
+
+def _funnel_oracle() -> str:
+    rank_case = "CASE event_type " + " ".join(
+        f"WHEN '{s}' THEN {i}" for i, s in enumerate(FUNNEL_STAGES)
+    ) + " END"
+    in_list = ", ".join(f"'{s}'" for s in FUNNEL_STAGES)
+    # chained strict-min traversal == the engine's greedy sorted-array walk
+    # (the encoded key k totally orders each user's events, so no ties)
+    ctes = [
+        f"""e AS (
+  SELECT user_id, epoch_us(ts) * 8 + ({rank_case}) AS k, {rank_case} AS r
+  FROM events WHERE event_type IN ({in_list}))""",
+        "s1 AS (SELECT user_id, min(k) AS k FROM e WHERE r = 0 GROUP BY user_id)",
+    ]
+    for i in range(2, len(FUNNEL_STAGES) + 1):
+        ctes.append(
+            f"""s{i} AS (
+  SELECT e.user_id, min(e.k) AS k FROM e JOIN s{i-1} USING (user_id)
+  WHERE e.r = {i-1} AND e.k > s{i-1}.k GROUP BY e.user_id)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS stage_idx, '{s}' AS stage_name, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM s{i}) AS n_users"
+        for i, s in enumerate(FUNNEL_STAGES, start=1)
+    )
+    return f"WITH {', '.join(ctes)}\nSELECT * FROM ({selects}) ORDER BY stage_idx"
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return an.cohort_retention(e)
+
+
+RETENTION_ORACLE = f"""
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+b AS (SELECT e.user_id,
+             CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+             CAST((epoch_us(e.ts) - epoch_us(f.first_ts)) // {an.WEEK_US} AS BIGINT)
+               AS week_offset
+      FROM events e JOIN f USING (user_id)),
+a AS (SELECT cohort_week, week_offset,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM b GROUP BY cohort_week, week_offset)
+SELECT cohort_week, week_offset, n_users,
+       CAST(n_users AS DOUBLE) * 100.0
+         / CAST(max(CASE WHEN week_offset = 0 THEN n_users END)
+                  OVER (PARTITION BY cohort_week) AS DOUBLE) AS retention_pct
+FROM a ORDER BY cohort_week, week_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup
+# ---------------------------------------------------------------------------
+
+SPAN_W = 8
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.size(tokens("text")) > 0)
+    return dd.duplicated_spans(d, window=SPAN_W, min_docs=2, top_k=20)
+
+
+EXACT_SUBSTRING_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+w AS (
+  SELECT doc_id, array_to_string(toks[s + 1 : s + {SPAN_W}], ' ') AS gram
+  FROM (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= {SPAN_W}) d,
+       UNNEST(generate_series(0, n - {SPAN_W})) AS u(s)
+  UNION ALL
+  SELECT doc_id, array_to_string(toks, ' ') AS gram
+  FROM t WHERE len(toks) BETWEEN 1 AND {SPAN_W - 1}
+),
+g AS (SELECT gram,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM w GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2)
+SELECT {h64_sql('gram')} AS gram_fp, gram, n_docs, n_occurrences
+FROM g ORDER BY n_occurrences DESC, gram LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine pairs
+# ---------------------------------------------------------------------------
+
+TFIDF_THRESHOLD = 0.35
+
+
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return rt.tfidf_cosine_pairs(d, threshold=TFIDF_THRESHOLD, top_k=50)
+
+
+TFIDF_PAIRS_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM t),
+tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+       FROM t, UNNEST(toks) AS u(tok) GROUP BY doc_id, tok),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        GROUP BY term HAVING count(*) <= {rt.TFIDF_MAX_DF}),
+w AS (SELECT tf.doc_id, tf.term,
+             tf.tf * CAST(FLOOR(
+               (LN((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(dft.df AS DOUBLE) + 1.0))
+                + 1.0) * {float(rt.TFIDF_IDF_UNITS)} + 0.5) AS BIGINT) AS w
+      FROM tf JOIN dft USING (term) CROSS JOIN n),
+norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS norm2 FROM w GROUP BY doc_id),
+dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+         FROM w a JOIN w b USING (term)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id)
+SELECT * FROM (
+  SELECT doc_a, doc_b,
+         CAST(dot AS DOUBLE)
+           / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE)))
+           AS cosine
+  FROM dots
+  JOIN norms na ON na.doc_id = doc_a
+  JOIN norms nb ON nb.doc_id = doc_b)
+WHERE cosine >= {TFIDF_THRESHOLD}
+ORDER BY cosine DESC, doc_a, doc_b LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain-weighted mixing
+# ---------------------------------------------------------------------------
+
+MIX_WEIGHTS = {"src0": 0.9, "src1": 0.9, "src2": 0.9, "src3": 0.5, "src4": 0.5}
+MIX_DEFAULT = 0.2
+
+
+def sample_domain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    kept = sp.domain_weighted_sample(
+        d, key="doc_id", domain="source", weights=MIX_WEIGHTS, default_weight=MIX_DEFAULT
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mix_oracle() -> str:
+    case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {int(w * sp.SAMPLE_BUCKETS)}"
+        for s, w in sorted(MIX_WEIGHTS.items())
+    ) + f" ELSE {int(MIX_DEFAULT * sp.SAMPLE_BUCKETS)} END"
+    bucket = h64_sql("source || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM documents
+WHERE {bucket} % {sp.SAMPLE_BUCKETS} < {case}
+GROUP BY source ORDER BY source
+"""
+
+
+QUERIES: list[Query] = [
+    Query(
+        name="events_funnel",
+        spark_fn=events_funnel,
+        oracle=_funnel_oracle(),
+        tags=("analytics", "events"),
+        doc="ordered-stage funnel via one collect_list + HOF stage machine (no self-joins)",
+    ),
+    Query(
+        name="events_retention",
+        spark_fn=events_retention,
+        oracle=RETENTION_ORACLE,
+        tags=("analytics", "events"),
+        doc="weekly cohort retention matrix with week-0-relative percentages",
+    ),
+    Query(
+        name="dedup_exact_substring",
+        spark_fn=dedup_exact_substring,
+        oracle=EXACT_SUBSTRING_ORACLE,
+        tags=("dedup", "text"),
+        doc="cross-document duplicated token spans via rolling w-gram windows",
+    ),
+    Query(
+        name="tfidf_cosine_pairs",
+        spark_fn=tfidf_cosine_pairs,
+        oracle=TFIDF_PAIRS_ORACLE,
+        tags=("similarity", "text"),
+        doc="sparse TF-IDF cosine pairs via df-capped inverted-index join",
+    ),
+    Query(
+        name="sample_domain_weighted",
+        spark_fn=sample_domain_weighted,
+        oracle=_mix_oracle(),
+        tags=("sampling",),
+        doc="deterministic domain-weighted data mixing (hash-salted per domain)",
+    ),
+]

@@ -1,0 +1,95 @@
+"""Operator-level tests for funnels, retention, span dedup, TF-IDF pairs,
+and domain-weighted mixing (the registry-wide oracle sweep covers the
+end-to-end differential; these pin semantics on hand-built corners)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from direct_spark_sql_spark.operators.analytics import cohort_retention, funnel_counts
+from direct_spark_sql_spark.operators.dedup import duplicated_spans
+from direct_spark_sql_spark.operators.retrieval import tfidf_cosine_pairs
+from direct_spark_sql_spark.operators.sampling import domain_weighted_sample
+
+_TS = "ts TIMESTAMP, user_id BIGINT, event_type STRING"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(dt.datetime(2024, 1, d, h), u, t) for d, h, u, t in rows], _TS
+    )
+
+
+def test_funnel_requires_stage_order(spark):
+    # user 1 completes in order; user 2 has all events but purchase precedes
+    # click, so it stalls at stage 2 (view); user 3 only signs up.
+    rows = [
+        (1, 1, 1, "signup"), (1, 2, 1, "view"), (1, 3, 1, "click"), (1, 4, 1, "purchase"),
+        (2, 1, 2, "signup"), (2, 2, 2, "view"), (2, 3, 2, "purchase"), (2, 4, 2, "click"),
+        (3, 1, 3, "signup"),
+    ]
+    out = funnel_counts(_ev(spark, rows), ("signup", "view", "click", "purchase"))
+    got = {r.stage_name: r.n_users for r in out.collect()}
+    assert got == {"signup": 3, "view": 2, "click": 2, "purchase": 1}
+
+
+def test_funnel_zero_user_stage_present(spark):
+    rows = [(1, 1, 1, "signup")]
+    out = funnel_counts(_ev(spark, rows), ("signup", "view"))
+    assert [(r.stage_idx, r.n_users) for r in out.collect()] == [(1, 1), (2, 0)]
+
+
+def test_retention_offsets_and_pct(spark):
+    # two users first seen Mon Jan 1 week; one returns 1 week later
+    rows = [(1, 1, 1, "view"), (2, 1, 2, "view"), (8, 1, 1, "view")]
+    out = cohort_retention(_ev(spark, rows)).collect()
+    assert [(r.week_offset, r.n_users, r.retention_pct) for r in out] == [
+        (0, 2, 100.0),
+        (1, 1, 50.0),
+    ]
+
+
+def test_duplicated_spans_counts(spark):
+    boiler = "all rights reserved to the original author of this work"
+    df = spark.createDataFrame(
+        [(1, "alpha " + boiler), (2, "beta " + boiler), (3, "gamma text only here")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = duplicated_spans(df, window=8, min_docs=2, top_k=10).collect()
+    # the 10-token boilerplate yields 3 rolling 8-grams, each in 2 docs
+    assert len(out) == 3
+    assert all(r.n_docs == 2 and r.n_occurrences == 2 for r in out)
+    assert any(r.gram.startswith("all rights reserved") for r in out)
+
+
+def test_tfidf_pairs_finds_near_identical_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "quantum flux capacitor resonance chamber"),
+            (2, "quantum flux capacitor resonance chamber indeed"),
+            (3, "completely unrelated gardening manual chapter"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = tfidf_cosine_pairs(df, threshold=0.5, top_k=10).collect()
+    assert [(r.doc_a, r.doc_b) for r in out] == [(1, 2)]
+    assert out[0].cosine > 0.8
+
+
+def test_domain_weighted_sample_deterministic_and_weighted(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "keepall").otherwise("rare").alias("source"),
+    )
+    kept = domain_weighted_sample(
+        df, key="doc_id", domain="source", weights={"keepall": 1.0}, default_weight=0.1
+    )
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["keepall"] == 1000  # weight 1.0 keeps everything
+    assert 50 <= counts.get("rare", 0) <= 200  # ~10% of 1000
+    # deterministic: re-running selects the identical rows
+    ids1 = sorted(r.doc_id for r in kept.collect())
+    ids2 = sorted(r.doc_id for r in kept.collect())
+    assert ids1 == ids2

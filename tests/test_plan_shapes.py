@@ -122,6 +122,7 @@ _NLJ_ALLOWED = {
     "bm25_search",             # broadcast 1-row corpus stats (N, sum_dl)
     "embedding_kmeans_refine",  # ivf_assign: broadcast 1-row centroid array
     "quality_constraint_audit",  # fk check: 1-row agg × 1-row agg cross
+    "tfidf_cosine_pairs",        # broadcast 1-row corpus size (N)
 }
 
 
