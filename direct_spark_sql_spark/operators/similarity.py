@@ -635,3 +635,51 @@ def kmeans_refine_step(
         )
         .orderBy("cluster_id", "dim_i")
     )
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension z-score standardization — the feature-normalization
+    step before clustering/quantization (whitening without rotation).
+
+    Shape: one posexplode + one 64-row hash agg for the (mean, std) table,
+    broadcast back for the map-only z-transform.  The stats table is
+    O(dims), so the join never shuffles the data side.
+
+    Exactness: per-dim sums run in exact decimal (float → DOUBLE →
+    DECIMAL(12,9) elements, see ``_dec_vec``), snap through DECIMAL(24,6)
+    at egress, and the remaining mean/std/z arithmetic is IEEE ops on
+    identical doubles in every engine.
+
+    Returns (id, dim, z) rows; ``standardize_stats`` aggregates them for
+    the registry/oracle surface.
+    """
+    e = df.select(
+        F.col(id_col),
+        F.posexplode(_dec_vec(vec_col)).alias("dim", "v"),
+    ).select(
+        id_col, F.col("dim").cast("long").alias("dim"), "v",
+        F.col("v").cast("double").alias("v_dbl"),
+    )
+    stats = e.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        _to_double(F.sum("v").cast(DEC_ACC)).alias("s"),
+        _to_double(F.sum(F.col("v") * F.col("v")).cast(DEC_ACC)).alias("ss"),
+    )
+    mean = F.col("s") / F.col("n_vecs").cast("double")
+    std = F.sqrt(F.col("ss") / F.col("n_vecs").cast("double") - mean * mean)
+    stats = stats.select("dim", "n_vecs", mean.alias("mean"), std.alias("std"))
+    return (
+        e.join(F.broadcast(stats), "dim")
+        .select(
+            id_col,
+            "dim",
+            "n_vecs",
+            "mean",
+            "std",
+            ((F.col("v_dbl") - F.col("mean")) / F.col("std")).alias("z"),
+        )
+    )

@@ -300,3 +300,29 @@ def contamination_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str = "text", top_k: int = 30
+) -> DataFrame:
+    """Adjacent-token-pair frequencies — the candidate-scoring step of one
+    BPE merge round, at corpus scale.  Rolling 2-token windows (stride 1)
+    from the same anchored-lookahead regex as the dedup shinglers, then a
+    single corpus-wide hash agg (map-side combined) and a bounded top-k.
+    Documents with fewer than two tokens contribute no pairs.
+
+    Output: (pair, n_occurrences) for the top_k most frequent pairs,
+    ordered by count desc then pair text (a total order — pair is the
+    group key)."""
+    from direct_spark_sql_spark.operators.dedup import token_windows
+
+    pairs = (
+        df.filter(F.size(tokens(text_col)) >= 2)
+        .select(F.explode(token_windows(text_col, 2)).alias("pair"))
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(top_k)
+    )

@@ -163,6 +163,69 @@ ORDER BY cosine DESC, doc_a, doc_b LIMIT 50
 
 
 # ---------------------------------------------------------------------------
+# BPE merge candidates
+# ---------------------------------------------------------------------------
+
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from direct_spark_sql_spark.operators.text import bpe_merge_candidates
+
+    return bpe_merge_candidates(load_table(spark, sf_dir, "documents"), top_k=30)
+
+
+BPE_PAIRS_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+p AS (SELECT toks[s + 1] || ' ' || toks[s + 2] AS pair
+      FROM (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 2) d,
+           UNNEST(generate_series(0, n - 2)) AS u(s))
+SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM p GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 30
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding standardization
+# ---------------------------------------------------------------------------
+
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from direct_spark_sql_spark.operators.similarity import standardize_embeddings
+
+    z = standardize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return (
+        z.groupBy("dim", "n_vecs", "mean", "std")
+        .agg(F.min("z").alias("z_min"), F.max("z").alias("z_max"))
+        .orderBy("dim")
+    )
+
+
+STANDARDIZE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(s - 1 AS BIGINT) AS dim,
+         CAST(CAST(embedding[s] AS DOUBLE) AS DECIMAL(12,9)) AS v,
+         -- z uses the decimal-snapped element on both engines (the snap is
+         -- ≤ 12 significant digits, so decimal→double is exact)
+         CAST(CAST(CAST(embedding[s] AS DOUBLE) AS DECIMAL(12,9)) AS DOUBLE) AS v_dbl
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(s)),
+st AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(CAST(ROUND(SUM(v), 6) AS DECIMAL(24,6)) AS DOUBLE) AS s,
+         CAST(CAST(ROUND(SUM(v * v), 6) AS DECIMAL(24,6)) AS DOUBLE) AS ss
+  FROM e GROUP BY dim),
+m AS (SELECT dim, n_vecs,
+             s / CAST(n_vecs AS DOUBLE) AS mean,
+             SQRT(ss / CAST(n_vecs AS DOUBLE)
+                  - (s / CAST(n_vecs AS DOUBLE)) * (s / CAST(n_vecs AS DOUBLE)))
+               AS std
+      FROM st)
+SELECT e.dim, m.n_vecs, m.mean, m.std,
+       MIN((e.v_dbl - m.mean) / m.std) AS z_min,
+       MAX((e.v_dbl - m.mean) / m.std) AS z_max
+FROM e JOIN m USING (dim)
+GROUP BY e.dim, m.n_vecs, m.mean, m.std
+ORDER BY e.dim
+"""
+
+
+# ---------------------------------------------------------------------------
 # Domain-weighted mixing
 # ---------------------------------------------------------------------------
 
@@ -231,6 +294,20 @@ QUERIES: list[Query] = [
         oracle=TFIDF_PAIRS_ORACLE,
         tags=("similarity", "text"),
         doc="sparse TF-IDF cosine pairs via df-capped inverted-index join",
+    ),
+    Query(
+        name="text_bpe_merge_candidates",
+        spark_fn=text_bpe_merge_candidates,
+        oracle=BPE_PAIRS_ORACLE,
+        tags=("text",),
+        doc="adjacent-token-pair frequencies (one BPE merge round's candidate scores)",
+    ),
+    Query(
+        name="embedding_standardize",
+        spark_fn=embedding_standardize,
+        oracle=STANDARDIZE_ORACLE,
+        tags=("similarity", "embedding"),
+        doc="per-dimension z-score standardization with broadcast stats join",
     ),
     Query(
         name="sample_domain_weighted",

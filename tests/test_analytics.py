@@ -93,3 +93,32 @@ def test_domain_weighted_sample_deterministic_and_weighted(spark):
     ids1 = sorted(r.doc_id for r in kept.collect())
     ids2 = sorted(r.doc_id for r in kept.collect())
     assert ids1 == ids2
+
+
+def test_bpe_pairs_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], "doc_id BIGINT, text STRING"
+    )
+    from direct_spark_sql_spark.operators.text import bpe_merge_candidates
+
+    out = {r.pair: r.n_occurrences for r in bpe_merge_candidates(df).collect()}
+    # "a b" appears twice in doc 1 (rolling windows) and once in doc 2;
+    # single-token doc 3 contributes nothing
+    assert out == {"a b": 3, "b a": 1, "b c": 1}
+
+
+def test_standardize_zero_mean_unit_std(spark):
+    from direct_spark_sql_spark.operators.similarity import standardize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 10.0]), (2, [3.0, 30.0]), (3, [5.0, 50.0])],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    z = standardize_embeddings(df)
+    stats = (
+        z.groupBy("dim")
+        .agg(F.avg("z").alias("m"), F.stddev_pop("z").alias("s"))
+        .collect()
+    )
+    for r in stats:
+        assert abs(r.m) < 1e-9 and abs(r.s - 1.0) < 1e-9
