@@ -212,3 +212,84 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return df.select(id_col, media_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+        T.StructField("amp_min", T.IntegerType()),
+        T.StructField("amp_max", T.IntegerType()),
+        T.StructField("amp_abs_sum", T.LongType()),
+    ]
+)
+
+
+def synthesize_audio(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Deterministic real WAV payloads, one per input id.
+
+    Geometry and samples are pure functions of the id (so an oracle can
+    recompute the expected stats arithmetically): ``rate`` cycles
+    8000/16000/22050 by ``id % 3``, ``channels = 1 + id % 2``,
+    ``n_frames = 64 + id % 37``, and sample (frame i, channel c) is
+    ``((i*(3 + id%5) + c*11 + id*17) % 65536) - 32768``.  Encoding happens
+    executor-side in Arrow-batched mapInPandas."""
+    from direct_spark_sql_spark.operators.audiocodec import encode_wav
+
+    rates = (8000, 16000, 22050)
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField(media_col, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                rate, channels, n = rates[i % 3], 1 + i % 2, 64 + i % 37
+                step = 3 + i % 5
+                samples = [
+                    ((f * step + c * 11 + i * 17) % 65536) - 32768
+                    for f in range(n)
+                    for c in range(channels)
+                ]
+                rows.append((i, encode_wav(rate, channels, samples)))
+            yield pd.DataFrame(rows, columns=[id_col, media_col])
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """REAL audio decode via Arrow-batched mapInPandas: parse each WAV
+    container (chunk walk, PCM16) and emit format + amplitude statistics.
+    All outputs are integers, so the oracle match is exact."""
+    from direct_spark_sql_spark.operators.audiocodec import decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                rate, channels, samples = decode_wav(bytes(payload))
+                n_frames = len(samples) // channels
+                rows.append(
+                    (
+                        int(doc_id),
+                        rate,
+                        channels,
+                        n_frames,
+                        n_frames * 1_000_000 // rate,
+                        min(samples),
+                        max(samples),
+                        sum(abs(s) for s in samples),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
+
+    return df.select(id_col, media_col).mapInPandas(run, AUDIO_FEATURE_SCHEMA)

@@ -226,6 +226,48 @@ ORDER BY e.dim
 
 
 # ---------------------------------------------------------------------------
+# Audio decode (real WAV codec)
+# ---------------------------------------------------------------------------
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode deterministic PCM16 WAV payloads executor-side, then DECODE
+    them with the real stdlib RIFF parser and emit format + amplitude
+    stats.  The oracle recomputes every value from the sample formula, so
+    a codec bug (chunk walk, fmt parse, sign handling, interleave) breaks
+    the hash match."""
+    from direct_spark_sql_spark.operators import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return mm.extract_audio_features(mm.synthesize_audio(d)).orderBy("doc_id")
+
+
+AUDIO_FEATURES_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 22050 END AS rate,
+         1 + doc_id % 2 AS channels,
+         64 + doc_id % 37 AS n,
+         3 + doc_id % 5 AS stp
+  FROM documents WHERE doc_id < 100),
+s AS (
+  SELECT d.doc_id, d.rate, d.channels, d.n,
+         ((i.i * d.stp + c.c * 11 + d.doc_id * 17) % 65536) - 32768 AS v
+  FROM d
+  JOIN generate_series(0, 100) i(i) ON i.i < d.n
+  JOIN generate_series(0, 1) c(c) ON c.c < d.channels)
+SELECT doc_id,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(channels AS INT) AS channels,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(n * 1000000 // rate AS BIGINT) AS duration_us,
+       CAST(MIN(v) AS INT) AS amp_min,
+       CAST(MAX(v) AS INT) AS amp_max,
+       CAST(SUM(ABS(v)) AS BIGINT) AS amp_abs_sum
+FROM s GROUP BY doc_id, rate, channels, n ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Domain-weighted mixing
 # ---------------------------------------------------------------------------
 
@@ -308,6 +350,13 @@ QUERIES: list[Query] = [
         oracle=STANDARDIZE_ORACLE,
         tags=("similarity", "embedding"),
         doc="per-dimension z-score standardization with broadcast stats join",
+    ),
+    Query(
+        name="multimodal_audio_features",
+        spark_fn=multimodal_audio_features,
+        oracle=AUDIO_FEATURES_ORACLE,
+        tags=("multimodal",),
+        doc="real WAV encode→decode round-trip (RIFF chunk walk), amplitude-stat oracle",
     ),
     Query(
         name="sample_domain_weighted",
