@@ -76,3 +76,32 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop(op_col, seq_col)
     )
+
+
+def merge_rollups(
+    rollups: Sequence[DataFrame],
+    key_cols: Sequence[str],
+    measure_casts: dict[str, str],
+) -> DataFrame:
+    """Algebraic materialized-view maintenance: combine pre-aggregated
+    rollups (a materialized base plus one or more delta batches) into the
+    rollup of their union WITHOUT rescanning the base fact table.
+
+    Works for any algebraic measure (counts, sums — incl. exact-decimal
+    sums, whose addition is associative): merging partials is just
+    re-aggregating them.  ``measure_casts`` maps each measure column to
+    the type it's cast back to after the merge (summing widens decimals).
+
+    Shape at scale: the delta is aggregated upstream at O(|delta|); this
+    merge shuffles only O(|rollup keys|) rows — the whole point versus a
+    full recompute.  Incremental refresh of a 100 TB fact's daily rollup
+    costs one small shuffle per batch.
+    """
+    if not rollups:
+        raise ValueError("need at least one rollup")
+    combined = rollups[0]
+    for r in rollups[1:]:
+        combined = combined.unionByName(r)
+    return combined.groupBy(*key_cols).agg(
+        *[F.sum(c).cast(t).alias(c) for c, t in measure_casts.items()]
+    )

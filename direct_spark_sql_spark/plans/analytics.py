@@ -17,7 +17,7 @@ from direct_spark_sql_spark.operators import dedup as dd
 from direct_spark_sql_spark.operators import retrieval as rt
 from direct_spark_sql_spark.operators import sampling as sp
 from direct_spark_sql_spark.operators.text import tokens
-from direct_spark_sql_spark.plans.base import Query
+from direct_spark_sql_spark.plans.base import DEC_OUT, Query, sum_money_sql
 from direct_spark_sql_spark.plans.pipeline import TOKS_SQL
 from direct_spark_sql_spark.sources.registry import load_table
 
@@ -226,6 +226,61 @@ ORDER BY e.dim
 
 
 # ---------------------------------------------------------------------------
+# Incremental rollup maintenance
+# ---------------------------------------------------------------------------
+
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view refresh without a base rescan: a daily rollup
+    materialized from ~80% of events is merged with the delta batch's
+    partial aggregates (operators/merge.py:merge_rollups).  The oracle is
+    the FULL recompute over all events — incremental == full is exactly
+    the correctness contract of algebraic view maintenance."""
+    from direct_spark_sql_spark.operators.merge import merge_rollups
+    from direct_spark_sql_spark.plans.base import DEC_PRICE
+
+    e = load_table(spark, sf_dir, "events")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "event_type",
+                F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+                F.col("value").cast(DEC_PRICE).alias("v"),
+            )
+            .groupBy("event_type", "day")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("v").cast("decimal(24,2)").alias("sum_v"),
+            )
+        )
+
+    base = rollup(e.filter(F.col("event_id") % 5 != 0))       # materialized
+    delta = rollup(e.filter(F.col("event_id") % 5 == 0))      # new batch
+    merged = merge_rollups(
+        [base, delta],
+        key_cols=["event_type", "day"],
+        measure_casts={"n_events": "long", "sum_v": "decimal(24,2)"},
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.col("sum_v").cast(DEC_OUT).cast("double").alias("total_value"),
+    ).orderBy("event_type", "day")
+
+
+INCREMENTAL_ROLLUP_ORACLE = f"""
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sum_money_sql('CAST(value AS DECIMAL(14,2))')} AS total_value
+FROM events
+GROUP BY event_type, day
+ORDER BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
 # Audio decode (real WAV codec)
 # ---------------------------------------------------------------------------
 
@@ -350,6 +405,13 @@ QUERIES: list[Query] = [
         oracle=STANDARDIZE_ORACLE,
         tags=("similarity", "embedding"),
         doc="per-dimension z-score standardization with broadcast stats join",
+    ),
+    Query(
+        name="incremental_rollup_merge",
+        spark_fn=incremental_rollup_merge,
+        oracle=INCREMENTAL_ROLLUP_ORACLE,
+        tags=("merge", "rollup"),
+        doc="algebraic materialized-view refresh: base rollup + delta partials, oracle = full recompute",
     ),
     Query(
         name="multimodal_audio_features",

@@ -122,3 +122,21 @@ def test_standardize_zero_mean_unit_std(spark):
     )
     for r in stats:
         assert abs(r.m) < 1e-9 and abs(r.s - 1.0) < 1e-9
+
+
+def test_merge_rollups_equals_full_recompute(spark):
+    from direct_spark_sql_spark.operators.merge import merge_rollups
+
+    df = spark.range(0, 300).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 3 % 100).cast("decimal(10,2)").alias("v")
+    )
+    def roll(d):
+        return d.groupBy("k").agg(
+            F.count("*").cast("long").alias("n"), F.sum("v").cast("decimal(20,2)").alias("s")
+        )
+    parts = [roll(df.filter(F.col("id") % 3 == i)) for i in range(3)]
+    merged = merge_rollups(parts, ["k"], {"n": "long", "s": "decimal(20,2)"})
+    full = roll(df)
+    got = {r.k: (r.n, r.s) for r in merged.collect()}
+    want = {r.k: (r.n, r.s) for r in full.collect()}
+    assert got == want
