@@ -72,3 +72,73 @@ def bucketed_table(
         .saveAsTable(name)
     )
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering
+# ---------------------------------------------------------------------------
+
+#: Bits taken from each dimension for the interleave (16+16 → 32-bit code).
+MORTON_BITS = 16
+
+#: Bit-spread magic masks: insert one zero between consecutive bits of a
+#: 16-bit value (the classic "Interleave bits by Binary Magic Numbers"
+#: construction) — pure 64-bit integer arithmetic, identical in any engine.
+_SPREAD_STEPS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread16(c):
+    from pyspark.sql import functions as F
+
+    x = c.bitwiseAND(F.lit((1 << MORTON_BITS) - 1))
+    for shift, mask in _SPREAD_STEPS:
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def morton_code(a, b):
+    """Interleaved 32-bit Z-order code of two 16-bit dimensions (a in the
+    even bits, b in the odd): prefix ranges of the code are small
+    axis-aligned rectangles in (a, b) space."""
+    from pyspark.sql import functions as F
+
+    return _spread16(a).bitwiseOR(F.shiftleft(_spread16(b), 1))
+
+
+def _spread16_sql(expr: str) -> str:
+    x = f"({expr} & {(1 << MORTON_BITS) - 1})"
+    for shift, mask in _SPREAD_STEPS:
+        x = f"(({x} | ({x} << {shift})) & {mask})"
+    return x
+
+
+def morton_code_sql(a: str, b: str) -> str:
+    """SQL-text twin of :func:`morton_code` (valid in Spark SQL and DuckDB)."""
+    return f"({_spread16_sql(a)} | ({_spread16_sql(b)} << 1))"
+
+
+def zorder_layout(df: DataFrame, a: str, b: str, partitions: int | None = None) -> DataFrame:
+    """Cluster rows by the Z-order code of two dimensions — the write-side
+    layout that makes min/max file skipping effective for predicates on
+    EITHER dimension (a linear sort is tight on one dimension and useless
+    on the other; the Morton curve is near-tight on both).
+
+    ``repartitionByRange`` on the code gives contiguous curve segments per
+    output file; ``sortWithinPartitions`` tightens row-group stats inside
+    each file.  Downstream: write to parquet and let pushdown + row-group
+    stats prune — no index structure to maintain.
+    """
+    from pyspark.sql import functions as F
+
+    coded = df.withColumn("zcode", morton_code(F.col(a), F.col(b)))
+    parted = (
+        coded.repartitionByRange(partitions, "zcode")
+        if partitions
+        else coded.repartitionByRange("zcode")
+    )
+    return parted.sortWithinPartitions("zcode")

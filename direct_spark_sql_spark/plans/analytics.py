@@ -226,6 +226,59 @@ ORDER BY e.dim
 
 
 # ---------------------------------------------------------------------------
+# Z-order layout locality
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering statistics: events coded on the Morton interleave
+    of (user_id, epoch-day), bucketed by the code's 10-bit prefix.  Each
+    bucket's (user, day) min/max rectangle is what parquet row-group stats
+    would store after a ``zorder_layout`` write — small rectangles on BOTH
+    dimensions are exactly why either-dimension predicates prune."""
+    from direct_spark_sql_spark.operators.layout import morton_code
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}")
+    z = morton_code(F.col("user_id"), day)
+    return (
+        e.select(
+            F.col("user_id"), day.alias("day"), F.shiftright(z, 22).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("user_id").cast("long").alias("user_min"),
+            F.max("user_id").cast("long").alias("user_max"),
+            F.min("day").cast("long").alias("day_min"),
+            F.max("day").cast("long").alias("day_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _zorder_oracle() -> str:
+    from direct_spark_sql_spark.operators.layout import morton_code_sql
+
+    z = morton_code_sql("user_id", f"(epoch_us(ts) // {_US_PER_DAY})")
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day,
+         {z} >> 22 AS bucket
+  FROM events)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(user_id) AS BIGINT) AS user_min,
+       CAST(max(user_id) AS BIGINT) AS user_max,
+       CAST(min(day) AS BIGINT) AS day_min,
+       CAST(max(day) AS BIGINT) AS day_max
+FROM e GROUP BY bucket ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # Incremental rollup maintenance
 # ---------------------------------------------------------------------------
 
@@ -405,6 +458,13 @@ QUERIES: list[Query] = [
         oracle=STANDARDIZE_ORACLE,
         tags=("similarity", "embedding"),
         doc="per-dimension z-score standardization with broadcast stats join",
+    ),
+    Query(
+        name="layout_zorder_events",
+        spark_fn=layout_zorder_events,
+        oracle=_zorder_oracle(),
+        tags=("layout",),
+        doc="Morton/Z-order clustering: per-bucket (user, day) rectangles",
     ),
     Query(
         name="incremental_rollup_merge",

@@ -140,3 +140,31 @@ def test_merge_rollups_equals_full_recompute(spark):
     got = {r.k: (r.n, r.s) for r in merged.collect()}
     want = {r.k: (r.n, r.s) for r in full.collect()}
     assert got == want
+
+
+def test_morton_code_known_values(spark):
+    from direct_spark_sql_spark.operators.layout import morton_code
+
+    df = spark.createDataFrame([(3, 5), (0, 0), (65535, 65535)], "a LONG, b LONG")
+    got = [r.z for r in df.select(morton_code(F.col("a"), F.col("b")).alias("z")).collect()]
+    # morton(3, 5): a fills even bits (1,1), b odd bits (1,0,1) -> 0b100111
+    assert got == [39, 0, (1 << 32) - 1]
+
+
+def test_zorder_layout_sorted_by_code(spark):
+    from direct_spark_sql_spark.operators.layout import zorder_layout
+
+    df = spark.range(0, 500).select(
+        (F.col("id") % 23).alias("a"), (F.col("id") % 17).alias("b")
+    )
+    out = zorder_layout(df, "a", "b", partitions=4)
+    # within every partition the code is non-decreasing
+    import pandas as pd
+
+    def check(pdf_iter):
+        for pdf in pdf_iter:
+            ok = bool((pdf["zcode"].diff().dropna() >= 0).all())
+            yield pd.DataFrame({"ok": [ok]})
+
+    flags = out.mapInPandas(check, "ok BOOLEAN").collect()
+    assert all(r.ok for r in flags)
