@@ -95,7 +95,8 @@ _SPREAD_STEPS = (
 def _spread16(c):
     from pyspark.sql import functions as F
 
-    x = c.bitwiseAND(F.lit((1 << MORTON_BITS) - 1))
+    # pin to 64-bit: a 32-bit input would overflow the shifts
+    x = c.cast("long").bitwiseAND(F.lit((1 << MORTON_BITS) - 1))
     for shift, mask in _SPREAD_STEPS:
         x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
     return x
@@ -111,7 +112,9 @@ def morton_code(a, b):
 
 
 def _spread16_sql(expr: str) -> str:
-    x = f"({expr} & {(1 << MORTON_BITS) - 1})"
+    # CAST to BIGINT: engines that type bare literals as 32-bit INTEGER
+    # (DuckDB) would overflow the shifts
+    x = f"(CAST({expr} AS BIGINT) & {(1 << MORTON_BITS) - 1})"
     for shift, mask in _SPREAD_STEPS:
         x = f"(({x} | ({x} << {shift})) & {mask})"
     return x
