@@ -113,12 +113,16 @@ class _LRU:
         self.capacity = capacity
         self._data: OrderedDict[str, Any] = OrderedDict()
         self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
 
     def get(self, key: str) -> Any | None:
         with self._lock:
             if key not in self._data:
+                self.misses += 1
                 return None
             self._data.move_to_end(key)
+            self.hits += 1
             return self._data[key]
 
     def put(self, key: str, value: Any) -> None:
@@ -306,6 +310,31 @@ class Engine:
         ).limit(0)
 
     # -- egress -------------------------------------------------------------
+
+    def cache_stats(self) -> dict[str, int]:
+        """Plan-cache observability: hits / misses / live entries /
+        capacity.  The reference's repeated-query latency rests entirely
+        on this cache (Guava stats were reachable but unexposed,
+        DirectSparkSession.scala:411-415); operating a shared engine
+        without a hit-rate signal means flying blind, so the rebuild
+        exposes it."""
+        c = self._plan_cache
+        with c._lock:
+            return {
+                "hits": c.hits,
+                "misses": c.misses,
+                "entries": len(c._data),
+                "capacity": c.capacity,
+            }
+
+    def explain(self, sql: str, mode: str = "formatted") -> str:
+        """Formatted plan text for a SQL statement (debugging surface; goes
+        through the same qualified-view rewrite as execution).  Modes:
+        simple | extended | codegen | cost | formatted."""
+        df = self.spark.sql(self._rewrite_qualified(sql))
+        jvm = df._sc._jvm  # type: ignore[attr-defined]
+        mode_obj = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        return df._jdf.queryExecution().explainString(mode_obj)  # type: ignore[attr-defined]
 
     def temp_view(self, name: str) -> DataTable:
         """Read a registered view back out (reference:

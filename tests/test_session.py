@@ -394,3 +394,18 @@ def test_soak_per_thread_sessions_same_named_views(people_engine):
         ]
 
     assert _run_soak(10, _SOAK_SECS, worker) == []
+
+
+def test_cache_stats_and_explain(engine):
+    engine.register_table(
+        "cs_tab", [{"a": 1}, {"a": 2}], "a INT"
+    )
+    before = engine.cache_stats()
+    engine.sql_directly("SELECT sum(a) AS s FROM cs_tab")
+    engine.sql_directly("SELECT sum(a) AS s FROM cs_tab")
+    after = engine.cache_stats()
+    assert after["hits"] == before["hits"] + 1
+    assert after["misses"] == before["misses"] + 1
+    assert after["entries"] >= 1 and after["capacity"] >= after["entries"]
+    plan = engine.explain("SELECT sum(a) AS s FROM cs_tab")
+    assert "Physical Plan" in plan and "HashAggregate" in plan
