@@ -226,6 +226,107 @@ ORDER BY e.dim
 
 
 # ---------------------------------------------------------------------------
+# Per-user trend (exact OLS slope)
+# ---------------------------------------------------------------------------
+
+_TREND_BASE_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+
+
+def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of event value over time — the
+    closed-form statistical aggregate pattern: every Σ term is an exact
+    BIGINT/decimal sum (one shuffle, map-side combined), and the slope /
+    intercept are single IEEE expressions over identically-snapped
+    operands, so the result is bit-identical across engines.  No
+    applyInPandas, no per-group fitting loop."""
+    e = load_table(spark, sf_dir, "events")
+    tm = F.expr(
+        f"(unix_micros(cast(ts as timestamp)) - {_TREND_BASE_US}) div 60000000"
+    )  # minutes since 2024-01-01, exact BIGINT
+    base = e.select(
+        "user_id",
+        tm.alias("tm"),
+        F.col("value").cast("decimal(14,2)").alias("v"),
+    )
+    agg = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("tm").cast("long").alias("st"),
+        F.sum(F.col("tm") * F.col("tm")).cast("long").alias("stt"),
+        F.sum("v").cast(DEC_OUT).cast("double").alias("sv"),
+        F.sum(F.col("tm").cast("decimal(20,0)") * F.col("v"))
+        .cast(DEC_OUT)
+        .cast("double")
+        .alias("stv"),
+    )
+    n_d = F.col("n_events").cast("double")
+    st_d = F.col("st").cast("double")
+    stt_d = F.col("stt").cast("double")
+    slope = (n_d * F.col("stv") - st_d * F.col("sv")) / (n_d * stt_d - st_d * st_d)
+    intercept = (F.col("sv") - slope * st_d) / n_d
+    return agg.select(
+        "user_id", "n_events", slope.alias("slope"), intercept.alias("intercept")
+    ).orderBy("user_id")
+
+
+TREND_ORACLE = f"""
+WITH b AS (
+  SELECT user_id,
+         (epoch_us(ts) - {_TREND_BASE_US}) // 60000000 AS tm,
+         CAST(value AS DECIMAL(14,2)) AS v
+  FROM events),
+a AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(SUM(tm) AS BIGINT) AS st,
+         CAST(SUM(tm * tm) AS BIGINT) AS stt,
+         CAST(CAST(ROUND(SUM(v), 6) AS DECIMAL(24,6)) AS DOUBLE) AS sv,
+         CAST(CAST(ROUND(SUM(CAST(tm AS DECIMAL(20,0)) * v), 6) AS DECIMAL(24,6))
+              AS DOUBLE) AS stv
+  FROM b GROUP BY user_id)
+SELECT user_id, n_events,
+       (CAST(n_events AS DOUBLE) * stv - CAST(st AS DOUBLE) * sv)
+         / (CAST(n_events AS DOUBLE) * CAST(stt AS DOUBLE)
+            - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS slope,
+       (sv - (CAST(n_events AS DOUBLE) * stv - CAST(st AS DOUBLE) * sv)
+               / (CAST(n_events AS DOUBLE) * CAST(stt AS DOUBLE)
+                  - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+             * CAST(st AS DOUBLE)) / CAST(n_events AS DOUBLE) AS intercept
+FROM a ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join
+# ---------------------------------------------------------------------------
+
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other — still an equi-join for Catalyst (EqualNullSafe is
+    an extractable join key, so this hash-joins; no nested loop)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    key = F.when(F.col("value") < 0.5, None).otherwise(F.col("event_type"))
+    a = e.select(F.col("event_id").alias("a_id"), key.alias("k"))
+    b = e.select(F.col("event_id").alias("b_id"), key.alias("k"))
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .groupBy(a["k"].alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
+NULL_SAFE_JOIN_ORACLE = """
+WITH e AS (
+  SELECT event_id,
+         CASE WHEN value < 0.5 THEN NULL ELSE event_type END AS k
+  FROM events WHERE event_id < 400)
+SELECT a.k AS k, CAST(count(*) AS BIGINT) AS n_pairs
+FROM e a JOIN e b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k ORDER BY k NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
 # Z-order layout locality
 # ---------------------------------------------------------------------------
 
@@ -458,6 +559,20 @@ QUERIES: list[Query] = [
         oracle=STANDARDIZE_ORACLE,
         tags=("similarity", "embedding"),
         doc="per-dimension z-score standardization with broadcast stats join",
+    ),
+    Query(
+        name="events_user_trend",
+        spark_fn=events_user_trend,
+        oracle=TREND_ORACLE,
+        tags=("analytics", "events"),
+        doc="per-user OLS slope/intercept from exact closed-form sums (no grouped-map UDF)",
+    ),
+    Query(
+        name="join_null_safe_eq",
+        spark_fn=join_null_safe_eq,
+        oracle=NULL_SAFE_JOIN_ORACLE,
+        tags=("join",),
+        doc="null-safe equality (<=>) hash join with NULL-matching semantics",
     ),
     Query(
         name="layout_zorder_events",
