@@ -65,6 +65,23 @@ _TIME_FUNCS_RE = re.compile(
 #: string literals (with '' escapes) and backtick-quoted identifiers.
 _QUOTED_SPAN_RE = re.compile(r"'(?:[^']|'')*'|`(?:[^`]|``)*`")
 
+#: View DDL through the SQL surface (CREATE/DROP/ALTER ... VIEW name).
+#: These mutate what a view name resolves to, so cached analyzed plans
+#: referencing the name must be dropped — the same invalidation contract
+#: register_table() applies (NamedLocalRelation.scala:25-44).
+_VIEW_DDL_RE = re.compile(
+    r"^\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?TEMP(?:ORARY)?\s+VIEW"
+    r"|DROP\s+VIEW(?:\s+IF\s+EXISTS)?"
+    r"|ALTER\s+VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>`[^`]+`|[\w.]+)",
+    re.IGNORECASE,
+)
+
+#: Statements whose results are cacheable analyzed plans: queries only.
+#: Everything else (DDL, SET, CACHE TABLE, INSERT, ...) executes uncached —
+#: caching a command's DataFrame would replay side effects unpredictably
+#: and can pin stale analysis.
+_QUERY_START_RE = re.compile(r"^\s*(?:SELECT|WITH|VALUES|TABLE)\b", re.IGNORECASE)
+
 #: The reference's JVM-function registration DDL
 #: (DirectSessionCatalog.scala:72-91): CREATE [TEMPORARY] FUNCTION name
 #: AS 'class' [USING JAR 'path'].  Routed to registerJavaFunction.
@@ -265,6 +282,17 @@ class Engine:
             return self._register_function_ddl(
                 ddl.group("name"), ddl.group("cls"), ddl.group("jar")
             )
+        view_ddl = _VIEW_DDL_RE.match(sql)
+        if view_ddl:
+            # commands execute eagerly on spark.sql(); afterwards drop any
+            # cached plan that referenced the (re)defined or dropped view
+            df = self.spark.sql(self._rewrite_qualified(sql))
+            name = view_ddl.group("name").strip("`")
+            pattern = re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)
+            self._plan_cache.drop_where(lambda key: pattern.search(key) is not None)
+            return df
+        if not _QUERY_START_RE.match(sql):
+            return self.spark.sql(self._rewrite_qualified(sql))
         if self._uses_time(sql):
             return self.spark.sql(self._rewrite_qualified(sql))
         key = self._cache_key(sql)

@@ -409,3 +409,22 @@ def test_cache_stats_and_explain(engine):
     assert after["entries"] >= 1 and after["capacity"] >= after["entries"]
     plan = engine.explain("SELECT sum(a) AS s FROM cs_tab")
     assert "Physical Plan" in plan and "HashAggregate" in plan
+
+
+def test_view_ddl_invalidates_cached_plans(engine):
+    engine.sql_directly("CREATE OR REPLACE TEMPORARY VIEW v_ddl AS SELECT 5 AS a")
+    assert engine.sql_directly("SELECT a FROM v_ddl").to_list_of_dicts() == [{"a": 5}]
+    # redefining the view through SQL DDL must drop the cached SELECT plan
+    engine.sql_directly("CREATE OR REPLACE TEMPORARY VIEW v_ddl AS SELECT 6 AS a")
+    assert engine.sql_directly("SELECT a FROM v_ddl").to_list_of_dicts() == [{"a": 6}]
+    engine.sql_directly("DROP VIEW v_ddl")
+    engine.sql_directly("CREATE TEMPORARY VIEW v_ddl AS SELECT 'x' AS a")
+    assert engine.sql_directly("SELECT a FROM v_ddl").to_list_of_dicts() == [{"a": "x"}]
+
+
+def test_non_query_statements_bypass_plan_cache(engine):
+    before = engine.cache_stats()
+    engine.sql_directly("SET spark.sql.ansi.enabled")
+    after = engine.cache_stats()
+    # commands never touch the LRU (no get, no put)
+    assert (after["hits"], after["misses"]) == (before["hits"], before["misses"])
