@@ -21,6 +21,9 @@ from direct_spark_sql_spark.plans.base import DEC_OUT, Query, sum_money_sql
 from direct_spark_sql_spark.plans.pipeline import TOKS_SQL
 from direct_spark_sql_spark.sources.registry import load_table
 
+_US_PER_DAY = 86_400_000_000
+_TREND_BASE_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC (corpus epoch)
+
 # ---------------------------------------------------------------------------
 # Ordered funnel
 # ---------------------------------------------------------------------------
@@ -226,11 +229,86 @@ ORDER BY e.dim
 
 
 # ---------------------------------------------------------------------------
-# Per-user trend (exact OLS slope)
+# Gap-filled resampling with forward fill
 # ---------------------------------------------------------------------------
 
-_TREND_BASE_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample per user over the corpus' full day range, empty days
+    gap-filled (n_events = 0) and the last observed value forward-filled —
+    the time-series densification every downstream window model expects.
 
+    Shape: the (user × day) scaffold comes from a 1-row broadcast of the
+    global day bounds cross-joined to the distinct-user list with an
+    exploded ``sequence`` (bounded: |users| × |days|); bin aggregates left-
+    join on; one window pass does the forward fill.  The per-bin "last"
+    value is ``max_by`` over an encoded (time, event_id) key, so ties are
+    impossible and both engines pick the identical row."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}")
+    # total-order key: micros within the corpus epoch, low bits = event_id
+    ordk = F.expr(
+        f"(unix_micros(cast(ts as timestamp)) - {_TREND_BASE_US}) * 1048576"
+        " + pmod(event_id, 1048576)"
+    )
+    bounds = e.agg(
+        F.min(day).alias("dmin"), F.max(day).alias("dmax")
+    )
+    users = e.select("user_id").distinct()
+    scaffold = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id", F.explode(F.sequence("dmin", "dmax")).alias("day")
+    )
+    bins = (
+        e.select("user_id", day.alias("day"), "value", ordk.alias("ordk"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max_by("value", "ordk").alias("last_v"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        scaffold.join(bins, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("long").alias("day"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.last("last_v", ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+RESAMPLE_FFILL_ORACLE = f"""
+WITH bounds AS (
+  SELECT min(epoch_us(ts) // {_US_PER_DAY}) AS dmin,
+         max(epoch_us(ts) // {_US_PER_DAY}) AS dmax
+  FROM events),
+users AS (SELECT DISTINCT user_id FROM events),
+scaffold AS (
+  SELECT user_id, d AS day
+  FROM users, bounds, UNNEST(generate_series(dmin, dmax)) t(d)),
+b AS (
+  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         arg_max(value,
+                 (epoch_us(ts) - {_TREND_BASE_US}) * 1048576 + event_id % 1048576)
+           AS last_v
+  FROM events GROUP BY 1, 2)
+SELECT s.user_id, CAST(s.day AS BIGINT) AS day,
+       COALESCE(b.n_events, 0) AS n_events,
+       LAST_VALUE(b.last_v IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM scaffold s LEFT JOIN b ON s.user_id = b.user_id AND s.day = b.day
+ORDER BY s.user_id, s.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user trend (exact OLS slope)
+# ---------------------------------------------------------------------------
 
 def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user least-squares trend of event value over time — the
@@ -329,9 +407,6 @@ GROUP BY a.k ORDER BY k NULLS FIRST
 # ---------------------------------------------------------------------------
 # Z-order layout locality
 # ---------------------------------------------------------------------------
-
-_US_PER_DAY = 86_400_000_000
-
 
 def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering statistics: events coded on the Morton interleave
@@ -559,6 +634,13 @@ QUERIES: list[Query] = [
         oracle=STANDARDIZE_ORACLE,
         tags=("similarity", "embedding"),
         doc="per-dimension z-score standardization with broadcast stats join",
+    ),
+    Query(
+        name="events_resample_ffill",
+        spark_fn=events_resample_ffill,
+        oracle=RESAMPLE_FFILL_ORACLE,
+        tags=("analytics", "events"),
+        doc="daily gap-filled resample with deterministic forward fill",
     ),
     Query(
         name="events_user_trend",
