@@ -21,6 +21,7 @@ from direct_spark_sql_spark.plans.conformance_ext import _SLIDING_ORACLE
 from direct_spark_sql_spark.streaming import (
     read_events_stream,
     run_available_now,
+    run_foreach_batch_upsert,
     stream_click_purchase_join,
     stream_dedup_hourly,
     stream_session_windows,
@@ -152,6 +153,32 @@ FROM events ORDER BY user_id, event_type, hour_ts
 """
 
 
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE via foreachBatch: each micro-batch latest-wins
+    upserts (user_id -> value, ts) into an accumulated state table — the
+    lakehouse streaming-ingest pattern.  On the closed input the final
+    state must equal the batch latest-event-per-user answer (the oracle),
+    whatever the batch boundaries were."""
+    events = read_events_stream(spark, sf_dir)
+    seq = F.expr(
+        "(unix_micros(ts) - 1704067200000000) * 1048576 + pmod(event_id, 1048576)"
+    )
+    state = run_foreach_batch_upsert(
+        events, ["user_id"], seq, ["value", "ts"], name="stream_upsert"
+    )
+    return state.select("user_id", "value", "ts").orderBy("user_id")
+
+
+FOREACH_BATCH_UPSERT_ORACLE = """
+SELECT user_id,
+       arg_max(value,
+               (epoch_us(ts) - 1704067200000000) * 1048576 + event_id % 1048576)
+         AS value,
+       max(ts) AS ts
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = [
     Query("streaming_tumbling_window", streaming_tumbling_window,
           EVENTS_TUMBLING_ORACLE, ("streaming", "window"),
@@ -171,4 +198,7 @@ QUERIES = [
     Query("streaming_dedup_watermark", streaming_dedup_watermark,
           STREAM_DEDUP_ORACLE, ("streaming", "dedup"),
           doc="dropDuplicatesWithinWatermark first-sighting dedup"),
+    Query("streaming_foreachbatch_upsert", streaming_foreachbatch_upsert,
+          FOREACH_BATCH_UPSERT_ORACLE, ("streaming", "merge"),
+          doc="foreachBatch latest-wins MERGE into accumulated state"),
 ]

@@ -285,3 +285,54 @@ def run_available_now(
     )
     query.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def run_foreach_batch_upsert(
+    events: DataFrame,
+    key_cols: list[str],
+    seq_col_expr,
+    payload_cols: list[str],
+    name: str = "stream_upsert",
+) -> DataFrame:
+    """Streaming MERGE: foreachBatch applies each micro-batch as a
+    latest-wins upsert into an accumulated state table — the lakehouse
+    streaming-ingest pattern (stream → MERGE INTO target) expressed
+    without a mutable table format.
+
+    Each batch is merged via operators/merge.py:apply_cdc and the state is
+    eagerly localCheckpoint-ed: batch DataFrames are only valid inside the
+    callback, and unbounded lineage across batches would grow the plan.
+    At cluster scale the state table would instead be a parquet/format
+    table rewritten per batch (same merge plan, durable storage).
+    """
+    import tempfile
+
+    from direct_spark_sql_spark.operators.merge import apply_cdc
+
+    spark = events.sparkSession
+    state: dict[str, DataFrame | None] = {"df": None}
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        changes = batch_df.select(
+            *key_cols,
+            *payload_cols,
+            F.lit("U").alias("op"),
+            seq_col_expr.alias("change_seq"),
+        )
+        if state["df"] is None:
+            base = changes.limit(0).drop("op", "change_seq")
+        else:
+            base = state["df"]
+        merged = apply_cdc(base, changes, key_cols)
+        state["df"] = merged.localCheckpoint(eager=True)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            events.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    assert state["df"] is not None, "stream produced no batches"
+    return state["df"]

@@ -230,3 +230,38 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
 
     got = sorted(r.event_id for r in spark.read.parquet(str(out)).collect())
     assert got == [1, 2, 3]  # no reprocessing, no duplicates
+
+
+def test_foreachbatch_upsert_across_batches(spark, tmp_path):
+    """The streaming MERGE accumulates across micro-batches: two source
+    files processed one per trigger; a key updated in the second batch
+    must end at its newest value, keys only in the first must survive."""
+    import datetime as dt
+
+    from direct_spark_sql_spark.streaming import run_foreach_batch_upsert
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    src = tmp_path / "src"
+    t = dt.datetime(2024, 1, 1, 12, 0)
+
+    def write_file(sub, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / sub))
+
+    write_file("a", [(1, t, 7, 1.0), (2, t, 8, 2.0)])
+    write_file("b", [(3, t + dt.timedelta(hours=1), 7, 9.0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = run_foreach_batch_upsert(
+        stream,
+        ["user_id"],
+        F.expr("unix_micros(ts) * 1024 + pmod(event_id, 1024)"),
+        ["value"],
+        name="test_upsert",
+    )
+    got = {r.user_id: r.value for r in state.collect()}
+    assert got == {7: 9.0, 8: 2.0}
