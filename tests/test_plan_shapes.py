@@ -185,3 +185,26 @@ def test_binned_interval_join_is_equi_join(spark):
         assert "HashJoin" in plan, name
         assert "NestedLoop" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_join_hints_pass_through(spark):
+    """SQL join hints survive the engine path: BROADCAST forces a
+    broadcast hash join; MERGE forces sort-merge — users tuning a 100 TB
+    join by hint must get the plan they asked for."""
+    from direct_spark_sql_spark.plans.base import sql_query
+
+    b = sql_query(
+        spark, SF_DIR,
+        "SELECT /*+ BROADCAST(n) */ count(*) AS c "
+        "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey",
+    )
+    plan_b = b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b
+
+    m = sql_query(
+        spark, SF_DIR,
+        "SELECT /*+ MERGE(o) */ count(*) AS c "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey",
+    )
+    plan_m = m._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_m
