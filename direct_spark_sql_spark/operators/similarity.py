@@ -584,20 +584,11 @@ def quantize_int8(
     vectors (rng = 0) quantize to all-zero codes.
     """
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    mn = F.array_min(x)
-    mx = F.array_max(x)
-    rng = mx - mn
-    codes = F.transform(
-        x,
-        lambda v: F.when(rng == F.lit(0.0), F.lit(0)).otherwise(
-            (F.floor((v - mn) * F.lit(254.0) / rng + F.lit(0.5)) - F.lit(127)).cast("int")
-        ),
-    )
     return emb.select(
         F.col(id_col),
-        codes.alias("codes"),
-        mn.alias("scale_min"),
-        mx.alias("scale_max"),
+        _int8_codes(F.col(vec_col)).alias("codes"),
+        F.array_min(x).alias("scale_min"),
+        F.array_max(x).alias("scale_max"),
     )
 
 
@@ -682,4 +673,63 @@ def standardize_embeddings(
             "std",
             ((F.col("v_dbl") - F.col("mean")) / F.col("std")).alias("z"),
         )
+    )
+
+
+def _int8_codes(vec: Column) -> Column:
+    """The quantize_int8 code formula as a reusable column expression
+    (identical arithmetic — see quantize_int8's exactness note)."""
+    x = F.transform(vec, lambda v: v.cast("double"))
+    mn = F.array_min(x)
+    rng = F.array_max(x) - mn
+    return F.transform(
+        x,
+        lambda v: F.when(rng == F.lit(0.0), F.lit(0)).otherwise(
+            (F.floor((v - mn) * F.lit(254.0) / rng + F.lit(0.5)) - F.lit(127)).cast("int")
+        ),
+    )
+
+
+def quantized_rerank_topk(
+    df: DataFrame,
+    query: DataFrame,
+    shortlist: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: int8 approximate dot-product shortlist, exact
+    decimal-cosine rerank — the standard memory/compute split at corpus
+    scale (the coarse stage touches 4×-smaller codes; the exact stage
+    touches only ``shortlist`` rows).
+
+    Both stages are JVM-side: the coarse score is an integer zip_with sum
+    (bit-exact), the shortlist cut is a bounded TakeOrderedAndProject on
+    (score, id), and the rerank reuses the exact decimal cosine.  In a
+    deployed index the float vectors would be fetched by key for the
+    shortlist only; here they ride along, which costs nothing after the
+    top-k cut.
+    """
+    q = F.broadcast(query.select(F.col(emb_col).alias("__q")))
+    joined = df.crossJoin(q)
+    approx = F.aggregate(
+        F.zip_with(_int8_codes(F.col(emb_col)), _int8_codes(F.col("__q")),
+                   lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    short = (
+        joined.select(id_col, emb_col, "__q", approx.alias("approx_score"))
+        .orderBy(F.desc("approx_score"), id_col)
+        .limit(shortlist)
+    )
+    a = _dec_vec(emb_col)
+    b = _dec_vec("__q")
+    cosine = _to_double(dot_dec(a, b)) / (
+        F.sqrt(_to_double(norm_sq_dec(a))) * F.sqrt(_to_double(norm_sq_dec(b)))
+    )
+    return (
+        short.select(id_col, "approx_score", cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
     )

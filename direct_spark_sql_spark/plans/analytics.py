@@ -552,6 +552,54 @@ FROM s GROUP BY doc_id, rate, channels, n ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Quantized two-stage ANN
+# ---------------------------------------------------------------------------
+
+def embedding_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from direct_spark_sql_spark.operators.similarity import quantized_rerank_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0)
+    return quantized_rerank_topk(
+        e.filter(F.col("vec_id") != 0), query, shortlist=50, k=10
+    )
+
+
+QUANTIZED_RERANK_ORACLE = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+  FROM embeddings),
+meta AS (SELECT vec_id, xd, list_min(xd) AS mn, list_max(xd) AS mx FROM base),
+cx AS (
+  SELECT vec_id, i,
+         CASE WHEN mx = mn THEN 0
+              ELSE CAST(floor((xd[i] - mn) * 254.0 / (mx - mn) + 0.5) AS BIGINT) - 127
+         END AS c
+  FROM meta, UNNEST(generate_series(1, len(xd))) t(i)),
+qc AS (SELECT i, c FROM cx WHERE vec_id = 0),
+s1 AS (SELECT cx.vec_id, CAST(SUM(cx.c * qc.c) AS BIGINT) AS approx_score
+       FROM cx JOIN qc USING (i) WHERE cx.vec_id <> 0 GROUP BY cx.vec_id),
+short AS (SELECT * FROM s1 ORDER BY approx_score DESC, vec_id LIMIT 50),
+ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS a
+  FROM embeddings),
+q2 AS (SELECT i, a AS b FROM ex WHERE vec_id = 0),
+d AS (
+  SELECT ex.vec_id,
+         CAST(CAST(ROUND(SUM(ex.a * q2.b), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot,
+         CAST(CAST(ROUND(SUM(ex.a * ex.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS na,
+         CAST(CAST(ROUND(SUM(q2.b * q2.b), 6) AS DECIMAL(24,6)) AS DOUBLE) AS nb
+  FROM ex JOIN q2 ON ex.i = q2.i
+  WHERE ex.vec_id IN (SELECT vec_id FROM short)
+  GROUP BY ex.vec_id)
+SELECT d.vec_id, s.approx_score, d.dot / (sqrt(d.na) * sqrt(d.nb)) AS cosine
+FROM d JOIN short s ON s.vec_id = d.vec_id
+ORDER BY cosine DESC, d.vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Domain-weighted mixing
 # ---------------------------------------------------------------------------
 
@@ -676,6 +724,13 @@ QUERIES: list[Query] = [
         oracle=AUDIO_FEATURES_ORACLE,
         tags=("multimodal",),
         doc="real WAV encode→decode round-trip (RIFF chunk walk), amplitude-stat oracle",
+    ),
+    Query(
+        name="embedding_quantized_rerank",
+        spark_fn=embedding_quantized_rerank,
+        oracle=QUANTIZED_RERANK_ORACLE,
+        tags=("similarity", "embedding"),
+        doc="two-stage ANN: int8 coarse shortlist, exact decimal-cosine rerank",
     ),
     Query(
         name="sample_domain_weighted",

@@ -168,3 +168,21 @@ def test_zorder_layout_sorted_by_code(spark):
 
     flags = out.mapInPandas(check, "ok BOOLEAN").collect()
     assert all(r.ok for r in flags)
+
+
+def test_quantized_rerank_matches_exact_topk(spark):
+    """Two-stage recall sanity on real data: with a 50-candidate shortlist
+    over 499 vectors the exact-rerank top-10 should essentially match the
+    full exact top-10 (the int8 coarse stage is a tight approximation)."""
+    from direct_spark_sql_spark.operators.similarity import (
+        cosine_topk,
+        quantized_rerank_topk,
+    )
+    from direct_spark_sql_spark.sources.registry import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    base = e.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in cosine_topk(base, q, k=10).collect()]
+    two_stage = [r.vec_id for r in quantized_rerank_topk(base, q, 50, 10).collect()]
+    assert len(set(exact) & set(two_stage)) >= 8

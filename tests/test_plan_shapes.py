@@ -124,6 +124,7 @@ _NLJ_ALLOWED = {
     "quality_constraint_audit",  # fk check: 1-row agg × 1-row agg cross
     "tfidf_cosine_pairs",        # broadcast 1-row corpus size (N)
     "events_resample_ffill",     # broadcast 1-row (dmin, dmax) day bounds
+    "embedding_quantized_rerank",  # broadcast single query vector
 }
 
 
