@@ -293,3 +293,79 @@ def extract_audio_features(
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
 
     return df.select(id_col, media_col).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("luma_sum", T.LongType()),
+        T.StructField("luma_min", T.IntegerType()),
+        T.StructField("luma_max", T.IntegerType()),
+    ]
+)
+
+
+def synthesize_videos(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Deterministic real Y4M video payloads, one per input id.
+
+    Geometry and pixels are pure functions of the id: ``w = 4 + 2*(id%5)``,
+    ``h = 4 + 2*(id%4)``, ``n_frames = 3 + id%4``; luma of pixel (x, y) in
+    frame f is ``(x*3 + y*7 + f*11 + id*13) % 256``; chroma planes are the
+    constant ``(f*5 + id) % 256`` / ``(f*9 + id) % 256``."""
+    from direct_spark_sql_spark.operators.videocodec import encode_y4m
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField(media_col, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h, n = 4 + 2 * (i % 5), 4 + 2 * (i % 4), 3 + i % 4
+                frames = []
+                for f in range(n):
+                    y = bytes(
+                        (x * 3 + yy * 7 + f * 11 + i * 13) % 256
+                        for yy in range(h)
+                        for x in range(w)
+                    )
+                    u = bytes([(f * 5 + i) % 256]) * ((w // 2) * (h // 2))
+                    v = bytes([(f * 9 + i) % 256]) * ((w // 2) * (h // 2))
+                    frames.append((y, u, v))
+                rows.append((i, encode_y4m(w, h, frames)))
+            yield pd.DataFrame(rows, columns=[id_col, media_col])
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    every_k: int = 2,
+) -> DataFrame:
+    """REAL video frame sampling: parse each Y4M stream, keep every k-th
+    frame, emit per-frame luma statistics — the keyframe-sampling step of
+    a video-training pipeline, flatMap-shaped through mapInPandas."""
+    from direct_spark_sql_spark.operators.videocodec import decode_y4m
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                w, h, frames = decode_y4m(bytes(payload))
+                for idx in range(0, len(frames), every_k):
+                    y = frames[idx][0]
+                    rows.append(
+                        (int(doc_id), idx, w, h, sum(y), min(y), max(y))
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields])
+
+    return df.select(id_col, media_col).mapInPandas(run, VIDEO_FRAME_SCHEMA)

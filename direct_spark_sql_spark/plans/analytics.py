@@ -552,6 +552,51 @@ FROM s GROUP BY doc_id, rate, channels, n ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Video frame sampling (real Y4M codec)
+# ---------------------------------------------------------------------------
+
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode deterministic Y4M video streams executor-side, then DECODE
+    them with the real stdlib parser and sample every 2nd frame with luma
+    stats.  The oracle recomputes every value from the pixel formula, so a
+    parser bug (header tokens, plane sizes, frame walk) breaks the hash
+    match — the video third of the image/audio/video real-decode triad."""
+    from direct_spark_sql_spark.operators import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return mm.sample_video_frames(mm.synthesize_videos(d), every_k=2).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+VIDEO_FRAMES_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         4 + 2 * (doc_id % 5) AS w,
+         4 + 2 * (doc_id % 4) AS h,
+         3 + doc_id % 4 AS n
+  FROM documents WHERE doc_id < 100),
+f AS (SELECT d.*, fr.f FROM d JOIN generate_series(0, 6) fr(f) ON fr.f < d.n
+      WHERE fr.f % 2 = 0),
+px AS (
+  SELECT f.doc_id, f.f, f.w, f.h,
+         (x.x * 3 + y.y * 7 + f.f * 11 + f.doc_id * 13) % 256 AS v
+  FROM f
+  JOIN generate_series(0, 12) x(x) ON x.x < f.w
+  JOIN generate_series(0, 10) y(y) ON y.y < f.h)
+SELECT doc_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(SUM(v) AS BIGINT) AS luma_sum,
+       CAST(MIN(v) AS INT) AS luma_min,
+       CAST(MAX(v) AS INT) AS luma_max
+FROM px GROUP BY doc_id, f, w, h
+ORDER BY doc_id, frame_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # Quantized two-stage ANN
 # ---------------------------------------------------------------------------
 
@@ -724,6 +769,13 @@ QUERIES: list[Query] = [
         oracle=AUDIO_FEATURES_ORACLE,
         tags=("multimodal",),
         doc="real WAV encode→decode round-trip (RIFF chunk walk), amplitude-stat oracle",
+    ),
+    Query(
+        name="multimodal_video_frames",
+        spark_fn=multimodal_video_frames,
+        oracle=VIDEO_FRAMES_ORACLE,
+        tags=("multimodal",),
+        doc="real Y4M encode→decode→frame-sample round-trip, luma-stat oracle",
     ),
     Query(
         name="embedding_quantized_rerank",
