@@ -552,6 +552,55 @@ FROM s GROUP BY doc_id, rate, channels, n ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Training-sequence packing
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 512
+
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing of the document corpus into fixed
+    512-token training sequences via the distributed prefix sum
+    (operators/packing.py — no single-partition window).  Output: per
+    sequence, the number of contributing docs, tokens, and head docs."""
+    from direct_spark_sql_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    contrib = pack_sequences(d, SEQ_LEN)
+    return (
+        contrib.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_contributed").cast("long").alias("n_tokens"),
+            F.sum(F.col("is_head").cast("long")).cast("long").alias("n_heads"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+PACK_SEQUENCES_ORACLE = f"""
+WITH t AS (SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n FROM documents),
+c AS (SELECT doc_id, n,
+             CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS end_tok
+      FROM t),
+s AS (SELECT doc_id, n, end_tok - n AS start_tok, end_tok FROM c WHERE n > 0),
+e AS (SELECT doc_id, start_tok, end_tok, q AS seq_id
+      FROM s, UNNEST(generate_series(start_tok // {SEQ_LEN},
+                                     (end_tok - 1) // {SEQ_LEN})) u(q))
+SELECT seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEAST(end_tok, (seq_id + 1) * {SEQ_LEN})
+                - GREATEST(start_tok, seq_id * {SEQ_LEN})) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN start_tok >= seq_id * {SEQ_LEN} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_heads
+FROM e GROUP BY seq_id ORDER BY seq_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Video frame sampling (real Y4M codec)
 # ---------------------------------------------------------------------------
 
@@ -769,6 +818,13 @@ QUERIES: list[Query] = [
         oracle=AUDIO_FEATURES_ORACLE,
         tags=("multimodal",),
         doc="real WAV encode→decode round-trip (RIFF chunk walk), amplitude-stat oracle",
+    ),
+    Query(
+        name="pack_training_sequences",
+        spark_fn=pack_training_sequences,
+        oracle=PACK_SEQUENCES_ORACLE,
+        tags=("text", "packing"),
+        doc="concat-then-chunk 512-token sequence packing via distributed prefix sum",
     ),
     Query(
         name="multimodal_video_frames",

@@ -186,3 +186,17 @@ def test_quantized_rerank_matches_exact_topk(spark):
     exact = [r.vec_id for r in cosine_topk(base, q, k=10).collect()]
     two_stage = [r.vec_id for r in quantized_rerank_topk(base, q, 50, 10).collect()]
     assert len(set(exact) & set(two_stage)) >= 8
+
+
+def test_distributed_prefix_sum_equals_serial(spark):
+    from direct_spark_sql_spark.operators.packing import token_prefix_sums
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 37 + 1).alias("w")
+    )
+    got = token_prefix_sums(df, "k", "w", partitions=7).orderBy("k").collect()
+    running = 0
+    for r in got:
+        assert r.start_tok == running
+        running += r.w
+        assert r.end_tok == running
