@@ -77,7 +77,11 @@ def funnel_counts(
         ).alias("stage"),
     )
     counts = (
-        reached.select(F.explode(F.sequence(F.lit(1), F.col("stage"))).alias("stage_idx"))
+        # stage >= 1 filter is load-bearing: sequence(1, 0) is DESCENDING
+        # [1, 0] in Spark, which would count stage-0 users as reaching
+        # stage 1
+        reached.filter(F.col("stage") >= 1)
+        .select(F.explode(F.sequence(F.lit(1), F.col("stage"))).alias("stage_idx"))
         .groupBy("stage_idx")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )

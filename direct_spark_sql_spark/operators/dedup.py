@@ -71,7 +71,13 @@ def token_windows(col: Column | str = "text", w: int = 8) -> Column:
     body = " ".join(["[^ ]+"] * w)
     full = F.regexp_extract_all(norm, F.lit(f"(^|[ ])(?=({body}))"), 2)
     toks = tokens(c)
-    return F.when(F.size(toks) >= w, full).otherwise(F.array(F.array_join(toks, " ")))
+    return (
+        F.when(F.size(toks) >= w, full)
+        # zero-token docs contribute NO windows (not [""], which would
+        # surface the empty string as a "duplicated span")
+        .when(F.size(toks) >= 1, F.array(F.array_join(toks, " ")))
+        .otherwise(F.array().cast("array<string>"))
+    )
 
 
 def duplicated_spans(

@@ -249,8 +249,8 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}")
     # total-order key: micros within the corpus epoch, low bits = event_id
     ordk = F.expr(
-        f"(unix_micros(cast(ts as timestamp)) - {_TREND_BASE_US}) * 1048576"
-        " + pmod(event_id, 1048576)"
+        f"(unix_micros(cast(ts as timestamp)) - {_TREND_BASE_US}) * 1024"
+        " + pmod(event_id, 1024)"
     )
     bounds = e.agg(
         F.min(day).alias("dmin"), F.max(day).alias("dmax")
@@ -293,7 +293,7 @@ b AS (
   SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day,
          CAST(count(*) AS BIGINT) AS n_events,
          arg_max(value,
-                 (epoch_us(ts) - {_TREND_BASE_US}) * 1048576 + event_id % 1048576)
+                 (epoch_us(ts) - {_TREND_BASE_US}) * 1024 + event_id % 1024)
            AS last_v
   FROM events GROUP BY 1, 2)
 SELECT s.user_id, CAST(s.day AS BIGINT) AS day,

@@ -161,7 +161,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     whatever the batch boundaries were."""
     events = read_events_stream(spark, sf_dir)
     seq = F.expr(
-        "(unix_micros(ts) - 1704067200000000) * 1048576 + pmod(event_id, 1048576)"
+        "(unix_micros(ts) - 1704067200000000) * 1024 + pmod(event_id, 1024)"
     )
     state = run_foreach_batch_upsert(
         events, ["user_id"], seq, ["value", "ts"], name="stream_upsert"
@@ -172,7 +172,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
 FOREACH_BATCH_UPSERT_ORACLE = """
 SELECT user_id,
        arg_max(value,
-               (epoch_us(ts) - 1704067200000000) * 1048576 + event_id % 1048576)
+               (epoch_us(ts) - 1704067200000000) * 1024 + event_id % 1024)
          AS value,
        max(ts) AS ts
 FROM events GROUP BY user_id ORDER BY user_id

@@ -70,7 +70,7 @@ _QUOTED_SPAN_RE = re.compile(r"'(?:[^']|'')*'|`(?:[^`]|``)*`")
 #: referencing the name must be dropped — the same invalidation contract
 #: register_table() applies (NamedLocalRelation.scala:25-44).
 _VIEW_DDL_RE = re.compile(
-    r"^\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?TEMP(?:ORARY)?\s+VIEW"
+    r"^\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW"
     r"|DROP\s+VIEW(?:\s+IF\s+EXISTS)?"
     r"|ALTER\s+VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>`[^`]+`|[\w.]+)",
     re.IGNORECASE,

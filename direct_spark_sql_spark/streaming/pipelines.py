@@ -66,16 +66,20 @@ def read_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
-    to_us = 1000 if _events_ts_unit(sf_dir) == "ns" else 1
+    to_us = 1000 if _events_ts_unit(spark, sf_dir) == "ns" else 1
     return df.withColumn("ts", F.timestamp_micros(F.expr(f"ts DIV {to_us}")))
 
 
-def _events_ts_unit(sf_dir: str) -> str:
-    """Time unit ('us' | 'ns') of events.ts from the parquet footer."""
-    import pyarrow.parquet as pq
-
-    ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
-    return getattr(ts_type, "unit", "us")
+def _events_ts_unit(spark: SparkSession, sf_dir: str) -> str:
+    """Time unit ('us' | 'ns') of events.ts, sniffed through Spark's own
+    reader (schema-only, no job) so any Hadoop-reachable filesystem and
+    multi-file layouts work — a driver-local pyarrow footer read would
+    only handle bare local paths.  Under the nanosAsLong conf a NANOS
+    column surfaces as bigint; micros surfaces as a timestamp type."""
+    batch_dtypes = dict(
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).dtypes
+    )
+    return "ns" if batch_dtypes.get("ts") == "bigint" else "us"
 
 
 def stream_tumbling_totals(
@@ -299,31 +303,34 @@ def run_foreach_batch_upsert(
     streaming-ingest pattern (stream → MERGE INTO target) expressed
     without a mutable table format.
 
-    Each batch is merged via operators/merge.py:apply_cdc and the state is
-    eagerly localCheckpoint-ed: batch DataFrames are only valid inside the
+    The state table PERSISTS each row's winning ``change_seq`` so the
+    latest-wins comparison holds across batch boundaries: an out-of-order
+    event arriving in a later micro-batch must not clobber newer state
+    (resetting the base's sequence per batch — what a naive apply_cdc
+    reuse would do — breaks exactly that contract).  State is eagerly
+    localCheckpoint-ed: batch DataFrames are only valid inside the
     callback, and unbounded lineage across batches would grow the plan.
     At cluster scale the state table would instead be a parquet/format
     table rewritten per batch (same merge plan, durable storage).
     """
     import tempfile
 
-    from direct_spark_sql_spark.operators.merge import apply_cdc
+    from pyspark.sql import Window
 
     spark = events.sparkSession
     state: dict[str, DataFrame | None] = {"df": None}
 
     def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         changes = batch_df.select(
-            *key_cols,
-            *payload_cols,
-            F.lit("U").alias("op"),
-            seq_col_expr.alias("change_seq"),
+            *key_cols, *payload_cols, seq_col_expr.alias("change_seq")
         )
-        if state["df"] is None:
-            base = changes.limit(0).drop("op", "change_seq")
-        else:
-            base = state["df"]
-        merged = apply_cdc(base, changes, key_cols)
+        combined = changes if state["df"] is None else state["df"].unionByName(changes)
+        w = Window.partitionBy(*key_cols).orderBy(F.col("change_seq").desc())
+        merged = (
+            combined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         state["df"] = merged.localCheckpoint(eager=True)
 
     with tempfile.TemporaryDirectory() as ckpt:

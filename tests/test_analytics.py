@@ -200,3 +200,20 @@ def test_distributed_prefix_sum_equals_serial(spark):
         assert r.start_tok == running
         running += r.w
         assert r.end_tok == running
+
+
+def test_funnel_user_without_first_stage_counts_nowhere(spark):
+    # regression: sequence(1, 0) is DESCENDING in Spark, which counted
+    # stage-0 users (qualifying events but no signup) as reaching stage 1
+    rows = [(1, 1, 1, "signup"), (2, 1, 2, "view"), (2, 2, 2, "click")]
+    out = funnel_counts(_ev(spark, rows), ("signup", "view", "click", "purchase"))
+    got = {r.stage_name: r.n_users for r in out.collect()}
+    assert got == {"signup": 1, "view": 0, "click": 0, "purchase": 0}
+
+
+def test_duplicated_spans_ignores_empty_documents(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "x y"), (4, "x y")], "doc_id BIGINT, text STRING"
+    )
+    out = duplicated_spans(df, window=8, min_docs=2, top_k=10).collect()
+    assert [r.gram for r in out] == ["x y"]  # no "" span from empty docs

@@ -428,3 +428,13 @@ def test_non_query_statements_bypass_plan_cache(engine):
     after = engine.cache_stats()
     # commands never touch the LRU (no get, no put)
     assert (after["hits"], after["misses"]) == (before["hits"], before["misses"])
+
+
+def test_non_temp_view_ddl_invalidates_cached_plans(engine):
+    # regression: CREATE OR REPLACE VIEW (no TEMPORARY) must also drop
+    # cached plans referencing the view
+    engine.sql_directly("CREATE OR REPLACE VIEW pv_ddl AS SELECT 5 AS a")
+    assert engine.sql_directly("SELECT a FROM pv_ddl").to_list_of_dicts() == [{"a": 5}]
+    engine.sql_directly("CREATE OR REPLACE VIEW pv_ddl AS SELECT 6 AS a")
+    assert engine.sql_directly("SELECT a FROM pv_ddl").to_list_of_dicts() == [{"a": 6}]
+    engine.sql_directly("DROP VIEW pv_ddl")

@@ -265,3 +265,38 @@ def test_foreachbatch_upsert_across_batches(spark, tmp_path):
     )
     got = {r.user_id: r.value for r in state.collect()}
     assert got == {7: 9.0, 8: 2.0}
+
+
+def test_foreachbatch_upsert_out_of_order_batches(spark, tmp_path):
+    """Regression: latest-wins must hold ACROSS batches — an older event
+    arriving in a later micro-batch must not clobber newer state (the
+    state table persists each key's winning sequence)."""
+    import datetime as dt
+
+    from direct_spark_sql_spark.streaming import run_foreach_batch_upsert
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    src = tmp_path / "src"
+    t = dt.datetime(2024, 1, 1, 12, 0)
+
+    def write_file(sub, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / sub))
+
+    # file "a" (processed first) holds the NEWER event; "b" the older one
+    write_file("a", [(1, t + dt.timedelta(hours=1), 7, 9.0)])
+    write_file("b", [(2, t, 7, 1.0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = run_foreach_batch_upsert(
+        stream,
+        ["user_id"],
+        F.expr("unix_micros(ts) * 1024 + pmod(event_id, 1024)"),
+        ["value"],
+        name="test_upsert_ooo",
+    )
+    assert {r.user_id: r.value for r in state.collect()} == {7: 9.0}
