@@ -47,3 +47,25 @@ def test_morton_spread_sql_is_exact_interleave(a, b):
 
     (code,) = duckdb.sql(f"SELECT {morton_code_sql(str(a), str(b))}").fetchone()
     assert _deinterleave(int(code)) == (a, b)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    wh=st.sampled_from([(2, 2), (4, 6), (8, 4), (12, 10)]),
+    n_frames=st.integers(min_value=0, max_value=5),
+    seed=st.integers(min_value=0, max_value=255),
+)
+def test_y4m_roundtrip_any_geometry(wh, n_frames, seed):
+    from direct_spark_sql_spark.operators.videocodec import decode_y4m, encode_y4m
+
+    w, h = wh
+    c = (w // 2) * (h // 2)
+    frames = [
+        (
+            bytes((seed + f + i) % 256 for i in range(w * h)),
+            bytes((seed ^ f) % 256 for _ in range(c)),
+            bytes((255 - seed + f) % 256 for _ in range(c)),
+        )
+        for f in range(n_frames)
+    ]
+    assert decode_y4m(encode_y4m(w, h, frames)) == (w, h, frames)
