@@ -217,3 +217,35 @@ def test_duplicated_spans_ignores_empty_documents(spark):
     )
     out = duplicated_spans(df, window=8, min_docs=2, top_k=10).collect()
     assert [r.gram for r in out] == ["x y"]  # no "" span from empty docs
+
+
+def test_zorder_files_have_tight_rectangles(spark, tmp_path):
+    """Write-side proof of the Z-order claim: after zorder_layout each
+    output file's (a, b) bounding rectangle must cover a small fraction
+    of the full domain on average — that tightness is exactly what
+    parquet row-group min/max stats exploit to prune either-dimension
+    predicates.  A linear sort on `a` alone would leave `b` ranges at
+    ~full width in every file."""
+    from direct_spark_sql_spark.operators.layout import zorder_layout
+
+    n, side = 4096, 64  # uniform 64x64 grid
+    df = spark.range(0, n).select(
+        (F.col("id") % side).alias("a"), (F.col("id") / side).cast("long").alias("b")
+    )
+    out = str(tmp_path / "z")
+    zorder_layout(df, "a", "b", partitions=16).write.parquet(out)
+
+    import glob as g
+
+    areas = []
+    for f in g.glob(out + "/part-*.parquet"):
+        pdf = spark.read.parquet(f).toPandas()
+        if len(pdf) == 0:
+            continue
+        areas.append(
+            (pdf.a.max() - pdf.a.min() + 1) * (pdf.b.max() - pdf.b.min() + 1)
+        )
+    avg_fraction = sum(areas) / len(areas) / (side * side)
+    # 16 contiguous curve segments over a 64x64 grid: near-square tiles of
+    # ~1/16 the domain each; a one-dimensional sort would average ~1.0
+    assert avg_fraction < 0.25, f"files cover {avg_fraction:.2f} of the domain"
