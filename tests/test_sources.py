@@ -79,3 +79,34 @@ def test_orc_round_trip(spark, tmp_path):
     back = spark.read.orc(dest)
     assert back.schema == src.schema
     assert sorted(back.collect()) == sorted(src.collect())
+
+
+def test_global_sorted_export(spark, tmp_path):
+    """Terasort-shape export: repartitionByRange + sortWithinPartitions
+    gives a GLOBALLY sorted dataset across ordered part files — the only
+    scalable way to write 100 TB in total order (a single-partition
+    orderBy would serialize through one task).  Verified: within every
+    file rows are sorted, and file key-ranges don't overlap in part-file
+    order."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 2654435761 % 100_000).alias("k"), F.col("id").alias("v")
+    )
+    out = str(tmp_path / "sorted")
+    (
+        df.repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+        .write.parquet(out)
+    )
+    prev_max = None
+    for f in sorted(g.glob(out + "/part-*.parquet")):
+        pdf = spark.read.parquet(f).toPandas()
+        if len(pdf) == 0:
+            continue
+        assert (pdf.k.diff().dropna() >= 0).all(), "file not internally sorted"
+        if prev_max is not None:
+            assert pdf.k.min() >= prev_max, "file ranges overlap"
+        prev_max = pdf.k.max()
