@@ -326,3 +326,51 @@ def bpe_merge_candidates(
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(top_k)
     )
+
+
+def skipgram_cooccurrence(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    top_k: int = 30,
+) -> DataFrame:
+    """Skip-gram co-occurrence counts: (center, context) pairs for every
+    context token within ±window positions — the corpus statistic word2vec
+    trains on and PMI/association mining starts from.
+
+    One posexplode + a self-join on (doc, position-band) would shuffle the
+    corpus twice; instead each row generates its pairs JVM-side with a
+    positional transform over the token array (per-row work bounded by
+    2*window*n_tokens), then ONE map-side-combined hash agg counts pairs.
+    Ordered (center, context) pairs are emitted once per direction, so
+    symmetric pairs appear under both orderings — the word2vec convention.
+    """
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - 1)
+    # for each position i, pair with positions i-window..i+window except i
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(i - window, i + window),
+                    lambda j: F.when(
+                        (j >= 0) & (j < F.size(toks)) & (j != i),
+                        F.concat_ws(
+                            " ",
+                            F.element_at(toks, i + 1),
+                            F.element_at(toks, j + 1),
+                        ),
+                    ),
+                ),
+                lambda p: p.isNotNull(),
+            ),
+        )
+    )
+    exploded = df.filter(F.size(toks) >= 2).select(F.explode(pairs).alias("pair"))
+    return (
+        exploded.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cooccur"))
+        .orderBy(F.desc("n_cooccur"), "pair")
+        .limit(top_k)
+    )

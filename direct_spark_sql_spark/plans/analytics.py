@@ -186,6 +186,35 @@ FROM p GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 30
 
 
 # ---------------------------------------------------------------------------
+# Skip-gram co-occurrence
+# ---------------------------------------------------------------------------
+
+SKIPGRAM_WINDOW = 2
+
+
+def text_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from direct_spark_sql_spark.operators.text import skipgram_cooccurrence
+
+    return skipgram_cooccurrence(
+        load_table(spark, sf_dir, "documents"), window=SKIPGRAM_WINDOW, top_k=30
+    )
+
+
+SKIPGRAM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+p AS (
+  SELECT toks[i + 1] || ' ' || toks[j + 1] AS pair
+  FROM d,
+       UNNEST(generate_series(0, n - 1)) u(i),
+       UNNEST(generate_series(0, n - 1)) v(j)
+  WHERE j BETWEEN i - {SKIPGRAM_WINDOW} AND i + {SKIPGRAM_WINDOW} AND j <> i)
+SELECT pair, CAST(count(*) AS BIGINT) AS n_cooccur
+FROM p GROUP BY pair ORDER BY n_cooccur DESC, pair LIMIT 30
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding standardization
 # ---------------------------------------------------------------------------
 
@@ -769,6 +798,13 @@ QUERIES: list[Query] = [
         oracle=BPE_PAIRS_ORACLE,
         tags=("text",),
         doc="adjacent-token-pair frequencies (one BPE merge round's candidate scores)",
+    ),
+    Query(
+        name="text_skipgram_cooccurrence",
+        spark_fn=text_skipgram_cooccurrence,
+        oracle=SKIPGRAM_ORACLE,
+        tags=("text",),
+        doc="±2-window skip-gram co-occurrence counts (word2vec/PMI corpus statistic)",
     ),
     Query(
         name="embedding_standardize",

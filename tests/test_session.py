@@ -438,3 +438,33 @@ def test_non_temp_view_ddl_invalidates_cached_plans(engine):
     engine.sql_directly("CREATE OR REPLACE VIEW pv_ddl AS SELECT 6 AS a")
     assert engine.sql_directly("SELECT a FROM pv_ddl").to_list_of_dicts() == [{"a": 6}]
     engine.sql_directly("DROP VIEW pv_ddl")
+
+
+def test_concurrent_view_ddl_and_queries(engine):
+    """The view-DDL invalidation path (drop_where under the LRU lock) must
+    be safe under concurrent redefinition + cached reads: no exceptions,
+    and after the dust settles every view reads its final definition."""
+    import threading
+
+    n_threads, n_iters = 6, 15
+    errors: list[Exception] = []
+
+    def worker(t: int) -> None:
+        try:
+            for i in range(n_iters):
+                engine.sql_directly(
+                    f"CREATE OR REPLACE TEMPORARY VIEW soak_v{t} AS SELECT {i} AS a"
+                )
+                engine.sql_directly(f"SELECT a FROM soak_v{t}")
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    for t in range(n_threads):
+        got = engine.sql_directly(f"SELECT a FROM soak_v{t}").to_list_of_dicts()
+        assert got == [{"a": n_iters - 1}], f"thread {t} view stale: {got}"
