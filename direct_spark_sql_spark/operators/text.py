@@ -374,3 +374,69 @@ def skipgram_cooccurrence(
         .orderBy(F.desc("n_cooccur"), "pair")
         .limit(top_k)
     )
+
+
+#: 1e-8 fixed-point snap for per-bigram log-probs (see retrieval.py BM25:
+#: floor(x*1e8 + 0.5) of identical doubles is deterministic cross-engine,
+#: making the per-document sum an order-independent BIGINT sum).
+_LP_UNITS = 100000000.0
+
+
+def bigram_logprob_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Language-model quality scoring with a corpus-trained bigram model —
+    the shape of CCNet/KenLM-style perplexity filtering, self-contained:
+    the "model" is the corpus' own add-one-smoothed bigram table.
+
+    score(doc) = mean over bigrams of ln((c(w1 w2) + 1) / (c(w1·) + V))
+    where c(w1·) is w1's history count and V the vocabulary size.  Low
+    (very negative) scores mark improbable token sequences — the
+    perplexity-filter signal.
+
+    Scale shape: bigram generation is the per-row regex (no shuffle);
+    model training is ONE hash agg over pairs (map-side combined); scoring
+    joins each doc's bigrams to the model on the bigram key — shuffle
+    bounded by corpus token count, never quadratic.  V is a 1-row
+    broadcast.
+    """
+    from direct_spark_sql_spark.operators.dedup import token_windows
+
+    toks = tokens(text_col)
+    pairs = (
+        df.filter(F.size(toks) >= 2)
+        .select(F.col(id_col), F.explode(token_windows(text_col, 2)).alias("pair"))
+    )
+    c2 = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    c1 = (
+        c2.select(F.split("pair", " ").getItem(0).alias("w1"), "c2")
+        .groupBy("w1")
+        .agg(F.sum("c2").cast("long").alias("c1"))
+    )
+    vocab = df.select(F.explode(tokens(text_col)).alias("t")).agg(
+        F.countDistinct("t").cast("long").alias("v")
+    )
+    lp = F.log(
+        (F.col("c2").cast("double") + F.lit(1.0))
+        / (F.col("c1").cast("double") + F.col("v").cast("double"))
+    )
+    units = F.floor(lp * F.lit(_LP_UNITS) + F.lit(0.5)).cast("long")
+    scored = (
+        pairs.join(c2, "pair")
+        .select(id_col, "pair", F.split("pair", " ").getItem(0).alias("w1"), "c2")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(id_col, units.alias("u"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (
+                F.sum("u").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(_LP_UNITS)
+            ).alias("avg_logprob"),
+        )
+        .orderBy(id_col)
+    )

@@ -186,6 +186,41 @@ FROM p GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 30
 
 
 # ---------------------------------------------------------------------------
+# Bigram-LM quality scores
+# ---------------------------------------------------------------------------
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from direct_spark_sql_spark.operators.text import bigram_logprob_scores
+
+    return bigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+
+
+BIGRAM_LP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+pairs AS (
+  SELECT doc_id, toks[s + 1] || ' ' || toks[s + 2] AS pair, toks[s + 1] AS w1
+  FROM d, UNNEST(generate_series(0, n - 2)) u(s)),
+c2 AS (SELECT pair, CAST(count(*) AS BIGINT) AS c2 FROM pairs GROUP BY pair),
+c1 AS (SELECT string_split(pair, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+       FROM c2 GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      FROM t, UNNEST(toks) u(tok)),
+scored AS (
+  SELECT p.doc_id,
+         CAST(FLOOR(LN((CAST(c2.c2 AS DOUBLE) + 1.0)
+                       / (CAST(c1.c1 AS DOUBLE) + CAST(v.v AS DOUBLE)))
+                    * 100000000.0 + 0.5) AS BIGINT) AS u
+  FROM pairs p JOIN c2 USING (pair) JOIN c1 ON c1.w1 = p.w1 CROSS JOIN v)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(u) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100000000.0
+         AS avg_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Skip-gram co-occurrence
 # ---------------------------------------------------------------------------
 
@@ -798,6 +833,13 @@ QUERIES: list[Query] = [
         oracle=BPE_PAIRS_ORACLE,
         tags=("text",),
         doc="adjacent-token-pair frequencies (one BPE merge round's candidate scores)",
+    ),
+    Query(
+        name="text_bigram_logprob",
+        spark_fn=text_bigram_logprob,
+        oracle=BIGRAM_LP_ORACLE,
+        tags=("text", "quality"),
+        doc="corpus-trained bigram-LM quality scores (perplexity-filter shape)",
     ),
     Query(
         name="text_skipgram_cooccurrence",

@@ -125,6 +125,7 @@ _NLJ_ALLOWED = {
     "tfidf_cosine_pairs",        # broadcast 1-row corpus size (N)
     "events_resample_ffill",     # broadcast 1-row (dmin, dmax) day bounds
     "embedding_quantized_rerank",  # broadcast single query vector
+    "text_bigram_logprob",         # broadcast 1-row vocabulary size (V)
 }
 
 
