@@ -186,6 +186,72 @@ FROM p GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 30
 
 
 # ---------------------------------------------------------------------------
+# End-to-end pretraining pipeline composition
+# ---------------------------------------------------------------------------
+
+def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE lazy DAG — language filter,
+    quality bar, canonical exact-dedup, then domain-weighted mixing —
+    with per-source output stats.  Nothing materializes between stages:
+    Catalyst sees the composed plan and optimizes across operator
+    boundaries (one window shuffle for the dedup, map-only everything
+    else).  This is the composability the operator library exists for."""
+    from direct_spark_sql_spark.operators import text as tx
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    feats = tx.quality_features(d)
+    scored = feats.select(
+        "doc_id", "source", "text", "n_tokens", "quality_score",
+        tx.predicted_language("text").alias("plang"),
+    )
+    fp = tx.fingerprint(scored)
+    canon = fp.withColumn("keep_id", F.min("doc_id").over(W.partitionBy("fp_content")))
+    kept = canon.filter(
+        (F.col("plang") == "en")
+        & (F.col("quality_score") >= 0.5)
+        & (F.col("doc_id") == F.col("keep_id"))
+    )
+    mixed = sp.domain_weighted_sample(
+        kept, key="doc_id", domain="source", weights=MIX_WEIGHTS,
+        default_weight=MIX_DEFAULT,
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+def _pretraining_e2e_oracle() -> str:
+    from direct_spark_sql_spark.plans.pipeline import curation_canon_cte
+
+    case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {int(w * sp.SAMPLE_BUCKETS)}"
+        for s, w in sorted(MIX_WEIGHTS.items())
+    ) + f" ELSE {int(MIX_DEFAULT * sp.SAMPLE_BUCKETS)} END"
+    bucket = h64_sql("source || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""{curation_canon_cte(", source")},
+kept AS (
+  SELECT doc_id, source, n_tokens FROM canon
+  WHERE plang = 'en' AND quality_score >= 0.5 AND doc_id = keep_id),
+mixed AS (
+  SELECT * FROM kept WHERE {bucket} % {sp.SAMPLE_BUCKETS} < {case})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM mixed GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Bigram-LM quality scores
 # ---------------------------------------------------------------------------
 
@@ -833,6 +899,13 @@ QUERIES: list[Query] = [
         oracle=BPE_PAIRS_ORACLE,
         tags=("text",),
         doc="adjacent-token-pair frequencies (one BPE merge round's candidate scores)",
+    ),
+    Query(
+        name="pipeline_pretraining_e2e",
+        spark_fn=pipeline_pretraining_e2e,
+        oracle=_pretraining_e2e_oracle(),
+        tags=("pipeline",),
+        doc="lang→quality→dedup→mixing as one lazy DAG with per-source stats",
     ),
     Query(
         name="text_bigram_logprob",

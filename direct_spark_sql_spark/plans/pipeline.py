@@ -500,7 +500,10 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _curation_oracle() -> str:
+def curation_canon_cte(extra: str = "") -> str:
+    """The t→f→scored→fp→canon CTE chain shared by corpus_curation and
+    composed end-to-end pipelines.  ``extra`` is a ', col'-style suffix of
+    additional document columns to carry through every stage."""
     hit_cols = ",\n         ".join(
         f"CAST(len(list_filter(toks, t -> list_contains({_lexicon_sql(lex)}, t))) AS BIGINT) AS hit_{lang}"
         for lang, lex in tx.LANG_LEXICONS.items()
@@ -509,9 +512,9 @@ def _curation_oracle() -> str:
     best = "GREATEST(" + ", ".join(f"hit_{lang}" for lang in langs_sorted) + ")"
     case = " ".join(f"WHEN hit_{lang} = {best} THEN '{lang}'" for lang in langs_sorted)
     return f"""
-WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+WITH t AS (SELECT doc_id{extra}, text, {TOKS_SQL} AS toks FROM documents),
 f AS (
-  SELECT doc_id, text, toks,
+  SELECT doc_id{extra}, text, toks,
          CAST(len(toks) AS BIGINT) AS n_tokens,
          CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
          CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_len,
@@ -520,7 +523,7 @@ f AS (
   FROM t
 ),
 scored AS (
-  SELECT doc_id, toks, n_tokens,
+  SELECT doc_id{extra}, toks, n_tokens,
          (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.5
            + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.2
            + LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality_score,
@@ -528,13 +531,17 @@ scored AS (
   FROM f
 ),
 fp AS (
-  SELECT doc_id, n_tokens, quality_score, plang,
+  SELECT doc_id{extra}, n_tokens, quality_score, plang,
          {h64_sql("array_to_string(list_sort(list_distinct(toks)), ' ')")} AS fp_content
   FROM scored
 ),
 canon AS (
   SELECT *, MIN(doc_id) OVER (PARTITION BY fp_content) AS keep_id FROM fp
-)
+)"""
+
+
+def _curation_oracle() -> str:
+    return f"""{curation_canon_cte()}
 SELECT doc_id, n_tokens, quality_score
 FROM canon
 WHERE plang = 'en' AND quality_score >= 0.5 AND doc_id = keep_id
