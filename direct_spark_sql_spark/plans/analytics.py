@@ -186,6 +186,24 @@ FROM p GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 30
 
 
 # ---------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL (modern SQL sugar, same text both engines)
+# ---------------------------------------------------------------------------
+
+GROUP_BY_ALL_SQL = """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from direct_spark_sql_spark.plans.base import sql_query
+
+    return sql_query(spark, sf_dir, GROUP_BY_ALL_SQL)
+
+
+# ---------------------------------------------------------------------------
 # End-to-end pretraining pipeline composition
 # ---------------------------------------------------------------------------
 
@@ -899,6 +917,13 @@ QUERIES: list[Query] = [
         oracle=BPE_PAIRS_ORACLE,
         tags=("text",),
         doc="adjacent-token-pair frequencies (one BPE merge round's candidate scores)",
+    ),
+    Query(
+        name="agg_group_by_all",
+        spark_fn=agg_group_by_all,
+        oracle=GROUP_BY_ALL_SQL,
+        tags=("agg", "sql"),
+        doc="GROUP BY ALL / ORDER BY ALL sugar (identical text both engines)",
     ),
     Query(
         name="pipeline_pretraining_e2e",

@@ -8,6 +8,7 @@ one of these would silently regress at scale; these tests make it loud.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from direct_spark_sql_spark.plans.registry import QUERIES
 from tests.conftest import SF_DIR
@@ -210,3 +211,46 @@ def test_join_hints_pass_through(spark):
     )
     plan_m = m._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan_m
+
+
+def test_partition_pruning_through_join(spark, tmp_path):
+    """Partition pruning through a join on the partition column — at
+    100 TB this is the difference between reading one partition and the
+    whole table.  Two regimes, both pinned:
+
+    - a LITERAL dim filter: Catalyst infers the partition predicate
+      statically (PartitionFilters on the fact scan, no runtime subquery
+      needed);
+    - a DATA-DEPENDENT dim filter: the partition values aren't knowable
+      at plan time, so dynamic partition pruning must inject a runtime
+      pruning subquery into the fact scan."""
+    from direct_spark_sql_spark.sources.registry import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    fact = str(tmp_path / "fact")
+    orders.write.partitionBy("o_orderpriority").parquet(fact)
+
+    # literal filter: static inference
+    dim_lit = orders.select("o_orderpriority").distinct().filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plan_lit = (
+        spark.read.parquet(fact).join(dim_lit, "o_orderpriority")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [(o_orderpriority" in plan_lit.replace("#", "")[
+        : len(plan_lit)
+    ] or "= 1-URGENT" in plan_lit.split("PartitionFilters")[1][:120]
+
+    # data-dependent filter: runtime DPP subquery
+    dim_dyn = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 100)
+        .select("o_orderpriority")
+    )
+    plan_dyn = (
+        spark.read.parquet(fact).join(dim_dyn, "o_orderpriority")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "dynamicpruning" in plan_dyn.lower(), plan_dyn[:1500]
