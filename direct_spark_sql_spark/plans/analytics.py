@@ -207,6 +207,18 @@ def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 # End-to-end pretraining pipeline composition
 # ---------------------------------------------------------------------------
 
+def _mix_predicate_sql() -> str:
+    """The domain_weighted_sample membership predicate as SQL text —
+    single source of truth for every oracle that replays the mixing step
+    (weights CASE + salted h64 bucket must match the Spark operator)."""
+    case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {int(w * sp.SAMPLE_BUCKETS)}"
+        for s, w in sorted(MIX_WEIGHTS.items())
+    ) + f" ELSE {int(MIX_DEFAULT * sp.SAMPLE_BUCKETS)} END"
+    bucket = h64_sql("source || ':' || CAST(doc_id AS VARCHAR)")
+    return f"{bucket} % {sp.SAMPLE_BUCKETS} < {case}"
+
+
 def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole curation pipeline as ONE lazy DAG — language filter,
     quality bar, canonical exact-dedup, then domain-weighted mixing —
@@ -249,17 +261,12 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pretraining_e2e_oracle() -> str:
     from direct_spark_sql_spark.plans.pipeline import curation_canon_cte
 
-    case = "CASE source " + " ".join(
-        f"WHEN '{s}' THEN {int(w * sp.SAMPLE_BUCKETS)}"
-        for s, w in sorted(MIX_WEIGHTS.items())
-    ) + f" ELSE {int(MIX_DEFAULT * sp.SAMPLE_BUCKETS)} END"
-    bucket = h64_sql("source || ':' || CAST(doc_id AS VARCHAR)")
     return f"""{curation_canon_cte(", source")},
 kept AS (
   SELECT doc_id, source, n_tokens FROM canon
   WHERE plang = 'en' AND quality_score >= 0.5 AND doc_id = keep_id),
 mixed AS (
-  SELECT * FROM kept WHERE {bucket} % {sp.SAMPLE_BUCKETS} < {case})
+  SELECT * FROM kept WHERE {_mix_predicate_sql()})
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
@@ -866,18 +873,13 @@ def sample_domain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mix_oracle() -> str:
-    case = "CASE source " + " ".join(
-        f"WHEN '{s}' THEN {int(w * sp.SAMPLE_BUCKETS)}"
-        for s, w in sorted(MIX_WEIGHTS.items())
-    ) + f" ELSE {int(MIX_DEFAULT * sp.SAMPLE_BUCKETS)} END"
-    bucket = h64_sql("source || ':' || CAST(doc_id AS VARCHAR)")
     return f"""
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_kept,
        CAST(min(doc_id) AS BIGINT) AS min_doc,
        CAST(max(doc_id) AS BIGINT) AS max_doc
 FROM documents
-WHERE {bucket} % {sp.SAMPLE_BUCKETS} < {case}
+WHERE {_mix_predicate_sql()}
 GROUP BY source ORDER BY source
 """
 

@@ -238,9 +238,9 @@ def test_partition_pruning_through_join(spark, tmp_path):
         spark.read.parquet(fact).join(dim_lit, "o_orderpriority")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "PartitionFilters: [(o_orderpriority" in plan_lit.replace("#", "")[
-        : len(plan_lit)
-    ] or "= 1-URGENT" in plan_lit.split("PartitionFilters")[1][:120]
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*= 1-URGENT", plan_lit), plan_lit[:1500]
 
     # data-dependent filter: runtime DPP subquery
     dim_dyn = (
