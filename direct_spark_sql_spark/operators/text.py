@@ -440,3 +440,55 @@ def bigram_logprob_scores(
         )
         .orderBy(id_col)
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 25,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations over adjacent token
+    pairs: PMI = ln(N * c(a,b) / (c(a·) * c(·b))), the association score
+    that surfaces multiword expressions for tokenizer/phrase mining.
+
+    c(a·)/c(·b) are left/right positional counts derived from the bigram
+    table itself (one extra tiny agg each, no corpus re-scan); N is the
+    total bigram count (1-row broadcast).  ``min_count`` drops rare pairs
+    before scoring — the standard noise gate, applied identically in the
+    oracle.  PMI values snap to integer 1e-8 units (floor of identical
+    IEEE doubles), so ordering is engine-exact.
+    """
+    from direct_spark_sql_spark.operators.dedup import token_windows
+
+    toks = tokens(text_col)
+    pairs = (
+        df.filter(F.size(toks) >= 2)
+        .select(F.explode(token_windows(text_col, 2)).alias("pair"))
+    )
+    c2 = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    split = F.split("pair", " ")
+    keyed = c2.select(
+        "pair", "c2", split.getItem(0).alias("w1"), split.getItem(1).alias("w2")
+    )
+    left = keyed.groupBy("w1").agg(F.sum("c2").cast("long").alias("cl"))
+    right = keyed.groupBy("w2").agg(F.sum("c2").cast("long").alias("cr"))
+    total = c2.agg(F.sum("c2").cast("long").alias("n"))
+    pmi = F.log(
+        F.col("n").cast("double")
+        * F.col("c2").cast("double")
+        / (F.col("cl").cast("double") * F.col("cr").cast("double"))
+    )
+    units = F.floor(pmi * F.lit(_LP_UNITS) + F.lit(0.5)).cast("long")
+    return (
+        keyed.filter(F.col("c2") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "pair", "c2",
+            (units.cast("double") / F.lit(_LP_UNITS)).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "pair")
+        .limit(top_k)
+    )

@@ -312,6 +312,45 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+
+
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from direct_spark_sql_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(
+        load_table(spark, sf_dir, "documents"), min_count=PMI_MIN_COUNT, top_k=25
+    )
+
+
+PMI_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+pairs AS (
+  SELECT toks[s + 1] || ' ' || toks[s + 2] AS pair
+  FROM d, UNNEST(generate_series(0, n - 2)) u(s)),
+c2 AS (SELECT pair, CAST(count(*) AS BIGINT) AS c2 FROM pairs GROUP BY pair),
+keyed AS (SELECT pair, c2,
+                 string_split(pair, ' ')[1] AS w1,
+                 string_split(pair, ' ')[2] AS w2
+          FROM c2),
+l AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS cl FROM keyed GROUP BY w1),
+r AS (SELECT w2, CAST(SUM(c2) AS BIGINT) AS cr FROM keyed GROUP BY w2),
+tot AS (SELECT CAST(SUM(c2) AS BIGINT) AS n FROM c2)
+SELECT pair, c2,
+       CAST(FLOOR(LN(CAST(n AS DOUBLE) * CAST(c2 AS DOUBLE)
+                     / (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE)))
+                  * 100000000.0 + 0.5) AS BIGINT) / 100000000.0 AS pmi
+FROM keyed JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+WHERE c2 >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, pair LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
 # Skip-gram co-occurrence
 # ---------------------------------------------------------------------------
 
@@ -940,6 +979,13 @@ QUERIES: list[Query] = [
         oracle=BIGRAM_LP_ORACLE,
         tags=("text", "quality"),
         doc="corpus-trained bigram-LM quality scores (perplexity-filter shape)",
+    ),
+    Query(
+        name="text_pmi_collocations",
+        spark_fn=text_pmi_collocations,
+        oracle=PMI_ORACLE,
+        tags=("text",),
+        doc="PMI-ranked adjacent-pair collocations (phrase-mining statistic)",
     ),
     Query(
         name="text_skipgram_cooccurrence",

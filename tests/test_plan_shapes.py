@@ -127,6 +127,7 @@ _NLJ_ALLOWED = {
     "events_resample_ffill",     # broadcast 1-row (dmin, dmax) day bounds
     "embedding_quantized_rerank",  # broadcast single query vector
     "text_bigram_logprob",         # broadcast 1-row vocabulary size (V)
+    "text_pmi_collocations",       # broadcast 1-row total bigram count (N)
 }
 
 
