@@ -100,6 +100,66 @@ def funnel_counts(
     )
 
 
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    top_k: int = 15,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top event-type paths per session — the flow-analysis query behind
+    "what do users actually do": sessionize by inactivity gap, render each
+    session as its ordered event-type sequence, count identical paths.
+
+    Shape: one shuffle by user for the session islands (lag + running
+    flag-sum windows), one hash agg per session collecting the encoded
+    events (map-side combined), one corpus-wide path count, bounded
+    top-k.  Event order inside a session uses the encoded
+    (micros, event_id) key, so paths are deterministic under ties.
+    """
+    from pyspark.sql import Window as W
+
+    k = _epoch_us(F.col(ts_col)) * 1024 + F.pmod(F.col(id_col), F.lit(1024))
+    gap_us = gap_minutes * 60 * 1_000_000
+    w_user = W.partitionBy("user").orderBy("k")
+    flagged = (
+        events.select(
+            F.col(user_col).alias("user"), k.alias("k"), F.col(type_col).alias("etype")
+        )
+        .withColumn("prev_k", F.lag("k").over(w_user))
+        .withColumn(
+            "new_session",
+            # decode micros exactly (k div 1024 strips the id tie-break
+            # bits) — a float division would wobble on exact-gap edges
+            (F.col("prev_k").isNull())
+            | (F.expr("(k div 1024) - (prev_k div 1024)") >= F.lit(gap_us)),
+        )
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum(F.col("new_session").cast("long")).over(
+            w_user.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    paths = (
+        sessions.groupBy("user", "session_seq")
+        .agg(F.array_sort(F.collect_list(F.struct("k", "etype"))).alias("evs"))
+        .select(
+            F.array_join(
+                F.transform("evs", lambda e: e["etype"]), ">"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(top_k)
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",

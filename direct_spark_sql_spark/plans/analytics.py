@@ -312,6 +312,41 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Session path analysis
+# ---------------------------------------------------------------------------
+
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return an.session_paths(e, gap_minutes=30, top_k=15)
+
+
+SESSION_PATHS_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) * 1024 + event_id % 1024 AS k,
+         epoch_us(ts) AS us
+  FROM events),
+marked AS (
+  SELECT user_id, event_type, k,
+         CASE WHEN LAG(us) OVER w IS NULL
+                OR us - LAG(us) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY k)),
+numbered AS (
+  SELECT user_id, event_type, k,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY k
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM marked),
+paths AS (
+  SELECT string_agg(event_type, '>' ORDER BY k) AS path
+  FROM numbered GROUP BY user_id, session_seq)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path ORDER BY n_sessions DESC, path LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
 # PMI collocations
 # ---------------------------------------------------------------------------
 
@@ -979,6 +1014,13 @@ QUERIES: list[Query] = [
         oracle=BIGRAM_LP_ORACLE,
         tags=("text", "quality"),
         doc="corpus-trained bigram-LM quality scores (perplexity-filter shape)",
+    ),
+    Query(
+        name="events_session_paths",
+        spark_fn=events_session_paths,
+        oracle=SESSION_PATHS_ORACLE,
+        tags=("analytics", "events"),
+        doc="top event-type paths per inactivity-gap session (flow analysis)",
     ),
     Query(
         name="text_pmi_collocations",

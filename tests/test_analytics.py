@@ -249,3 +249,21 @@ def test_zorder_files_have_tight_rectangles(spark, tmp_path):
     # 16 contiguous curve segments over a 64x64 grid: near-square tiles of
     # ~1/16 the domain each; a one-dimensional sort would average ~1.0
     assert avg_fraction < 0.25, f"files cover {avg_fraction:.2f} of the domain"
+
+
+def test_session_paths_gap_split_and_order(spark):
+    from direct_spark_sql_spark.operators.analytics import session_paths
+
+    rows = [
+        (1, 0, 1, "view"), (2, 0, 1, "click"),          # session 1: view>click
+        (3, 2, 1, "purchase"),                           # 2h later: own session
+        (4, 0, 2, "view"), (5, 0, 2, "click"),          # user 2: same path
+    ]
+    df = spark.createDataFrame(
+        [(e, __import__("datetime").datetime(2024, 1, 1, h, m), u, t)
+         for e, h, u, t in [(r[0], r[1], r[2], r[3]) for r in rows]
+         for m in [e]],  # minute offset = event_id keeps in-session order
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING",
+    )
+    out = {r.path: r.n_sessions for r in session_paths(df, gap_minutes=30).collect()}
+    assert out == {"view>click": 2, "purchase": 1}
