@@ -345,6 +345,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric shingle containment: |A∩B| / min(|A|, |B|) — the
+    subset-duplication detector.  A short document wholly contained in a
+    longer one scores near 1.0 here while its symmetric Jaccard
+    (|A∩B| / |A∪B|) stays low, so containment catches quote-expansion and
+    boilerplate-wrapped copies that Jaccard dedup misses.
+
+    Same scale shape as :func:`ngram_jaccard_pairs` (shared-shingle
+    blocking + stop-shingle df cap); emits both directional scores and
+    the max-containment the threshold applies to.
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col)).alias("sh")).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    blocked = sh
+    if max_shingle_df is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        blocked = sh.join(freq.filter(F.col("df") <= max_shingle_df), "sh")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    c_in_a = F.col("n_common").cast("double") / F.col("size_a").cast("double")
+    c_in_b = F.col("n_common").cast("double") / F.col("size_b").cast("double")
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a", "id_b",
+            c_in_a.alias("containment_a"),
+            c_in_b.alias("containment_b"),
+            F.greatest(c_in_a, c_in_b).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -312,6 +312,49 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Containment dedup (subset duplication)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.containment_pairs(
+        d, threshold=CONTAINMENT_THRESHOLD, max_shingle_df=1000
+    ).orderBy("id_a", "id_b")
+
+
+def _containment_oracle() -> str:
+    from direct_spark_sql_spark.plans.pipeline import SHINGLES_SQL
+
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS s FROM t),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+freq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+blocked AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s) WHERE df <= 1000),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM blocked a JOIN blocked b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT id_a, id_b,
+         CAST(n_common AS DOUBLE) / CAST(sa.set_size AS DOUBLE) AS containment_a,
+         CAST(n_common AS DOUBLE) / CAST(sb.set_size AS DOUBLE) AS containment_b,
+         GREATEST(CAST(n_common AS DOUBLE) / CAST(sa.set_size AS DOUBLE),
+                  CAST(n_common AS DOUBLE) / CAST(sb.set_size AS DOUBLE))
+           AS containment
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b)
+WHERE containment >= {CONTAINMENT_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Session path analysis
 # ---------------------------------------------------------------------------
 
@@ -1014,6 +1057,13 @@ QUERIES: list[Query] = [
         oracle=BIGRAM_LP_ORACLE,
         tags=("text", "quality"),
         doc="corpus-trained bigram-LM quality scores (perplexity-filter shape)",
+    ),
+    Query(
+        name="dedup_containment",
+        spark_fn=dedup_containment,
+        oracle=_containment_oracle(),
+        tags=("dedup", "text"),
+        doc="asymmetric shingle containment pairs (subset-duplication detector)",
     ),
     Query(
         name="events_session_paths",

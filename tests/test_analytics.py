@@ -267,3 +267,23 @@ def test_session_paths_gap_split_and_order(spark):
     )
     out = {r.path: r.n_sessions for r in session_paths(df, gap_minutes=30).collect()}
     assert out == {"view>click": 2, "purchase": 1}
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from direct_spark_sql_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different content here")],
+        "doc_id BIGINT, text STRING",
+    )
+    cont = containment_pairs(df, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b) for r in cont] == [(1, 2)]
+    assert cont[0].containment_a > 0.9  # the short doc is inside the long one
+    # symmetric Jaccard misses the same pair at the same bar
+    jac = ngram_jaccard_pairs(df, threshold=0.9).collect()
+    assert jac == []
