@@ -203,6 +203,29 @@ def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_query(spark, sf_dir, GROUP_BY_ALL_SQL)
 
 
+#: NULL aggregation semantics, one text for both engines: COUNT(*) counts
+#: NULLs, COUNT(v) doesn't, SUM over an all-NULL group is NULL (not 0),
+#: and the decimal→ROUND→DOUBLE funnel passes NULL through unchanged.
+NULL_AGG_SQL = """
+SELECT l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_nulls,
+       CAST(CAST(ROUND(SUM(v), 6) AS DECIMAL(24,6)) AS DOUBLE) AS sum_v
+FROM (SELECT l_linestatus,
+             CASE WHEN l_quantity < 10 THEN NULL
+                  ELSE CAST(l_quantity AS DECIMAL(12,2)) END AS v
+      FROM lineitem)
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def agg_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from direct_spark_sql_spark.plans.base import sql_query
+
+    return sql_query(spark, sf_dir, NULL_AGG_SQL)
+
+
 # ---------------------------------------------------------------------------
 # End-to-end pretraining pipeline composition
 # ---------------------------------------------------------------------------
@@ -1043,6 +1066,13 @@ QUERIES: list[Query] = [
         oracle=GROUP_BY_ALL_SQL,
         tags=("agg", "sql"),
         doc="GROUP BY ALL / ORDER BY ALL sugar (identical text both engines)",
+    ),
+    Query(
+        name="agg_null_semantics",
+        spark_fn=agg_null_semantics,
+        oracle=NULL_AGG_SQL,
+        tags=("agg", "sql"),
+        doc="NULL aggregation contract: COUNT(*) vs COUNT(v), NULL-propagating SUM",
     ),
     Query(
         name="pipeline_pretraining_e2e",
