@@ -203,6 +203,56 @@ def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_query(spark, sf_dir, GROUP_BY_ALL_SQL)
 
 
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent whole-table checksum — the migration/copy
+    validator: after moving 100 TB between clusters or formats, two
+    engines computing the same (count, checksum) pair over canonical row
+    strings proves row-level equality without sorting or comparing rows.
+    Sum of per-row 60-bit MD5 hashes mod 2^61-1: commutative (shuffle- and
+    partitioning-invariant), collision-safe to ~1e-18 per pair."""
+    from direct_spark_sql_spark.hashing import h64
+    from direct_spark_sql_spark.sources.registry import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    canonical = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        # decimal→string keeps the declared scale in both engines
+        F.col("o_totalprice").cast("decimal(14,2)").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    m61 = (1 << 61) - 1
+    # the sum runs in DECIMAL(38,0): 61-bit terms overflow BIGINT after a
+    # few rows; 38-digit decimal is exact past 1e12 rows in both engines
+    return o.select(
+        F.pmod(h64(canonical), F.lit(m61)).cast("decimal(38,0)").alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.pmod(F.sum("h"), F.lit(m61).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("checksum"),
+    )
+
+
+def _checksum_oracle() -> str:
+    m61 = (1 << 61) - 1
+    canonical = (
+        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+        " || '|' || o_orderstatus"
+        " || '|' || CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR)"
+        " || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)"
+        " || '|' || o_orderpriority"
+    )
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM({h64_sql(canonical)} % {m61}) % {m61} AS BIGINT) AS checksum
+FROM orders
+"""
+
+
 #: NULL aggregation semantics, one text for both engines: COUNT(*) counts
 #: NULLs, COUNT(v) doesn't, SUM over an all-NULL group is NULL (not 0),
 #: and the decimal→ROUND→DOUBLE funnel passes NULL through unchanged.
@@ -1066,6 +1116,13 @@ QUERIES: list[Query] = [
         oracle=GROUP_BY_ALL_SQL,
         tags=("agg", "sql"),
         doc="GROUP BY ALL / ORDER BY ALL sugar (identical text both engines)",
+    ),
+    Query(
+        name="table_checksum_orders",
+        spark_fn=table_checksum_orders,
+        oracle=_checksum_oracle(),
+        tags=("integrity",),
+        doc="order-independent whole-table checksum (migration/copy validator)",
     ),
     Query(
         name="agg_null_semantics",
