@@ -117,7 +117,10 @@ def session_paths(
     flag-sum windows), one hash agg per session collecting the encoded
     events (map-side combined), one corpus-wide path count, bounded
     top-k.  Event order inside a session uses the encoded
-    (micros, event_id) key, so paths are deterministic under ties.
+    (micros, event_id mod 1024) key with event_type as the final
+    tie-break (the struct sort is lexicographic), so paths stay
+    deterministic even if two same-microsecond events collide on the
+    key's 10 id bits.
     """
     from pyspark.sql import Window as W
 
@@ -131,10 +134,15 @@ def session_paths(
         .withColumn("prev_k", F.lag("k").over(w_user))
         .withColumn(
             "new_session",
-            # decode micros exactly (k div 1024 strips the id tie-break
-            # bits) — a float division would wobble on exact-gap edges
+            # decode micros exactly with an arithmetic shift (floor
+            # division even for pre-1970 negative micros, where `div`
+            # truncates toward zero); float division would wobble on
+            # exact-gap edges
             (F.col("prev_k").isNull())
-            | (F.expr("(k div 1024) - (prev_k div 1024)") >= F.lit(gap_us)),
+            | (
+                (F.shiftright("k", 10) - F.shiftright("prev_k", 10))
+                >= F.lit(gap_us)
+            ),
         )
     )
     sessions = flagged.withColumn(

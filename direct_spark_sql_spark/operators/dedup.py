@@ -298,18 +298,17 @@ def _band_table_with_sig(sig: DataFrame, id_col: str) -> DataFrame:
 # n-gram Jaccard (exact set similarity, shingle-blocked)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    threshold: float = 0.5,
-    max_shingle_df: int | None = 1000,
-) -> DataFrame:
-    """Exact Jaccard over distinct word n-gram shingle sets, blocked on
-    shared shingles.  ``max_shingle_df`` drops shingles appearing in more
-    than that many documents before pairing (stop-shingle skew guard) —
-    set sizes still count every shingle, so similarity is only
-    *underestimated* for pathological stop-shingle-only pairs."""
+def _blocked_shingle_overlap(
+    df: DataFrame, id_col: str, text_col: str, max_shingle_df: int | None
+):
+    """Shared plumbing for set-overlap dedup (Jaccard, containment):
+    distinct shingles per doc, per-doc set sizes, the stop-shingle df cap,
+    and the shared-shingle blocked intersection counts.
+
+    Returns ``(inter, sizes)``: ``inter`` = (id_a, id_b, n_common) for
+    id_a < id_b pairs sharing >= 1 (un-capped) shingle; ``sizes`` =
+    (id, set_size) counting EVERY shingle (cap applies to blocking only,
+    so similarity is only underestimated for stop-shingle-only pairs)."""
     sh = df.select(F.col(id_col), F.explode(shingles(text_col)).alias("sh")).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     blocked = sh
@@ -328,6 +327,22 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    return inter, sizes
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-gram shingle sets, blocked on
+    shared shingles.  ``max_shingle_df`` drops shingles appearing in more
+    than that many documents before pairing (stop-shingle skew guard) —
+    set sizes still count every shingle, so similarity is only
+    *underestimated* for pathological stop-shingle-only pairs."""
+    inter, sizes = _blocked_shingle_overlap(df, id_col, text_col, max_shingle_df)
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
     return (
@@ -359,27 +374,11 @@ def containment_pairs(
     boilerplate-wrapped copies that Jaccard dedup misses.
 
     Same scale shape as :func:`ngram_jaccard_pairs` (shared-shingle
-    blocking + stop-shingle df cap); emits both directional scores and
-    the max-containment the threshold applies to.
+    blocking + stop-shingle df cap, via the same
+    :func:`_blocked_shingle_overlap` plumbing); emits both directional
+    scores and the max-containment the threshold applies to.
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col)).alias("sh")).distinct()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    blocked = sh
-    if max_shingle_df is not None:
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-        blocked = sh.join(freq.filter(F.col("df") <= max_shingle_df), "sh")
-    a, b = blocked.alias("a"), blocked.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    inter, sizes = _blocked_shingle_overlap(df, id_col, text_col, max_shingle_df)
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
     c_in_a = F.col("n_common").cast("double") / F.col("size_a").cast("double")

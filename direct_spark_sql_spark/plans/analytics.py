@@ -214,15 +214,24 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from direct_spark_sql_spark.sources.registry import load_table
 
     o = load_table(spark, sf_dir, "orders")
+    def cf(c):  # NULL-preserving canonical field: concat_ws would silently
+        # DROP null fields (making ('a', NULL) and (NULL, 'a') collide and
+        # diverging from the oracle's NULL-propagating ||)
+        return F.coalesce(c.cast("string"), F.lit("\x00NULL"))
+
     canonical = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        # decimal→string keeps the declared scale in both engines
-        F.col("o_totalprice").cast("decimal(14,2)").cast("string"),
-        F.col("o_orderdate").cast("date").cast("string"),
-        F.col("o_orderpriority"),
+        cf(F.col("o_orderkey")),
+        cf(F.col("o_custkey")),
+        cf(F.col("o_orderstatus")),
+        # money doubles canonicalize via the repo-wide DECIMAL(14,2) cast;
+        # exact only because the corpus guarantees 2-decimal money values
+        # (FIXTURES.md) — the same contract every TPC-H money SUM relies
+        # on.  Arbitrary-precision doubles would need a bitwise canonical
+        # form instead (Spark and DuckDB round repr vs binary differently).
+        cf(F.col("o_totalprice").cast("decimal(14,2)")),
+        cf(F.col("o_orderdate").cast("date")),
+        cf(F.col("o_orderpriority")),
     )
     m61 = (1 << 61) - 1
     # the sum runs in DECIMAL(38,0): 61-bit terms overflow BIGINT after a
@@ -239,13 +248,16 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _checksum_oracle() -> str:
     m61 = (1 << 61) - 1
-    canonical = (
-        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
-        " || '|' || o_orderstatus"
-        " || '|' || CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR)"
-        " || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)"
-        " || '|' || o_orderpriority"
-    )
+    nul = "chr(0) || 'NULL'"
+    fields = [
+        "CAST(o_orderkey AS VARCHAR)",
+        "CAST(o_custkey AS VARCHAR)",
+        "o_orderstatus",
+        "CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR)",
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)",
+        "o_orderpriority",
+    ]
+    canonical = " || '|' || ".join(f"COALESCE({f}, {nul})" for f in fields)
     return f"""
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(SUM({h64_sql(canonical)} % {m61}) % {m61} AS BIGINT) AS checksum
@@ -399,19 +411,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _containment_oracle() -> str:
-    from direct_spark_sql_spark.plans.pipeline import SHINGLES_SQL
+    from direct_spark_sql_spark.plans.pipeline import SHINGLE_OVERLAP_CTES
 
-    return f"""
-WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
-sh AS (SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS s FROM t),
-sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
-freq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
-blocked AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s) WHERE df <= 1000),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-  FROM blocked a JOIN blocked b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
+    return f"""{SHINGLE_OVERLAP_CTES}
 SELECT * FROM (
   SELECT id_a, id_b,
          CAST(n_common AS DOUBLE) / CAST(sa.set_size AS DOUBLE) AS containment_a,
@@ -455,7 +457,10 @@ numbered AS (
            AS session_seq
   FROM marked),
 paths AS (
-  SELECT string_agg(event_type, '>' ORDER BY k) AS path
+  -- ORDER BY (k, event_type) mirrors Spark's lexicographic struct sort,
+  -- so a k-collision (same microsecond, event ids congruent mod 1024)
+  -- still renders a deterministic, engine-identical path
+  SELECT string_agg(event_type, '>' ORDER BY k, event_type) AS path
   FROM numbered GROUP BY user_id, session_seq)
 SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
 FROM paths GROUP BY path ORDER BY n_sessions DESC, path LIMIT 15

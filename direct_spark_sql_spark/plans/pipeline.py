@@ -179,7 +179,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_NGRAM_ORACLE = f"""
+#: Shared CTE block (t→sh→sizes→freq→blocked→inter) for set-overlap
+#: dedup oracles — the SQL twin of operators/dedup.py:
+#: _blocked_shingle_overlap, used by the Jaccard and containment oracles.
+SHINGLE_OVERLAP_CTES = f"""
 WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
 sh AS (SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS s FROM t),
 sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
@@ -189,7 +192,9 @@ inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
   FROM blocked a JOIN blocked b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+DEDUP_NGRAM_ORACLE = f"""{SHINGLE_OVERLAP_CTES}
 SELECT id_a, id_b,
        CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) AS jaccard
 FROM inter

@@ -254,15 +254,14 @@ def test_zorder_files_have_tight_rectangles(spark, tmp_path):
 def test_session_paths_gap_split_and_order(spark):
     from direct_spark_sql_spark.operators.analytics import session_paths
 
+    # minute offset = event_id keeps in-session event order deterministic
     rows = [
         (1, 0, 1, "view"), (2, 0, 1, "click"),          # session 1: view>click
         (3, 2, 1, "purchase"),                           # 2h later: own session
         (4, 0, 2, "view"), (5, 0, 2, "click"),          # user 2: same path
     ]
     df = spark.createDataFrame(
-        [(e, __import__("datetime").datetime(2024, 1, 1, h, m), u, t)
-         for e, h, u, t in [(r[0], r[1], r[2], r[3]) for r in rows]
-         for m in [e]],  # minute offset = event_id keeps in-session order
+        [(e, dt.datetime(2024, 1, 1, h, e), u, t) for e, h, u, t in rows],
         "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING",
     )
     out = {r.path: r.n_sessions for r in session_paths(df, gap_minutes=30).collect()}
