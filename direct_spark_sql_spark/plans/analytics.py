@@ -397,6 +397,68 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Daily-volume anomaly detection
+# ---------------------------------------------------------------------------
+
+ANOMALY_Z = 1.5
+
+
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose event volume deviates ≥ {z}σ from the corpus mean — the
+    monitoring query over ingestion volume.  Exact by construction: daily
+    counts are BIGINT, the moment sums are BIGINT, and mean/std/z are
+    single IEEE expressions over identical integers in both engines.  The
+    1-row stats aggregate broadcasts; everything else is one hash agg."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}")
+    daily = e.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n_events").cast("long").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_days").cast("double")
+    std = F.sqrt(
+        F.col("ss").cast("double") / F.col("n_days").cast("double") - mean * mean
+    )
+    z = (F.col("n_events").cast("double") - mean) / std
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "n_events",
+            z.alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) >= ANOMALY_Z)
+        .orderBy("day")
+    )
+
+
+ANOMALY_DAYS_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {_US_PER_DAY} AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(SUM(n_events) AS BIGINT) AS s,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS ss
+  FROM daily)
+SELECT * FROM (
+  SELECT CAST(day AS BIGINT) AS day, n_events,
+         (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+           / SQRT(CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)
+                  - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+                    * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))) AS z_score
+  FROM daily CROSS JOIN st)
+WHERE ABS(z_score) >= {ANOMALY_Z}
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
 # Containment dedup (subset duplication)
 # ---------------------------------------------------------------------------
 
@@ -1149,6 +1211,13 @@ QUERIES: list[Query] = [
         oracle=BIGRAM_LP_ORACLE,
         tags=("text", "quality"),
         doc="corpus-trained bigram-LM quality scores (perplexity-filter shape)",
+    ),
+    Query(
+        name="events_anomaly_days",
+        spark_fn=events_anomaly_days,
+        oracle=ANOMALY_DAYS_ORACLE,
+        tags=("analytics", "events"),
+        doc="daily-volume z-score outliers (ingestion monitoring)",
     ),
     Query(
         name="dedup_containment",

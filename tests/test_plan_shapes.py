@@ -128,6 +128,7 @@ _NLJ_ALLOWED = {
     "embedding_quantized_rerank",  # broadcast single query vector
     "text_bigram_logprob",         # broadcast 1-row vocabulary size (V)
     "text_pmi_collocations",       # broadcast 1-row total bigram count (N)
+    "events_anomaly_days",         # broadcast 1-row corpus day stats
 }
 
 
