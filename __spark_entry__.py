@@ -21,7 +21,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator (SURVEY.md §2 + north-star ops)."""
+    """One entry per implemented operator (SURVEY.md §2 + north-star ops).
+
+    Iteration order rotates: the registry sorts entries so queries that have
+    never appeared in a past ``CORRECTNESS_r*.json`` (or appeared longest
+    ago) come first.  A driver that sweeps a bounded prefix per round will
+    therefore cover the whole registry cumulatively across rounds instead of
+    re-checking the same fixed subset.
+    """
     from direct_spark_sql_spark.plans.registry import all_queries
 
     return {q.name: q.spark_fn for q in all_queries()}

@@ -47,11 +47,11 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
-FRAME_SCHEMA = T.StructType(
+CHUNK_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("frame_idx", T.IntegerType()),
-        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("chunk_bytes", T.BinaryType()),
     ]
 )
 
@@ -189,15 +189,18 @@ def extract_features(
     return df.select(id_col, media_col).mapInPandas(run, FEATURE_SCHEMA)
 
 
-def sample_frames(
+def chunk_binary(
     df: DataFrame,
     id_col: str = "doc_id",
     media_col: str = "media",
-    n_frames: int = 4,
+    n_chunks: int = 4,
 ) -> DataFrame:
-    """Frame sampling stub: split each payload into ``n_frames`` contiguous
-    chunks (stand-in for video keyframe extraction).  One row per frame;
-    flatMap-shaped output through mapInPandas."""
+    """Split each binary payload into ``n_chunks`` contiguous byte ranges —
+    the blob-sharding step a pipeline needs before shipping oversized
+    payloads through per-record size limits.  One row per chunk;
+    flatMap-shaped output through Arrow-batched mapInPandas.  (Video
+    *keyframe* sampling is the separate real decoder,
+    :func:`sample_video_frames`.)"""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -206,12 +209,12 @@ def sample_frames(
                 payload = bytes(payload) if payload is not None else b""
                 if not payload:
                     continue
-                step = max(len(payload) // n_frames, 1)
-                for i in range(min(n_frames, len(payload))):
+                step = max(len(payload) // n_chunks, 1)
+                for i in range(min(n_chunks, len(payload))):
                     rows.append((int(doc_id), i, payload[i * step : (i + 1) * step]))
-            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+            yield pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA.fields])
 
-    return df.select(id_col, media_col).mapInPandas(run, FRAME_SCHEMA)
+    return df.select(id_col, media_col).mapInPandas(run, CHUNK_SCHEMA)
 
 
 AUDIO_FEATURE_SCHEMA = T.StructType(

@@ -7,14 +7,17 @@ The core primitive is a **distributed prefix sum**.  A naive global
 running total (`Window.orderBy(...)` with no partition key) collapses to
 ONE partition — the classic Spark scale trap.  The scale-correct shape:
 
-1. range-repartition by the order key (partition i holds strictly
-   smaller keys than partition i+1) and sort within partitions;
-2. per-partition running totals (a window keyed by the partition id —
-   parallel across partitions);
-3. per-partition totals are a tiny aggregate, collected and turned into
-   cumulative offsets broadcast back — O(#partitions) driver data, never
-   row data;
-4. each row's global prefix = partition offset + local running total.
+1. assign each row a *data-derived* range-bucket id (split points are
+   sampled once, driver-side, and inlined as literals — the bucket is a
+   pure function of the order key, so any stage recompute or lost
+   exchange reuse re-derives identical buckets; round-2 advice flagged
+   the previous ``spark_partition_id()`` shape for tying correctness to
+   physical partition placement);
+2. per-bucket running totals (a window keyed by the bucket id —
+   parallel across buckets);
+3. per-bucket totals are a tiny aggregate, turned into cumulative
+   offsets broadcast back — O(#buckets) driver data, never row data;
+4. each row's global prefix = bucket offset + local running total.
 
 Every step is deterministic, so the packing is reproducible run-to-run
 and engine-to-engine (the oracle uses a plain SQL window cumsum).
@@ -23,6 +26,36 @@ and engine-to-engine (the oracle uses a plain SQL window cumsum).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _range_bucket(df: DataFrame, order_col: str, partitions: int) -> Column:
+    """A deterministic range-bucket id for ``order_col``: 0..n-1, bucket
+    boundaries non-decreasing in key order.  Split points come from one
+    seeded-sample job (bounded: ~64 values per target bucket) and are
+    baked into the expression as literals, so the mapping key→bucket is
+    stable across jobs, retries, and plan re-executions."""
+    n = max(1, int(partitions))
+    if n == 1:
+        return F.lit(0)
+    target = n * 64
+    cnt = df.count()
+    if cnt == 0:
+        return F.lit(0)
+    fraction = min(1.0, target / cnt)
+    sampled = sorted(
+        r[0]
+        for r in df.select(order_col).sample(fraction=fraction, seed=42).collect()
+        if r[0] is not None
+    )
+    if not sampled:
+        return F.lit(0)
+    # n-1 evenly spaced split points; dedup keeps buckets monotone.
+    raw = [sampled[(len(sampled) * i) // n] for i in range(1, n)]
+    splits = sorted(set(raw))
+    bucket: Column = F.lit(0)
+    for b in splits:
+        bucket = bucket + F.when(F.col(order_col) >= F.lit(b), 1).otherwise(0)
+    return bucket
 
 
 def token_prefix_sums(
@@ -34,18 +67,15 @@ def token_prefix_sums(
     """Adds ``start_tok``/``end_tok``: the exclusive/inclusive global
     prefix sums of ``weight_col`` in ``order_col`` order, computed with
     the distributed prefix-sum shape above (no single-partition window)."""
-    parted = df.repartitionByRange(partitions, order_col).sortWithinPartitions(
-        order_col
-    )
-    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    with_pid = df.withColumn("__pid", _range_bucket(df, order_col, partitions))
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = with_pid.withColumn("__local_cum", F.sum(weight_col).over(w_local))
-    # tiny per-partition totals -> cumulative offsets, broadcast back.
-    # rangepartitioning guarantees pid order == key order.
+    # tiny per-bucket totals -> cumulative offsets, broadcast back.
+    # bucket ids are non-decreasing in key order by construction.
     totals = (
         local.groupBy("__pid")
         .agg(F.max("__local_cum").alias("__ptotal"))

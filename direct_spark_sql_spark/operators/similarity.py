@@ -252,6 +252,12 @@ def ivf_build(
         "cell_id"
     ).parquet(index_path)
     _IVF_BUILT.add(index_path)
+    # Rebuild-at-same-path: evict coordinator caches keyed on this path, or a
+    # later probe would serve the *old* centroid metadata and a DataFrame
+    # whose file listing references overwritten files.
+    _IVF_CENTROIDS.pop(index_path, None)
+    for key in [k for k in _IVF_INDEX_DF if k[1] == index_path]:
+        _IVF_INDEX_DF.pop(key, None)
 
 
 def ivf_probe_cells(

@@ -216,8 +216,13 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     def cf(c):  # NULL-preserving canonical field: concat_ws would silently
         # DROP null fields (making ('a', NULL) and (NULL, 'a') collide and
-        # diverging from the oracle's NULL-propagating ||)
-        return F.coalesce(c.cast("string"), F.lit("\x00NULL"))
+        # diverging from the oracle's NULL-propagating ||).  Field values
+        # are delimiter-escaped ('\'→'\\', '|'→'\|') so a '|' inside a
+        # string field can't make two distinct rows canonicalize equal.
+        s = c.cast("string")
+        s = F.replace(s, F.lit("\\"), F.lit("\\\\"))
+        s = F.replace(s, F.lit("|"), F.lit("\\|"))
+        return F.coalesce(s, F.lit("\x00NULL"))
 
     canonical = F.concat_ws(
         "|",
@@ -257,7 +262,10 @@ def _checksum_oracle() -> str:
         "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)",
         "o_orderpriority",
     ]
-    canonical = " || '|' || ".join(f"COALESCE({f}, {nul})" for f in fields)
+    canonical = " || '|' || ".join(
+        f"COALESCE(replace(replace({f}, '\\', '\\\\'), '|', '\\|'), {nul})"
+        for f in fields
+    )
     return f"""
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(SUM({h64_sql(canonical)} % {m61}) % {m61} AS BIGINT) AS checksum
@@ -423,7 +431,10 @@ def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     std = F.sqrt(
         F.col("ss").cast("double") / F.col("n_days").cast("double") - mean * mean
     )
-    z = (F.col("n_events").cast("double") - mean) / std
+    # std == 0 (all days identical) would make z = 0/0 = NaN, and NaN
+    # compares greater than the threshold in Spark — every day would be
+    # flagged.  Guard: NULL z, which the >= filter drops in both engines.
+    z = F.when(std > 0, (F.col("n_events").cast("double") - mean) / std)
     return (
         daily.crossJoin(F.broadcast(stats))
         .select(
@@ -445,14 +456,19 @@ st AS (
   SELECT CAST(count(*) AS BIGINT) AS n_days,
          CAST(SUM(n_events) AS BIGINT) AS s,
          CAST(SUM(n_events * n_events) AS BIGINT) AS ss
-  FROM daily)
+  FROM daily),
+sb AS (
+  SELECT n_days, s,
+         CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+         SQRT(CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)
+              - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))) AS std
+  FROM st)
 SELECT * FROM (
   SELECT CAST(day AS BIGINT) AS day, n_events,
-         (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
-           / SQRT(CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)
-                  - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
-                    * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))) AS z_score
-  FROM daily CROSS JOIN st)
+         CASE WHEN std > 0
+              THEN (CAST(n_events AS DOUBLE) - mean) / std END AS z_score
+  FROM daily CROSS JOIN sb)
 WHERE ABS(z_score) >= {ANOMALY_Z}
 ORDER BY day
 """

@@ -855,41 +855,42 @@ ORDER BY doc_id
 """
 
 
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling through the flatMap-shaped mapInPandas plumbing,
+def binary_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob sharding through the flatMap-shaped mapInPandas plumbing,
     oracle-checked: each payload is split into 4 contiguous byte chunks
-    (the keyframe-extraction stand-in) and the chunk boundaries + content
-    are pinned by length and MD5 — a chunking bug (off-by-one step, tail
-    handling, short payloads) breaks the hash match."""
+    and the chunk boundaries + content are pinned by length and MD5 — a
+    chunking bug (off-by-one step, tail handling, short payloads) breaks
+    the hash match.  (Real video keyframe sampling is the separate
+    ``multimodal_video_frames`` query over decoded Y4M.)"""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
-    media = mm.attach_binary(d, "text", "video/fake", "source")
-    frames = mm.sample_frames(media, n_frames=4)
-    return frames.select(
+    media = mm.attach_binary(d, "text", "application/octet-stream", "source")
+    chunks = mm.chunk_binary(media, n_chunks=4)
+    return chunks.select(
         "doc_id",
-        "frame_idx",
-        F.length("frame_bytes").cast("long").alias("frame_len"),
-        F.md5("frame_bytes").alias("frame_md5"),
-    ).orderBy("doc_id", "frame_idx")
+        "chunk_idx",
+        F.length("chunk_bytes").cast("long").alias("chunk_len"),
+        F.md5("chunk_bytes").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
 
 
 # documents.text is ASCII in this corpus (asserted by the octet_length ==
 # length check in MULTIMODAL_META_ORACLE passing), so VARCHAR substring
 # replicates the executor's byte slicing exactly.
-_FRAME_SAMPLE_ORACLE = """
+_BINARY_CHUNKING_ORACLE = """
 WITH d AS (
   SELECT doc_id, text, length(text) AS n,
          GREATEST(length(text) // 4, 1) AS step
   FROM documents WHERE doc_id < 20 AND length(text) > 0
 ),
 f AS (
-  SELECT doc_id, CAST(i.i AS INT) AS frame_idx,
-         substring(text, i.i * step + 1, step) AS frame
+  SELECT doc_id, CAST(i.i AS INT) AS chunk_idx,
+         substring(text, i.i * step + 1, step) AS chunk
   FROM d JOIN generate_series(0, 3) i(i) ON i.i < LEAST(4, n)
 )
-SELECT doc_id, frame_idx,
-       CAST(length(frame) AS BIGINT) AS frame_len,
-       md5(frame) AS frame_md5
-FROM f ORDER BY doc_id, frame_idx
+SELECT doc_id, chunk_idx,
+       CAST(length(chunk) AS BIGINT) AS chunk_len,
+       md5(chunk) AS chunk_md5
+FROM f ORDER BY doc_id, chunk_idx
 """
 
 
@@ -1169,9 +1170,9 @@ QUERIES = [
     Query("multimodal_feature_extract", multimodal_feature_extract,
           _MULTIMODAL_FEATURES_ORACLE, ("multimodal", "pipeline"),
           doc="real PPM/BMP/PNG encode→decode round-trip, pixel-stat oracle"),
-    Query("multimodal_frame_sample", multimodal_frame_sample, _FRAME_SAMPLE_ORACLE,
+    Query("binary_chunking", binary_chunking, _BINARY_CHUNKING_ORACLE,
           ("multimodal", "pipeline"),
-          doc="flatMap frame chunking, boundaries + content MD5-pinned"),
+          doc="flatMap blob sharding, chunk boundaries + content MD5-pinned"),
     Query("dedup_levenshtein", dedup_levenshtein, DEDUP_LEVENSHTEIN_ORACLE,
           ("dedup", "pipeline"),
           doc="edit-distance fuzzy pairs, token-blocked candidate join"),

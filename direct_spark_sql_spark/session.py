@@ -227,12 +227,52 @@ class Engine:
         # DataFrame has already bound the previous LocalRelation, so any
         # cached statement that references this view must be dropped; it
         # re-analyzes (and re-binds fresh data) on its next execution.
-        pattern = re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)
-        self._plan_cache.drop_where(lambda key: pattern.search(key) is not None)
+        self._drop_cached_plans_referencing(name)
 
     @staticmethod
     def _mangle(qualified: str) -> str:
         return qualified.replace(".", "__")
+
+    def _drop_cached_plans_referencing(self, name: str) -> None:
+        """Evict cached plans whose SQL text references view ``name``.
+
+        Conservative (over-invalidation re-analyzes, never corrupts) but
+        bounded in two ways the naive ``\\bname\\b`` scan wasn't:
+
+        - *Quoted-span aware*: the name inside a single-quoted string
+          literal in an unrelated cached query is data, not a reference —
+          it no longer evicts.  Backtick-quoted identifiers, by contrast,
+          ARE references, so their inner text is kept for matching (a
+          cached ``SELECT * FROM `v```` must still drop when ``v``
+          changes).
+        - *Spelling-normalized*: the DDL name is stripped of backticks, and
+          a qualified ``db.view`` invalidates on the qualified spelling,
+          the bare view name, and the mangled ``db__view`` rewrite — so a
+          cached query referencing any spelling is dropped regardless of
+          how the DDL spelled it.
+        """
+        norm = name.replace("`", "")
+        variants = {norm}
+        if "." in norm:
+            variants.add(norm.rsplit(".", 1)[-1])
+            variants.add(self._mangle(norm))
+        pattern = re.compile(
+            "|".join(rf"\b{re.escape(v)}\b" for v in sorted(variants)),
+            re.IGNORECASE,
+        )
+
+        def _matchable(key: str) -> str:
+            # Drop string-literal content; unwrap backtick identifiers.
+            return _QUOTED_SPAN_RE.sub(
+                lambda m: f" {m.group(0)[1:-1]} "
+                if m.group(0).startswith("`")
+                else "''",
+                key,
+            )
+
+        self._plan_cache.drop_where(
+            lambda key: pattern.search(_matchable(key)) is not None
+        )
 
     def _rewrite_qualified(self, sql: str) -> str:
         """Rewrite ``db.table`` references for registered qualified views.
@@ -287,9 +327,7 @@ class Engine:
             # commands execute eagerly on spark.sql(); afterwards drop any
             # cached plan that referenced the (re)defined or dropped view
             df = self.spark.sql(self._rewrite_qualified(sql))
-            name = view_ddl.group("name").strip("`")
-            pattern = re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)
-            self._plan_cache.drop_where(lambda key: pattern.search(key) is not None)
+            self._drop_cached_plans_referencing(view_ddl.group("name"))
             return df
         if not _QUERY_START_RE.match(sql):
             return self.spark.sql(self._rewrite_qualified(sql))

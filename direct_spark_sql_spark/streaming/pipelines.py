@@ -341,5 +341,6 @@ def run_foreach_batch_upsert(
             .start()
         )
         q.awaitTermination()
-    assert state["df"] is not None, "stream produced no batches"
+    if state["df"] is None:  # explicit: survives python -O (asserts stripped)
+        raise RuntimeError("stream produced no batches")
     return state["df"]

@@ -90,19 +90,19 @@ def test_extract_features_fake_false_on_real_images(spark):
         assert r.byte_sum == 3 * sum(vals)
 
 
-def test_frame_sample_reassembles_prefix(spark, media):
-    frames = mm.sample_frames(media, n_frames=4).collect()
+def test_chunk_binary_reassembles_prefix(spark, media):
+    chunks = mm.chunk_binary(media, n_chunks=4).collect()
     src = {r.doc_id: bytes(r.media) for r in media.select("doc_id", "media").collect()}
     by_doc: dict[int, list] = {}
-    for r in frames:
+    for r in chunks:
         by_doc.setdefault(r.doc_id, []).append(r)
     for doc_id, rows in by_doc.items():
-        rows.sort(key=lambda r: r.frame_idx)
+        rows.sort(key=lambda r: r.chunk_idx)
         payload = src[doc_id]
         step = max(len(payload) // 4, 1)
-        joined = b"".join(bytes(r.frame_bytes) for r in rows)
+        joined = b"".join(bytes(r.chunk_bytes) for r in rows)
         assert joined == payload[: len(joined)]
-        assert all(len(bytes(r.frame_bytes)) <= step for r in rows)
+        assert all(len(bytes(r.chunk_bytes)) <= step for r in rows)
 
 
 def test_null_payload_handling(spark):
@@ -112,8 +112,8 @@ def test_null_payload_handling(spark):
     feats = {r.doc_id: r for r in mm.extract_features(df, fake=True).collect()}
     assert feats[2].n_bytes == 0 and feats[2].byte_sum == 0
     assert feats[3].n_bytes == 0
-    frames = mm.sample_frames(df).collect()
-    assert {r.doc_id for r in frames} == {1}
+    chunks = mm.chunk_binary(df).collect()
+    assert {r.doc_id for r in chunks} == {1}
 
 
 def test_binary_file_source_ingestion(spark, tmp_path):

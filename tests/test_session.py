@@ -422,6 +422,44 @@ def test_view_ddl_invalidates_cached_plans(engine):
     assert engine.sql_directly("SELECT a FROM v_ddl").to_list_of_dicts() == [{"a": "x"}]
 
 
+def test_view_name_in_string_literal_does_not_evict(engine):
+    """Round-2 advice: a view name appearing only inside a string literal
+    of an unrelated cached query is data, not a reference — redefining the
+    view must NOT evict that plan."""
+    engine.register_table("lit_unrelated", [{"x": 1}], "x int")
+    unrelated = "SELECT 'v_lit_probe' AS tag, SUM(x) AS s FROM lit_unrelated"
+    engine.sql_directly(unrelated)  # populate cache
+    before = engine.cache_stats()
+    engine.sql_directly("CREATE OR REPLACE TEMPORARY VIEW v_lit_probe AS SELECT 1 AS a")
+    engine.sql_directly(unrelated)  # must be a cache hit, not a re-analysis
+    after = engine.cache_stats()
+    assert after["hits"] == before["hits"] + 1
+    assert after["misses"] == before["misses"]
+    engine.sql_directly("DROP VIEW v_lit_probe")
+
+
+def test_backtick_referenced_view_still_invalidated(engine):
+    """The quoted-span skip must not under-invalidate: a cached query that
+    references the view through a backtick-quoted identifier still drops."""
+    engine.sql_directly("CREATE OR REPLACE TEMPORARY VIEW v_bt AS SELECT 5 AS a")
+    q = "SELECT a FROM `v_bt`"
+    assert engine.sql_directly(q).to_list_of_dicts() == [{"a": 5}]
+    engine.sql_directly("CREATE OR REPLACE TEMPORARY VIEW v_bt AS SELECT 6 AS a")
+    assert engine.sql_directly(q).to_list_of_dicts() == [{"a": 6}]
+    engine.sql_directly("DROP VIEW v_bt")
+
+
+def test_qualified_view_reregister_invalidates_cached_plans(engine):
+    """Round-2 advice: invalidation must work for qualified ``db.view``
+    spellings — re-registering the qualified view drops cached plans that
+    reference it by its qualified name."""
+    engine.register_table("cachedb.v_q", [{"x": 1}], "x int")
+    q = "SELECT SUM(x) AS s FROM cachedb.v_q"
+    assert _rows(engine.sql_directly(q)) == [{"s": 1}]
+    engine.register_table("cachedb.v_q", [{"x": 7}, {"x": 8}], "x int")
+    assert _rows(engine.sql_directly(q)) == [{"s": 15}]
+
+
 def test_non_query_statements_bypass_plan_cache(engine):
     before = engine.cache_stats()
     engine.sql_directly("SET spark.sql.ansi.enabled")
