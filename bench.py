@@ -106,6 +106,42 @@ def main() -> None:
         out["baseline_total_sec"] = baseline.get("total_sec")
         out["regressions"] = regressions
         out["regression_count"] = len(regressions)
+
+    # Scale-probe tier: the same headline set at FACTOR× rows (key-shifted
+    # copies, sources/scale.py).  Converts "this plan would survive a
+    # scale-up" from plan inspection into a measured per-query ratio; a
+    # query scaling super-linearly (> factor × slack) is flagged.  Warm
+    # methodology matches the base tier (one warmup, then measured) so the
+    # ratios compare like for like.  SPARK_GRAFT_SKIP_SCALE=1 disables.
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        from direct_spark_sql_spark.sources.scale import ensure_scaled_dataset
+
+        factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+        scale_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "spark-warehouse", "scaledata", f"sf{sf}x{factor}",
+        )
+        ensure_scaled_dataset(spark, sf_dir, scale_dir, factor=factor)
+        s_timings: dict[str, float] = {}
+        for q in bench_queries:
+            materialize(q.spark_fn(spark, scale_dir))  # warmup
+            t0 = time.perf_counter()
+            materialize(q.spark_fn(spark, scale_dir))
+            s_timings[q.name] = round(time.perf_counter() - t0, 4)
+        ratios = {
+            name: round(s_timings[name] / timings[name], 2)
+            for name in s_timings
+            if timings.get(name)
+        }
+        out["scale_probe"] = {
+            "factor": factor,
+            "total_sec": round(sum(s_timings.values()), 4),
+            "queries": s_timings,
+            "ratio_vs_base": ratios,
+            "superlinear": sorted(
+                n for n, r in ratios.items() if r > factor * 1.25
+            ),
+        }
     print(json.dumps(out))
     spark.stop()
 

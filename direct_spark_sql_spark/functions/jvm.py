@@ -18,10 +18,14 @@ The reference registers JVM function classes into its session catalog via
   (``CREATE FUNCTION f AS 'class' USING JAR 'path'``) and routes it here —
   see ``session.Engine``.
 
-Limitation (documented deviation): classes written against the *Hive* UDF
-API (``org.apache.hadoop.hive.ql.exec.UDF``) need a Hive-enabled session
-state, which this engine doesn't force on the whole process; the supported
-contract is the Spark Java UDF interface.
+Classes written against the *Hive* UDF APIs
+(``org.apache.hadoop.hive.ql.exec.UDF`` / ``GenericUDF`` / UDAF / UDTF)
+are also supported, via ``EngineBuilder.enable_hive_support()``: the
+Engine's function-DDL path falls back to Spark SQL's own CREATE FUNCTION
+handling, which resolves Hive classes through the Hive session catalog
+(see ``tests/test_hive_udf.py`` for the reference-test ports).  Hive
+support is opt-in per process because ``spark.sql.catalogImplementation``
+is a static conf — it must be chosen before the first SparkSession exists.
 """
 
 from __future__ import annotations

@@ -628,10 +628,15 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
         e = load_table(spark, sf_dir, "embeddings")
         sim.ivf_build(e.filter(F.col("vec_id") != 0), centroids(), index_path)
-    # the "request payload": 1 row read driver-side (milliseconds, no job)
+    # the "request payload": 1 row read driver-side (milliseconds, no job).
+    # the table may be a single driver-written file or a Spark-written
+    # directory of part files (e.g. the bench's scale-probe tier).
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(emb_path):
+        emb_path = os.path.join(emb_path, "*.parquet")
     qvec = duckdb.sql(
         "SELECT embedding FROM read_parquet(?) WHERE vec_id = 0",
-        params=[os.path.join(sf_dir, "embeddings.parquet")],
+        params=[emb_path],
     ).fetchone()[0]
     # centroids passed lazily: steady-state requests (metadata cached)
     # skip even the load_table/DataFrame construction driver work.

@@ -100,6 +100,7 @@ class EngineBuilder:
         self._master: str | None = None
         self._app_name = "direct_spark_sql_spark"
         self._conf: dict[str, str] = {}
+        self._hive = False
 
     def master(self, master: str) -> "EngineBuilder":
         self._master = master
@@ -113,12 +114,28 @@ class EngineBuilder:
         self._conf[key] = value
         return self
 
+    def enable_hive_support(self) -> "EngineBuilder":
+        """Opt into a Hive-enabled session state so ``CREATE [TEMPORARY]
+        FUNCTION f AS 'class'`` works with classes written against the
+        *Hive* UDF APIs (``org.apache.hadoop.hive.ql.exec.UDF`` /
+        ``GenericUDF`` / UDAF / UDTF) — the reference's registration
+        contract (DirectSessionCatalog.scala:72-91).
+
+        ``spark.sql.catalogImplementation`` is a static conf, frozen when
+        the first SparkSession in the JVM is created — call this on the
+        process's FIRST engine, not after a plain session already exists.
+        """
+        self._hive = True
+        return self
+
     def get_or_create(self) -> "Engine":
         builder = SparkSession.builder.appName(self._app_name)
         if self._master:
             builder = builder.master(self._master)
         for k, v in {**ENGINE_CONF, **self._conf}.items():
             builder = builder.config(k, v)
+        if self._hive:
+            builder = builder.enableHiveSupport()
         return Engine(builder.getOrCreate())
 
 
@@ -320,7 +337,7 @@ class Engine:
         ddl = _FUNCTION_DDL_RE.match(sql)
         if ddl:
             return self._register_function_ddl(
-                ddl.group("name"), ddl.group("cls"), ddl.group("jar")
+                sql, ddl.group("name"), ddl.group("cls"), ddl.group("jar")
             )
         view_ddl = _VIEW_DDL_RE.match(sql)
         if view_ddl:
@@ -362,15 +379,33 @@ class Engine:
     def _uses_time(self, sql: str) -> bool:
         return _TIME_FUNCS_RE.search(sql) is not None
 
-    def _register_function_ddl(self, name: str, cls: str, jar: str | None) -> DataFrame:
+    def _register_function_ddl(
+        self, sql: str, name: str, cls: str, jar: str | None
+    ) -> DataFrame:
         """JVM UDF DDL surface (reference: CREATE FUNCTION ... AS 'class',
         DirectSessionCatalog.scala:72-91; DirectExecSuite.scala:159-178).
-        The class must implement org.apache.spark.sql.api.java.UDF1..22;
-        the return type is inferred from its generic signature.  Returns an
-        empty result like any DDL statement."""
+
+        Two class contracts are accepted:
+
+        - ``org.apache.spark.sql.api.java.UDF1..22`` — registered via
+          ``registerJavaFunction`` (return type inferred from the generic
+          signature).  Works in any session.
+        - Hive-API classes (``org.apache.hadoop.hive.ql.exec.UDF`` /
+          ``GenericUDF`` / UDAF / UDTF) — the DDL text is passed through to
+          Spark SQL, whose Hive session catalog builds the HiveUDF wrapper.
+          Requires ``EngineBuilder.enable_hive_support()``; in a plain
+          session the passthrough raises Spark's descriptive error.
+
+        Returns an empty result like any DDL statement."""
         from direct_spark_sql_spark.functions.jvm import register_java_function
 
-        register_java_function(self.spark, name, cls, jar_path=jar)
+        try:
+            register_java_function(self.spark, name, cls, jar_path=jar)
+        except Exception:
+            # Not a Spark Java UDF interface (or not loadable as one):
+            # delegate to Spark SQL's own function DDL, which resolves
+            # Hive-API classes when the session is Hive-enabled.
+            self.spark.sql(sql)
         return self.spark.sql(
             f"SELECT '{name}' AS function_registered"
         ).limit(0)
@@ -409,9 +444,43 @@ class Engine:
             return DataTable.from_dataframe(self._qualified_views[name])
         return DataTable.from_dataframe(self.spark.table(name))
 
-    def list_tables(self) -> list[str]:
-        names = [t.name for t in self.spark.catalog.listTables()]
-        return sorted(set(names) | set(self._qualified_views))
+    def list_tables(self, pattern: str | None = None) -> list[str]:
+        """All visible table/view names — Spark's catalog merged with the
+        engine's db-qualified temp-view registry, optionally filtered by a
+        ``*``-wildcard pattern (``'|'``-separated alternatives), matching
+        the reference's listTables override
+        (DirectSessionCatalog.scala:185-201, StringUtils.filterPattern)."""
+        names = set(t.name for t in self.spark.catalog.listTables())
+        names |= set(self._qualified_views)
+        if pattern is not None:
+            regexes = [
+                re.compile("(?i)^" + ".*".join(map(re.escape, p.split("*"))) + "$")
+                for p in pattern.split("|")
+            ]
+            names = {n for n in names if any(r.match(n) for r in regexes)}
+        return sorted(names)
+
+    def is_temporary_table(self, name: str) -> bool:
+        """Whether ``name`` resolves to a temporary view — Spark's own temp
+        views plus the db-qualified registry, mirroring the reference's
+        isTemporaryTable override (DirectSessionCatalog.scala:173-183)."""
+        if name in self._qualified_views:
+            return True
+        try:
+            if "." in name:
+                db, tbl = name.rsplit(".", 1)
+                tables = self.spark.catalog.listTables(db)
+                return any(t.name == tbl and t.isTemporary for t in tables)
+            tables = self.spark.catalog.listTables()
+            return any(t.name == name and t.isTemporary for t in tables)
+        except Exception:  # unknown database -> not a temp view
+            return False
+
+    def temp_view_java(self, name: str) -> list[dict[str, Any]]:
+        """The view's rows as a list of dicts — the reference's
+        ``tempViewJava`` readout (DirectSparkSession.scala:156-179),
+        which materialized a temp view as java List<Map<column, value>>."""
+        return self.temp_view(name).to_list_of_dicts()
 
     # -- session management --------------------------------------------------
 

@@ -1,0 +1,129 @@
+"""Scale-up dataset synthesis for the bench's scale-probe tier.
+
+``ensure_scaled_dataset`` materializes an N× copy of a driver testdata
+directory (TESTDATA.md star schema) by unioning ``factor`` key-shifted
+copies of each table — the standard way to turn a correctness-scale
+corpus into a throughput-scale one without changing per-row statistics:
+
+- **Key shifts preserve join cardinalities.**  Every copy shifts each
+  table's primary key by ``i * (max_key + 1)`` and applies the *same*
+  shift to every foreign key referencing it, so copy i's orders join
+  copy i's customers and the join fan-outs per key are identical to the
+  source.  Dimension tables at fixed TPC-H size (region, nation) are
+  copied once, unshifted — exactly how TPC-H itself scales.
+- **Document text is perturbed per copy** (every 2nd word gets a
+  ``~i`` suffix, copy 0 untouched): byte-identical or near-identical
+  cross-copy documents would turn duplicate clusters into
+  ``factor``-times-larger cliques and make pair-emitting dedup queries
+  scale *quadratically* by construction — which would measure the
+  synthetic corpus, not the engine.  Suffixing every 2nd word changes
+  every k≥2-word shingle, so cross-copy Jaccard ≈ 0 and candidate pairs
+  scale linearly, like a real corpus.
+- **Generation is cached**: a ``_SCALED_OK`` marker records (source,
+  factor); re-runs are no-ops.
+
+This supports the round-3 verdict's scale-probe: run the headline bench
+at 10× rows next to the base tier and assert per-query scaling stays
+linear-or-better (plan shapes don't degrade with data size).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from direct_spark_sql_spark.sources.registry import TABLES, load_table
+
+#: table -> (primary key, {fk table: fk column}) — shift plan.
+_PK: dict[str, str] = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "",  # no surrogate pk; all shifts are FKs
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+#: fixed-size dimensions: copied once, never shifted (TPC-H scaling rule).
+_STATIC = ("region", "nation")
+
+
+def _max_plus_one(df: DataFrame, col: str) -> int:
+    row = df.agg(F.max(F.col(col)).alias("m")).collect()[0]
+    return int(row["m"] or 0) + 1
+
+
+def ensure_scaled_dataset(
+    spark: SparkSession, src_dir: str, dst_dir: str, factor: int = 10
+) -> str:
+    """Materialize ``factor``× key-shifted copies of ``src_dir`` into
+    ``dst_dir`` (idempotent via marker file); returns ``dst_dir``."""
+    marker = os.path.join(dst_dir, "_SCALED_OK")
+    want = f"{os.path.abspath(src_dir)}\n{factor}\n"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == want:
+                return dst_dir
+    os.makedirs(dst_dir, exist_ok=True)
+
+    src = {t: load_table(spark, src_dir, t) for t in TABLES}
+    step = {
+        "cust": _max_plus_one(src["customer"], "c_custkey"),
+        "supp": _max_plus_one(src["supplier"], "s_suppkey"),
+        "part": _max_plus_one(src["part"], "p_partkey"),
+        "ord": _max_plus_one(src["orders"], "o_orderkey"),
+        "event": _max_plus_one(src["events"], "event_id"),
+        "user": _max_plus_one(src["events"], "user_id"),
+        "doc": _max_plus_one(src["documents"], "doc_id"),
+        "vec": _max_plus_one(src["embeddings"], "vec_id"),
+    }
+
+    shifts: dict[str, dict[str, str]] = {
+        "customer": {"c_custkey": "cust"},
+        "supplier": {"s_suppkey": "supp"},
+        "part": {"p_partkey": "part"},
+        "orders": {"o_orderkey": "ord", "o_custkey": "cust"},
+        "lineitem": {"l_orderkey": "ord", "l_partkey": "part", "l_suppkey": "supp"},
+        "events": {"event_id": "event", "user_id": "user"},
+        "documents": {"doc_id": "doc"},
+        "embeddings": {"vec_id": "vec"},
+    }
+
+    def copy_of(t: str, i: int) -> DataFrame:
+        df = src[t]
+        for col, key in shifts.get(t, {}).items():
+            df = df.withColumn(col, (F.col(col) + F.lit(i * step[key])).cast("long"))
+        if t == "documents" and i > 0:
+            # suffix every 2nd word -> every multi-word shingle differs
+            # across copies; cross-copy near-dup candidates vanish.
+            words = F.split(F.col("text"), " ")
+            perturbed = F.array_join(
+                F.transform(
+                    words,
+                    lambda w, j: F.when(
+                        (j % 2 == 1) & (F.length(w) > 0),
+                        F.concat(w, F.lit(f"~{i}")),
+                    ).otherwise(w),
+                ),
+                " ",
+            )
+            df = df.withColumn("text", perturbed).withColumn(
+                "n_chars", F.length("text").cast("long")
+            )
+        return df
+
+    for t in TABLES:
+        out = os.path.join(dst_dir, f"{t}.parquet")
+        if t in _STATIC:
+            src[t].write.mode("overwrite").parquet(out)
+            continue
+        copies = [copy_of(t, i) for i in range(factor)]
+        reduce(DataFrame.unionByName, copies).write.mode("overwrite").parquet(out)
+
+    with open(marker, "w") as f:
+        f.write(want)
+    return dst_dir

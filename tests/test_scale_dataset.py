@@ -1,0 +1,84 @@
+"""Scale-up synthesis (sources/scale.py): key-shifted copies must preserve
+per-copy join cardinalities, keep key spaces disjoint, and perturb document
+text so duplicate clusters don't merge across copies."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from direct_spark_sql_spark.sources.registry import load_table
+from direct_spark_sql_spark.sources.scale import ensure_scaled_dataset
+
+SRC = "/root/testdata/sf0.001"
+FACTOR = 3
+
+
+@pytest.fixture(scope="module")
+def scaled(spark, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("scaled") / "x3")
+    ensure_scaled_dataset(spark, SRC, dst, factor=FACTOR)
+    return dst
+
+
+def test_row_counts_scale(spark, scaled):
+    for t in ["customer", "orders", "lineitem", "events", "documents", "embeddings"]:
+        n_src = load_table(spark, SRC, t).count()
+        n_dst = load_table(spark, scaled, t).count()
+        assert n_dst == FACTOR * n_src, t
+    for t in ["region", "nation"]:  # fixed-size dimensions: unscaled
+        assert load_table(spark, scaled, t).count() == load_table(spark, SRC, t).count()
+
+
+def test_key_spaces_disjoint(spark, scaled):
+    o = load_table(spark, scaled, "orders")
+    n_src = load_table(spark, SRC, "orders").count()
+    assert o.select("o_orderkey").distinct().count() == FACTOR * n_src
+
+
+def test_join_cardinality_preserved(spark, scaled):
+    """Each copy's orders join each copy's customers — the orders⋈customer
+    row count scales exactly linearly (no cross-copy fan-out)."""
+    base = (
+        load_table(spark, SRC, "orders")
+        .join(load_table(spark, SRC, "customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .count()
+    )
+    scaled_n = (
+        load_table(spark, scaled, "orders")
+        .join(load_table(spark, scaled, "customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .count()
+    )
+    assert scaled_n == FACTOR * base
+
+
+def test_documents_perturbed_across_copies(spark, scaled):
+    """Cross-copy texts must differ (else pair-emitting dedup queries go
+    quadratic in the factor): distinct text count scales with the factor."""
+    d_src = load_table(spark, SRC, "documents")
+    d_dst = load_table(spark, scaled, "documents")
+    src_distinct = d_src.select("text").distinct().count()
+    dst_distinct = d_dst.select("text").distinct().count()
+    assert dst_distinct == FACTOR * src_distinct
+    # copy 0 is byte-identical to the source corpus
+    n_doc = d_src.count()
+    copy0 = d_dst.filter(F.col("doc_id") < n_doc * 1000)  # doc ids shifted far
+    assert (
+        d_src.join(d_dst, ["doc_id", "text"], "left_anti").count() == 0
+    ), "copy 0 must keep original doc_id/text pairs"
+
+
+def test_generation_is_idempotent(spark, scaled, tmp_path):
+    import os
+    import time
+
+    before = {
+        t: os.path.getmtime(os.path.join(scaled, f"{t}.parquet"))
+        for t in ["orders", "documents"]
+    }
+    time.sleep(0.05)
+    ensure_scaled_dataset(spark, SRC, scaled, factor=FACTOR)  # cached: no rewrite
+    for t, m in before.items():
+        assert os.path.getmtime(os.path.join(scaled, f"{t}.parquet")) == m

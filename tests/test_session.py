@@ -460,6 +460,39 @@ def test_qualified_view_reregister_invalidates_cached_plans(engine):
     assert _rows(engine.sql_directly(q)) == [{"s": 15}]
 
 
+def test_list_tables_merges_qualified_and_filters(engine):
+    """Reference listTables override: db-qualified registry views appear
+    alongside Spark catalog tables, with *-wildcard pattern filtering
+    (DirectSessionCatalog.scala:185-201)."""
+    engine.register_table("catdb.lt_q", [{"x": 1}], "x int")
+    engine.register_table("lt_plain", [{"x": 1}], "x int")
+    names = engine.list_tables()
+    assert "catdb.lt_q" in names and "lt_plain" in names
+    assert engine.list_tables("lt_*") == ["lt_plain"]
+    assert engine.list_tables("catdb.*|lt_pl*") == ["catdb.lt_q", "lt_plain"]
+
+
+def test_is_temporary_table(engine):
+    """Reference isTemporaryTable override: true for Spark temp views and
+    for db-qualified registry views (DirectSessionCatalog.scala:173-183)."""
+    engine.register_table("catdb.itt_q", [{"x": 1}], "x int")
+    engine.register_table("itt_plain", [{"x": 1}], "x int")
+    assert engine.is_temporary_table("catdb.itt_q")
+    assert engine.is_temporary_table("itt_plain")
+    assert not engine.is_temporary_table("no_such_table")
+    assert not engine.is_temporary_table("nodb.no_such_table")
+
+
+def test_temp_view_java_list_of_dicts(engine):
+    """Reference tempViewJava readout: a view's rows as list-of-dicts
+    (DirectSparkSession.scala:156-179)."""
+    engine.register_table(
+        "tvj", [{"a": 1, "b": "x"}, {"a": 2, "b": None}], "a int, b string"
+    )
+    rows = sorted(engine.temp_view_java("tvj"), key=lambda r: r["a"])
+    assert rows == [{"a": 1, "b": "x"}, {"a": 2, "b": None}]
+
+
 def test_non_query_statements_bypass_plan_cache(engine):
     before = engine.cache_stats()
     engine.sql_directly("SET spark.sql.ansi.enabled")
