@@ -1,4 +1,5 @@
-"""Pure-stdlib image codecs (PPM / BMP / PNG) for the multimodal pipeline.
+"""Pure-stdlib image codecs (PPM / BMP / PNG; JPEG via jpegcodec) for the
+multimodal pipeline.
 
 This container has no image libraries, but these three formats need none:
 PPM is a trivial header + raw RGB, BMP is fixed little-endian headers +
@@ -198,11 +199,16 @@ def decode_image(payload: bytes) -> tuple[str, int, int, bytes]:
     """Sniff the format from magic bytes and decode to raw 8-bit RGB.
 
     Returns ``(fmt, width, height, rgb)`` with ``fmt`` in
-    {"ppm", "bmp", "png"}; raises ValueError on unrecognized payloads."""
+    {"ppm", "bmp", "png", "jpeg"}; raises ValueError on unrecognized
+    payloads."""
     if payload[:2] == b"P6":
         return ("ppm", *_decode_ppm(payload))
     if payload[:2] == b"BM":
         return ("bmp", *_decode_bmp(payload))
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return ("png", *_decode_png(payload))
-    raise ValueError("unrecognized image payload (PPM/BMP/PNG supported)")
+    if payload[:2] == b"\xff\xd8":
+        from direct_spark_sql_spark.operators.jpegcodec import decode_jpeg
+
+        return ("jpeg", *decode_jpeg(payload))
+    raise ValueError("unrecognized image payload (PPM/BMP/PNG/JPEG supported)")

@@ -5,9 +5,9 @@ metadata struct; decode / feature-extraction / frame-sampling run as
 Arrow-batched ``mapInPandas`` operators so each task processes whole
 record batches without per-row Python overhead.  Image decode is REAL for
 PPM / BMP / PNG via the pure-stdlib codecs in
-:mod:`direct_spark_sql_spark.operators.imagecodec`; other media types
-(audio/video codecs, JPEG, ...) would slot in behind the same
-``decode_image`` seam but need libraries this container doesn't ship.
+:mod:`direct_spark_sql_spark.operators.imagecodec` and for baseline JPEG
+via :mod:`direct_spark_sql_spark.operators.jpegcodec`; formats needing
+external libraries would slot in behind the same ``decode_image`` seam.
 ``fake=True`` keeps the deterministic byte-statistics path for opaque
 (non-image) payloads.
 
@@ -166,6 +166,71 @@ def extract_image_features(
             )
 
     return df.select(id_col, media_col).mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+JPEG_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("max_abs_err", T.IntegerType()),
+    ]
+)
+
+
+def jpeg_encode_decode_verify(
+    df: DataFrame, id_col: str = "doc_id", quality: int = 90
+) -> DataFrame:
+    """Executor-side JPEG encode -> sniff-decode -> pixel-error audit.
+
+    For each input id, synthesize a smooth deterministic RGB gradient
+    (``w = 8 + id % 17``, ``h = 6 + id % 13``; channels are linear ramps
+    whose offsets vary by id), encode it as baseline JFIF — 4:4:4 for even
+    ids, 4:2:0 for odd — then decode through the generic ``decode_image``
+    sniffer and emit the decoded dimensions plus the max per-pixel error
+    against the regenerated formula.  JPEG is lossy, so unlike the
+    ppm/bmp/png path an oracle cannot predict exact pixel sums; a caller
+    asserts a tolerance bound instead (smooth ramps reconstruct within a
+    few counts at quality 90).  Everything runs inside one Arrow-batched
+    mapInPandas — no payload ever reaches the driver."""
+    import numpy as np
+
+    from direct_spark_sql_spark.operators.imagecodec import decode_image
+    from direct_spark_sql_spark.operators.jpegcodec import encode_jpeg
+
+    def synth(i: int) -> "np.ndarray":
+        w, h = 8 + i % 17, 6 + i % 13
+        y, x = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [
+                60 + i % 50 + 3 * x + 2 * y,
+                40 + i % 60 + 2 * x + 3 * y,
+                80 + i % 40 + x + y,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                img = synth(i)
+                h, w = img.shape[:2]
+                payload = encode_jpeg(
+                    w, h, img.tobytes(), quality=quality,
+                    subsampling="444" if i % 2 == 0 else "420",
+                )
+                fmt, gw, gh, rgb = decode_image(payload)
+                got = np.frombuffer(rgb, np.uint8).reshape(gh, gw, 3).astype(int)
+                err = int(np.abs(got - img.astype(int)).max()) if (gw, gh) == (w, h) else 255
+                rows.append((i, fmt, gw, gh, err))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JPEG_ROUNDTRIP_SCHEMA.fields]
+            )
+
+    return df.select(id_col).mapInPandas(run, JPEG_ROUNDTRIP_SCHEMA)
 
 
 def extract_features(

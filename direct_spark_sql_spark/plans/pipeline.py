@@ -860,6 +860,36 @@ ORDER BY doc_id
 """
 
 
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG encode -> sniff-decode -> tolerance audit, executor-side.
+
+    JPEG is lossy, so the ppm/bmp/png exact-pixel-sum oracle shape doesn't
+    apply; instead each row's decoded image is compared against the
+    regenerated source formula inside the same mapInPandas pass and only
+    rows within the tolerance bound survive.  The oracle recomputes the
+    expected (doc_id, fmt, width, height) arithmetically — a broken
+    encoder/decoder (wrong dimensions, entropy drift, channel swap,
+    subsampling bugs) drops rows or changes dims and breaks the match.
+    Even ids exercise 4:4:4, odd ids 4:2:0."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    audit = mm.jpeg_encode_decode_verify(d, quality=90)
+    return (
+        audit.filter(F.col("max_abs_err") <= 8)
+        .select("doc_id", "fmt", "width", "height")
+        .orderBy("doc_id")
+    )
+
+
+_MULTIMODAL_JPEG_ORACLE = """
+SELECT doc_id,
+       'jpeg' AS fmt,
+       CAST(8 + doc_id % 17 AS INT) AS width,
+       CAST(6 + doc_id % 13 AS INT) AS height
+FROM documents WHERE doc_id < 60
+ORDER BY doc_id
+"""
+
+
 def binary_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blob sharding through the flatMap-shaped mapInPandas plumbing,
     oracle-checked: each payload is split into 4 contiguous byte chunks
@@ -1175,6 +1205,9 @@ QUERIES = [
     Query("multimodal_feature_extract", multimodal_feature_extract,
           _MULTIMODAL_FEATURES_ORACLE, ("multimodal", "pipeline"),
           doc="real PPM/BMP/PNG encode→decode round-trip, pixel-stat oracle"),
+    Query("multimodal_jpeg_roundtrip", multimodal_jpeg_roundtrip,
+          _MULTIMODAL_JPEG_ORACLE, ("multimodal", "pipeline"),
+          doc="baseline JPEG (444+420) encode→decode with in-pass tolerance audit"),
     Query("binary_chunking", binary_chunking, _BINARY_CHUNKING_ORACLE,
           ("multimodal", "pipeline"),
           doc="flatMap blob sharding, chunk boundaries + content MD5-pinned"),

@@ -478,7 +478,197 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Data-recipe operators: fractional-epoch upsampling, cluster-canonical pick
+# ---------------------------------------------------------------------------
+
+#: hash-bucket space shared with operators/sampling.py
+_EPOCH_BUCKETS = 10_000
+
+#: lang -> (full epochs, fractional-epoch bucket threshold).  en 2.3x,
+#: fr 1.5x, de 1.0x; everything else defaults to 0.5x.  Thresholds are
+#: ``frac * _EPOCH_BUCKETS`` pinned as integers so both engines compare
+#: the same literals.
+_EPOCH_WEIGHTS = {"en": (2, 3000), "fr": (1, 5000), "de": (1, 0)}
+_EPOCH_DEFAULT = (0, 5000)
+_EPOCH_MAX = 3  # max(full + 1) across the recipe — bounds the explode
+
+
+def corpus_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch mixture repetition — the "see curated sources 2.3
+    times per pass" step of a pretraining data recipe.
+
+    Each doc is replicated ``floor(w)`` times for its language's weight
+    ``w``, plus one extra epoch for a deterministic ``frac(w)`` hash slice
+    (salted per doc+lang, so the fractional epoch is an independent draw
+    from any other sampling in the pipeline).  Map-only expansion via
+    ``explode(sequence(...))`` — the blow-up factor is bounded by the
+    recipe's max weight, never data-dependent — then one aggregation
+    shuffle for the per-(lang, epoch) manifest this query emits."""
+    from direct_spark_sql_spark.hashing import h64
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    bkt = (
+        h64(F.concat_ws(":", F.lit("epoch"), F.col("lang"), F.col("doc_id")))
+        % _EPOCH_BUCKETS
+    )
+    full_expr = None
+    thr_expr = None
+    for lang, (fl, th) in sorted(_EPOCH_WEIGHTS.items()):
+        cond = F.col("lang") == lang
+        full_expr = F.when(cond, fl) if full_expr is None else full_expr.when(cond, fl)
+        thr_expr = F.when(cond, th) if thr_expr is None else thr_expr.when(cond, th)
+    full_expr = full_expr.otherwise(F.lit(_EPOCH_DEFAULT[0]))
+    thr_expr = thr_expr.otherwise(F.lit(_EPOCH_DEFAULT[1]))
+    n_copies = (full_expr + F.when(bkt < thr_expr, 1).otherwise(0)).cast("int")
+    inst = (
+        d.withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "lang",
+            "n_chars",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("epoch"),
+        )
+    )
+    return (
+        inst.groupBy("lang", "epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_instances"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang", "epoch")
+    )
+
+
+def _epoch_upsample_oracle() -> str:
+    from direct_spark_sql_spark.hashing import h64_sql
+
+    bkt = h64_sql("'epoch:' || lang || ':' || CAST(doc_id AS VARCHAR)")
+    full_cases = " ".join(
+        f"WHEN '{lang}' THEN {fl}" for lang, (fl, _th) in sorted(_EPOCH_WEIGHTS.items())
+    )
+    thr_cases = " ".join(
+        f"WHEN '{lang}' THEN {th}" for lang, (_fl, th) in sorted(_EPOCH_WEIGHTS.items())
+    )
+    return f"""
+WITH d AS (
+  SELECT lang, n_chars, ({bkt}) % {_EPOCH_BUCKETS} AS bkt FROM documents
+),
+c AS (
+  SELECT lang, n_chars,
+         (CASE lang {full_cases} ELSE {_EPOCH_DEFAULT[0]} END)
+         + (CASE WHEN bkt < (CASE lang {thr_cases} ELSE {_EPOCH_DEFAULT[1]} END)
+                 THEN 1 ELSE 0 END) AS n_copies
+  FROM d
+),
+e AS (
+  SELECT c.lang, c.n_chars, gs.epoch
+  FROM c JOIN generate_series(1, {_EPOCH_MAX}) gs(epoch) ON gs.epoch <= c.n_copies
+)
+SELECT lang, CAST(epoch AS INT) AS epoch,
+       COUNT(*) AS n_instances,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM e GROUP BY lang, epoch ORDER BY lang, epoch
+"""
+
+
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-argmax canonical selection over near-duplicate *clusters*:
+    MinHash-LSH pairs -> connected components -> keep the highest-quality
+    member per cluster (ties broken by min doc_id).
+
+    Extends ``corpus_curation`` (canonical = min id within exact
+    fingerprint groups) to transitive near-dup clusters with a
+    quality-based winner — "keep the best copy", not "keep the first".
+    The per-cluster window is cheap: clusters are small cliques, so the
+    partition-by-component shuffle carries only cluster members."""
+    from direct_spark_sql_spark.operators import dedup as dd
+    from direct_spark_sql_spark.operators import text as tx
+    from direct_spark_sql_spark.operators.graph import connected_components
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dd.minhash_near_duplicates(d, min_est_jaccard=0.5)
+    cc = connected_components(pairs)  # (node, component)
+    members = d.join(cc, d.doc_id == cc.node).select("doc_id", "text", "component")
+    scored = tx.quality_features(members).select(
+        "component", "doc_id", "quality_score"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("component"))
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("component").alias("cluster_id"),
+            F.col("doc_id").alias("canonical_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("quality_score"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _cluster_canonical_oracle() -> str:
+    from direct_spark_sql_spark.plans.pipeline import _STOP_SQL, _minhash_pairs_ctes
+
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+),
+comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a),
+qt AS (
+  SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents
+  WHERE doc_id IN (SELECT node FROM comp)
+),
+qf AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_len,
+         CAST(len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) AS BIGINT) AS n_stop
+  FROM qt
+),
+q AS (
+  SELECT doc_id,
+         (CAST(n_unique_tokens AS DOUBLE) / n_tokens) * 0.5
+           + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.2
+           + LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality_score
+  FROM qf
+),
+ranked AS (
+  SELECT comp.component AS cluster_id, comp.node AS doc_id, q.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY comp.component
+                            ORDER BY q.quality_score DESC, comp.node) AS rk,
+         COUNT(*) OVER (PARTITION BY comp.component) AS cluster_size
+  FROM comp JOIN q ON q.doc_id = comp.node
+)
+SELECT cluster_id, doc_id AS canonical_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size, quality_score
+FROM ranked WHERE rk = 1 ORDER BY cluster_id
+"""
+
+
 QUERIES = [
+    Query("corpus_epoch_upsample", corpus_epoch_upsample, _epoch_upsample_oracle(),
+          ("sampling", "pipeline"),
+          doc="fractional-epoch mixture repetition (en 2.3x / fr 1.5x / de 1x / "
+              "rest 0.5x), bounded explode + manifest agg"),
+    Query("dedup_cluster_canonical", dedup_cluster_canonical,
+          _cluster_canonical_oracle(), ("dedup", "pipeline"),
+          doc="quality-argmax canonical per near-dup connected component"),
     Query("join_bucketed_colocated", join_bucketed_colocated, JOIN_BUCKETED_ORACLE,
           ("join", "layout", "pipeline"),
           doc="both sides pre-bucketed x16 on the order key: zero-exchange "
