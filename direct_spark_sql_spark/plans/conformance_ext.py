@@ -123,6 +123,44 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Recursive CTE (WITH RECURSIVE) — a superset surface: the reference's SQL
+# dialect has no recursion at all; Spark 4.x executes UNION ALL recursion
+# natively (UnionLoopExec), DuckDB likewise.  The walk is the binary-tree
+# ancestor chain doc_id -> doc_id/2 -> ... -> 1, so recursion depth is
+# log2(max doc_id): bounded and data-driven, never cyclic (Spark rejects
+# UNION-distinct recursion, so termination must come from the data).
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_DEPTH_SPARK = """
+WITH RECURSIVE walk AS (
+  SELECT doc_id, doc_id AS cur, 0 AS depth FROM documents
+  UNION ALL
+  SELECT doc_id, cur DIV 2 AS cur, depth + 1 AS depth FROM walk WHERE cur > 1
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM walk WHERE cur <= 1
+GROUP BY depth ORDER BY depth
+"""
+
+_RECURSIVE_DEPTH_ORACLE = """
+WITH RECURSIVE walk AS (
+  SELECT doc_id, doc_id AS cur, 0 AS depth FROM documents
+  UNION ALL
+  SELECT doc_id, cur // 2 AS cur, depth + 1 AS depth FROM walk WHERE cur > 1
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM walk WHERE cur <= 1
+GROUP BY depth ORDER BY depth
+"""
+
+
+def recursive_cte_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_query(spark, sf_dir, _RECURSIVE_DEPTH_SPARK)
+
+
+# ---------------------------------------------------------------------------
 # NOT IN null semantics → Spark's null-aware anti join
 # ---------------------------------------------------------------------------
 
@@ -1024,4 +1062,8 @@ QUERIES = [
     Query("udf_java_vowels", udf_java_vowels, _JAVA_UDF_ORACLE, ("udf",),
           doc="JAR-packaged Java UDF1/UDF2 registered by class name, "
               "called from SQL (Hive-UDF DDL parity)"),
+    Query("recursive_cte_tree_depth", recursive_cte_tree_depth,
+          _RECURSIVE_DEPTH_ORACLE, ("cte", "recursion"),
+          doc="WITH RECURSIVE data-driven ancestor walk (UnionLoopExec), "
+              "depth histogram with id checksum"),
 ]

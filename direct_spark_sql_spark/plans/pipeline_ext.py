@@ -661,7 +661,58 @@ FROM ranked WHERE rk = 1 ORDER BY cluster_id
 """
 
 
+def graph_triangle_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the near-duplicate pair graph — the
+    "how clique-like are my duplicate clusters" diagnostic (a triangle
+    means three docs that are all pairwise near-dups, i.e. a true clique
+    nucleus rather than a chain collapsed by connected components).
+
+    Uses the standard orientation trick: edges are stored once with
+    ``id_a < id_b``, so the two-hop join ``(a,b)+(b,c)`` closed by
+    ``(a,c)`` counts each triangle exactly once and never materializes a
+    direction-doubled edge list.  Both hops are hash equi-joins on edge
+    endpoints; at 100 TB this is the degree-bounded edge-partitioned plan
+    (no broadcast of the full edge set, no cartesian)."""
+    from direct_spark_sql_spark.operators import dedup as dd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = dd.minhash_near_duplicates(d).select("id_a", "id_b")
+    e1, e2, e3 = p.alias("e1"), p.alias("e2"), p.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.id_a") == F.col("e1.id_b"))
+        .join(
+            e3,
+            (F.col("e3.id_a") == F.col("e1.id_a"))
+            & (F.col("e3.id_b") == F.col("e2.id_b")),
+        )
+        .select(
+            F.col("e1.id_a").alias("id_a"),
+            F.col("e1.id_b").alias("id_b"),
+            F.col("e2.id_b").alias("id_c"),
+        )
+        .orderBy("id_a", "id_b", "id_c")
+    )
+
+
+def _triangle_oracle() -> str:
+    from direct_spark_sql_spark.plans.pipeline import _minhash_pairs_ctes
+
+    return f"""
+WITH {_minhash_pairs_ctes()},
+p AS (SELECT id_a, id_b FROM pairs)
+SELECT e1.id_a AS id_a, e1.id_b AS id_b, e2.id_b AS id_c
+FROM p e1
+JOIN p e2 ON e2.id_a = e1.id_b
+JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+ORDER BY id_a, id_b, id_c
+"""
+
+
 QUERIES = [
+    Query("graph_triangle_enum", graph_triangle_enum, _triangle_oracle(),
+          ("dedup", "graph", "pipeline"),
+          doc="oriented-edge triangle enumeration over the near-dup graph "
+              "(clique diagnostics), two hash joins, no broadcast blowup"),
     Query("corpus_epoch_upsample", corpus_epoch_upsample, _epoch_upsample_oracle(),
           ("sampling", "pipeline"),
           doc="fractional-epoch mixture repetition (en 2.3x / fr 1.5x / de 1x / "

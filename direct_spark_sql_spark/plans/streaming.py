@@ -26,6 +26,7 @@ from direct_spark_sql_spark.streaming import (
     stream_dedup_hourly,
     stream_session_windows,
     stream_sliding_totals,
+    stream_static_enrich,
     stream_tumbling_totals,
     stream_user_counts_stateful,
 )
@@ -179,6 +180,30 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched per micro-batch with
+    the static (batch) customer dimension, broadcast map-side, then
+    aggregated per market segment.  On the closed input the result equals
+    the batch join+agg (the oracle)."""
+    from direct_spark_sql_spark.sources.registry import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    result = run_available_now(
+        stream_static_enrich(events, customer), "stream_static_enrich", "complete"
+    )
+    return result.orderBy("c_mktsegment")
+
+
+STREAM_STATIC_ENRICH_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 6) AS DECIMAL(24,6)) AS DOUBLE)
+         AS total_value
+FROM events JOIN customer ON c_custkey = user_id
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES = [
     Query("streaming_tumbling_window", streaming_tumbling_window,
           EVENTS_TUMBLING_ORACLE, ("streaming", "window"),
@@ -201,4 +226,8 @@ QUERIES = [
     Query("streaming_foreachbatch_upsert", streaming_foreachbatch_upsert,
           FOREACH_BATCH_UPSERT_ORACLE, ("streaming", "merge"),
           doc="foreachBatch latest-wins MERGE into accumulated state"),
+    Query("streaming_static_enrich", streaming_static_enrich,
+          STREAM_STATIC_ENRICH_ORACLE, ("streaming", "join"),
+          doc="stream-static broadcast join (dimension enrichment) + agg, "
+              "stream==batch on closed input"),
 ]

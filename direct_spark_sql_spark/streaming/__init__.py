@@ -6,6 +6,7 @@ from direct_spark_sql_spark.streaming.pipelines import (
     stream_dedup_hourly,
     stream_session_windows,
     stream_sliding_totals,
+    stream_static_enrich,
     stream_tumbling_totals,
     stream_user_counts_stateful,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "stream_dedup_hourly",
     "stream_session_windows",
     "stream_sliding_totals",
+    "stream_static_enrich",
     "stream_tumbling_totals",
     "stream_user_counts_stateful",
 ]

@@ -272,6 +272,29 @@ def stream_user_counts_stateful(events: DataFrame) -> DataFrame:
 
 # -- harness -----------------------------------------------------------------
 
+def stream_static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with the static customer
+    dimension (user_id = c_custkey) and aggregate value per market segment.
+
+    The static side is re-resolved per micro-batch (standard Structured
+    Streaming semantics — a dimension table updated between batches is
+    picked up) and explicitly broadcast: at any scale the dimension is the
+    small side, so each micro-batch joins map-side with no stream-side
+    shuffle before the aggregation."""
+    dim = F.broadcast(
+        customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    return (
+        events.join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC_PRICE)).cast(DEC_OUT).cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
