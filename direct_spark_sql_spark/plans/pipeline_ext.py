@@ -661,6 +661,109 @@ FROM ranked WHERE rk = 1 ORDER BY cluster_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Greedy longest-match subword tokenization (BPE-style apply) via recursion
+# ---------------------------------------------------------------------------
+
+# Vocabulary derivation is part of the query: character n-grams (len 2-4)
+# occurring at >= 3 (word, position) sites, full words excluded (forcing
+# real subword splits), plus every single character as the guaranteed
+# fallback.  Tokenization is the recursive longest-prefix strip: each step
+# joins the remaining suffix to the vocab and keeps a match only if no
+# longer match exists (anti-join via LEFT JOIN .. IS NULL — recursive terms
+# allow joins but no aggregates/windows in either engine).  Termination is
+# structural: every step consumes >= 1 char, so depth <= max word length.
+_SUBWORD_SPARK = """
+WITH RECURSIVE
+t AS (
+  SELECT explode(split(lower(text), '[^a-z]+')) AS word FROM documents
+),
+w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM t WHERE word <> '' GROUP BY word),
+grams AS (
+  SELECT substr(w.word, i, len) AS tok, len
+  FROM w
+  LATERAL VIEW explode(sequence(2, 4)) l AS len
+  LATERAL VIEW explode(sequence(1, 64)) p AS i
+  WHERE i + len - 1 <= length(w.word)
+),
+vocab AS (
+  SELECT tok, len FROM (
+    SELECT tok, len, COUNT(*) AS cnt FROM grams GROUP BY tok, len
+  ) g WHERE cnt >= 3 AND NOT EXISTS (SELECT 1 FROM w WHERE w.word = g.tok)
+  UNION
+  SELECT DISTINCT substr(word, i, 1) AS tok, 1 AS len
+  FROM w LATERAL VIEW explode(sequence(1, 64)) p AS i WHERE i <= length(word)
+),
+r AS (
+  SELECT word, word AS rest, CAST(NULL AS STRING) AS tok FROM w
+  UNION ALL
+  SELECT r.word, substr(r.rest, v.len + 1) AS rest, v.tok
+  FROM r
+  JOIN vocab v ON v.tok = substr(r.rest, 1, v.len)
+  LEFT JOIN vocab v2 ON v2.len > v.len AND v2.tok = substr(r.rest, 1, v2.len)
+  WHERE r.rest <> '' AND v2.tok IS NULL
+)
+SELECT r.tok AS token,
+       CAST(COUNT(DISTINCT r.word) AS BIGINT) AS n_words,
+       CAST(SUM(w.freq) AS BIGINT) AS n_occurrences
+FROM r JOIN w ON w.word = r.word
+WHERE r.tok IS NOT NULL
+GROUP BY r.tok
+ORDER BY n_occurrences DESC, token
+"""
+
+_SUBWORD_ORACLE = """
+WITH RECURSIVE
+t AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word FROM documents
+),
+w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM t WHERE word <> '' GROUP BY word),
+grams AS (
+  SELECT substr(w.word, i, len) AS tok, len
+  FROM w, generate_series(2, 4) l(len), generate_series(1, 64) p(i)
+  WHERE i + len - 1 <= length(w.word)
+),
+vocab AS (
+  SELECT tok, len FROM (
+    SELECT tok, len, COUNT(*) AS cnt FROM grams GROUP BY tok, len
+  ) g WHERE cnt >= 3 AND NOT EXISTS (SELECT 1 FROM w WHERE w.word = g.tok)
+  UNION
+  SELECT DISTINCT substr(word, i, 1) AS tok, 1 AS len
+  FROM w, generate_series(1, 64) p(i) WHERE i <= length(word)
+),
+r AS (
+  SELECT word, word AS rest, CAST(NULL AS VARCHAR) AS tok FROM w
+  UNION ALL
+  SELECT r.word, substr(r.rest, v.len + 1) AS rest, v.tok
+  FROM r
+  JOIN vocab v ON v.tok = substr(r.rest, 1, v.len)
+  LEFT JOIN vocab v2 ON v2.len > v.len AND v2.tok = substr(r.rest, 1, v2.len)
+  WHERE r.rest <> '' AND v2.tok IS NULL
+)
+SELECT r.tok AS token,
+       CAST(COUNT(DISTINCT r.word) AS BIGINT) AS n_words,
+       CAST(SUM(w.freq) AS BIGINT) AS n_occurrences
+FROM r JOIN w ON w.word = r.word
+WHERE r.tok IS NOT NULL
+GROUP BY r.tok
+ORDER BY n_occurrences DESC, token
+"""
+
+
+def text_subword_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match subword tokenization (the *apply* half of a
+    BPE-style tokenizer) executed as one recursive SQL plan: vocabulary
+    induction (frequent char n-grams, full words excluded, single-char
+    fallback) and per-word longest-prefix stripping, ending in corpus
+    token statistics.
+
+    Tokenizes *distinct* words (freq-weighted join-back), so the recursion
+    scales with vocabulary size, not corpus size — the standard trick that
+    makes tokenizer application feasible at 100 TB: the heavy per-doc work
+    is an equi-join from words to their precomputed token sequences."""
+    return sql_query(spark, sf_dir, _SUBWORD_SPARK)
+
+
 def graph_triangle_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle enumeration over the near-duplicate pair graph — the
     "how clique-like are my duplicate clusters" diagnostic (a triangle
@@ -709,6 +812,10 @@ ORDER BY id_a, id_b, id_c
 
 
 QUERIES = [
+    Query("text_subword_tokenize", text_subword_tokenize, _SUBWORD_ORACLE,
+          ("text", "recursion", "pipeline"),
+          doc="BPE-style longest-match subword tokenizer: vocab induction + "
+              "recursive prefix strip + corpus token stats, one SQL plan"),
     Query("graph_triangle_enum", graph_triangle_enum, _triangle_oracle(),
           ("dedup", "graph", "pipeline"),
           doc="oriented-edge triangle enumeration over the near-dup graph "
