@@ -432,6 +432,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        while payload[pos + 1] == 0xFF:  # legal fill bytes (T.81 B.1.1.2)
+            pos += 1
+            if pos + 4 > len(payload):
+                raise ValueError("JPEG stream ends in fill bytes")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI before any SOS — standalone, no length
             break
@@ -481,10 +485,23 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = data[0]
+            if ns != len(frame[2]):
+                raise ValueError(
+                    "multi-scan baseline JPEG unsupported (scan covers "
+                    f"{ns} of {len(frame[2])} components)"
+                )
             scan_tables = {}
             for c in range(ns):
                 cs, tdta = data[1 + 2 * c : 3 + 2 * c]
                 scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
+            for cid, _h, _v, tq in frame[2]:
+                td, ta = scan_tables.get(cid, (None, None))
+                if td not in huff_dc or ta not in huff_ac:
+                    raise ValueError(f"scan references undefined Huffman table "
+                                     f"(component {cid}: DC {td}, AC {ta})")
+                if tq not in qtables:
+                    raise ValueError(f"component {cid} references undefined "
+                                     f"quant table {tq}")
             return _decode_scan(
                 payload, pos, frame, scan_tables, qtables, huff_dc, huff_ac,
                 restart_interval,
@@ -504,6 +521,13 @@ def _decode_scan(
     restart_interval: int,
 ) -> tuple[int, int, bytes]:
     width, height, comps = frame
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — one 8x8
+        # data unit per MCU, sampling factors ignored.  Rewrite the frame
+        # as 1x1 so the interleaved walk below degenerates correctly
+        # (covers grayscale files that keep e.g. 2x2 luma factors).
+        cid, _h, _v, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax

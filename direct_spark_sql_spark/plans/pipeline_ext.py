@@ -482,8 +482,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 # Data-recipe operators: fractional-epoch upsampling, cluster-canonical pick
 # ---------------------------------------------------------------------------
 
-#: hash-bucket space shared with operators/sampling.py
-_EPOCH_BUCKETS = 10_000
+from direct_spark_sql_spark.operators.sampling import SAMPLE_BUCKETS as _EPOCH_BUCKETS
 
 #: lang -> (full epochs, fractional-epoch bucket threshold).  en 2.3x,
 #: fr 1.5x, de 1.0x; everything else defaults to 0.5x.  Thresholds are
@@ -491,7 +490,9 @@ _EPOCH_BUCKETS = 10_000
 #: the same literals.
 _EPOCH_WEIGHTS = {"en": (2, 3000), "fr": (1, 5000), "de": (1, 0)}
 _EPOCH_DEFAULT = (0, 5000)
-_EPOCH_MAX = 3  # max(full + 1) across the recipe — bounds the explode
+#: max copies any doc can get — bounds the explode AND the oracle's
+#: generate_series, so it must stay derived from the recipe
+_EPOCH_MAX = max(fl for fl, _th in [*_EPOCH_WEIGHTS.values(), _EPOCH_DEFAULT]) + 1
 
 
 def corpus_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,7 +638,6 @@ qf AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
          CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
-         CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_len,
          CAST(len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) AS BIGINT) AS n_stop
   FROM qt
 ),
@@ -672,13 +672,16 @@ FROM ranked WHERE rk = 1 ORDER BY cluster_id
 # joins the remaining suffix to the vocab and keeps a match only if no
 # longer match exists (anti-join via LEFT JOIN .. IS NULL — recursive terms
 # allow joins but no aggregates/windows in either engine).  Termination is
-# structural: every step consumes >= 1 char, so depth <= max word length.
+# structural: every step consumes >= 1 char, so depth <= max word length;
+# words are explicitly capped at 64 chars (matching the position series
+# below) — longer "words" are runaway strings, not vocabulary.
 _SUBWORD_SPARK = """
 WITH RECURSIVE
 t AS (
   SELECT explode(split(lower(text), '[^a-z]+')) AS word FROM documents
 ),
-w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM t WHERE word <> '' GROUP BY word),
+w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM t
+      WHERE word <> '' AND length(word) <= 64 GROUP BY word),
 grams AS (
   SELECT substr(w.word, i, len) AS tok, len
   FROM w
@@ -717,7 +720,8 @@ WITH RECURSIVE
 t AS (
   SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word FROM documents
 ),
-w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM t WHERE word <> '' GROUP BY word),
+w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM t
+      WHERE word <> '' AND length(word) <= 64 GROUP BY word),
 grams AS (
   SELECT substr(w.word, i, len) AS tok, len
   FROM w, generate_series(2, 4) l(len), generate_series(1, 64) p(i)

@@ -174,6 +174,69 @@ def test_progressive_rejected_with_reason():
         decode_jpeg(stream)
 
 
+def test_fill_bytes_before_marker_are_skipped():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    img = _smooth(8, 8)
+    data = encode_jpeg(8, 8, img.tobytes(), quality=95)
+    assert data[:2] == b"\xff\xd8"
+    padded = data[:2] + b"\xff\xff" + data[2:]
+    w, h, _rgb = decode_jpeg(padded)
+    assert (w, h) == (8, 8)
+
+
+def test_single_component_scan_is_noninterleaved():
+    # Grayscale frame that KEEPS 2x2 sampling factors (as jpegtran
+    # -grayscale does): per T.81 A.2.2 a one-component scan is
+    # non-interleaved — one 8x8 block per MCU, factors ignored.
+    stream = (
+        b"\xff\xd8"
+        + _seg(0xDB, b"\x00" + bytes([16] * 64))
+        + _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x22, 0)))
+        + _seg(0xC4, b"\x00" + _DC_BITS + _DC_VALS)
+        + _seg(0xC4, b"\x10" + _AC_BITS + _AC_VALS)
+        + _seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+        + b"\xd0\xaf"  # one DC-only block: solid gray 160
+        + b"\xff\xd9"
+    )
+    w, h, rgb = decode_jpeg(stream)
+    assert (w, h) == (8, 8)
+    assert rgb == bytes([160]) * (8 * 8 * 3)
+
+
+def test_undefined_tables_raise_valueerror_not_keyerror():
+    # SOS referencing AC table 1 that no DHT defined -> ValueError (the
+    # decode_image contract), never a bare KeyError.
+    stream = (
+        _gray_headers(8, 8)
+        + _seg(0xDA, bytes((1, 1, 0x01, 0, 63, 0)))  # AC table id 1 undefined
+        + b"\xd0\xaf"
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="undefined Huffman"):
+        decode_jpeg(stream)
+
+
+def test_partial_multiscan_rejected_with_reason():
+    # A scan covering 1 of 3 frame components (multi-scan baseline) is
+    # detected and rejected rather than returning a partial image.
+    stream = (
+        b"\xff\xd8"
+        + _seg(0xDB, b"\x00" + bytes([16] * 64))
+        + _seg(
+            0xC0,
+            struct.pack(">BHHB", 8, 8, 8, 3)
+            + bytes((1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0)),
+        )
+        + _seg(0xC4, b"\x00" + _DC_BITS + _DC_VALS)
+        + _seg(0xC4, b"\x10" + _AC_BITS + _AC_VALS)
+        + _seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+        + b"\xd0\xaf"
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(stream)
+
+
 def test_truncated_entropy_rejected():
     stream = _gray_headers(8, 8) + _seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0))) + b"\xff\xd9"
     with pytest.raises(ValueError):
