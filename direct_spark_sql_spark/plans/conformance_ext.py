@@ -1063,7 +1063,7 @@ QUERIES = [
           doc="JAR-packaged Java UDF1/UDF2 registered by class name, "
               "called from SQL (Hive-UDF DDL parity)"),
     Query("recursive_cte_tree_depth", recursive_cte_tree_depth,
-          _RECURSIVE_DEPTH_ORACLE, ("cte", "recursion"),
+          _RECURSIVE_DEPTH_ORACLE, ("cte", "recursion"), bench=True,
           doc="WITH RECURSIVE data-driven ancestor walk (UnionLoopExec), "
               "depth histogram with id checksum"),
 ]

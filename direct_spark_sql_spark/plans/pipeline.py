@@ -1206,7 +1206,7 @@ QUERIES = [
           _MULTIMODAL_FEATURES_ORACLE, ("multimodal", "pipeline"),
           doc="real PPM/BMP/PNG encode→decode round-trip, pixel-stat oracle"),
     Query("multimodal_jpeg_roundtrip", multimodal_jpeg_roundtrip,
-          _MULTIMODAL_JPEG_ORACLE, ("multimodal", "pipeline"),
+          _MULTIMODAL_JPEG_ORACLE, ("multimodal", "pipeline"), bench=True,
           doc="baseline JPEG (444+420) encode→decode with in-pass tolerance audit"),
     Query("binary_chunking", binary_chunking, _BINARY_CHUNKING_ORACLE,
           ("multimodal", "pipeline"),

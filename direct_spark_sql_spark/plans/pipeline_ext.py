@@ -662,6 +662,86 @@ FROM ranked WHERE rk = 1 ORDER BY cluster_id
 
 
 # ---------------------------------------------------------------------------
+# Content-defined chunking (rolling-hash boundaries) + shared-chunk dedup
+# ---------------------------------------------------------------------------
+
+
+def _cdc_sql(h64f, posclause: str) -> str:
+    """Shared CDC template: boundary after position ``i`` iff the 8-gram
+    ending there hashes to 0 mod 64 (expected chunk ~64 chars).  This is
+    the stateless-divisor variant of content-defined chunking: boundaries
+    depend only on local content, so insertions shift chunk *positions*
+    but not chunk *identities* — which is the point: identical passages in
+    different documents produce identical chunks, caught by the final
+    chunk-hash aggregation.  (No min-chunk-size clamp: that would make
+    each boundary depend on the previous one — a sequential chain — where
+    the divisor-only rule stays embarrassingly parallel per position.)"""
+    return f"""
+WITH d AS (
+  -- REPARTITION spreads the per-position explode across the cluster;
+  -- without it the fan-out inherits the source file count (2 partitions
+  -- at sf0.1), and a keyed-only hint gets AQE-coalesced to 1 because the
+  -- PRE-explode bytes look tiny — the explicit count is deliberate (AQE
+  -- honors it).  DuckDB parses the hint as a comment — one shared text.
+  SELECT /*+ REPARTITION(32, doc_id) */ doc_id, text FROM documents
+  WHERE length(text) >= 8 AND length(text) <= 1024),
+pos AS (
+  SELECT doc_id, text, i FROM d {posclause}
+),
+bounds AS (
+  -- dedup on (doc_id, i) only; text is joined back once per chunk below
+  -- (carrying it through the UNION would put ~300-char strings in the
+  -- distinct's shuffle key)
+  SELECT doc_id, i FROM pos
+  WHERE ({h64f('substr(text, i - 7, 8)')}) % 64 = 0
+  UNION
+  SELECT doc_id, length(text) AS i FROM d
+),
+c AS (
+  SELECT doc_id, i AS chunk_end,
+         LAG(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS prev_end
+  FROM bounds
+),
+chunks AS (
+  SELECT c.doc_id, chunk_end - prev_end AS chunk_len,
+         substr(d.text, prev_end + 1, chunk_end - prev_end) AS chunk
+  FROM c JOIN d ON d.doc_id = c.doc_id
+  WHERE chunk_end > prev_end
+)
+SELECT ({h64f('chunk')}) AS chunk_hash,
+       CAST(MIN(chunk_len) AS BIGINT) AS chunk_len,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM chunks
+GROUP BY chunk_hash
+HAVING COUNT(DISTINCT doc_id) > 1
+ORDER BY n_docs DESC, chunk_hash
+"""
+
+
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking with cross-document shared-chunk detection
+    — the passage-level dedup primitive robust to insertions/reordering
+    (exact-substring span dedup catches aligned spans; CDC catches the
+    same passage at *any* offset).  Per-position 8-gram hashing explodes
+    to one row per character: at 100 TB this is the mapInPandas/flatMap
+    shape — embarrassingly parallel, no shuffle until the chunk-hash agg."""
+    from direct_spark_sql_spark.hashing import h64_spark_sql
+
+    return sql_query(
+        spark,
+        sf_dir,
+        _cdc_sql(h64_spark_sql, "LATERAL VIEW explode(sequence(8, length(text))) p AS i"),
+    )
+
+
+def _cdc_oracle() -> str:
+    from direct_spark_sql_spark.hashing import h64_sql
+
+    return _cdc_sql(h64_sql, ", generate_series(8, 1024) p(i) WHERE i <= length(text)")
+
+
+# ---------------------------------------------------------------------------
 # Greedy longest-match subword tokenization (BPE-style apply) via recursion
 # ---------------------------------------------------------------------------
 
@@ -816,6 +896,10 @@ ORDER BY id_a, id_b, id_c
 
 
 QUERIES = [
+    Query("dedup_cdc_chunks", dedup_cdc_chunks, _cdc_oracle(),
+          ("dedup", "text", "pipeline"), bench=True,
+          doc="content-defined chunking (8-gram rolling hash, divisor 64) "
+              "with cross-doc shared-chunk detection"),
     Query("text_subword_tokenize", text_subword_tokenize, _SUBWORD_ORACLE,
           ("text", "recursion", "pipeline"),
           doc="BPE-style longest-match subword tokenizer: vocab induction + "
@@ -825,7 +909,7 @@ QUERIES = [
           doc="oriented-edge triangle enumeration over the near-dup graph "
               "(clique diagnostics), two hash joins, no broadcast blowup"),
     Query("corpus_epoch_upsample", corpus_epoch_upsample, _epoch_upsample_oracle(),
-          ("sampling", "pipeline"),
+          ("sampling", "pipeline"), bench=True,
           doc="fractional-epoch mixture repetition (en 2.3x / fr 1.5x / de 1x / "
               "rest 0.5x), bounded explode + manifest agg"),
     Query("dedup_cluster_canonical", dedup_cluster_canonical,

@@ -227,7 +227,7 @@ QUERIES = [
           FOREACH_BATCH_UPSERT_ORACLE, ("streaming", "merge"),
           doc="foreachBatch latest-wins MERGE into accumulated state"),
     Query("streaming_static_enrich", streaming_static_enrich,
-          STREAM_STATIC_ENRICH_ORACLE, ("streaming", "join"),
+          STREAM_STATIC_ENRICH_ORACLE, ("streaming", "join"), bench=True,
           doc="stream-static broadcast join (dimension enrichment) + agg, "
               "stream==batch on closed input"),
 ]

@@ -59,13 +59,20 @@ def read_events_stream(
     multi-file inputs into multiple micro-batches (used by tests to prove
     state carries across batches)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-    )
+    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
+    import os
+
+    table_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(table_path):
+        # multi-file layout (e.g. the scale-probe dataset): stream the
+        # table directory itself
+        df = reader.parquet(table_path)
+    else:
+        # single-file layout: the file source wants a directory, so stream
+        # the parent filtered down to the one table file
+        df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     to_us = 1000 if _events_ts_unit(spark, sf_dir) == "ns" else 1
     return df.withColumn("ts", F.timestamp_micros(F.expr(f"ts DIV {to_us}")))
 
@@ -76,8 +83,10 @@ def _events_ts_unit(spark: SparkSession, sf_dir: str) -> str:
     multi-file layouts work — a driver-local pyarrow footer read would
     only handle bare local paths.  Under the nanosAsLong conf a NANOS
     column surfaces as bigint; micros surfaces as a timestamp type."""
+    import os
+
     batch_dtypes = dict(
-        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).dtypes
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
     )
     return "ns" if batch_dtypes.get("ts") == "bigint" else "us"
 
