@@ -662,6 +662,49 @@ FROM ranked WHERE rk = 1 ORDER BY cluster_id
 
 
 # ---------------------------------------------------------------------------
+# Partitioned sink + partition-pruned read-back
+# ---------------------------------------------------------------------------
+
+
+def export_partitioned_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partitioned export round-trip: write documents
+    partitioned by ``lang`` (the 100 TB sink layout — one directory per
+    partition value, so downstream readers skip whole directories), then
+    read back with a partition filter and aggregate.  The oracle is the
+    same aggregate over the source table, so a partition-column mixup,
+    dropped rows, or type drift through the sink breaks the match.  The
+    read-back filter prunes at the directory level (PartitionFilters, not
+    data filters)."""
+    import hashlib
+    import os
+
+    d = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "export",
+        f"docs_by_lang_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    d.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang").isin("en", "de"))
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+EXPORT_PARTITIONED_ORACLE = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE lang IN ('en', 'de')
+GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Content-defined chunking (rolling-hash boundaries) + shared-chunk dedup
 # ---------------------------------------------------------------------------
 
@@ -863,7 +906,11 @@ def graph_triangle_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from direct_spark_sql_spark.operators import dedup as dd
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    p = dd.minhash_near_duplicates(d).select("id_a", "id_b")
+    # localCheckpoint: the pair list is consumed three times below and
+    # ReuseExchange does not unify the three aliased subtrees — without it
+    # the whole MinHash pipeline executes once per alias (measured 3x).
+    # Same precedent as the connected-components fixpoint (graph.py).
+    p = dd.minhash_near_duplicates(d).select("id_a", "id_b").localCheckpoint()
     e1, e2, e3 = p.alias("e1"), p.alias("e2"), p.alias("e3")
     return (
         e1.join(e2, F.col("e2.id_a") == F.col("e1.id_b"))
@@ -896,6 +943,10 @@ ORDER BY id_a, id_b, id_c
 
 
 QUERIES = [
+    Query("export_partitioned_readback", export_partitioned_readback,
+          EXPORT_PARTITIONED_ORACLE, ("sink", "layout", "pipeline"),
+          doc="partitionBy(lang) parquet sink + partition-pruned read-back, "
+              "values round-trip exactly"),
     Query("dedup_cdc_chunks", dedup_cdc_chunks, _cdc_oracle(),
           ("dedup", "text", "pipeline"), bench=True,
           doc="content-defined chunking (8-gram rolling hash, divisor 64) "

@@ -64,6 +64,30 @@ def test_solid_color_is_exact(subsampling):
     assert np.array_equal(got, img)
 
 
+@settings(max_examples=80, deadline=None)
+@given(
+    color=st.tuples(
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=255),
+    ),
+    wh=st.sampled_from([(8, 8), (16, 8), (11, 13)]),
+    subsampling=st.sampled_from(["444", "420"]),
+)
+def test_solid_color_property_bounded(color, wh, subsampling):
+    # Solid blocks are DC-only: quantization error is <= q[0]/2 per DCT
+    # coefficient = <= 1 count per YCbCr channel at quality 90, so the RGB
+    # round-trip error is bounded by the color-transform condition number
+    # (~3 counts), for EVERY color and geometry.
+    w, h = wh
+    img = np.full((h, w, 3), color, np.uint8)
+    data = encode_jpeg(w, h, img.tobytes(), quality=90, subsampling=subsampling)
+    gw, gh, rgb = decode_jpeg(data)
+    assert (gw, gh) == (w, h)
+    got = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(got - img.astype(int)).max() <= 3
+
+
 def test_noise_q95_mean_error_small():
     rng = np.random.default_rng(7)
     img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)

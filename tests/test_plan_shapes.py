@@ -256,3 +256,12 @@ def test_partition_pruning_through_join(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "dynamicpruning" in plan_dyn.lower(), plan_dyn[:1500]
+
+
+def test_partitioned_export_readback_prunes_directories(spark):
+    # the read-back's lang IN (...) must land in PartitionFilters (directory
+    # pruning), never as a data filter the scan evaluates per row
+    plan = _plan(spark, "export_partitioned_readback")
+    scan = plan[plan.index("FileScan") :]
+    part = scan[scan.index("PartitionFilters") : ]
+    assert "lang" in part.split("]")[0]
