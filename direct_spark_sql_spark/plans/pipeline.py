@@ -645,6 +645,39 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit of the IVF index against exact brute-force search —
+    the approximation-quality measurement an ANN deployment monitors
+    (separate from embedding_ivf_topk's check that the IVF *algorithm*
+    itself replays bit-exactly).  Both result sets come from the engine's
+    own operators; the oracle recomputes both searches and the overlap in
+    SQL, so the recall number itself is differential-checked."""
+    ivf = embedding_ivf_topk(spark, sf_dir).select("vec_id")
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = sim.cosine_topk(
+        e.filter(F.col("vec_id") != 0), e.filter(F.col("vec_id") == 0), k=10
+    ).select("vec_id")
+    return (
+        ivf.join(exact, "vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(10.0)).alias("recall_at_k"),
+        )
+    )
+
+
+def _ivf_recall_oracle() -> str:
+    return f"""
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_k
+FROM ({_IVF_ORACLE}) ivf
+JOIN ({EMBEDDING_TOPK_ORACLE}) exact ON ivf.vec_id = exact.vec_id
+"""
+
+
 def embedding_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One spherical-k-means refinement of the IVF seed centroids over the
     full embedding table — the centroid-training loop body an IVF index
@@ -1197,6 +1230,10 @@ QUERIES = [
           ("similarity", "pipeline"), bench=True),
     Query("embedding_ivf_topk", embedding_ivf_topk, _IVF_ORACLE,
           ("similarity", "pipeline"), bench=True),
+    Query("embedding_ivf_recall", embedding_ivf_recall, _ivf_recall_oracle(),
+          ("similarity", "pipeline"),
+          doc="recall@10 of the IVF index vs exact search, overlap "
+              "differential-checked"),
     Query("embedding_kmeans_refine", embedding_kmeans_refine, _KMEANS_ORACLE,
           ("similarity", "pipeline"),
           doc="spherical k-means Lloyd step (IVF centroid training), exact-decimal means"),

@@ -928,6 +928,86 @@ def graph_triangle_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PageRank fixed-point scale: ranks are integers in units of 1e-12, all
+#: updates are integer floor arithmetic — bit-exact in any engine, unlike
+#: double PageRank whose neighbor sums are order-dependent.
+_PR_SCALE = 1_000_000_000_000
+_PR_BASE = _PR_SCALE * 15 // 100  # (1 - damping) * SCALE, damping = 0.85
+_PR_ITERS = 5
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the near-duplicate graph — ranks the most
+    "central" documents of each duplicate neighborhood (highly-copied docs
+    score high; peripheral variants low).
+
+    All arithmetic is integer: contribution = rank DIV degree, update =
+    BASE + (sum * 85) DIV 100, so five distributed iterations produce the
+    identical BIGINT ranks in any engine (a double implementation would
+    diverge in the last ulp depending on reduction order).  Each iteration
+    is one join + one aggregation; lineage is truncated per iteration with
+    localCheckpoint (the CC precedent) so the plan stays flat at any
+    iteration count."""
+    from direct_spark_sql_spark.operators import dedup as dd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dd.minhash_near_duplicates(d).select("id_a", "id_b").localCheckpoint()
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("rank DIV deg").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(_PR_BASE) + F.expr("s * 85 DIV 100")).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.orderBy(F.desc("rank"), "node")
+
+
+def _pagerank_oracle() -> str:
+    from direct_spark_sql_spark.plans.pipeline import _minhash_pairs_ctes
+
+    its = []
+    prev = "r0"
+    for n in range(1, _PR_ITERS + 1):
+        its.append(f"""
+it{n} AS (
+  SELECT e.dst AS node,
+         CAST({_PR_BASE} + (SUM(r.rank // d.deg) * 85) // 100 AS BIGINT) AS rank
+  FROM edges e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.node = e.src
+  GROUP BY e.dst
+)""")
+        prev = f"it{n}"
+    return f"""
+WITH {_minhash_pairs_ctes()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM deg),
+{",".join(its)}
+SELECT node, rank FROM {prev} ORDER BY rank DESC, node
+"""
+
+
 def _triangle_oracle() -> str:
     from direct_spark_sql_spark.plans.pipeline import _minhash_pairs_ctes
 
@@ -955,6 +1035,10 @@ QUERIES = [
           ("text", "recursion", "pipeline"),
           doc="BPE-style longest-match subword tokenizer: vocab induction + "
               "recursive prefix strip + corpus token stats, one SQL plan"),
+    Query("graph_pagerank", graph_pagerank, _pagerank_oracle(),
+          ("graph", "pipeline"),
+          doc="fixed-point integer PageRank (5 iterations) over the "
+              "near-dup graph — bit-exact iterative algorithm"),
     Query("graph_triangle_enum", graph_triangle_enum, _triangle_oracle(),
           ("dedup", "graph", "pipeline"),
           doc="oriented-edge triangle enumeration over the near-dup graph "
