@@ -47,13 +47,14 @@ def main() -> None:
         except Exception:
             df.collect()
 
-    def measure(q, runs: int) -> float:
+    def measure(q, runs: int, data_dir: str = None) -> float:
         # A FRESH DataFrame per run: re-collecting the same object lets
         # Spark skip completed shuffle stages and under-reports.
+        data_dir = data_dir or sf_dir
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
-            materialize(q.spark_fn(spark, sf_dir))
+            materialize(q.spark_fn(spark, data_dir))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -132,12 +133,7 @@ def main() -> None:
             materialize(q.spark_fn(spark, scale_dir))  # warmup
             # best-of-2 like the base tier: a single measured run is noisy
             # enough (GC pause, page-cache miss) to false-flag superlinear
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                materialize(q.spark_fn(spark, scale_dir))
-                best = min(best, time.perf_counter() - t0)
-            s_timings[q.name] = round(best, 4)
+            s_timings[q.name] = round(measure(q, 2, scale_dir), 4)
         ratios = {
             name: round(s_timings[name] / timings[name], 2)
             for name in s_timings

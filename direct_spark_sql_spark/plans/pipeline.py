@@ -596,13 +596,9 @@ IVF_NPROBE = 2
 def _ivf_index_path(sf_dir: str) -> str:
     """Deterministic per-dataset location for the materialized IVF index
     (build/probe split).  Lives under the repo's gitignored warehouse dir."""
-    import os
+    from direct_spark_sql_spark.sources.registry import dataset_tag, warehouse_path
 
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    return os.path.join(repo_root, "spark-warehouse", "ivf_index", tag)
+    return warehouse_path("ivf_index", dataset_tag(sf_dir))
 
 
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -675,16 +675,10 @@ def export_partitioned_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped rows, or type drift through the sink breaks the match.  The
     read-back filter prunes at the directory level (PartitionFilters, not
     data filters)."""
-    import hashlib
-    import os
+    from direct_spark_sql_spark.sources.registry import dataset_tag, warehouse_path
 
     d = load_table(spark, sf_dir, "documents")
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "spark-warehouse",
-        "export",
-        f"docs_by_lang_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    out = warehouse_path("export", f"docs_by_lang_{dataset_tag(sf_dir)}")
     d.write.mode("overwrite").partitionBy("lang").parquet(out)
     back = spark.read.parquet(out).filter(F.col("lang").isin("en", "de"))
     return (

@@ -15,6 +15,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+def warehouse_path(*parts: str) -> str:
+    """Path under the repo's gitignored ``spark-warehouse/`` scratch dir —
+    the single place derived artifacts (IVF indexes, partitioned exports,
+    scale-probe datasets) live, so path derivation can't silently diverge
+    between operators."""
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo_root, "spark-warehouse", *parts)
+
+
+def dataset_tag(sf_dir: str) -> str:
+    """Stable per-dataset directory tag (basename, trailing-slash safe)."""
+    import os
+
+    return os.path.basename(os.path.normpath(sf_dir)) or "default"
+
+
 #: Driver-provided tables (TESTDATA.md / FIXTURES.md Part B).
 TABLES: tuple[str, ...] = (
     "region",

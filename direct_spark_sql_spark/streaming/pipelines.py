@@ -62,10 +62,8 @@ def read_events_stream(
     reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    import os
-
-    table_path = os.path.join(sf_dir, "events.parquet")
-    if os.path.isdir(table_path):
+    table_path = f"{sf_dir.rstrip('/')}/events.parquet"
+    if _hadoop_isdir(spark, table_path):
         # multi-file layout (e.g. the scale-probe dataset): stream the
         # table directory itself
         df = reader.parquet(table_path)
@@ -77,16 +75,24 @@ def read_events_stream(
     return df.withColumn("ts", F.timestamp_micros(F.expr(f"ts DIV {to_us}")))
 
 
+def _hadoop_isdir(spark: SparkSession, path: str) -> bool:
+    """Directory check through the Hadoop filesystem layer, so HDFS/S3
+    paths resolve the same way the reader will (a driver-local
+    os.path.isdir would silently say False for any remote path)."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory()
+
+
 def _events_ts_unit(spark: SparkSession, sf_dir: str) -> str:
     """Time unit ('us' | 'ns') of events.ts, sniffed through Spark's own
     reader (schema-only, no job) so any Hadoop-reachable filesystem and
     multi-file layouts work — a driver-local pyarrow footer read would
     only handle bare local paths.  Under the nanosAsLong conf a NANOS
     column surfaces as bigint; micros surfaces as a timestamp type."""
-    import os
-
     batch_dtypes = dict(
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").dtypes
     )
     return "ns" if batch_dtypes.get("ts") == "bigint" else "us"
 
