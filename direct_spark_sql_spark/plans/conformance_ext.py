@@ -59,6 +59,39 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_query(spark, sf_dir, _PERCENTILE_SQL)
 
 
+# Winsorized robust statistics: clip at the per-group P10/P90 discrete
+# percentiles (actual data values, so thresholds are identical in both
+# engines), then an exact-decimal clipped mean — the outlier-robust
+# aggregation a feature pipeline applies before normalization.  One SQL
+# text serves both engines.
+_WINSORIZE_SQL = """
+WITH p AS (
+  SELECT l_returnflag,
+         percentile_disc(0.1) WITHIN GROUP (ORDER BY l_extendedprice) AS p10,
+         percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90
+  FROM lineitem GROUP BY l_returnflag
+),
+w AS (
+  SELECT l.l_returnflag,
+         CAST(p.p10 AS DOUBLE) AS p10,
+         CAST(p.p90 AS DOUBLE) AS p90,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(ROUND(SUM(CAST(LEAST(GREATEST(l.l_extendedprice, p.p10), p.p90)
+                                  AS DECIMAL(14,2))), 6)
+                   AS DECIMAL(24,6)) AS DOUBLE) AS winsorized_sum
+  FROM lineitem l JOIN p ON p.l_returnflag = l.l_returnflag
+  GROUP BY l.l_returnflag, p.p10, p.p90
+)
+SELECT l_returnflag, p10, p90, n, winsorized_sum,
+       winsorized_sum / CAST(n AS DOUBLE) AS winsorized_mean
+FROM w ORDER BY l_returnflag
+"""
+
+
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_query(spark, sf_dir, _WINSORIZE_SQL)
+
+
 # ---------------------------------------------------------------------------
 # GROUPING / GROUPING_ID over ROLLUP (ExpandDirectExec surface —
 # ExpandDirectExec.scala:33-77 is the physical op behind grouping sets)
@@ -1062,6 +1095,10 @@ QUERIES = [
     Query("udf_java_vowels", udf_java_vowels, _JAVA_UDF_ORACLE, ("udf",),
           doc="JAR-packaged Java UDF1/UDF2 registered by class name, "
               "called from SQL (Hive-UDF DDL parity)"),
+    Query("agg_winsorized_stats", agg_winsorized_stats, _WINSORIZE_SQL,
+          ("agg", "robust"),
+          doc="P10/P90 winsorized clip + exact-decimal clipped mean per "
+              "group (outlier-robust aggregation)"),
     Query("recursive_cte_tree_depth", recursive_cte_tree_depth,
           _RECURSIVE_DEPTH_ORACLE, ("cte", "recursion"), bench=True,
           doc="WITH RECURSIVE data-driven ancestor walk (UnionLoopExec), "

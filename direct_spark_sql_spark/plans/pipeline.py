@@ -210,6 +210,69 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_near_duplicates(d, min_est_jaccard=0.5).orderBy("id_a", "id_b")
 
 
+def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall audit of MinHash-LSH against exact n-gram Jaccard
+    ground truth at the same 0.5 threshold — the approximation-quality
+    measurement a dedup deployment monitors (the sibling of
+    embedding_ivf_recall for the text side).  Both pair sets come from the
+    engine's own operators; the oracle recomputes both and the confusion
+    counts, so the precision/recall numbers are differential-checked."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pred = dd.minhash_near_duplicates(d, min_est_jaccard=0.5).select(
+        "id_a", "id_b", F.lit(True).alias("in_pred")
+    )
+    truth = dd.ngram_jaccard_pairs(d, threshold=0.5, max_shingle_df=1000).select(
+        "id_a", "id_b", F.lit(True).alias("in_truth")
+    )
+    merged = pred.join(truth, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("in_pred", F.lit(False)).alias("in_pred"),
+        F.coalesce("in_truth", F.lit(False)).alias("in_truth"),
+    )
+    n_pred = F.sum(F.when(F.col("in_pred"), 1).otherwise(0)).cast("long")
+    n_truth = F.sum(F.when(F.col("in_truth"), 1).otherwise(0)).cast("long")
+    tp = F.sum(F.when(F.col("in_pred") & F.col("in_truth"), 1).otherwise(0)).cast("long")
+    return merged.agg(
+        n_pred.alias("n_pred"), n_truth.alias("n_truth"), tp.alias("tp")
+    ).select(
+        "n_pred", "n_truth", "tp",
+        F.when(F.col("n_pred") > 0,
+               F.col("tp").cast("double") / F.col("n_pred")).alias("precision"),
+        F.when(F.col("n_truth") > 0,
+               F.col("tp").cast("double") / F.col("n_truth")).alias("recall"),
+    )
+
+
+def _minhash_quality_oracle() -> str:
+    truth_sql = f"""{SHINGLE_OVERLAP_CTES}
+SELECT id_a, id_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.5
+"""
+    return f"""
+WITH merged AS (
+  SELECT (p.id_a IS NOT NULL) AS in_pred, (t.id_a IS NOT NULL) AS in_truth
+  FROM (SELECT id_a, id_b FROM ({_minhash_oracle()}) x) p
+  FULL JOIN (SELECT id_a, id_b FROM ({truth_sql}) y) t
+    ON p.id_a = t.id_a AND p.id_b = t.id_b
+)
+SELECT
+  CAST(SUM(CASE WHEN in_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+  CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+  CAST(SUM(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CASE WHEN SUM(CASE WHEN in_pred THEN 1 ELSE 0 END) > 0
+       THEN CAST(SUM(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(CASE WHEN in_pred THEN 1 ELSE 0 END) AS BIGINT)
+       END AS precision,
+  CASE WHEN SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) > 0
+       THEN CAST(SUM(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT)
+       END AS recall
+FROM merged
+"""
+
+
 def _minhash_pairs_ctes() -> str:
     """CTE block ending in ``pairs`` = the minhash near-dup pairs at
     est_jaccard >= 0.5 (shared by the pairs oracle and the duplicate-
@@ -1199,6 +1262,10 @@ QUERIES = [
           ("dedup", "pipeline"), bench=True),
     Query("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE,
           ("dedup", "pipeline")),
+    Query("dedup_minhash_quality", dedup_minhash_quality,
+          _minhash_quality_oracle(), ("dedup", "pipeline"),
+          doc="MinHash-LSH precision/recall vs exact Jaccard ground truth, "
+              "confusion counts differential-checked"),
     Query("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle(),
           ("dedup", "pipeline"), bench=True),
     Query("dedup_simhash", dedup_simhash, _simhash_oracle(),
