@@ -119,6 +119,7 @@ _NLJ_ALLOWED = {
     "agg_histogram",         # broadcast 1-row (min, max) bounds
     "embedding_cosine_topk",   # broadcast single query vector
     "embedding_ivf_topk",      # broadcast query vector + centroid array
+    "embedding_ivf_recall",    # composes cosine_topk: same 1-row broadcast
     "embedding_batch_topk",    # broadcast bounded query batch
     "bm25_search",             # broadcast 1-row corpus stats (N, sum_dl)
     "embedding_kmeans_refine",  # ivf_assign: broadcast 1-row centroid array
