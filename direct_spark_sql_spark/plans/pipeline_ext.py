@@ -662,6 +662,117 @@ FROM ranked WHERE rk = 1 ORDER BY cluster_id
 
 
 # ---------------------------------------------------------------------------
+# Deterministic negative-pair sampling (contrastive training data)
+# ---------------------------------------------------------------------------
+
+_NEG_PER_ANCHOR = 4
+
+
+def corpus_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor doc draws ``_NEG_PER_ANCHOR`` pseudo-random partner ids via a
+    salted hash over the id space, keeps only draws that hit an existing,
+    different document, and emits (anchor, draw index, negative).
+
+    Hash-based draws (not ``rand()``) make the pairs replayable across
+    engines, re-runs, and backfills — the same property the sampling
+    family guarantees.  The id-space bound is a 1-row broadcast aggregate
+    (the ``agg_histogram`` pattern); the existence check is an equi-join,
+    so the whole op is two broadcasts + one hash join at any scale."""
+    from direct_spark_sql_spark.hashing import h64
+
+    d = load_table(spark, sf_dir, "documents")
+    anchors = d.select("doc_id").filter(F.col("doc_id") < 200)
+    bound = d.agg((F.max("doc_id") + 1).alias("id_space"))
+    cands = (
+        anchors.join(F.broadcast(bound))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(_NEG_PER_ANCHOR))).alias("j"),
+            F.col("id_space"),
+        )
+        .select(
+            "doc_id",
+            "j",
+            (h64(F.concat_ws(":", F.lit("neg"), F.col("doc_id"), F.col("j")))
+             % F.col("id_space")).alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("doc_id"))
+    )
+    existing = d.select(F.col("doc_id").alias("neg_id")).distinct()
+    return cands.join(existing, "neg_id").select(
+        "doc_id", "j", "neg_id"
+    ).orderBy("doc_id", "j")
+
+
+def _negative_pairs_oracle() -> str:
+    from direct_spark_sql_spark.hashing import h64_sql
+
+    draw = h64_sql("'neg:' || CAST(a.doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+    return f"""
+WITH s AS (SELECT MAX(doc_id) + 1 AS id_space FROM documents),
+a AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+c AS (
+  SELECT a.doc_id, j, ({draw}) % s.id_space AS neg_id
+  FROM a CROSS JOIN s, generate_series(1, {_NEG_PER_ANCHOR}) g(j)
+)
+SELECT c.doc_id, CAST(c.j AS INT) AS j, c.neg_id
+FROM c JOIN (SELECT DISTINCT doc_id AS neg_id FROM documents) e USING (neg_id)
+WHERE c.neg_id <> c.doc_id
+ORDER BY c.doc_id, c.j
+"""
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: mergeSchema read across writer generations
+# ---------------------------------------------------------------------------
+
+
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift read: two writer "generations" of the same table — an
+    old one without ``n_chars`` and a new one with it — read back as one
+    dataset via ``mergeSchema``, with the missing column surfacing as NULL
+    for old-generation rows.  At 100 TB schema drift across months of
+    writer versions is the norm, not the exception; this pins Spark's
+    merged-schema scan + NULL-fill semantics against an oracle that
+    replays the union."""
+    from direct_spark_sql_spark.sources.registry import dataset_tag, warehouse_path
+
+    d = load_table(spark, sf_dir, "documents")
+    root = warehouse_path("schema_evo", dataset_tag(sf_dir))
+    d.select("doc_id", "lang").write.mode("overwrite").parquet(f"{root}/gen=1")
+    d.select("doc_id", "lang", "n_chars").write.mode("overwrite").parquet(
+        f"{root}/gen=2"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/gen=1", f"{root}/gen=2"
+    )
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("n_chars").cast("long").alias("n_with_chars"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SCHEMA_EVOLUTION_ORACLE = """
+WITH merged AS (
+  SELECT lang, CAST(NULL AS BIGINT) AS n_chars FROM documents
+  UNION ALL
+  SELECT lang, n_chars FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_rows,
+       COUNT(n_chars) AS n_with_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM merged GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Partitioned sink + partition-pruned read-back
 # ---------------------------------------------------------------------------
 
@@ -1017,6 +1128,14 @@ ORDER BY id_a, id_b, id_c
 
 
 QUERIES = [
+    Query("corpus_negative_pairs", corpus_negative_pairs,
+          _negative_pairs_oracle(), ("sampling", "pipeline"),
+          doc="deterministic hash-draw negative sampling for contrastive "
+              "pairs; 1-row broadcast bound + existence equi-join"),
+    Query("source_schema_evolution", source_schema_evolution,
+          SCHEMA_EVOLUTION_ORACLE, ("source", "pipeline"),
+          doc="mergeSchema read across writer generations, NULL-fill for "
+              "the drifted column pinned against a union replay"),
     Query("export_partitioned_readback", export_partitioned_readback,
           EXPORT_PARTITIONED_ORACLE, ("sink", "layout", "pipeline"),
           doc="partitionBy(lang) parquet sink + partition-pruned read-back, "

@@ -117,6 +117,7 @@ _NLJ_ALLOWED = {
     "q11_important_parts",   # scalar subquery → broadcast 1-row threshold
     "q22_idle_customers",    # scalar subquery → broadcast 1-row avg
     "agg_histogram",         # broadcast 1-row (min, max) bounds
+    "corpus_negative_pairs",  # broadcast 1-row id-space bound
     "embedding_cosine_topk",   # broadcast single query vector
     "embedding_ivf_topk",      # broadcast query vector + centroid array
     "embedding_ivf_recall",    # composes cosine_topk: same 1-row broadcast
