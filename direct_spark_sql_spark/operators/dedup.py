@@ -183,7 +183,10 @@ def edit_distance_pairs(
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, m0..m{NUM_PERM-1}) minhash signature table.
 
@@ -194,8 +197,13 @@ def minhash_signatures(
     applies array_distinct) and MIN is duplicate-insensitive besides, so no
     distinct shuffle is needed: the only shuffle is the partial+final MIN
     aggregation, which map-side-combines to NUM_PERM values per document
-    per partition before moving anything."""
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col)).alias("sh"))
+    per partition before moving anything.  ``shingles_df`` (a precomputed
+    :func:`shingle_table`) skips the explode when shared with other ops —
+    its global distinct changes nothing under MIN."""
+    if shingles_df is not None:
+        sh = shingles_df
+    else:
+        sh = df.select(F.col(id_col), F.explode(shingles(text_col)).alias("sh"))
     h = sh.select(id_col, (h64(F.col("sh")) % MERSENNE_P).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"m{i}")
@@ -230,6 +238,7 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_est_jaccard: float = 0.5,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline → (id_a, id_b, est_jaccard).
 
@@ -242,7 +251,7 @@ def minhash_near_duplicates(
     join-back to the signature table (saves two shuffles of the signature
     table per query; band-table duplication costs LSH_BANDS × NUM_PERM
     longs per document, the standard space-for-shuffle LSH trade)."""
-    sig = minhash_signatures(df, id_col, text_col).withColumn(
+    sig = minhash_signatures(df, id_col, text_col, shingles_df).withColumn(
         "sig", F.array(*[F.col(f"m{i}") for i in range(NUM_PERM)])
     )
     bands = _band_table_with_sig(sig, id_col)
@@ -298,8 +307,25 @@ def _band_table_with_sig(sig: DataFrame, id_col: str) -> DataFrame:
 # n-gram Jaccard (exact set similarity, shingle-blocked)
 # ---------------------------------------------------------------------------
 
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document distinct shingle rows ``(id_col, sh)`` — the shared
+    upstream of every shingle-set operator.  Compute once (optionally
+    ``localCheckpoint()``) and pass to ``minhash_near_duplicates`` /
+    ``ngram_jaccard_pairs`` via ``shingles_df`` when running several of
+    them over the same corpus: the explode+distinct is the dominant scan,
+    and recomputing it per operator doubles the cost of an audit that
+    compares two methods."""
+    return df.select(F.col(id_col), F.explode(shingles(text_col)).alias("sh")).distinct()
+
+
 def _blocked_shingle_overlap(
-    df: DataFrame, id_col: str, text_col: str, max_shingle_df: int | None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_shingle_df: int | None,
+    shingles_df: DataFrame | None = None,
 ):
     """Shared plumbing for set-overlap dedup (Jaccard, containment):
     distinct shingles per doc, per-doc set sizes, the stop-shingle df cap,
@@ -309,7 +335,7 @@ def _blocked_shingle_overlap(
     id_a < id_b pairs sharing >= 1 (un-capped) shingle; ``sizes`` =
     (id, set_size) counting EVERY shingle (cap applies to blocking only,
     so similarity is only underestimated for stop-shingle-only pairs)."""
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col)).alias("sh")).distinct()
+    sh = shingles_df if shingles_df is not None else shingle_table(df, id_col, text_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     blocked = sh
     if max_shingle_df is not None:
@@ -336,13 +362,16 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     max_shingle_df: int | None = 1000,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-gram shingle sets, blocked on
     shared shingles.  ``max_shingle_df`` drops shingles appearing in more
     than that many documents before pairing (stop-shingle skew guard) —
     set sizes still count every shingle, so similarity is only
     *underestimated* for pathological stop-shingle-only pairs."""
-    inter, sizes = _blocked_shingle_overlap(df, id_col, text_col, max_shingle_df)
+    inter, sizes = _blocked_shingle_overlap(
+        df, id_col, text_col, max_shingle_df, shingles_df
+    )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
     return (

@@ -194,15 +194,23 @@ inter AS (
   GROUP BY 1, 2
 )"""
 
-DEDUP_NGRAM_ORACLE = f"""{SHINGLE_OVERLAP_CTES}
-SELECT id_a, id_b,
-       CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) AS jaccard
+def _ngram_pairs_sql(threshold: float, with_jaccard: bool = True) -> str:
+    """Jaccard-thresholded pair SELECT over SHINGLE_OVERLAP_CTES — one
+    source of truth for the pairs oracle and the minhash-quality ground
+    truth (a formula fix must not have to chase copies)."""
+    jac = "CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common)"
+    cols = f",\n       {jac} AS jaccard" if with_jaccard else ""
+    return f"""{SHINGLE_OVERLAP_CTES}
+SELECT id_a, id_b{cols}
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.3
+WHERE {jac} >= {threshold}
 ORDER BY id_a, id_b
 """
+
+
+DEDUP_NGRAM_ORACLE = _ngram_pairs_sql(0.3)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,15 +223,18 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth at the same 0.5 threshold — the approximation-quality
     measurement a dedup deployment monitors (the sibling of
     embedding_ivf_recall for the text side).  Both pair sets come from the
-    engine's own operators; the oracle recomputes both and the confusion
+    engine's own operators, fed from ONE checkpointed shingle table (the
+    explode+distinct is the dominant scan; per-method recomputation would
+    double the audit's cost); the oracle recomputes both and the confusion
     counts, so the precision/recall numbers are differential-checked."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pred = dd.minhash_near_duplicates(d, min_est_jaccard=0.5).select(
-        "id_a", "id_b", F.lit(True).alias("in_pred")
-    )
-    truth = dd.ngram_jaccard_pairs(d, threshold=0.5, max_shingle_df=1000).select(
-        "id_a", "id_b", F.lit(True).alias("in_truth")
-    )
+    sh = dd.shingle_table(d).localCheckpoint()
+    pred = dd.minhash_near_duplicates(
+        d, min_est_jaccard=0.5, shingles_df=sh
+    ).select("id_a", "id_b", F.lit(True).alias("in_pred"))
+    truth = dd.ngram_jaccard_pairs(
+        d, threshold=0.5, max_shingle_df=1000, shingles_df=sh
+    ).select("id_a", "id_b", F.lit(True).alias("in_truth"))
     merged = pred.join(truth, ["id_a", "id_b"], "full_outer").select(
         F.coalesce("in_pred", F.lit(False)).alias("in_pred"),
         F.coalesce("in_truth", F.lit(False)).alias("in_truth"),
@@ -243,13 +254,7 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_quality_oracle() -> str:
-    truth_sql = f"""{SHINGLE_OVERLAP_CTES}
-SELECT id_a, id_b
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.5
-"""
+    truth_sql = _ngram_pairs_sql(0.5, with_jaccard=False)
     return f"""
 WITH merged AS (
   SELECT (p.id_a IS NOT NULL) AS in_pred, (t.id_a IS NOT NULL) AS in_truth

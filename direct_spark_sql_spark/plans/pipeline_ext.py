@@ -699,7 +699,9 @@ def corpus_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("neg_id") != F.col("doc_id"))
     )
-    existing = d.select(F.col("doc_id").alias("neg_id")).distinct()
+    # doc_id is the table's primary key (FIXTURES.md), so no distinct:
+    # the existence check is a plain equi-join against the key column
+    existing = d.select(F.col("doc_id").alias("neg_id"))
     return cands.join(existing, "neg_id").select(
         "doc_id", "j", "neg_id"
     ).orderBy("doc_id", "j")
@@ -717,7 +719,7 @@ c AS (
   FROM a CROSS JOIN s, generate_series(1, {_NEG_PER_ANCHOR}) g(j)
 )
 SELECT c.doc_id, CAST(c.j AS INT) AS j, c.neg_id
-FROM c JOIN (SELECT DISTINCT doc_id AS neg_id FROM documents) e USING (neg_id)
+FROM c JOIN (SELECT doc_id AS neg_id FROM documents) e USING (neg_id)
 WHERE c.neg_id <> c.doc_id
 ORDER BY c.doc_id, c.j
 """
