@@ -199,16 +199,20 @@ def decode_image(payload: bytes) -> tuple[str, int, int, bytes]:
     """Sniff the format from magic bytes and decode to raw 8-bit RGB.
 
     Returns ``(fmt, width, height, rgb)`` with ``fmt`` in
-    {"ppm", "bmp", "png", "jpeg"}; raises ValueError on unrecognized
-    payloads."""
+    {"ppm", "bmp", "png", "gif", "jpeg"}; raises ValueError on
+    unrecognized payloads."""
     if payload[:2] == b"P6":
         return ("ppm", *_decode_ppm(payload))
     if payload[:2] == b"BM":
         return ("bmp", *_decode_bmp(payload))
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return ("png", *_decode_png(payload))
+    if payload[:4] == b"GIF8":
+        from direct_spark_sql_spark.operators.gifcodec import decode_gif
+
+        return ("gif", *decode_gif(payload))
     if payload[:2] == b"\xff\xd8":
         from direct_spark_sql_spark.operators.jpegcodec import decode_jpeg
 
         return ("jpeg", *decode_jpeg(payload))
-    raise ValueError("unrecognized image payload (PPM/BMP/PNG/JPEG supported)")
+    raise ValueError("unrecognized image payload (PPM/BMP/PNG/GIF/JPEG supported)")

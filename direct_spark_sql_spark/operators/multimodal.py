@@ -114,16 +114,19 @@ def synthesize_images(
     Dimensions and pixels are pure functions of the id (so an oracle can
     recompute the expected stats arithmetically): ``w = 4 + id % 13``,
     ``h = 3 + id % 11``, each RGB channel of pixel (x, y) is
-    ``(x*7 + y*13 + id*31) % 256``, and the container format cycles
-    ppm/bmp/png by ``id % 3``.  Encoding happens executor-side in
-    Arrow-batched mapInPandas — the driver never sees a payload."""
+    ``(x*7 + y*13 + id*31) % 256`` (grayscale, so GIF's 256-entry palette
+    always suffices), and the container format cycles ppm/bmp/png/gif by
+    ``id % 4`` — all four lossless, so the decode-side stats stay exact.
+    Encoding happens executor-side in Arrow-batched mapInPandas — the
+    driver never sees a payload."""
+    from direct_spark_sql_spark.operators.gifcodec import encode_gif
     from direct_spark_sql_spark.operators.imagecodec import (
         encode_bmp,
         encode_png,
         encode_ppm,
     )
 
-    encoders = {0: encode_ppm, 1: encode_bmp, 2: encode_png}
+    encoders = {0: encode_ppm, 1: encode_bmp, 2: encode_png, 3: encode_gif}
     schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField(media_col, T.BinaryType())]
     )
@@ -140,7 +143,7 @@ def synthesize_images(
                     for x in range(w)
                     for _c in range(3)
                 )
-                rows.append((i, encoders[i % 3](w, h, rgb)))
+                rows.append((i, encoders[i % 4](w, h, rgb)))
             yield pd.DataFrame(rows, columns=[id_col, media_col])
 
     return df.select(id_col).mapInPandas(run, schema)

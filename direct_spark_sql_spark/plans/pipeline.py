@@ -920,7 +920,7 @@ ORDER BY id_a, id_b
 # ---------------------------------------------------------------------------
 
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encode deterministic real-format images (ppm/bmp/png cycling by
+    """Encode deterministic real-format images (ppm/bmp/png/gif cycling by
     doc_id) executor-side, then DECODE them with the real stdlib codecs and
     emit true dimensions + pixel stats.  Both halves run as Arrow-batched
     mapInPandas; the oracle recomputes every value from the pixel formula,
@@ -944,7 +944,8 @@ px AS (
   JOIN generate_series(0, 13) y(y) ON y.y < d.h
 )
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'png' END AS fmt,
+       CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                       WHEN 2 THEN 'png' ELSE 'gif' END AS fmt,
        CAST(w AS INT) AS width,
        CAST(h AS INT) AS height,
        CAST(w * h AS BIGINT) AS n_pixels,

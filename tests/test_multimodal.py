@@ -64,7 +64,7 @@ def test_real_decode_round_trip_all_formats(spark):
             (x * 7 + y * 13 + i * 31) % 256 for y in range(h) for x in range(w)
         ]
         r = feats[i]
-        assert r.fmt == {0: "ppm", 1: "bmp", 2: "png"}[i % 3]
+        assert r.fmt == {0: "ppm", 1: "bmp", 2: "png", 3: "gif"}[i % 4]
         assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
         assert r.px_sum == 3 * sum(vals)
         assert (r.px_min, r.px_max) == (min(vals), max(vals))
