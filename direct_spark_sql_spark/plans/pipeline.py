@@ -1310,7 +1310,7 @@ QUERIES = [
           ("similarity", "pipeline")),
     Query("multimodal_feature_extract", multimodal_feature_extract,
           _MULTIMODAL_FEATURES_ORACLE, ("multimodal", "pipeline"),
-          doc="real PPM/BMP/PNG encode→decode round-trip, pixel-stat oracle"),
+          doc="real PPM/BMP/PNG/GIF encode→decode round-trip, pixel-stat oracle"),
     Query("multimodal_jpeg_roundtrip", multimodal_jpeg_roundtrip,
           _MULTIMODAL_JPEG_ORACLE, ("multimodal", "pipeline"), bench=True,
           doc="baseline JPEG (444+420) encode→decode with in-pass tolerance audit"),
