@@ -739,3 +739,71 @@ def quantized_rerank_topk(
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): cluster the embedding
+    space, then prune within-cluster semantic duplicates — each vector
+    whose cosine to a LOWER-id member of its own cluster reaches the
+    threshold is marked pruned (the lowest id acts as the kept canonical,
+    matching the exact-dedup keep-first convention in operators/dedup.py).
+
+    Scale shape: the cluster assignment is :func:`ivf_assign` (broadcast
+    centroids, map-only argmax — no shuffle), and candidate generation is
+    an equi-join on ``cluster_id`` — the pairwise O(c²) work is confined
+    to each cluster, which is the entire point of SemDeDup: K is sized so
+    clusters stay small (|c| ≈ N/K), never an all-pairs join.  A
+    runaway cluster at 100 TB is handled the same way the paper does —
+    raise K (or recurse the assignment inside the big cluster); the plan
+    itself never degrades to a cartesian product.  Pair cosines run in
+    exact decimal (dot snapped through DECIMAL(24,6)), so the prune
+    decisions are engine-replayable bit-for-bit.
+
+    Returns one row per input vector:
+    (id, cluster_id, n_lower_members, max_cos_lower, pruned 0/1).
+    """
+    assigned = ivf_assign(df, centroids, id_col, emb_col, cell_col="cluster_id")
+    m = assigned.select(
+        F.col(id_col), "cluster_id", _dec_vec(emb_col).alias("__v")
+    ).withColumn("__n", F.sqrt(_to_double(norm_sq_dec(F.col("__v")))))
+    a = m.select(
+        F.col(id_col).alias("id_a"), "cluster_id",
+        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
+    )
+    b = m.select(
+        F.col(id_col).alias("id_b"), F.col("cluster_id").alias("__cb"),
+        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
+    )
+    cos = _to_double(dot_dec(F.col("__va"), F.col("__vb"))) / (
+        F.col("__na") * F.col("__nb")
+    )
+    agg = (
+        a.join(b, (a.cluster_id == b.__cb) & (F.col("id_b") < F.col("id_a")))
+        .select("id_a", cos.alias("__cos"))
+        .groupBy("id_a")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lower_members"),
+            F.max("__cos").alias("max_cos_lower"),
+        )
+    )
+    return (
+        assigned.select(id_col, "cluster_id")
+        .join(agg, F.col(id_col) == F.col("id_a"), "left")
+        .select(
+            id_col,
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.coalesce("n_lower_members", F.lit(0).cast("long")).alias(
+                "n_lower_members"
+            ),
+            "max_cos_lower",
+            F.coalesce(
+                (F.col("max_cos_lower") >= F.lit(threshold)).cast("int"), F.lit(0)
+            ).alias("pruned"),
+        )
+    )

@@ -913,6 +913,82 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication: IVF-cluster the embedding space,
+    then prune each vector whose cosine to a lower-id member of its own
+    cluster reaches the threshold.  Candidate generation is confined to
+    clusters (equi-join on cluster_id — never all-pairs); pair cosines are
+    exact-decimal so the prune decisions hash-match the DuckDB replay."""
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K))
+    return sim.semantic_dedup(e, centroids, threshold=0.35).orderBy("vec_id")
+
+
+_SEMANTIC_DEDUP_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS a
+  FROM embeddings
+),
+nrm AS (
+  SELECT vec_id, CAST(CAST(ROUND(SUM(a * a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS nn
+  FROM ex GROUP BY vec_id
+),
+cc AS (
+  SELECT x.vec_id, c.vec_id AS cluster_id,
+         CAST(CAST(ROUND(SUM(x.a * c.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot
+  FROM ex x
+  JOIN ex c ON c.i = x.i AND c.vec_id BETWEEN 1 AND {IVF_K}
+  GROUP BY x.vec_id, c.vec_id
+),
+cosc AS (
+  SELECT cc.vec_id, cc.cluster_id, cc.dot / (sqrt(nx.nn) * sqrt(nc.nn)) AS cos
+  FROM cc
+  JOIN nrm nx ON nx.vec_id = cc.vec_id
+  JOIN nrm nc ON nc.vec_id = cc.cluster_id
+),
+assign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster_id) AS rn
+    FROM cosc
+  ) WHERE rn = 1
+),
+pair AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b
+    ON b.cluster_id = a.cluster_id AND b.vec_id < a.vec_id
+),
+dots AS (
+  SELECT p.id_a, p.id_b,
+         CAST(CAST(ROUND(SUM(xa.a * xb.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot
+  FROM pair p
+  JOIN ex xa ON xa.vec_id = p.id_a
+  JOIN ex xb ON xb.vec_id = p.id_b AND xb.i = xa.i
+  GROUP BY p.id_a, p.id_b
+),
+cosp AS (
+  SELECT d.id_a, d.dot / (sqrt(na.nn) * sqrt(nb.nn)) AS cos
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.id_a
+  JOIN nrm nb ON nb.vec_id = d.id_b
+),
+agg AS (
+  SELECT id_a, CAST(COUNT(*) AS BIGINT) AS n_lower_members,
+         MAX(cos) AS max_cos_lower
+  FROM cosp GROUP BY id_a
+)
+SELECT s.vec_id,
+       CAST(s.cluster_id AS BIGINT) AS cluster_id,
+       CAST(COALESCE(g.n_lower_members, 0) AS BIGINT) AS n_lower_members,
+       g.max_cos_lower,
+       CAST(COALESCE(g.max_cos_lower >= 0.35, FALSE) AS INT) AS pruned
+FROM assign s
+LEFT JOIN agg g ON g.id_a = s.vec_id
+ORDER BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal — REAL decode (pure-stdlib PPM/BMP/PNG codecs); the oracle
 # recomputes the expected dimensions and pixel statistics arithmetically,
@@ -1308,6 +1384,10 @@ QUERIES = [
           doc="spherical k-means Lloyd step (IVF centroid training), exact-decimal means"),
     Query("embedding_near_duplicates", embedding_near_duplicates, _srp_oracle(),
           ("similarity", "pipeline")),
+    Query("dedup_semantic", dedup_semantic, _SEMANTIC_DEDUP_ORACLE,
+          ("dedup", "similarity", "pipeline"),
+          doc="SemDeDup: IVF cluster + within-cluster cosine prune, "
+              "keep-lowest-id canonical (arXiv:2303.09540)"),
     Query("multimodal_feature_extract", multimodal_feature_extract,
           _MULTIMODAL_FEATURES_ORACLE, ("multimodal", "pipeline"),
           doc="real PPM/BMP/PNG/GIF encode→decode round-trip, pixel-stat oracle"),

@@ -108,6 +108,26 @@ def test_ivf_centroids_broadcast_not_shuffled(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_semantic_dedup_pairs_are_cluster_equijoin(spark):
+    """SemDeDup candidate generation must be an equi-join keyed on
+    cluster_id — the quadratic work stays confined to clusters.  The only
+    NLJ allowed in the plan is ivf_assign's bounded 1-row centroid-array
+    broadcast; an all-pairs join would plan a second, unbounded one."""
+    plan = _plan(spark, "dedup_semantic")
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), "within-cluster pair join lost its equi-join key"
+    # only the bounded 1-row centroid broadcast, recomputed once per
+    # consumer of the (map-only, exchange-free) assignment — never a
+    # pair-side cartesian
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, (
+        "unexpected unbounded join in the SemDeDup plan"
+    )
+
+
 #: Queries whose plans legitimately contain a nested-loop/cartesian join:
 #: every one broadcasts a provably-bounded side (a literal band table, a
 #: single-row aggregate, or the ANN query batch) — the 100 TB-safe cases.
@@ -124,6 +144,7 @@ _NLJ_ALLOWED = {
     "embedding_batch_topk",    # broadcast bounded query batch
     "bm25_search",             # broadcast 1-row corpus stats (N, sum_dl)
     "embedding_kmeans_refine",  # ivf_assign: broadcast 1-row centroid array
+    "dedup_semantic",           # ivf_assign: broadcast 1-row centroid array
     "quality_constraint_audit",  # fk check: 1-row agg × 1-row agg cross
     "tfidf_cosine_pairs",        # broadcast 1-row corpus size (N)
     "events_resample_ffill",     # broadcast 1-row (dmin, dmax) day bounds
