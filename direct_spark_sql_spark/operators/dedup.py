@@ -501,3 +501,92 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental snapshot dedup (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_est_jaccard: float = 0.5,
+    fingerprint: Column | None = None,
+) -> DataFrame:
+    """Classify each NEW document against an already-deduped corpus — the
+    recurring ingest shape at 100 TB: every snapshot must dedup against
+    the accumulated corpus WITHOUT re-pairing the corpus with itself.
+
+    Statuses (disjoint by construction):
+      - ``exact_corpus``: same fingerprint as a corpus document (default
+        MD5 of raw text; pass ``fingerprint`` for a normalized variant,
+        e.g. the content fingerprint from operators/text.py);
+      - ``exact_batch``: byte-identical to an earlier (lower-id) batch
+        document that itself survives (keep-first window within batch);
+      - ``near_corpus``: MinHash-LSH candidate against the corpus with
+        signature-agreement est_jaccard >= threshold;
+      - ``kept``: enters the corpus.
+
+    Scale shape: the corpus side never self-joins — it contributes one
+    fingerprint projection and one band table, both of which a production
+    ingest would maintain incrementally as materialized tables keyed by
+    (fp) / (band_idx, band_hash), so each snapshot's cost is
+    O(|batch| + matched buckets), not O(|corpus|) re-hashing.  All joins
+    are equi-joins on fingerprint / band hash; the batch side is the
+    small build side throughout.
+
+    Returns (id_col, status) — one row per new document.
+    """
+    from pyspark.sql import Window
+
+    fp = fingerprint if fingerprint is not None else F.md5(F.col(text_col))
+    fp_new = new_df.select(F.col(id_col), fp.alias("__fp"))
+    fp_corpus = corpus_df.select(fp.alias("__fp")).distinct()
+
+    exact_corpus = fp_new.join(fp_corpus, "__fp", "semi").select(id_col)
+    not_in_corpus = fp_new.join(fp_corpus, "__fp", "anti")
+    rn = F.row_number().over(Window.partitionBy("__fp").orderBy(id_col))
+    ranked = not_in_corpus.withColumn("__rn", rn)
+    exact_batch = ranked.filter(F.col("__rn") > 1).select(id_col)
+    survivors = ranked.filter(F.col("__rn") == 1).select(id_col)
+
+    sig_new = minhash_signatures(
+        new_df.join(survivors, id_col, "semi"), id_col, text_col
+    ).withColumn("sig", F.array(*[F.col(f"m{i}") for i in range(NUM_PERM)]))
+    sig_cor = minhash_signatures(corpus_df, id_col, text_col).withColumn(
+        "sig", F.array(*[F.col(f"m{i}") for i in range(NUM_PERM)])
+    )
+    bn, bc = _band_table_with_sig(sig_new, id_col), _band_table_with_sig(sig_cor, id_col)
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"), F.col("b.sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    near_corpus = (
+        bn.alias("a")
+        .join(
+            bc.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .filter(
+            agree.cast("double") / F.lit(float(NUM_PERM)) >= F.lit(min_est_jaccard)
+        )
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+
+    return (
+        exact_corpus.withColumn("status", F.lit("exact_corpus"))
+        .unionByName(exact_batch.withColumn("status", F.lit("exact_batch")))
+        .unionByName(near_corpus.withColumn("status", F.lit("near_corpus")))
+        .unionByName(
+            survivors.join(near_corpus, id_col, "anti")
+            .withColumn("status", F.lit("kept"))
+        )
+    )

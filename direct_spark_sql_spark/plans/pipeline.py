@@ -218,6 +218,91 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_near_duplicates(d, min_est_jaccard=0.5).orderBy("id_a", "id_b")
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot dedup: documents with doc_id % 4 == 0 play the
+    NEW batch, the rest the accumulated corpus; each new doc is classified
+    exact_corpus / exact_batch / near_corpus / kept.  The corpus never
+    self-joins — the recurring-ingest shape at scale.  The exact stage
+    uses the order/multiplicity-insensitive content fingerprint (the
+    driver corpus's duplicates are token-reshuffled copies, not
+    byte-identical ones)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new_df = d.filter(F.col("doc_id") % 4 == 0)
+    corpus_df = d.filter(F.col("doc_id") % 4 != 0)
+    content_fp = dd.h64(
+        F.array_join(F.array_sort(F.array_distinct(tx.tokens("text"))), " ")
+    )
+    return dd.incremental_dedup(
+        new_df, corpus_df, min_est_jaccard=0.5, fingerprint=content_fp
+    ).orderBy("doc_id")
+
+
+def _incremental_dedup_oracle() -> str:
+    sig_cols = ",\n        ".join(
+        f"MIN(({a} * h + {b}) % {P}) AS m{i}" for i, (a, b) in enumerate(dd.COEFFS)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_idx, {h} AS band_hash FROM sig".format(
+            b=b,
+            h=h64_sql(
+                "concat_ws(',', "
+                + ", ".join(f"m{b * dd.LSH_ROWS + r}" for r in range(dd.LSH_ROWS))
+                + ")"
+            ),
+        )
+        for b in range(dd.LSH_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(dd.NUM_PERM)
+    )
+    return f"""
+WITH fpt AS (
+  SELECT doc_id,
+         {h64_sql("array_to_string(list_sort(list_distinct(" + TOKS_SQL + ")), ' ')")} AS fp
+  FROM documents
+),
+fpn AS (SELECT doc_id, fp FROM fpt WHERE doc_id % 4 = 0),
+fpc AS (SELECT DISTINCT fp FROM fpt WHERE doc_id % 4 <> 0),
+exact_corpus AS (
+  SELECT doc_id FROM fpn WHERE fp IN (SELECT fp FROM fpc)
+),
+ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM fpn WHERE fp NOT IN (SELECT fp FROM fpc)
+),
+exact_batch AS (SELECT doc_id FROM ranked WHERE rn > 1),
+surv AS (SELECT doc_id FROM ranked WHERE rn = 1),
+t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS s FROM t),
+h AS (SELECT doc_id, {h64_sql('s')} % {P} AS h FROM sh),
+sig AS (SELECT doc_id,
+        {sig_cols}
+        FROM h GROUP BY doc_id),
+bands AS ({band_selects}),
+near AS (
+  SELECT DISTINCT a.doc_id
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  JOIN sig sa ON sa.doc_id = a.doc_id
+  JOIN sig sb ON sb.doc_id = b.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM surv)
+    AND b.doc_id % 4 <> 0
+    AND CAST({agree} AS DOUBLE) / {float(dd.NUM_PERM)} >= 0.5
+),
+labeled AS (
+  SELECT doc_id, 'exact_corpus' AS status FROM exact_corpus
+  UNION ALL
+  SELECT doc_id, 'exact_batch' AS status FROM exact_batch
+  UNION ALL
+  SELECT doc_id, 'near_corpus' AS status FROM near
+  UNION ALL
+  SELECT doc_id, 'kept' AS status FROM surv
+  WHERE doc_id NOT IN (SELECT doc_id FROM near)
+)
+SELECT doc_id, status FROM labeled ORDER BY doc_id
+"""
+
+
 def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall audit of MinHash-LSH against exact n-gram Jaccard
     ground truth at the same 0.5 threshold — the approximation-quality
@@ -1352,6 +1437,10 @@ QUERIES = [
           ("dedup", "pipeline"), bench=True),
     Query("dedup_simhash", dedup_simhash, _simhash_oracle(),
           ("dedup", "pipeline")),
+    Query("dedup_incremental", dedup_incremental, _incremental_dedup_oracle(),
+          ("dedup", "pipeline"),
+          doc="new-snapshot-vs-corpus dedup: exact fp + LSH vs corpus, "
+              "no corpus self-join (the recurring-ingest shape)"),
     Query("dedup_duplicate_groups", dedup_duplicate_groups, _dup_groups_oracle(),
           ("dedup", "pipeline", "graph"),
           doc="connected components over the near-dup pair graph"),
