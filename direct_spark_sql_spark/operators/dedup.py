@@ -590,3 +590,94 @@ def incremental_dedup(
             .withColumn("status", F.lit("kept"))
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (gear-hash boundaries)
+# ---------------------------------------------------------------------------
+
+#: Gear-style boundary-hash coefficients: 8 fixed 48-bit odd integers from
+#: the MD5 bitstream (same derivation discipline as minhash_coeffs).  The
+#: per-position hash is sum(c_k * codepoint(gram[k])): pure integer
+#: arithmetic, bit-identical in numpy int64, Spark BIGINT and DuckDB BIGINT
+#: for ASCII/BMP text (max sum 8 * 0xFFFF * 2^48 < 2^63).
+import hashlib as _hashlib
+
+CDC_COEFFS = [
+    int(_hashlib.md5(f"cdc-{k}".encode()).hexdigest()[:12], 16) | 1
+    for k in range(8)
+]
+CDC_WINDOW = 8
+CDC_DIVISOR = 64  # expected chunk length
+
+
+def cdc_chunk_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+    max_len: int = 1024,
+) -> DataFrame:
+    """(id, chunk_len, chunk) rows from stateless-divisor content-defined
+    chunking: a chunk boundary falls after 1-based position i iff the gear
+    hash of the 8-gram ending there is 0 mod 64 (expected chunk ~64
+    chars).  Boundaries depend only on local content, so insertions shift
+    chunk *positions* but not chunk *identities* — identical passages in
+    different documents produce identical chunks at any offset.  (No
+    min-chunk-size clamp: that would chain each boundary on the previous
+    one — sequential — where the divisor rule stays embarrassingly
+    parallel per position.)
+
+    Shape: per-character work runs as one vectorized int64 windowed dot
+    product per document inside Arrow-batched ``mapInPandas`` — JVM
+    expression trees pay interpreted/codegen cost *per position* here
+    (measured 6-8 s at sf0.1 for both the per-position-explode MD5 and
+    the array-HOF forms vs well under 1 s for this), and no per-character
+    row ever materializes.  Map-only: the operator adds no shuffle; at
+    100 TB parallelism comes from the input file splits.
+    """
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    coeffs = np.array(CDC_COEFFS, dtype=np.int64)
+    w, div = CDC_WINDOW, CDC_DIVISOR
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            lens: list = []
+            chunks: list = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                n = len(text)
+                if n < min_len or n > max_len:
+                    continue
+                # utf-32-le bytes reinterpret as one uint32 codepoint per
+                # char — the same value SQL ascii(substr(text, i, 1))
+                # yields, without a per-char Python loop
+                cp = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                h = sliding_window_view(cp, w) @ coeffs  # exact int64
+                ends = (np.nonzero(h % div == 0)[0] + w).tolist()
+                if not ends or ends[-1] != n:
+                    ends.append(n)
+                prev = 0
+                for e in ends:
+                    ids.append(did)
+                    lens.append(e - prev)
+                    chunks.append(text[prev:e])
+                    prev = e
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "chunk_len": pd.Series(lens, dtype="int64"),
+                    "chunk": pd.Series(chunks, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, chunk_len long, chunk string"
+    )

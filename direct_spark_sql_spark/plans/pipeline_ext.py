@@ -816,48 +816,29 @@ GROUP BY lang ORDER BY lang
 # ---------------------------------------------------------------------------
 
 
-def _cdc_sql(h64f, posclause: str) -> str:
-    """Shared CDC template: boundary after position ``i`` iff the 8-gram
-    ending there hashes to 0 mod 64 (expected chunk ~64 chars).  This is
-    the stateless-divisor variant of content-defined chunking: boundaries
-    depend only on local content, so insertions shift chunk *positions*
-    but not chunk *identities* — which is the point: identical passages in
-    different documents produce identical chunks, caught by the final
-    chunk-hash aggregation.  (No min-chunk-size clamp: that would make
-    each boundary depend on the previous one — a sequential chain — where
-    the divisor-only rule stays embarrassingly parallel per position.)"""
+def _cdc_boundary(i_expr: str = "i") -> str:
+    """SQL predicate (identical text in Spark and DuckDB): position
+    ``i_expr`` ends a chunk iff the gear hash of the 8-gram ending there
+    is 0 mod 64 (expected chunk ~64 chars).  Stateless-divisor
+    content-defined chunking: boundaries depend only on local content, so
+    insertions shift chunk *positions* but not chunk *identities* —
+    identical passages in different documents produce identical chunks.
+    (No min-chunk-size clamp: that would chain each boundary on the
+    previous one — sequential — where the divisor rule stays
+    embarrassingly parallel per position.)  Coefficients are shared with
+    the numpy implementation (operators/dedup.py:CDC_COEFFS)."""
+    from direct_spark_sql_spark.operators.dedup import CDC_COEFFS, CDC_DIVISOR
+
+    terms = " + ".join(
+        f"{c} * ascii(substr(text, {i_expr} - {7 - k}, 1))"
+        for k, c in enumerate(CDC_COEFFS)
+    )
+    return f"({terms}) % {CDC_DIVISOR} = 0"
+
+
+def _cdc_tail(h64f) -> str:
+    """Shared chunk-hash aggregation tail over a ``chunks`` CTE."""
     return f"""
-WITH d AS (
-  -- REPARTITION spreads the per-position explode across the cluster;
-  -- without it the fan-out inherits the source file count (2 partitions
-  -- at sf0.1), and a keyed-only hint gets AQE-coalesced to 1 because the
-  -- PRE-explode bytes look tiny — the explicit count is deliberate (AQE
-  -- honors it).  DuckDB parses the hint as a comment — one shared text.
-  SELECT /*+ REPARTITION(32, doc_id) */ doc_id, text FROM documents
-  WHERE length(text) >= 8 AND length(text) <= 1024),
-pos AS (
-  SELECT doc_id, text, i FROM d {posclause}
-),
-bounds AS (
-  -- dedup on (doc_id, i) only; text is joined back once per chunk below
-  -- (carrying it through the UNION would put ~300-char strings in the
-  -- distinct's shuffle key)
-  SELECT doc_id, i FROM pos
-  WHERE ({h64f('substr(text, i - 7, 8)')}) % 64 = 0
-  UNION
-  SELECT doc_id, length(text) AS i FROM d
-),
-c AS (
-  SELECT doc_id, i AS chunk_end,
-         LAG(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS prev_end
-  FROM bounds
-),
-chunks AS (
-  SELECT c.doc_id, chunk_end - prev_end AS chunk_len,
-         substr(d.text, prev_end + 1, chunk_end - prev_end) AS chunk
-  FROM c JOIN d ON d.doc_id = c.doc_id
-  WHERE chunk_end > prev_end
-)
 SELECT ({h64f('chunk')}) AS chunk_hash,
        CAST(MIN(chunk_len) AS BIGINT) AS chunk_len,
        CAST(COUNT(*) AS BIGINT) AS n_occurrences,
@@ -873,22 +854,63 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking with cross-document shared-chunk detection
     — the passage-level dedup primitive robust to insertions/reordering
     (exact-substring span dedup catches aligned spans; CDC catches the
-    same passage at *any* offset).  Per-position 8-gram hashing explodes
-    to one row per character: at 100 TB this is the mapInPandas/flatMap
-    shape — embarrassingly parallel, no shuffle until the chunk-hash agg."""
-    from direct_spark_sql_spark.hashing import h64_spark_sql
+    same passage at *any* offset).
 
-    return sql_query(
-        spark,
-        sf_dir,
-        _cdc_sql(h64_spark_sql, "LATERAL VIEW explode(sequence(8, length(text))) p AS i"),
+    Per-character boundary hashing is the one hot path in this repo where
+    JVM expression trees lose: both the per-position-explode MD5 form and
+    an array-HOF form (filter/transform lambdas evaluate interpreted)
+    measured 6-8 s at sf0.1, vs well under 1 s for the Arrow-batched
+    vectorized chunker (operators/dedup.py:cdc_chunk_table) — one int64
+    windowed dot product per document, no per-character rows.  The only
+    shuffle is the final chunk-hash aggregation."""
+    from direct_spark_sql_spark.hashing import h64 as h64_col
+    from direct_spark_sql_spark.operators import dedup as dd
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = dd.cdc_chunk_table(d)
+    return (
+        ch.groupBy(h64_col(F.col("chunk")).alias("chunk_hash"))
+        .agg(
+            F.min("chunk_len").cast("long").alias("chunk_len"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "chunk_hash")
     )
 
 
 def _cdc_oracle() -> str:
+    """DuckDB replay: same boundary predicate and chunk semantics, via the
+    per-position generate_series shape (the oracle optimizes for clarity,
+    not throughput)."""
     from direct_spark_sql_spark.hashing import h64_sql
 
-    return _cdc_sql(h64_sql, ", generate_series(8, 1024) p(i) WHERE i <= length(text)")
+    return f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE length(text) >= 8 AND length(text) <= 1024),
+pos AS (
+  SELECT doc_id, text, i FROM d, generate_series(8, 1024) p(i)
+  WHERE i <= length(text)
+),
+bounds AS (
+  SELECT doc_id, i FROM pos WHERE {_cdc_boundary("i")}
+  UNION
+  SELECT doc_id, length(text) AS i FROM d
+),
+c AS (
+  SELECT doc_id, i AS chunk_end,
+         LAG(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS prev_end
+  FROM bounds
+),
+chunks AS (
+  SELECT c.doc_id, chunk_end - prev_end AS chunk_len,
+         substr(d.text, prev_end + 1, chunk_end - prev_end) AS chunk
+  FROM c JOIN d ON d.doc_id = c.doc_id
+  WHERE chunk_end > prev_end
+)
+{_cdc_tail(h64_sql)}"""
 
 
 # ---------------------------------------------------------------------------
