@@ -105,3 +105,51 @@ def merge_rollups(
     return combined.groupBy(*key_cols).agg(
         *[F.sum(c).cast(t).alias(c) for c, t in measure_casts.items()]
     )
+
+
+def snapshot_diff(
+    v1: DataFrame,
+    v2: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Row-level diff between two table versions — the migration /
+    regression validator that answers "what changed between snapshot A
+    and snapshot B" without comparing values column-by-column after the
+    join.
+
+    Each side is first collapsed to (key, row_hash) where row_hash is an
+    MD5 of the delimiter-escaped compare columns (same canonicalization
+    discipline as the order-independent table checksum in
+    plans/analytics.py — '\\'→'\\\\', '|'→'\\|' so field boundaries are
+    unambiguous, NULL distinct from '').  The diff is then ONE full-outer
+    sort-merge join on the key, comparing two 32-char hashes instead of N
+    wide columns: the shuffle carries (key, hash) projections, never the
+    full rows — at 100 TB that is the difference between shuffling ~50
+    bytes/row and shuffling the table.
+
+    Returns (key_cols..., status) with status in
+    {'added', 'removed', 'changed', 'unchanged'}.
+    """
+    def row_hash(df: DataFrame) -> DataFrame:
+        parts = []
+        for c in compare_cols:
+            s = F.col(c).cast("string")
+            s = F.replace(s, F.lit("\\"), F.lit("\\\\"))
+            s = F.replace(s, F.lit("|"), F.lit("\\|"))
+            parts.append(F.coalesce(s, F.lit("\x00null")))
+        return df.select(
+            *[F.col(k) for k in key_cols],
+            F.md5(F.concat_ws("|", *parts)).alias("__h"),
+        )
+
+    a = row_hash(v1).withColumnRenamed("__h", "__h1")
+    b = row_hash(v2).withColumnRenamed("__h", "__h2")
+    joined = a.join(b, list(key_cols), "full_outer")
+    status = (
+        F.when(F.col("__h1").isNull(), F.lit("added"))
+        .when(F.col("__h2").isNull(), F.lit("removed"))
+        .when(F.col("__h1") == F.col("__h2"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*key_cols, status.alias("status"))

@@ -188,6 +188,53 @@ def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two synthetic orders snapshots: v2 drops
+    every 101st key (-> removed), v1 lacks every 103rd (-> added in v2),
+    and every 97th key gets a price bump (-> changed).  One full-outer
+    join of (key, row_hash) projections — the shuffle never carries the
+    wide rows."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 103 != 0)
+    v2 = o.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice")),
+    )
+    cmp_cols = ["o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority"]
+    return mg.snapshot_diff(v1, v2, ["o_orderkey"], cmp_cols).orderBy("o_orderkey")
+
+
+def _snapshot_diff_oracle() -> str:
+    nul = "chr(0) || 'null'"
+    esc = ", ".join(
+        f"COALESCE(replace(replace(CAST({c} AS VARCHAR), '\\', '\\\\'), "
+        f"'|', '\\|'), {nul})"
+        for c in ["o_custkey", "o_orderstatus", "o_totalprice",
+                  "o_orderdate", "o_orderpriority"]
+    )
+    return f"""
+WITH v1 AS (
+  SELECT * FROM orders WHERE o_orderkey % 103 <> 0),
+v2 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 101 <> 0),
+h1 AS (SELECT o_orderkey, MD5(concat_ws('|', {esc})) AS h FROM v1),
+h2 AS (SELECT o_orderkey, MD5(concat_ws('|', {esc})) AS h FROM v2)
+SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.h IS NULL THEN 'added'
+            WHEN b.h IS NULL THEN 'removed'
+            WHEN a.h = b.h THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM h1 a FULL OUTER JOIN h2 b ON a.o_orderkey = b.o_orderkey
+ORDER BY o_orderkey
+"""
+
+
 MERGE_SCD2_ORACLE = _CDC_CTES + """
 SELECT o_orderkey, o_orderstatus, o_totalprice,
        change_seq AS valid_from, valid_to,
@@ -1203,6 +1250,10 @@ QUERIES = [
           ("merge", "pipeline"),
           doc="latest-wins CDC MERGE (insert/update/delete changeset), "
               "one shuffle on the key"),
+    Query("merge_snapshot_diff", merge_snapshot_diff, _snapshot_diff_oracle(),
+          ("merge", "pipeline"),
+          doc="row-level table-version diff on (key, row-hash) projections: "
+              "added/removed/changed/unchanged"),
     Query("merge_scd2_history", merge_scd2_history, MERGE_SCD2_ORACLE,
           ("merge", "pipeline"),
           doc="SCD-2 validity intervals via lead() over change sequence"),
