@@ -204,6 +204,74 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup ingest: the documents table split into 3 chunk
+    files, streamed with maxFilesPerTrigger=1 so every chunk is its own
+    micro-batch, each folded into accumulated per-fingerprint state by
+    ``run_foreach_batch_dedup``.  The state merge is commutative (min
+    keep-id / sum counts), so the final duplicate groups are arrival-order
+    independent and must equal the batch content-fingerprint dedup over
+    the whole table — the oracle."""
+    from pyspark.sql import types as T
+
+    from direct_spark_sql_spark.hashing import h64
+    from direct_spark_sql_spark.operators.text import tokens
+    from direct_spark_sql_spark.sources.registry import (
+        dataset_tag,
+        load_table,
+        warehouse_path,
+    )
+    from direct_spark_sql_spark.streaming import run_foreach_batch_dedup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = warehouse_path("stream_dedup", dataset_tag(sf_dir))
+    hi = d.agg(F.max("doc_id")).collect()[0][0] or 0
+    bounds = [0, hi // 3 + 1, 2 * (hi // 3) + 1, hi + 1]
+    for i in range(3):
+        d.filter(
+            (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/chunk{i}")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/chunk*")
+    )
+    fp = h64(F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " "))
+    state = run_foreach_batch_dedup(stream, fp, "doc_id")
+    return (
+        state.filter(F.col("group_size") > 1)
+        .select(
+            "dup_key",
+            F.col("group_size").cast("long").alias("group_size"),
+            F.col("keep_id").cast("long").alias("keep_id"),
+        )
+        .orderBy("dup_key")
+    )
+
+
+STREAM_INCR_DEDUP_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         CAST('0x' || SUBSTR(MD5(array_to_string(list_sort(list_distinct(
+           list_filter(string_split(text, ' '), t -> length(t) > 0))), ' ')), 1, 15)
+           AS BIGINT) AS dup_key
+  FROM documents
+)
+SELECT dup_key,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM fp GROUP BY dup_key HAVING COUNT(*) > 1
+ORDER BY dup_key
+"""
+
+
 QUERIES = [
     Query("streaming_tumbling_window", streaming_tumbling_window,
           EVENTS_TUMBLING_ORACLE, ("streaming", "window"),
@@ -230,4 +298,8 @@ QUERIES = [
           STREAM_STATIC_ENRICH_ORACLE, ("streaming", "join"), bench=True,
           doc="stream-static broadcast join (dimension enrichment) + agg, "
               "stream==batch on closed input"),
+    Query("streaming_incremental_dedup", streaming_incremental_dedup,
+          STREAM_INCR_DEDUP_ORACLE, ("streaming", "dedup"),
+          doc="foreachBatch dedup ingest: per-batch fingerprint fold into "
+              "accumulated state, order-independent, equals batch dedup"),
 ]

@@ -1,6 +1,7 @@
 from direct_spark_sql_spark.streaming.pipelines import (
     read_events_stream,
     run_available_now,
+    run_foreach_batch_dedup,
     run_foreach_batch_upsert,
     stream_click_purchase_join,
     stream_dedup_hourly,
@@ -14,6 +15,7 @@ from direct_spark_sql_spark.streaming.pipelines import (
 __all__ = [
     "read_events_stream",
     "run_available_now",
+    "run_foreach_batch_dedup",
     "run_foreach_batch_upsert",
     "stream_click_purchase_join",
     "stream_dedup_hourly",

@@ -382,3 +382,62 @@ def run_foreach_batch_upsert(
     if state["df"] is None:  # explicit: survives python -O (asserts stripped)
         raise RuntimeError("stream produced no batches")
     return state["df"]
+
+
+def run_foreach_batch_dedup(
+    docs: DataFrame,
+    fp_expr,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming dedup ingest: foreachBatch folds each micro-batch into an
+    accumulated per-fingerprint state table — the streaming twin of
+    ``operators/dedup.py:exact_duplicate_groups`` and the ingest half of
+    ``incremental_dedup``: every arriving batch is deduplicated against
+    everything already ingested, not against the full history re-scan.
+
+    The state merge is commutative and associative (per fingerprint:
+    ``min`` keep-id, ``sum`` of counts), so the final state is independent
+    of micro-batch arrival order and equals the batch answer over the same
+    closed input — the strongest property a finite-input streaming test
+    can pin.  Each batch contributes ONE pre-aggregated (fp, min_id,
+    count) projection; state is eagerly localCheckpoint-ed to cut lineage
+    (at cluster scale it would be a compacted parquet/format table, same
+    plan).
+
+    Returns the final state: (dup_key, keep_id, group_size).
+    """
+    import tempfile
+
+    state: dict[str, DataFrame | None] = {"df": None}
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_agg = (
+            batch_df.select(fp_expr.alias("dup_key"), F.col(id_col))
+            .groupBy("dup_key")
+            .agg(
+                F.min(id_col).alias("keep_id"),
+                F.count(F.lit(1)).alias("group_size"),
+            )
+        )
+        combined = (
+            batch_agg
+            if state["df"] is None
+            else state["df"].unionByName(batch_agg)
+        )
+        merged = combined.groupBy("dup_key").agg(
+            F.min("keep_id").alias("keep_id"),
+            F.sum("group_size").alias("group_size"),
+        )
+        state["df"] = merged.localCheckpoint(eager=True)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            docs.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if state["df"] is None:
+        raise RuntimeError("stream produced no batches")
+    return state["df"]

@@ -300,3 +300,40 @@ def test_foreachbatch_upsert_out_of_order_batches(spark, tmp_path):
         name="test_upsert_ooo",
     )
     assert {r.user_id: r.value for r in state.collect()} == {7: 9.0}
+
+
+def test_foreach_batch_dedup_accumulates_across_batches(spark, tmp_path):
+    """Dedup ingest state must fold across micro-batches: copies of the
+    same text arriving in DIFFERENT batches form one group, the keep-id is
+    the global min (even when it arrives in a later file), and the final
+    state equals the single-batch answer."""
+    from direct_spark_sql_spark.hashing import h64
+    from direct_spark_sql_spark.streaming import run_foreach_batch_dedup
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs"
+
+    def write_file(sub, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / sub))
+
+    # "aa" repeats across batches 1 and 2; its smallest id (1) arrives in
+    # the SECOND file.  "bb" repeats only within one batch; "cc" is unique.
+    write_file("f0", [(10, "aa"), (20, "bb"), (21, "bb")])
+    write_file("f1", [(1, "aa"), (30, "cc")])
+
+    def run(stream_or_batch):
+        return run_foreach_batch_dedup(stream_or_batch, h64(F.col("text")), "doc_id")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = {
+        r.dup_key: (r.keep_id, r.group_size)
+        for r in run(stream).filter(F.col("group_size") > 1).collect()
+    }
+    aa = spark.createDataFrame([(0, "aa")], schema).select(h64(F.col("text"))).collect()[0][0]
+    bb = spark.createDataFrame([(0, "bb")], schema).select(h64(F.col("text"))).collect()[0][0]
+    assert got == {aa: (1, 2), bb: (20, 2)}
