@@ -230,3 +230,44 @@ def tfidf_cosine_pairs(
         .orderBy(F.desc("cosine"), "doc_a", "doc_b")
         .limit(top_k)
     )
+
+
+def rrf_fuse(
+    sparse: DataFrame,
+    dense: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    c: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of a sparse (BM25) and a dense (cosine)
+    ranked list: ``rrf = Σ 1/(c + rank)`` over the lists containing the
+    document (Cormack et al., the standard hybrid-search combiner).
+
+    Both inputs are *already-bounded* top-N lists (the expensive retrieval
+    happened upstream, distributed), so the single-partition rank windows
+    here are coordinator-scale work on ≤N rows each — the same bounded
+    pattern as the IVF probe.  Missing ranks contribute 0.
+
+    Exactness across engines: ranks are integers with deterministic
+    id-tiebreaks, ``1.0/(c+rank)`` is one IEEE division of exact operands,
+    and the two contributions are added in fixed textual order.
+    """
+    from pyspark.sql import Window
+
+    ws = Window.orderBy(F.desc(score_col), F.col(id_col))
+    a = sparse.select(
+        F.col(id_col), F.row_number().over(ws).cast("long").alias("bm25_rank")
+    )
+    b = dense.select(
+        F.col(id_col), F.row_number().over(ws).cast("long").alias("cosine_rank")
+    )
+    contrib_a = F.lit(1.0) / (F.lit(float(c)) + F.col("bm25_rank").cast("double"))
+    contrib_b = F.lit(1.0) / (F.lit(float(c)) + F.col("cosine_rank").cast("double"))
+    rrf = F.coalesce(contrib_a, F.lit(0.0)) + F.coalesce(contrib_b, F.lit(0.0))
+    return (
+        a.join(b, id_col, "full_outer")
+        .select(id_col, "bm25_rank", "cosine_rank", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.col(id_col))
+        .limit(k)
+    )

@@ -807,3 +807,130 @@ def semantic_dedup(
             ).alias("pruned"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: covariance accumulation + coordinator eigendecomposition
+# ---------------------------------------------------------------------------
+
+def covariance_entries(
+    df: DataFrame, emb_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Upper-triangle covariance entries ``(i, j, cov)`` of a d-dim
+    embedding column — the distributed half of PCA.
+
+    Shape chosen for 100 TB: each row expands to its d(d+1)/2 upper-triangle
+    products *inside the JVM* (nested ``transform`` + ``flatten``, no join,
+    no per-row Python), then ONE hash aggregate of d²-bounded width — the
+    classic map-side outer-product accumulation (cf. MLlib RowMatrix
+    computeCovariance).  Nothing shuffles except the d(d+1)/2-key agg.
+
+    Exactness: elements go through the float→double→DECIMAL(12,9) funnel
+    (`_dec_vec`), products/sums are exact decimal; means and the covariance
+    combination are IEEE doubles evaluated in identical textual order in
+    the DuckDB oracle (plans/mlops.py).  cov = E[xy] − E[x]·E[y] over the
+    *population* (divide by n).
+    """
+    # The d(d+1)/2-per-row expansion is the compute-heavy stage; when the
+    # source has fewer input splits than cores (tiny file locally, or a
+    # handful of row-group splits on a cluster) it would otherwise run on
+    # that few tasks.  A round-robin repartition of the *pre-expansion*
+    # rows (cheap: one narrow vector per row) spreads the expansion across
+    # the full parallelism.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    v = df.select(_dec_vec(emb_col).alias("v"))
+    n_dim = F.size("v")
+    idx = F.sequence(F.lit(0), n_dim - F.lit(1))
+    pair_structs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, n_dim - F.lit(1)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (F.get("v", i.cast("int")) * F.get("v", j.cast("int"))).alias("xy"),
+                ),
+            ),
+        )
+    )
+    prods = (
+        v.select(F.explode(pair_structs).alias("p"))
+        .select("p.i", "p.j", "p.xy")
+        .groupBy("i", "j")
+        .agg(F.sum("xy").alias("sxy_dec"), F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    sums = (
+        df.select(F.posexplode(_dec_vec(emb_col)).alias("i", "a"))
+        .groupBy("i")
+        .agg(F.sum("a").alias("sx_dec"))
+        .select(F.col("i").cast("int").alias("i"), _to_double(F.col("sx_dec")).alias("sx"))
+    )
+    n_d = F.col("n").cast("double")
+    sxy = _to_double(F.col("sxy_dec"))
+    cov = sxy / n_d - (F.col("sx") / n_d) * (F.col("sy") / n_d)
+    return (
+        prods.join(F.broadcast(sums), "i")
+        .join(
+            F.broadcast(sums.select(F.col("i").alias("j"), F.col("sx").alias("sy"))),
+            "j",
+        )
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            cov.alias("cov"),
+        )
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    n_components: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project embeddings onto their top-``n_components`` principal axes.
+
+    Distributed work = one covariance accumulation (`covariance_entries`);
+    the d×d eigendecomposition is bounded coordinator math (numpy ``eigh``
+    on a 64×64 matrix here — same justified-collect class as the IVF
+    probe), after which the component matrix is broadcast back into a pure
+    JVM projection (one fused dot product per component, no shuffle).
+
+    Sign convention: each eigenvector is flipped so its
+    largest-magnitude coordinate is positive (the standard deterministic
+    choice — eigenvectors are sign-ambiguous).
+    """
+    import numpy as np
+
+    ent = covariance_entries(df, emb_col, id_col).collect()  # d(d+1)/2 rows, bounded
+    d = max(int(r["j"]) for r in ent) + 1
+    cov = np.zeros((d, d))
+    for r in ent:
+        cov[r["i"], r["j"]] = r["cov"]
+        cov[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = []
+    for c in range(len(order)):
+        vec = vecs[:, order[c]]
+        if abs(vec[np.argmax(np.abs(vec))]) != vec[np.argmax(np.abs(vec))]:
+            vec = -vec
+        comps.append([float(x) for x in vec])
+
+    out_cols = [F.col(id_col)]
+    for c, comp in enumerate(comps):
+        comp_arr = F.array(*[F.lit(x) for x in comp])
+        dot = F.aggregate(
+            F.zip_with(
+                F.transform(F.col(emb_col), lambda x: x.cast("double")),
+                comp_arr,
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out_cols.append(dot.alias(f"pc{c}"))
+    return df.select(*out_cols)

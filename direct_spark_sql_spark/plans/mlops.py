@@ -1,0 +1,207 @@
+"""ML-flavored pipeline queries: hybrid sparse+dense retrieval (RRF),
+distributed PCA covariance, and gradient-descent logistic-regression
+training — each with a bit-exact DuckDB oracle.
+
+Same contract as plans/pipeline.py: Spark builder + oracle SQL pairs,
+exact by construction (fixed-point snapped sums, decimal funnels,
+identical textual order for IEEE double expressions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from direct_spark_sql_spark.operators import mltrain as ml
+from direct_spark_sql_spark.operators import retrieval as rt
+from direct_spark_sql_spark.operators import similarity as sim
+from direct_spark_sql_spark.operators import text as tx
+from direct_spark_sql_spark.plans.base import Query
+from direct_spark_sql_spark.plans.pipeline import TOKS_SQL, _EX_SQL
+from direct_spark_sql_spark.plans.pipeline_ext import BM25_TERMS, bm25_oracle_ctes
+from direct_spark_sql_spark.sources.registry import load_table
+
+# ---------------------------------------------------------------------------
+# Hybrid search: BM25 + dense cosine fused with reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_POOL = 25  # candidate pool per retriever before fusion
+_RRF_C = 60     # the canonical RRF constant
+_RRF_K = 10
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hybrid retrieval: BM25 over documents and cosine over the
+    parallel embeddings table (doc_id ≡ vec_id), RRF-fused.  Both candidate
+    pools are produced by the existing distributed retrievers; fusion is
+    coordinator-scale work on two 25-row lists."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sparse = rt.bm25_topk(docs, BM25_TERMS, k=_RRF_POOL)
+    query = emb.filter(F.col("vec_id") == 0)
+    dense = sim.cosine_topk(emb.filter(F.col("vec_id") != 0), query, k=_RRF_POOL).select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
+    )
+    return rt.rrf_fuse(sparse, dense, c=_RRF_C, k=_RRF_K)
+
+
+def _hybrid_rrf_oracle() -> str:
+    c = float(_RRF_C)
+    return f"""
+WITH {bm25_oracle_ctes(_RRF_POOL)},
+{_EX_SQL.strip()},
+q AS (SELECT i, a AS b FROM ex WHERE vec_id = 0),
+cd AS (
+  SELECT ex.vec_id,
+         CAST(CAST(ROUND(SUM(ex.a * q.b), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot,
+         CAST(CAST(ROUND(SUM(ex.a * ex.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS na,
+         CAST(CAST(ROUND(SUM(q.b * q.b), 6) AS DECIMAL(24,6)) AS DOUBLE) AS nb
+  FROM ex JOIN q ON ex.i = q.i
+  WHERE ex.vec_id <> 0
+  GROUP BY ex.vec_id
+),
+cos AS (
+  SELECT vec_id AS doc_id, dot / (sqrt(na) * sqrt(nb)) AS score
+  FROM cd ORDER BY score DESC, doc_id LIMIT {_RRF_POOL}
+),
+ra AS (SELECT doc_id,
+              CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bm25_rank
+       FROM bm25),
+rb AS (SELECT doc_id,
+              CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS cosine_rank
+       FROM cos)
+SELECT doc_id, bm25_rank, cosine_rank,
+       COALESCE(1.0 / ({c} + CAST(bm25_rank AS DOUBLE)), 0.0)
+       + COALESCE(1.0 / ({c} + CAST(cosine_rank AS DOUBLE)), 0.0) AS rrf_score
+FROM ra FULL JOIN rb USING (doc_id)
+ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: covariance accumulation
+# ---------------------------------------------------------------------------
+
+def embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle 64×64 covariance of the embedding corpus: per-row
+    JVM outer-product expansion, one d²-bounded hash agg, no joins on the
+    data path (operators/similarity.py:covariance_entries)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.covariance_entries(e).orderBy("i", "j")
+
+
+# generate_subscripts in _EX_SQL is 1-based; the Spark side is 0-based.
+PCA_COV_ORACLE = f"""
+WITH {_EX_SQL.strip()},
+p AS (
+  SELECT x.i AS i1, y.i AS j1,
+         CAST(CAST(ROUND(SUM(x.a * y.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS sxy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex x JOIN ex y ON x.vec_id = y.vec_id AND x.i <= y.i
+  GROUP BY x.i, y.i
+),
+m AS (
+  SELECT i, CAST(CAST(ROUND(SUM(a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS sx
+  FROM ex GROUP BY i
+)
+SELECT CAST(p.i1 - 1 AS BIGINT) AS i,
+       CAST(p.j1 - 1 AS BIGINT) AS j,
+       p.sxy / CAST(p.n AS DOUBLE)
+       - (mi.sx / CAST(p.n AS DOUBLE)) * (mj.sx / CAST(p.n AS DOUBLE)) AS cov
+FROM p
+JOIN m mi ON mi.i = p.i1
+JOIN m mj ON mj.i = p.j1
+ORDER BY i, j
+"""
+
+
+# ---------------------------------------------------------------------------
+# Logistic-regression quality classifier (full-batch GD, 3 iterations)
+# ---------------------------------------------------------------------------
+
+def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 2-feature + intercept logistic regression predicting
+    lang='en' from document length features; one scan per GD iteration
+    (operators/mltrain.py), bit-exact against the unrolled SQL oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = d.select(
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("chars"),
+        (tx.token_count("text").cast("double") / F.lit(100.0)).alias("toks"),
+        F.when(F.col("lang") == F.lit("en"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+    return ml.logreg_train(feats, ["chars", "toks"])
+
+
+def _lr_oracle() -> str:
+    """Unrolled 3-iteration GD in SQL: each g<k> CTE is the snapped exact
+    gradient under the previous weights, each w<k> the IEEE update in the
+    same textual order as the Python coordinator."""
+    lr = ml.LR_LEARNING_RATE
+    U = "100000000.0"
+
+    def sig(z: str) -> str:
+        return f"(1.0 / (1.0 + exp(-({z}))))"
+
+    def grad_cte(name: str, z: str, extra_from: str) -> str:
+        g = f"({sig(z)} - y)"
+        def snap(x: str) -> str:
+            return (f"CAST(SUM(CAST(FLOOR(({g} * {x}) * {U} + 0.5) AS BIGINT))"
+                    f" AS DOUBLE) / {U}")
+        return (f"{name} AS (SELECT {snap('1.0')} AS gb, {snap('chars')} AS gc, "
+                f"{snap('toks')} AS gt, CAST(COUNT(*) AS BIGINT) AS n "
+                f"FROM f{extra_from})")
+
+    def w_cte(name: str, prev_w: str, prev_g: str) -> str:
+        def upd(w: str, g: str) -> str:
+            return f"{w} - {lr} * ({g} / CAST({prev_g}.n AS DOUBLE))"
+        if prev_w is None:  # first update from w = 0
+            return (f"{name} AS (SELECT {upd('0.0', 'gb')} AS wb, "
+                    f"{upd('0.0', 'gc')} AS wc, {upd('0.0', 'gt')} AS wt "
+                    f"FROM {prev_g})")
+        return (f"{name} AS (SELECT {upd('wb', 'gb')} AS wb, "
+                f"{upd('wc', 'gc')} AS wc, {upd('wt', 'gt')} AS wt "
+                f"FROM {prev_g}, {prev_w})")
+
+    z0 = "0.0 * 1.0 + 0.0 * chars + 0.0 * toks"
+    zw = "wb * 1.0 + wc * chars + wt * toks"
+    p = sig(zw)
+    loss = f"-(y * ln({p}) + (1.0 - y) * ln(1.0 - {p}))"
+    loss_snap = (f"CAST(SUM(CAST(FLOOR(({loss}) * {U} + 0.5) AS BIGINT)) AS DOUBLE)"
+                 f" / {U}")
+    return f"""
+WITH f AS (
+  SELECT CAST(n_chars AS DOUBLE) / 1000.0 AS chars,
+         CAST(len({TOKS_SQL}) AS DOUBLE) / 100.0 AS toks,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+{grad_cte('g1', z0, '')},
+{w_cte('w1', None, 'g1')},
+{grad_cte('g2', zw, ', w1')},
+{w_cte('w2', 'w1', 'g2')},
+{grad_cte('g3', zw.replace('wb', 'w2.wb').replace('wc', 'w2.wc').replace('wt', 'w2.wt'), ', w2')},
+{w_cte('w3', 'w2', 'g3')},
+l AS (SELECT {loss_snap} AS loss_sum, CAST(COUNT(*) AS BIGINT) AS n
+      FROM f, w3)
+SELECT w3.wb AS w_bias, w3.wc AS w_chars, w3.wt AS w_toks,
+       l.loss_sum / CAST(l.n AS DOUBLE) AS log_loss,
+       l.n AS n_rows
+FROM w3, l
+"""
+
+
+QUERIES: list[Query] = [
+    Query("hybrid_search_rrf", hybrid_search_rrf, _hybrid_rrf_oracle(),
+          ("retrieval", "pipeline", "mlops"), bench=True,
+          doc="hybrid sparse+dense retrieval: BM25 and cosine top-25 pools "
+              "fused by reciprocal-rank fusion (c=60), deterministic ties"),
+    Query("embedding_pca_covariance", embedding_pca_covariance, PCA_COV_ORACLE,
+          ("similarity", "mlops"), bench=True,
+          doc="distributed PCA stage 1: exact-decimal upper-triangle "
+              "covariance via per-row JVM outer-product expansion + one "
+              "d2-bounded agg (no joins on the data path)"),
+    Query("quality_lr_train", quality_lr_train, _lr_oracle(),
+          ("mlops", "pipeline"),
+          doc="full-batch GD logistic regression (3 iters, lr=0.5) on "
+              "document quality features; snapped exact gradients make "
+              "every weight bit-identical to the unrolled SQL oracle"),
+]

@@ -62,11 +62,12 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.bm25_topk(d, BM25_TERMS, k=10)
 
 
-def _bm25_oracle() -> str:
+def bm25_oracle_ctes(k: int = 10) -> str:
+    """BM25 oracle as a reusable CTE chain ending in ``bm25(doc_id, score)``
+    — shared by the standalone query and the hybrid-RRF fusion oracle."""
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     k1, b, units = rt.BM25_K1, rt.BM25_B, "100000000.0"
-    return f"""
-WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    return f"""t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
 base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
 stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                  CAST(sum(dl) AS BIGINT) AS sum_dl FROM base),
@@ -89,10 +90,18 @@ scored AS (
   JOIN base USING (doc_id)
   JOIN dft USING (term)
   CROSS JOIN stats
-)
-SELECT doc_id, CAST(SUM(units) AS DOUBLE) / {units} AS score
-FROM scored GROUP BY doc_id
-ORDER BY score DESC, doc_id LIMIT 10
+),
+bm25 AS (
+  SELECT doc_id, CAST(SUM(units) AS DOUBLE) / {units} AS score
+  FROM scored GROUP BY doc_id
+  ORDER BY score DESC, doc_id LIMIT {k}
+)"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+WITH {bm25_oracle_ctes(10)}
+SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id
 """
 
 

@@ -89,6 +89,13 @@ def all_queries() -> list[Query]:
     except ImportError:  # pragma: no cover - optional module during build-out
         pass
 
+    try:
+        from direct_spark_sql_spark.plans import mlops
+
+        queries += mlops.QUERIES
+    except ImportError:  # pragma: no cover - optional module during build-out
+        pass
+
     seen: set[str] = set()
     for q in queries:
         if q.name in seen:
