@@ -96,6 +96,13 @@ def all_queries() -> list[Query]:
     except ImportError:  # pragma: no cover - optional module during build-out
         pass
 
+    try:
+        from direct_spark_sql_spark.plans import scaleops
+
+        queries += scaleops.QUERIES
+    except ImportError:  # pragma: no cover - optional module during build-out
+        pass
+
     seen: set[str] = set()
     for q in queries:
         if q.name in seen:

@@ -1,0 +1,148 @@
+"""Scale-layer queries: zone-map data skipping and dynamic partition
+pruning — the two file-skipping mechanisms a 100 TB table needs beyond
+plain predicate pushdown.
+
+Both queries materialize their layout once into the warehouse scratch dir
+(build-once/query-many, like the IVF index and the bucketed tables) and
+are oracle-checked against the *unoptimized* equivalent over the source
+table — so a pruning bug that drops or duplicates rows breaks the match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from direct_spark_sql_spark.plans.base import Query
+from direct_spark_sql_spark.sources import zonemap as zm
+from direct_spark_sql_spark.sources.registry import (
+    dataset_tag,
+    load_table,
+    warehouse_path,
+)
+
+# ---------------------------------------------------------------------------
+# Zone-map pruned range scan
+# ---------------------------------------------------------------------------
+
+#: query window: 2024-01-08 .. 2024-01-12 (µs since epoch, exact integers)
+_ZM_LO_US = 1_704_672_000_000_000
+_ZM_HI_US = 1_705_017_600_000_000
+_ZM_FILES = 16
+
+
+def _zonemap_paths(sf_dir: str) -> tuple[str, str]:
+    tag = dataset_tag(sf_dir)
+    return (
+        warehouse_path("zonemap", f"events_by_ts_{tag}"),
+        warehouse_path("zonemap", f"events_by_ts_{tag}_idx"),
+    )
+
+
+def ensure_events_clustered(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Idempotently lay events out range-clustered on ``ts`` (16 files)
+    with a zone-map index; returns (table_path, index_path)."""
+    table_path, index_path = _zonemap_paths(sf_dir)
+    src = load_table(spark, sf_dir, "events")
+    zm.ensure_clustered_table(spark, src, table_path, index_path, "ts", _ZM_FILES)
+    return table_path, index_path
+
+
+def zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range scan over the ts-clustered events table reading only the
+    zone-map-surviving files (~1/6 of them for this window), then a
+    per-type aggregate.  Row-level filter is re-applied, so the result —
+    and the oracle over the raw table — is layout-independent."""
+    table_path, index_path = ensure_events_clustered(spark, sf_dir)
+    lo = F.timestamp_micros(F.lit(_ZM_LO_US))
+    hi = F.timestamp_micros(F.lit(_ZM_HI_US))
+    scan = zm.pruned_scan(spark, table_path, index_path, "ts", lo, hi)
+    return (
+        scan.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("event_id").cast("long").alias("min_event_id"),
+            F.max("event_id").cast("long").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ZONEMAP_ORACLE = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+FROM events
+WHERE epoch_us(ts) >= {_ZM_LO_US} AND epoch_us(ts) <= {_ZM_HI_US}
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+def ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently write events hive-partitioned by ``event_type``."""
+    import os
+
+    path = warehouse_path("dpp", f"events_by_type_{dataset_tag(sf_dir)}")
+    marker = os.path.join(path, "_DPP_OK")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(path)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return path
+
+
+def join_partition_pruned_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join where the fact side is hive-partitioned on the join
+    key and the dim side carries a selective filter only known at plan
+    time of the *dim*, not the fact: Spark's dynamic partition pruning
+    turns the dim's filter into a runtime partition filter on the fact
+    scan (`PartitionFilters: [dynamicpruning#...]`), so at 100 TB whole
+    partition directories are never listed, let alone read.  Plan shape is
+    pinned in tests/test_scaleops.py."""
+    fact_path = ensure_events_partitioned(spark, sf_dir)
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .filter(F.col("event_type").like("%r%"))  # error, purchase
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("user_id")).cast("long").alias("sum_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DPP_ORACLE = """
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(e.user_id) AS BIGINT) AS sum_users
+FROM events e
+JOIN (SELECT DISTINCT event_type FROM events WHERE event_type LIKE '%r%') d
+  ON e.event_type = d.event_type
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+QUERIES: list[Query] = [
+    Query("zonemap_pruned_scan", zonemap_pruned_scan, ZONEMAP_ORACLE,
+          ("source", "layout", "scale"), bench=True,
+          doc="min/max-per-file zone-map index over a ts-clustered layout; "
+              "range scans open only overlapping files (Iceberg/Delta-style "
+              "data skipping), row filter re-applied for soundness"),
+    Query("join_partition_pruned_dpp", join_partition_pruned_dpp, DPP_ORACLE,
+          ("join", "source", "scale"),
+          doc="dynamic partition pruning: selective dim filter becomes a "
+              "runtime PartitionFilter on the hive-partitioned fact scan"),
+]

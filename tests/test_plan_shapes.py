@@ -152,6 +152,8 @@ _NLJ_ALLOWED = {
     "text_bigram_logprob",         # broadcast 1-row vocabulary size (V)
     "text_pmi_collocations",       # broadcast 1-row total bigram count (N)
     "events_anomaly_days",         # broadcast 1-row corpus day stats
+    "hybrid_search_rrf",           # composes bm25 (1-row stats broadcast) +
+                                   # cosine_topk (single query vector)
 }
 
 

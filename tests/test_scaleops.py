@@ -1,0 +1,59 @@
+"""Plan/behavior pins for the scale-layer features: zone-map data
+skipping must actually skip files, and dynamic partition pruning must
+reach the fact scan's PartitionFilters."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from direct_spark_sql_spark.plans.scaleops import (
+    _ZM_HI_US,
+    _ZM_LO_US,
+    ensure_events_clustered,
+    ensure_events_partitioned,
+    join_partition_pruned_dpp,
+    zonemap_pruned_scan,
+)
+from direct_spark_sql_spark.sources import zonemap as zm
+from tests.conftest import SF_DIR
+
+
+def test_zonemap_scan_skips_files(spark):
+    table_path, index_path = ensure_events_clustered(spark, SF_DIR)
+    total_files = len(spark.read.parquet(table_path).inputFiles())
+    lo = F.timestamp_micros(F.lit(_ZM_LO_US))
+    hi = F.timestamp_micros(F.lit(_ZM_HI_US))
+    pruned = zm.pruned_scan(spark, table_path, index_path, "ts", lo, hi)
+    kept_files = len(pruned.inputFiles())
+    # 4-and-a-bit days of a 30-day clustered span → a small fraction of
+    # the 16 files survives; the invariant is strict skipping.
+    assert kept_files < total_files
+    assert kept_files <= max(4, total_files // 2)
+    # soundness: identical result to the unpruned filtered scan
+    base = spark.read.parquet(table_path).filter(
+        (F.col("ts") >= lo) & (F.col("ts") <= hi)
+    )
+    assert pruned.count() == base.count()
+
+
+def test_zonemap_empty_range_returns_empty_with_schema(spark):
+    table_path, index_path = ensure_events_clustered(spark, SF_DIR)
+    lo = F.timestamp_micros(F.lit(0))  # 1970: before every zone
+    hi = F.timestamp_micros(F.lit(1))
+    out = zm.pruned_scan(spark, table_path, index_path, "ts", lo, hi)
+    assert out.count() == 0
+    assert "event_id" in out.columns and "ts" in out.columns
+
+
+def test_dpp_reaches_fact_partition_filters(spark):
+    ensure_events_partitioned(spark, SF_DIR)
+    df = join_partition_pruned_dpp(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_zonemap_index_is_metadata_scale(spark):
+    table_path, index_path = ensure_events_clustered(spark, SF_DIR)
+    idx = spark.read.parquet(index_path)
+    assert idx.count() == len(spark.read.parquet(table_path).inputFiles())
+    assert set(idx.columns) == {"file", "n_rows", "ts_min", "ts_max"}
