@@ -57,3 +57,13 @@ def test_zonemap_index_is_metadata_scale(spark):
     idx = spark.read.parquet(index_path)
     assert idx.count() == len(spark.read.parquet(table_path).inputFiles())
     assert set(idx.columns) == {"file", "n_rows", "ts_min", "ts_max"}
+
+
+def test_bloom_filter_join_plan(spark):
+    from direct_spark_sql_spark.plans.scaleops import join_bloom_filtered
+
+    df = join_bloom_filtered(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in plan and "might_contain" in plan, plan[:1500]
+    # confs were restored after plan derivation
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
