@@ -71,7 +71,12 @@ def main() -> None:
     for q in bench_queries:
         # warmup (plans JIT, files get OS-cached), then best-of-2 measured
         # runs — the min is robust against transient host contention.
-        materialize(q.spark_fn(spark, sf_dir))
+        # Queries without a pinned baseline are being measured for the
+        # first time: give them the full JIT ramp (3 warmups) so the
+        # recorded number is steady state, comparable to how pinned
+        # queries converge via the regression-guard re-measures below.
+        for _ in range(1 if q.name in base_q else 3):
+            materialize(q.spark_fn(spark, sf_dir))
         best = measure(q, 2)
         # Queries dominated by interpreted-expression codegen (decimal HOFs)
         # reach JIT steady state only after ~4 executions; if the first

@@ -145,3 +145,37 @@ def zorder_layout(df: DataFrame, a: str, b: str, partitions: int | None = None) 
         else coded.repartitionByRange("zcode")
     )
     return parted.sortWithinPartitions("zcode")
+
+
+def compact_table(
+    spark: "SparkSession",
+    table_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a fragmented parquet table into ~``target_file_bytes``
+    files; returns the target file count.
+
+    The small-files problem is the classic long-running-ingest pathology:
+    every streaming micro-batch / incremental merge leaves a few KB-to-MB
+    files, and at 100 TB a scan pays per-file open/footer/scheduling cost
+    millions of times.  Compaction = size the output file count from the
+    *actual* on-disk bytes (Hadoop FS listing — works on HDFS/S3A/local
+    alike), then rewrite with ``coalesce`` — a narrow dependency that
+    merges partitions without a shuffle, which is exactly right for
+    bin-packing existing rows into fewer files.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    (
+        spark.read.parquet(table_path)
+        .coalesce(n_files)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return n_files

@@ -199,6 +199,57 @@ GROUP BY l.l_returnflag ORDER BY l.l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Small-file compaction
+# ---------------------------------------------------------------------------
+
+def ensure_fragmented_events(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently write events as 64 deliberately tiny files — the
+    streaming-ingest fragmentation pathology compaction exists to fix."""
+    import os
+
+    path = warehouse_path("compact", f"events_fragmented_{dataset_tag(sf_dir)}")
+    marker = os.path.join(path, "_FRAG_OK")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "events").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return path
+
+
+def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact a 64-file fragmented events table into size-targeted files
+    (operators/layout.py:compact_table — FS-listing-sized ``coalesce``,
+    no shuffle), then aggregate the compacted copy.  The oracle is the
+    same aggregate over the source table, so compaction dropping or
+    duplicating any row breaks the match; the file-count collapse itself
+    is pinned in tests/test_scaleops.py."""
+    from direct_spark_sql_spark.operators.layout import compact_table
+
+    frag = ensure_fragmented_events(spark, sf_dir)
+    out = warehouse_path("compact", f"events_compacted_{dataset_tag(sf_dir)}")
+    compact_table(spark, frag, out, target_file_bytes=4 * 1024 * 1024)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("event_id").cast("long").alias("sum_ids"),
+        )
+        .orderBy("event_type")
+    )
+
+
+COMPACTION_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES: list[Query] = [
     Query("zonemap_pruned_scan", zonemap_pruned_scan, ZONEMAP_ORACLE,
           ("source", "layout", "scale"), bench=True,
@@ -214,4 +265,9 @@ QUERIES: list[Query] = [
           doc="runtime bloom-filter join pruning: selective build side "
               "injects might_contain into the probe scan pre-shuffle "
               "(row-level DPP analogue for non-partition keys)"),
+    Query("layout_compaction", layout_compaction, COMPACTION_ORACLE,
+          ("layout", "source", "scale"),
+          doc="small-file compaction: FS-listing-sized shuffle-free "
+              "coalesce rewrite of a 64-file fragmented table; content "
+              "equality oracle + file-count pin"),
 ]

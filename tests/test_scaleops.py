@@ -67,3 +67,18 @@ def test_bloom_filter_join_plan(spark):
     assert "bloom_filter_agg" in plan and "might_contain" in plan, plan[:1500]
     # confs were restored after plan derivation
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_compaction_collapses_files_preserving_rows(spark):
+    from direct_spark_sql_spark.operators.layout import compact_table
+    from direct_spark_sql_spark.plans.scaleops import ensure_fragmented_events
+    from direct_spark_sql_spark.sources.registry import dataset_tag, warehouse_path
+
+    frag = ensure_fragmented_events(spark, SF_DIR)
+    n_frag_files = len(spark.read.parquet(frag).inputFiles())
+    assert n_frag_files >= 32  # genuinely fragmented input
+    out = warehouse_path("compact", f"events_compacted_test_{dataset_tag(SF_DIR)}")
+    n_target = compact_table(spark, frag, out, target_file_bytes=64 * 1024 * 1024)
+    got = spark.read.parquet(out)
+    assert len(got.inputFiles()) == n_target < n_frag_files
+    assert got.count() == spark.read.parquet(frag).count()
