@@ -156,3 +156,82 @@ SELECT p.{key_col}, MIN(COALESCE(s.cnt, 0)) AS cms_est
 FROM probes p LEFT JOIN sketch s USING (row_i, bucket)
 GROUP BY p.{key_col}
 """
+
+
+def kmv_set_estimates(
+    df_a: "DataFrame", df_b: "DataFrame", col: str, k: int = 256
+) -> DataFrame:
+    """Union / intersection / Jaccard estimates for two keyed sets from
+    their mergeable KMV sketches (Beyer et al., SIGMOD'07 §4: the k-min
+    sketch of A∪B is computable from the two k-min sketches, and the
+    fraction of that synopsis present in both sets estimates Jaccard).
+
+    The 100 TB point: each side's sketch is a distinct + bounded top-k —
+    one shuffle each, O(k) state — and set algebra then happens on ≤2k
+    hashes, so per-segment sketches (per day / per source) roll up into
+    cross-segment overlap estimates without ever re-scanning the data.
+    Deterministic MD5-family hashing makes every estimate a pure function
+    of the data, replayed bit-exactly by the DuckDB oracle.
+
+    Output (one row): n_union_synopsis, kth_hash, union_est, inter_in_k,
+    inter_est, jaccard_est.
+    """
+    ka = df_a.select(h64(F.col(col)).alias("h")).distinct().orderBy("h").limit(k)
+    kb = df_b.select(h64(F.col(col)).alias("h")).distinct().orderBy("h").limit(k)
+    ku = ka.union(kb).distinct().orderBy("h").limit(k)
+    # membership of each union-synopsis hash in each side's k-min set:
+    # exact within the synopsis because K(A∪B) ⊆ K(A) ∪ K(B).
+    both = (
+        ku.join(ka.withColumnRenamed("h", "ha"), ku.h == F.col("ha"), "left_semi")
+        .join(kb.withColumnRenamed("h", "hb"), ku.h == F.col("hb"), "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_in_k"))
+    )
+    stats = ku.agg(
+        F.max("h").alias("kth_hash"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    union_est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        (F.lit(float(k - 1)) * F.lit(HASH_SPACE)) / F.col("kth_hash").cast("double")
+    )
+    out = stats.crossJoin(both)
+    jac = F.col("inter_in_k").cast("double") / F.col("n_kept").cast("double")
+    return out.select(
+        F.col("n_kept").cast("long").alias("n_union_synopsis"),
+        F.col("kth_hash").cast("long").alias("kth_hash"),
+        union_est.alias("union_est"),
+        "inter_in_k",
+        (jac * union_est).alias("inter_est"),
+        jac.alias("jaccard_est"),
+    )
+
+
+def kmv_set_estimates_sql(
+    table_a: str, table_b: str, col_expr: str, k: int = 256
+) -> str:
+    """DuckDB twin of :func:`kmv_set_estimates`."""
+    from direct_spark_sql_spark.hashing import h64_sql
+
+    return f"""
+WITH ka AS (SELECT DISTINCT {h64_sql(col_expr)} AS h FROM {table_a} ORDER BY h LIMIT {k}),
+kb AS (SELECT DISTINCT {h64_sql(col_expr)} AS h FROM {table_b} ORDER BY h LIMIT {k}),
+ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb) ORDER BY h LIMIT {k}),
+stats AS (SELECT MAX(h) AS kth_hash, CAST(COUNT(*) AS BIGINT) AS n_kept FROM ku),
+ovl AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS inter_in_k
+  FROM ku WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+)
+SELECT CAST(n_kept AS BIGINT) AS n_union_synopsis,
+       CAST(kth_hash AS BIGINT) AS kth_hash,
+       CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+            ELSE (CAST({float(k - 1)} AS DOUBLE) * {HASH_SPACE}) / CAST(kth_hash AS DOUBLE)
+       END AS union_est,
+       inter_in_k,
+       (CAST(inter_in_k AS DOUBLE) / CAST(n_kept AS DOUBLE))
+         * CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+                ELSE (CAST({float(k - 1)} AS DOUBLE) * {HASH_SPACE}) / CAST(kth_hash AS DOUBLE)
+           END AS inter_est,
+       CAST(inter_in_k AS DOUBLE) / CAST(n_kept AS DOUBLE) AS jaccard_est
+FROM stats, ovl
+"""

@@ -499,6 +499,34 @@ def _kmv_oracle() -> str:
     return kmv_estimate_sql("lineitem", "l_partkey", k=256)
 
 
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from mergeable KMV sketches: union /
+    intersection / Jaccard of click-users vs purchase-users computed on
+    O(k) synopses (Beyer et al. SIGMOD'07), never a re-scan — the
+    cross-segment overlap story at 100 TB."""
+    from direct_spark_sql_spark.operators.sketches import kmv_set_estimates
+
+    # Two high-cardinality, partially-overlapping event-id sets so the
+    # true (k-1)/U(k) estimator branch runs at driver scale (at sf0.001
+    # the sets are < k and the exact-count degradation branch runs — both
+    # paths get differential coverage across scales).
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("event_id")
+    b = e.filter(F.col("user_id") % 3 == 0).select("event_id")
+    return kmv_set_estimates(a, b, "event_id", k=128)
+
+
+def _kmv_set_ops_oracle() -> str:
+    from direct_spark_sql_spark.operators.sketches import kmv_set_estimates_sql
+
+    return kmv_set_estimates_sql(
+        "(SELECT event_id FROM events WHERE event_type = 'click')",
+        "(SELECT event_id FROM events WHERE user_id % 3 = 0)",
+        "event_id",
+        k=128,
+    )
+
+
 def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over document tokens, point-queried for every
     vocabulary word alongside its exact count — d×w fixed memory with the
@@ -1454,6 +1482,10 @@ QUERIES = [
           ("text", "pipeline"), bench=True),
     Query("sketch_kmv_distinct", sketch_kmv_distinct, _kmv_oracle(),
           ("sketch", "pipeline"), doc="KMV distinct-count sketch, estimate oracle-checked"),
+    Query("sketch_kmv_set_ops", sketch_kmv_set_ops, _kmv_set_ops_oracle(),
+          ("sketch", "pipeline"),
+          doc="union/intersection/Jaccard from mergeable KMV synopses "
+              "(audience overlap on O(k) state), estimates oracle-checked"),
     Query("sketch_cms_heavy_hitters", sketch_cms_heavy_hitters, _cms_oracle(),
           ("sketch", "pipeline"),
           doc="count-min frequency sketch, estimates (incl. collisions) oracle-checked"),

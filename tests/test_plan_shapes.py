@@ -154,6 +154,7 @@ _NLJ_ALLOWED = {
     "events_anomaly_days",         # broadcast 1-row corpus day stats
     "hybrid_search_rrf",           # composes bm25 (1-row stats broadcast) +
                                    # cosine_topk (single query vector)
+    "sketch_kmv_set_ops",          # 1-row stats × 1-row overlap count cross
 }
 
 

@@ -82,3 +82,43 @@ def test_compaction_collapses_files_preserving_rows(spark):
     got = spark.read.parquet(out)
     assert len(got.inputFiles()) == n_target < n_frag_files
     assert got.count() == spark.read.parquet(frag).count()
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Engine posture for skewed keys the *automatic* way (complementing
+    the manual join_skew_salted operator): with AQE skew-join on, a 90%-
+    hot key is split at runtime — SortMergeJoin(skew=true) over an
+    AQEShuffleRead marked `skewed` — without any query rewrite.  Local
+    thresholds are shrunk to make the tiny fixture exhibit what a 100 TB
+    hot key does naturally."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 500000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").select(F.sum(F.col("v") + F.col("w")).alias("s"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
