@@ -17,6 +17,7 @@ JVM path; real pipelines should prefer the native versions.
 from __future__ import annotations
 
 import hashlib
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -68,6 +69,31 @@ def _char_ngrams_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda x: [x[i : i + 3] for i in range(max(len(x) - 2, 1))])
 
 
+def _make_quality_iter_udf():
+    """Iterator-form pandas UDF (``Iterator[pd.Series] -> Iterator[pd.Series]``):
+    the shape for *expensive per-executor init* — load a model/tokenizer
+    ONCE, then stream Arrow batches through it.  That amortization is the
+    difference between feasible and not at 100 TB (a per-batch model load
+    would dominate).  Here the "model" is a deterministic stopword table;
+    the score is the stopword ratio in per-mille, exactly mirroring
+    operators/text.py quality scoring so tests difference the two paths.
+    """
+    @F.pandas_udf(T.LongType())
+    def _quality_iter_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        stop = {"the", "a", "of", "and", "to", "in", "is", "it"}  # init once
+
+        def score(text: str) -> int:
+            toks = [t for t in text.split(" ") if t]
+            if not toks:
+                return 0
+            return (1000 * sum(1 for t in toks if t in stop)) // len(toks)
+
+        for s in batches:
+            yield s.map(score)
+
+    return _quality_iter_udf
+
+
 class _SplitWordsUDTF:
     """Native Python UDTF (Spark 4): one input row → N output rows with a
     declared table schema — the true analogue of the reference's Hive
@@ -111,6 +137,7 @@ def register_udfs(spark: SparkSession) -> dict[str, str]:
         "cosine": (_cosine_udf, "scalar pandas_udf"),
         "median": (_median_udaf, "grouped-agg pandas_udf"),
         "char_ngrams": (_char_ngrams_udf, "array-returning pandas_udf"),
+        "quality_iter": (_make_quality_iter_udf(), "iterator pandas_udf"),
     }
     out: dict[str, str] = {}
     for name, (fn, kind) in reg.items():

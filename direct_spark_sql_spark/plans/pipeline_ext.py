@@ -835,6 +835,33 @@ FROM merged GROUP BY lang ORDER BY lang
 # ---------------------------------------------------------------------------
 
 
+_SYNTH_N = 5000
+
+
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 custom Python data source: a deterministic partitioned
+    synthetic-corpus generator (sources/pysource.py) — rows materialize
+    inside executors (16 index-range splits, no driver data, no files)
+    and the full 5000-row output is content-checked against the DuckDB
+    oracle regenerating the identical MD5 formula over generate_series."""
+    from direct_spark_sql_spark.sources import pysource
+
+    pysource.register(spark)
+    return (
+        spark.read.format("synthcorpus")
+        .option("n", str(_SYNTH_N))
+        .option("parts", "16")
+        .load()
+        .orderBy("doc_id")
+    )
+
+
+def _synth_source_oracle() -> str:
+    from direct_spark_sql_spark.sources.pysource import synth_corpus_oracle_sql
+
+    return synth_corpus_oracle_sql(_SYNTH_N)
+
+
 def export_partitioned_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-layout partitioned export round-trip: write documents
     partitioned by ``lang`` (the 100 TB sink layout — one directory per
@@ -1216,6 +1243,11 @@ QUERIES = [
           SCHEMA_EVOLUTION_ORACLE, ("source", "pipeline"),
           doc="mergeSchema read across writer generations, NULL-fill for "
               "the drifted column pinned against a union replay"),
+    Query("source_python_datasource", source_python_datasource,
+          _synth_source_oracle(), ("source", "pipeline"),
+          doc="Spark 4 Python DataSource: executor-side deterministic "
+              "generator with an explicit split plan; full content "
+              "regenerated bit-exactly by the oracle"),
     Query("export_partitioned_readback", export_partitioned_readback,
           EXPORT_PARTITIONED_ORACLE, ("sink", "layout", "pipeline"),
           doc="partitionBy(lang) parquet sink + partition-pruned read-back, "

@@ -98,3 +98,27 @@ def test_udfs_callable_via_engine_sql(engine):
         {"name": "alice smith", "n": 2},
         {"name": "bob", "n": 1},
     ]
+
+
+def test_iterator_udf_matches_jvm_quality_formula(spark, engine):
+    """The iterator-form pandas UDF (per-executor init amortization) must
+    produce the identical stopword-ratio per-mille as the pure-JVM
+    expression it mirrors."""
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    got = d.select(
+        "doc_id", F.expr("dss_quality_iter(text)").alias("q")
+    )
+    toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    stop = F.array(*[F.lit(w) for w in
+                     ("the", "a", "of", "and", "to", "in", "is", "it")])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    jvm = d.select(
+        "doc_id",
+        F.when(F.size(toks) > 0, (F.lit(1000) * n_stop).cast("long") / F.size(toks))
+        .otherwise(F.lit(0)).cast("long").alias("q"),
+    )
+    mismatch = (
+        got.alias("g").join(jvm.alias("j"), "doc_id")
+        .filter(F.col("g.q") != F.col("j.q")).count()
+    )
+    assert mismatch == 0

@@ -110,3 +110,19 @@ def test_global_sorted_export(spark, tmp_path):
         if prev_max is not None:
             assert pdf.k.min() >= prev_max, "file ranges overlap"
         prev_max = pdf.k.max()
+
+
+def test_python_datasource_split_plan(spark):
+    """The custom source must expose a real split plan: requested part
+    count becomes Spark input partitions, each generating only its index
+    range (no driver-side materialization)."""
+    from direct_spark_sql_spark.sources import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("synthcorpus")
+        .option("n", "1000").option("parts", "8").load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 1000
+    assert df.select("doc_id").distinct().count() == 1000
