@@ -272,7 +272,50 @@ ORDER BY dup_key
 """
 
 
+_PYSRC_N = 2000
+
+
+def streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch read from the custom Python data source
+    (sources/pysource.py SimpleDataSourceStreamReader): the offset is the
+    row index, so the closed 2000-row range arrives as one deterministic
+    batch and the windowed aggregate must equal the batch oracle
+    regenerating the same MD5 formula (stream/batch equivalence for a
+    programmatic source; offset-resume is pinned in tests/test_sources.py)."""
+    from direct_spark_sql_spark.sources import pysource
+
+    pysource.register(spark)
+    stream = (
+        spark.readStream.format("synthcorpus")
+        .option("n", str(_PYSRC_N))
+        .option("batch", str(_PYSRC_N))
+        .load()
+    )
+    agg = stream.groupBy((F.col("score") % 8).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+    result = run_available_now(agg, "stream_pysource", "complete")
+    return result.orderBy("bucket")
+
+
+def _pysrc_oracle() -> str:
+    from direct_spark_sql_spark.sources.pysource import synth_corpus_oracle_sql
+
+    return f"""
+WITH synth AS ({synth_corpus_oracle_sql(_PYSRC_N)})
+SELECT CAST(score % 8 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM synth GROUP BY bucket ORDER BY bucket
+"""
+
+
 QUERIES = [
+    Query("streaming_python_source", streaming_python_source, _pysrc_oracle(),
+          ("streaming", "source"),
+          doc="micro-batch read from the Spark 4 Python data source "
+              "(index offsets, replayable batches), stream==batch oracle"),
     Query("streaming_tumbling_window", streaming_tumbling_window,
           EVENTS_TUMBLING_ORACLE, ("streaming", "window"),
           doc="watermarked tumbling agg, stream==batch on closed input"),

@@ -21,7 +21,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: formula constants, shared with the oracle SQL below.
 _TAG_CHARS = 8
@@ -53,8 +58,31 @@ class SynthCorpusReader(DataSourceReader):
             yield _row(i)
 
 
+class SynthCorpusStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch face of the same generator: the offset is just the next
+    row index, so batches are deterministic, replayable slices —
+    ``readBetweenOffsets`` regenerates any committed batch bit-identically,
+    which is exactly the contract exactly-once recovery needs."""
+
+    def __init__(self, options):
+        self.batch = int(options.get("batch", 100))
+        self.max_rows = int(options.get("n", 1000))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        i = start["i"]
+        hi = min(i + self.batch, self.max_rows)
+        return iter([_row(j) for j in range(i, hi)]), {"i": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_row(j) for j in range(start["i"], end["i"])])
+
+
 class SynthCorpusSource(DataSource):
-    """``spark.read.format("synthcorpus").option("n", N).load()``."""
+    """``spark.read.format("synthcorpus").option("n", N).load()`` — batch;
+    ``spark.readStream.format("synthcorpus")`` — micro-batch stream."""
 
     @classmethod
     def name(cls):
@@ -65,6 +93,9 @@ class SynthCorpusSource(DataSource):
 
     def reader(self, schema):
         return SynthCorpusReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SynthCorpusStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -126,3 +126,30 @@ def test_python_datasource_split_plan(spark):
     assert df.rdd.getNumPartitions() == 8
     assert df.count() == 1000
     assert df.select("doc_id").distinct().count() == 1000
+
+
+def test_python_datasource_stream_resumes_from_offset(spark, tmp_path):
+    """Two availableNow runs sharing a checkpoint must consume disjoint,
+    consecutive index ranges — the offset persistence / replayable-batch
+    contract of the streaming reader."""
+    from direct_spark_sql_spark.sources import pysource
+
+    pysource.register(spark)
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    seen = []
+    for run in range(2):
+        q = (
+            spark.readStream.format("synthcorpus")
+            .option("n", "10000").option("batch", "100").load()
+            .writeStream.format("parquet").option("path", out)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", ck).start()
+        )
+        q.awaitTermination()
+        ids = sorted(
+            r[0] for r in spark.read.parquet(out).select("doc_id").collect()
+        )
+        seen.append(ids)
+    assert seen[0] == list(range(0, 100))
+    assert seen[1] == list(range(0, 200))  # run 2 appended the NEXT range
