@@ -123,3 +123,25 @@ def fk_violations(
         F.col("n").alias("n_rows"),
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+def observed(df: DataFrame, name: str, metrics: dict[str, Column]):
+    """Attach single-pass observability metrics to a DataFrame
+    (``Dataset.observe``): the metric aggregates are computed *during*
+    whatever action consumes ``df`` — ingest counts, null rates, domain
+    violations — with ZERO extra scans or jobs.  At 100 TB that is the
+    difference between monitored and unmonitored pipelines: a separate
+    quality pass would double the read.
+
+    Returns ``(df_observed, observation)``; call ``observation.get`` AFTER
+    an action on the returned frame to read the metrics dict.
+
+    Reference parity: the reference has no metrics surface; this wraps
+    Spark's Observation API as the engine's quality-monitoring hook
+    (pairs with the explicit `constraint_audit`, which is a checked scan).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    first, *rest = [v.alias(k) for k, v in metrics.items()]
+    return df.observe(obs, first, *rest), obs

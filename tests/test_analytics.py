@@ -286,3 +286,29 @@ def test_containment_catches_subset_jaccard_misses(spark):
     # symmetric Jaccard misses the same pair at the same bar
     jac = ngram_jaccard_pairs(df, threshold=0.9).collect()
     assert jac == []
+
+
+def test_observed_metrics_single_pass(spark):
+    """observe() metrics must arrive with the consuming action — no extra
+    job — and match the explicitly-computed aggregates."""
+    from direct_spark_sql_spark.operators.profile import observed
+    from direct_spark_sql_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents")
+    obs_df, obs = observed(
+        d,
+        "ingest_quality",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_text": F.count(F.when(F.col("text").isNull(), 1)),
+            "n_short": F.count(F.when(F.col("n_chars") < 50, 1)),
+            "max_chars": F.max("n_chars"),
+        },
+    )
+    kept = obs_df.filter(F.col("lang") == "en").count()
+    m = obs.get
+    assert m["n_rows"] == d.count()          # metrics saw ALL rows pre-filter
+    assert m["n_null_text"] == 0
+    assert m["max_chars"] == d.agg(F.max("n_chars")).collect()[0][0]
+    assert kept < m["n_rows"]
