@@ -69,6 +69,19 @@ def _char_ngrams_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda x: [x[i : i + 3] for i in range(max(len(x) - 2, 1))])
 
 
+def _make_tag3_arrow_udf():
+    """Arrow-optimized *regular* Python UDF (Spark 4 ``useArrow=True``):
+    row-at-a-time author ergonomics, Arrow-batched transfer — the
+    migration path for legacy row UDFs that can't be vectorized.  Mirrors
+    ``UPPER(SUBSTR(x, 1, 3))`` so tests difference it against the JVM
+    expression."""
+    return F.udf(
+        lambda s: s[:3].upper() if s is not None else None,
+        T.StringType(),
+        useArrow=True,
+    )
+
+
 def _make_quality_iter_udf():
     """Iterator-form pandas UDF (``Iterator[pd.Series] -> Iterator[pd.Series]``):
     the shape for *expensive per-executor init* — load a model/tokenizer
@@ -138,6 +151,7 @@ def register_udfs(spark: SparkSession) -> dict[str, str]:
         "median": (_median_udaf, "grouped-agg pandas_udf"),
         "char_ngrams": (_char_ngrams_udf, "array-returning pandas_udf"),
         "quality_iter": (_make_quality_iter_udf(), "iterator pandas_udf"),
+        "tag3": (_make_tag3_arrow_udf(), "arrow-optimized python udf"),
     }
     out: dict[str, str] = {}
     for name, (fn, kind) in reg.items():

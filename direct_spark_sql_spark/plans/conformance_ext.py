@@ -460,6 +460,48 @@ def events_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# VariantType (Spark 4): parse-once binary semi-structured representation —
+# at scale, repeated get_json_object calls re-parse the JSON string per
+# extraction, while variant_get navigates the parsed binary directly.
+# The superset JSON surface beyond events_json_extract/_suite.
+# ---------------------------------------------------------------------------
+
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_json(props) → VariantType, typed path extraction with
+    variant_get, and a NULL-safe try_variant_get miss; aggregated per
+    event_type so every row's extraction feeds the check."""
+    from direct_spark_sql_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.parse_json("props").alias("v"),
+    )
+    k = F.variant_get("v", "$.k", "long")
+    miss = F.try_variant_get("v", "$.absent", "long")
+    return (
+        v.select("event_type", k.alias("k"), miss.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.count("m").cast("long").alias("n_absent_nonnull"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(COUNT(CAST(json_extract_string(props, '$.absent') AS BIGINT)) AS BIGINT)
+         AS n_absent_nonnull
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # INTERSECT ALL / EXCEPT ALL (multiplicity-preserving set ops; Catalyst
 # rewrites them to aggregated joins — the distinct variants live in
 # conformance.py).  Counts aggregated so the multiplicity is what's checked.
@@ -1053,6 +1095,10 @@ QUERIES = [
           doc="slice/reverse/position/remove/sequence/flatten/repeat/overlap suite"),
     Query("events_json_suite", events_json_suite, _JSON_SUITE_ORACLE, ("functions", "json"),
           doc="json_tuple (LATERAL VIEW), from_json, to_json round-trip"),
+    Query("events_variant_extract", events_variant_extract, EVENTS_VARIANT_ORACLE,
+          ("functions", "json", "variant"),
+          doc="Spark 4 VariantType: parse_json once, typed variant_get "
+              "paths + try_variant_get miss semantics"),
     Query("set_intersect_all", set_intersect_all, _INTERSECT_ALL_SQL, ("setop",),
           doc="INTERSECT ALL multiplicity semantics"),
     Query("set_except_all", set_except_all, _EXCEPT_ALL_SQL, ("setop",),

@@ -122,3 +122,14 @@ def test_iterator_udf_matches_jvm_quality_formula(spark, engine):
         .filter(F.col("g.q") != F.col("j.q")).count()
     )
     assert mismatch == 0
+
+
+def test_arrow_optimized_udf_matches_jvm(spark, engine):
+    """useArrow=True regular UDF must equal UPPER(SUBSTR(x,1,3)) and its
+    plan must use the Arrow eval path, not pickled BatchEvalPython."""
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(200)
+    got = d.select("doc_id", F.expr("dss_tag3(text)").alias("t"))
+    jvm = d.select("doc_id", F.upper(F.substring("text", 1, 3)).alias("t"))
+    assert got.exceptAll(jvm).count() == 0 and jvm.exceptAll(got).count() == 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan[:800]
