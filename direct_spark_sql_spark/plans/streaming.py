@@ -272,6 +272,74 @@ ORDER BY dup_key
 """
 
 
+def streaming_zonemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest with live data-skipping-index maintenance: events
+    split into 3 chunk files arrive as separate micro-batches; each lands
+    as its own ts-clustered file while appending exactly its zone-map rows
+    to the index (streaming/pipelines.py:run_foreach_batch_zonemap_ingest).
+    The final range scan plans off the incrementally-built index
+    (sources/zonemap.py:pruned_scan) and must equal the plain batch filter
+    over the source — proving the index stayed correct under ingest.
+    Ingest is idempotent (marker-guarded) so warm re-runs re-query only."""
+    import os
+
+    from direct_spark_sql_spark.sources import zonemap as zm
+    from direct_spark_sql_spark.sources.registry import (
+        dataset_tag,
+        load_table,
+        warehouse_path,
+    )
+    from direct_spark_sql_spark.streaming import run_foreach_batch_zonemap_ingest
+
+    root = warehouse_path("stream_zonemap", dataset_tag(sf_dir))
+    table_root = os.path.join(root, "table")
+    index_path = os.path.join(root, "index")
+    marker = os.path.join(root, "_INGEST_OK")
+    if not os.path.exists(marker):
+        e = load_table(spark, sf_dir, "events")
+        hi = e.agg(F.max("event_id")).collect()[0][0] or 0
+        bounds = [0, hi // 3 + 1, 2 * (hi // 3) + 1, hi + 1]
+        for i in range(3):
+            e.filter(
+                (F.col("event_id") >= bounds[i]) & (F.col("event_id") < bounds[i + 1])
+            ).coalesce(1).write.mode("overwrite").parquet(f"{root}/chunk{i}")
+        stream = (
+            spark.readStream.schema(load_table(spark, sf_dir, "events").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/chunk*")
+        )
+        run_foreach_batch_zonemap_ingest(stream, table_root, index_path, "ts")
+        with open(marker, "w") as f:
+            f.write("ok\n")
+
+    from direct_spark_sql_spark.plans.scaleops import _ZM_HI_US, _ZM_LO_US
+
+    lo = F.timestamp_micros(F.lit(_ZM_LO_US))
+    hi_b = F.timestamp_micros(F.lit(_ZM_HI_US))
+    scan = zm.pruned_scan(spark, table_root, index_path, "ts", lo, hi_b)
+    return (
+        scan.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("user_id").cast("long").alias("sum_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _stream_zonemap_oracle() -> str:
+    from direct_spark_sql_spark.plans.scaleops import _ZM_HI_US, _ZM_LO_US
+
+    return f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users
+FROM events
+WHERE epoch_us(ts) >= {_ZM_LO_US} AND epoch_us(ts) <= {_ZM_HI_US}
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 _PYSRC_N = 2000
 
 
@@ -316,6 +384,10 @@ QUERIES = [
           ("streaming", "source"),
           doc="micro-batch read from the Spark 4 Python data source "
               "(index offsets, replayable batches), stream==batch oracle"),
+    Query("streaming_zonemap_ingest", streaming_zonemap_ingest,
+          _stream_zonemap_oracle(), ("streaming", "layout", "scale"),
+          doc="foreachBatch ingest appending per-file zone-map rows; "
+              "pruned range scan off the live index equals batch filter"),
     Query("streaming_tumbling_window", streaming_tumbling_window,
           EVENTS_TUMBLING_ORACLE, ("streaming", "window"),
           doc="watermarked tumbling agg, stream==batch on closed input"),

@@ -3,6 +3,7 @@ from direct_spark_sql_spark.streaming.pipelines import (
     run_available_now,
     run_foreach_batch_dedup,
     run_foreach_batch_upsert,
+    run_foreach_batch_zonemap_ingest,
     stream_click_purchase_join,
     stream_dedup_hourly,
     stream_session_windows,
@@ -17,6 +18,7 @@ __all__ = [
     "run_available_now",
     "run_foreach_batch_dedup",
     "run_foreach_batch_upsert",
+    "run_foreach_batch_zonemap_ingest",
     "stream_click_purchase_join",
     "stream_dedup_hourly",
     "stream_session_windows",

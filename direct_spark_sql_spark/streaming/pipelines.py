@@ -441,3 +441,45 @@ def run_foreach_batch_dedup(
     if state["df"] is None:
         raise RuntimeError("stream produced no batches")
     return state["df"]
+
+
+def run_foreach_batch_zonemap_ingest(
+    stream: DataFrame,
+    table_root: str,
+    index_path: str,
+    cluster_col: str,
+) -> None:
+    """Streaming ingest with *incremental index maintenance*: every
+    micro-batch lands as its own within-batch-clustered file under
+    ``table_root`` and appends exactly its own zone-map rows (min/max of
+    ``cluster_col`` per new file) to ``index_path``.
+
+    This is how a data-skipping index stays usable under continuous
+    ingest at 100 TB: the index write per batch is one row per new file
+    (metadata-scale), never a rebuild over the table; query planning
+    (sources/zonemap.py:pruned_scan) is oblivious to how the index was
+    produced.  Runs the stream to completion (Trigger.AvailableNow).
+    """
+    import os
+
+    from direct_spark_sql_spark.sources import zonemap as zm
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sub = os.path.join(table_root, f"ingest_batch={batch_id}")
+        (
+            batch_df.sortWithinPartitions(cluster_col)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(sub)
+        )
+        zm.build_zonemap(batch_df.sparkSession, sub, [cluster_col]).write.mode(
+            "append"
+        ).parquet(index_path)
+
+    query = (
+        stream.writeStream.foreachBatch(ingest)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -122,3 +122,23 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_streaming_zonemap_index_skips_files(spark):
+    """The incrementally-built (streamed) zone map must actually skip:
+    the Jan-8..12 window overlaps 2 of the 3 ingested chunk files."""
+    import os
+
+    from direct_spark_sql_spark.plans.scaleops import _ZM_HI_US, _ZM_LO_US
+    from direct_spark_sql_spark.plans.streaming import streaming_zonemap_ingest
+    from direct_spark_sql_spark.sources.registry import dataset_tag, warehouse_path
+
+    streaming_zonemap_ingest(spark, SF_DIR).collect()  # ensure ingested
+    root = warehouse_path("stream_zonemap", dataset_tag(SF_DIR))
+    idx = spark.read.parquet(os.path.join(root, "index"))
+    scan = zm.pruned_scan(
+        spark, os.path.join(root, "table"), os.path.join(root, "index"), "ts",
+        F.timestamp_micros(F.lit(_ZM_LO_US)), F.timestamp_micros(F.lit(_ZM_HI_US)),
+    )
+    assert idx.count() == 3  # one index row per micro-batch file
+    assert len(scan.inputFiles()) < 3
