@@ -114,9 +114,28 @@ def bm25_topk(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    return bm25_score_parts(
+        tf, base.select(id_col, "dl"), stats, k=k, id_col=id_col, k1=k1, b=b
+    )
+
+
+def bm25_score_parts(
+    tf: DataFrame,
+    dls: DataFrame,
+    stats: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 scoring tail over pre-computed parts: per-(doc, term) ``tf``,
+    per-doc lengths ``dls(id, dl)`` and 1-row corpus ``stats(n_docs,
+    sum_dl)`` — shared by the tokenize-at-query-time path (`bm25_topk`)
+    and the materialized inverted-index path (`bm25_indexed_topk`), so
+    both produce bit-identical scores."""
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     scored = (
-        tf.join(base.select(id_col, "dl"), id_col)
+        tf.join(dls, id_col)
         .join(F.broadcast(dft), "term")
         .crossJoin(F.broadcast(stats))
     )
@@ -136,6 +155,61 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    index_root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_files: int = 8,
+) -> None:
+    """Materialize the BM25 inverted index: term-range-clustered postings
+    ``(term, doc_id, tf)``, per-doc lengths, and the 1-row corpus stats.
+
+    The build tokenizes the corpus ONCE (the cost `bm25_topk` re-pays on
+    every query); postings are ``repartitionByRange(term)`` + sorted, so
+    parquet min/max footer stats let a term-IN-list query skip every
+    non-overlapping file and row group — the same build-once/query-many
+    inversion as the IVF index, applied to sparse retrieval.
+    """
+    base = docs.select(F.col(id_col), tx.tokens(text_col).alias("toks")).withColumn(
+        "dl", F.size("toks").cast("long")
+    )
+    postings = (
+        base.select(id_col, F.explode("toks").alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .repartitionByRange(n_files, "term")
+        .sortWithinPartitions("term", id_col)
+    )
+    postings.write.mode("overwrite").parquet(f"{index_root}/postings")
+    base.select(id_col, "dl").write.mode("overwrite").parquet(f"{index_root}/doclens")
+    base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    ).write.mode("overwrite").parquet(f"{index_root}/stats")
+
+
+def bm25_indexed_topk(
+    spark,
+    index_root: str,
+    terms: tuple[str, ...],
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k served from the materialized inverted index: the query
+    touches only postings whose file/row-group term range overlaps the
+    IN-list (pushed-down parquet filter), never re-tokenizes the corpus —
+    bit-identical scores to `bm25_topk` by construction (shared tail)."""
+    tf = spark.read.parquet(f"{index_root}/postings").filter(
+        F.col("term").isin(*terms)
+    )
+    dls = spark.read.parquet(f"{index_root}/doclens")
+    stats = spark.read.parquet(f"{index_root}/stats")
+    return bm25_score_parts(tf, dls, stats, k=k, id_col=id_col, k1=k1, b=b)
 
 
 #: TF-IDF pairwise cosine: stop-term pruning bound (terms appearing in more

@@ -105,6 +105,25 @@ SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id
 """
 
 
+def bm25_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from a materialized inverted index (build-once/query-
+    many): term-range-clustered postings + doc lengths + corpus stats in
+    the warehouse; the query's term IN-list prunes postings files via
+    parquet footer stats and never re-tokenizes the corpus.  Same oracle
+    as bm25_search — the index must be score-invisible."""
+    import os
+
+    from direct_spark_sql_spark.sources.registry import dataset_tag, warehouse_path
+
+    root = warehouse_path("bm25_index", dataset_tag(sf_dir))
+    marker = os.path.join(root, "_INDEX_OK")
+    if not os.path.exists(marker):
+        rt.build_inverted_index(load_table(spark, sf_dir, "documents"), root)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return rt.bm25_indexed_topk(spark, root, BM25_TERMS, k=10)
+
+
 # ---------------------------------------------------------------------------
 # CDC merge (latest-wins upsert) and SCD-2 history
 #
@@ -1287,6 +1306,10 @@ QUERIES = [
           ("text", "pipeline", "retrieval"), bench=True,
           doc="BM25 top-k keyword retrieval: filtered-explode tf, "
               "broadcast df/stats, fixed-point exact scores"),
+    Query("bm25_indexed_search", bm25_indexed_search, _bm25_oracle(),
+          ("text", "pipeline", "retrieval"), bench=True,
+          doc="BM25 from a materialized term-clustered inverted index "
+              "(build-once/query-many); identical scores to bm25_search"),
     Query("merge_cdc_upsert", merge_cdc_upsert, MERGE_CDC_ORACLE,
           ("merge", "pipeline"),
           doc="latest-wins CDC MERGE (insert/update/delete changeset), "

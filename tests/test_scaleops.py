@@ -142,3 +142,14 @@ def test_streaming_zonemap_index_skips_files(spark):
     )
     assert idx.count() == 3  # one index row per micro-batch file
     assert len(scan.inputFiles()) < 3
+
+
+def test_bm25_index_pushes_term_filter_to_scan(spark):
+    """The inverted-index query must push the term IN-list into the
+    postings parquet scan (PushedFilters: In(term,...)), and read only
+    the postings/doclens/stats columns it needs."""
+    from direct_spark_sql_spark.plans.pipeline_ext import bm25_indexed_search
+
+    df = bm25_indexed_search(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(term" in plan, plan[:2000]
