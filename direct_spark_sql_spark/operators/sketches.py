@@ -235,3 +235,54 @@ SELECT CAST(n_kept AS BIGINT) AS n_union_synopsis,
        CAST(inter_in_k AS DOUBLE) / CAST(n_kept AS DOUBLE) AS jaccard_est
 FROM stats, ovl
 """
+
+
+def kmv_distinct_per_group(
+    df: DataFrame, group_col: str, col: str, k: int = 64
+) -> DataFrame:
+    """Per-group distinct-count estimates from per-group k-min synopses:
+    one row per group ``(group, n_kept, estimate)``.
+
+    The per-group sketch is the partition-friendly shape for GROUP BY
+    cardinality profiling at 100 TB: distinct on (group, hash) — one
+    map-side-combined shuffle — then a bounded rank window keeps k hashes
+    per group, so downstream state is O(groups × k) however large the
+    input.  Same deterministic estimator as `kmv_distinct_estimate`, so
+    the DuckDB oracle replays every estimate bit-exactly.
+    """
+    from pyspark.sql import Window
+
+    hs = df.select(F.col(group_col).alias("g"), h64(F.col(col)).alias("h")).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    kmin = hs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    agg = kmin.groupBy("g").agg(
+        F.max("h").alias("kth_hash"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        (F.lit(float(k - 1)) * F.lit(HASH_SPACE)) / F.col("kth_hash").cast("double")
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_kept",
+        est.alias("estimate"),
+    )
+
+
+def kmv_per_group_sql(table_expr: str, group_expr: str, col_expr: str, k: int = 64) -> str:
+    """DuckDB twin of :func:`kmv_distinct_per_group`."""
+    from direct_spark_sql_spark.hashing import h64_sql
+
+    return f"""
+WITH hs AS (SELECT DISTINCT {group_expr} AS g, {h64_sql(col_expr)} AS h FROM {table_expr}),
+kmin AS (SELECT g, h FROM (
+  SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM hs
+) WHERE rn <= {k}),
+agg AS (SELECT g, MAX(h) AS kth_hash, CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kmin GROUP BY g)
+SELECT g AS {group_expr}, n_kept,
+       CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+            ELSE (CAST({float(k - 1)} AS DOUBLE) * {HASH_SPACE}) / CAST(kth_hash AS DOUBLE)
+       END AS estimate
+FROM agg ORDER BY g
+"""

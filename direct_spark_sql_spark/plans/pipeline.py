@@ -527,6 +527,25 @@ def _kmv_set_ops_oracle() -> str:
     )
 
 
+def sketch_kmv_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group cardinality profiling on O(groups × k) state: distinct
+    event_ids per event_type estimated from per-group k-min synopses
+    (k=64 — small enough that the estimator branch runs at every test
+    scale)."""
+    from direct_spark_sql_spark.operators.sketches import kmv_distinct_per_group
+
+    e = load_table(spark, sf_dir, "events")
+    return kmv_distinct_per_group(e, "event_type", "event_id", k=64).orderBy(
+        "event_type"
+    )
+
+
+def _kmv_per_group_oracle() -> str:
+    from direct_spark_sql_spark.operators.sketches import kmv_per_group_sql
+
+    return kmv_per_group_sql("events", "event_type", "event_id", k=64)
+
+
 def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over document tokens, point-queried for every
     vocabulary word alongside its exact count — d×w fixed memory with the
@@ -1486,6 +1505,10 @@ QUERIES = [
           ("sketch", "pipeline"),
           doc="union/intersection/Jaccard from mergeable KMV synopses "
               "(audience overlap on O(k) state), estimates oracle-checked"),
+    Query("sketch_kmv_per_group", sketch_kmv_per_group, _kmv_per_group_oracle(),
+          ("sketch", "pipeline"),
+          doc="per-group distinct estimates from per-group k-min synopses "
+              "(O(groups x k) state), estimates oracle-checked"),
     Query("sketch_cms_heavy_hitters", sketch_cms_heavy_hitters, _cms_oracle(),
           ("sketch", "pipeline"),
           doc="count-min frequency sketch, estimates (incl. collisions) oracle-checked"),
