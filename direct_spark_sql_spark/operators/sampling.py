@@ -103,3 +103,53 @@ def domain_weighted_sample(
     )
     bucket = h64(F.concat_ws(":", F.col(domain), F.col(key))) % SAMPLE_BUCKETS
     return df.filter(bucket < rate_col)
+
+
+def temperature_weighted_sample(
+    df: DataFrame,
+    key: str,
+    domain: str,
+    alpha: float = 0.7,
+    target_rows: int = 1000,
+) -> DataFrame:
+    """Temperature-scaled mixture resampling: domain sampling probabilities
+    ∝ n_d^alpha (the standard multilingual/multi-source rebalancing rule —
+    alpha < 1 flattens the distribution toward rare domains), scaled so the
+    expected kept total is ``target_rows`` and clamped at keep-everything.
+
+    Unlike :func:`domain_weighted_sample` the weights are *computed from
+    the corpus itself* in one count aggregate (broadcast back as a tiny
+    dim), so the same call rebalances any snapshot.  Membership stays
+    deterministic per (domain, key) hash: map-side filter, no data
+    shuffle, reproducible across repartitioning and backfills.
+    """
+    # n_d^alpha is snapped to integer 1e6 units before the cross-domain
+    # sum, so the normalizer is an order-independent exact BIGINT sum —
+    # the rate arithmetic below then sees bit-identical operands in both
+    # engines (same discipline as the BM25/gradient fixed-point sums).
+    pow_units = F.floor(
+        F.pow(F.col("__n").cast("double"), F.lit(alpha)) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    counts = df.groupBy(F.col(domain).alias("__d")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    total_pow = counts.agg(F.sum(pow_units).alias("__z_units"))
+    rates = counts.crossJoin(F.broadcast(total_pow)).select(
+        "__d",
+        F.least(
+            F.lit(SAMPLE_BUCKETS).cast("long"),
+            F.floor(
+                pow_units.cast("double")
+                / F.col("__z_units").cast("double")
+                * F.lit(float(target_rows))
+                / F.col("__n").cast("double")
+                * F.lit(float(SAMPLE_BUCKETS))
+            ).cast("long"),
+        ).alias("__rate_buckets"),
+    )
+    bucket = h64(F.concat_ws(":", F.col(domain), F.col(key))) % SAMPLE_BUCKETS
+    return (
+        df.join(F.broadcast(rates), df[domain] == F.col("__d"))
+        .filter(bucket < F.col("__rate_buckets"))
+        .drop("__d")
+    )

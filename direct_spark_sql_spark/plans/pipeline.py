@@ -527,6 +527,62 @@ def _kmv_set_ops_oracle() -> str:
     )
 
 
+_TEMP_ALPHA = 0.7
+_TEMP_TARGET = 200
+
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus rebalancing (p_d ∝ n_d^0.7, the
+    multilingual-sampling rule): weights are computed from the corpus
+    itself in one count agg and applied as a deterministic hash filter.
+    Output = kept rows per lang with the applied rate, so both the rate
+    computation and the membership draw are oracle-checked."""
+    from direct_spark_sql_spark.operators.sampling import temperature_weighted_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = temperature_weighted_sample(
+        d, "doc_id", "lang", alpha=_TEMP_ALPHA, target_rows=_TEMP_TARGET
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max("__rate_buckets").cast("long").alias("rate_buckets"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _temperature_mix_oracle() -> str:
+    from direct_spark_sql_spark.hashing import h64_sql
+
+    a, t = _TEMP_ALPHA, float(_TEMP_TARGET)
+    pow_units = f"CAST(FLOOR(pow(CAST(__n AS DOUBLE), {a}) * 1000000.0 + 0.5) AS BIGINT)"
+    key_expr = "lang || ':' || CAST(doc_id AS VARCHAR)"
+    bucket = f"{h64_sql(key_expr)} % 10000"
+    return f"""
+WITH counts AS (SELECT lang AS __d, CAST(COUNT(*) AS BIGINT) AS __n
+                FROM documents GROUP BY lang),
+z AS (SELECT CAST(SUM({pow_units}) AS BIGINT) AS __z_units FROM counts),
+rates AS (
+  SELECT __d,
+         LEAST(CAST(10000 AS BIGINT),
+               CAST(FLOOR(CAST({pow_units} AS DOUBLE)
+                          / CAST(__z_units AS DOUBLE)
+                          * {t}
+                          / CAST(__n AS DOUBLE)
+                          * 10000.0) AS BIGINT)) AS __rate_buckets
+  FROM counts, z
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MAX(r.__rate_buckets) AS BIGINT) AS rate_buckets
+FROM documents d JOIN rates r ON d.lang = r.__d
+WHERE {bucket} < r.__rate_buckets
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 def sketch_kmv_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group cardinality profiling on O(groups × k) state: distinct
     event_ids per event_type estimated from per-group k-min synopses
@@ -1509,6 +1565,10 @@ QUERIES = [
           ("sketch", "pipeline"),
           doc="per-group distinct estimates from per-group k-min synopses "
               "(O(groups x k) state), estimates oracle-checked"),
+    Query("corpus_temperature_mix", corpus_temperature_mix,
+          _temperature_mix_oracle(), ("sampling", "pipeline"),
+          doc="temperature-scaled rebalancing (p ~ n^0.7) with corpus-"
+              "derived rates and deterministic hash membership"),
     Query("sketch_cms_heavy_hitters", sketch_cms_heavy_hitters, _cms_oracle(),
           ("sketch", "pipeline"),
           doc="count-min frequency sketch, estimates (incl. collisions) oracle-checked"),

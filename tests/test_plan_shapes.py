@@ -156,6 +156,7 @@ _NLJ_ALLOWED = {
     "hybrid_search_rrf",           # composes bm25 (1-row stats broadcast) +
                                    # cosine_topk (single query vector)
     "sketch_kmv_set_ops",          # 1-row stats × 1-row overlap count cross
+    "corpus_temperature_mix",      # broadcast 1-row normalizer (Σ n^alpha)
 }
 
 
