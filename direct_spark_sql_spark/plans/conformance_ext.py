@@ -460,6 +460,84 @@ def events_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Join-strategy hints: the knob users reach for when the optimizer's
+# stats-based choice is wrong at scale (tiny-looking dim that explodes,
+# or a big-looking side that's actually filtered small).  The hint must
+# change the PLAN, never the RESULT — both are pinned.
+# ---------------------------------------------------------------------------
+
+_JOIN_HINT_SPARK = """
+SELECT /*+ BROADCAST(n) */ n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
+def join_hint_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL BROADCAST hint honored even with auto-broadcast disabled; the
+    BroadcastHashJoin plan shape is pinned in tests/test_plan_shapes.py."""
+    from direct_spark_sql_spark.sources.registry import register_star_schema
+
+    register_star_schema(spark, sf_dir)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.sql(_JOIN_HINT_SPARK)
+        df._jdf.queryExecution().executedPlan()  # pin plan under -1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return df
+
+
+JOIN_HINT_ORACLE = """
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# unionByName: schema-aligned union with NULL-fill for missing columns —
+# the schema-drift-tolerant append (DataFrame-only surface; SQL UNION is
+# positional).
+# ---------------------------------------------------------------------------
+
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two projections with different column order and one disjoint
+    column each, unioned by NAME with allowMissingColumns: order must not
+    matter and the missing sides must NULL-fill."""
+    from direct_spark_sql_spark.sources.registry import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") <= 100).select(
+        "c_custkey", "c_name", F.col("c_acctbal").alias("acctbal")
+    )
+    b = c.filter((F.col("c_custkey") > 100) & (F.col("c_custkey") <= 200)).select(
+        F.col("c_name"),  # deliberately different column order
+        F.col("c_custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.select(
+        "c_custkey",
+        "c_name",
+        "acctbal",
+        F.col("nationkey").cast("long").alias("nationkey"),
+    ).orderBy("c_custkey")
+
+
+UNION_BY_NAME_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal AS acctbal, CAST(NULL AS BIGINT) AS nationkey
+FROM customer WHERE c_custkey <= 100
+UNION ALL
+SELECT c_custkey, c_name, NULL, CAST(c_nationkey AS BIGINT)
+FROM customer WHERE c_custkey > 100 AND c_custkey <= 200
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # VariantType (Spark 4): parse-once binary semi-structured representation —
 # at scale, repeated get_json_object calls re-parse the JSON string per
 # extraction, while variant_get navigates the parsed binary directly.
@@ -1099,6 +1177,14 @@ QUERIES = [
           ("functions", "json", "variant"),
           doc="Spark 4 VariantType: parse_json once, typed variant_get "
               "paths + try_variant_get miss semantics"),
+    Query("join_hint_broadcast", join_hint_broadcast, JOIN_HINT_ORACLE,
+          ("join", "hint"),
+          doc="SQL BROADCAST hint honored with auto-broadcast off; plan "
+              "pinned, result equals the unhinted join"),
+    Query("set_union_by_name", set_union_by_name, UNION_BY_NAME_ORACLE,
+          ("setop",),
+          doc="unionByName(allowMissingColumns): column-order-independent "
+              "union with NULL-fill for schema drift"),
     Query("set_intersect_all", set_intersect_all, _INTERSECT_ALL_SQL, ("setop",),
           doc="INTERSECT ALL multiplicity semantics"),
     Query("set_except_all", set_except_all, _EXCEPT_ALL_SQL, ("setop",),

@@ -293,3 +293,11 @@ def test_partitioned_export_readback_prunes_directories(spark):
     scan = plan[plan.index("FileScan") :]
     part = scan[scan.index("PartitionFilters") : ]
     assert "lang" in part.split("]")[0]
+
+
+def test_broadcast_hint_overrides_disabled_autobroadcast(spark):
+    from direct_spark_sql_spark.plans.conformance_ext import join_hint_broadcast
+
+    df = join_hint_broadcast(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1200]
