@@ -29,6 +29,8 @@ retrieval operators; these extend the surface for LLM-data workloads
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from direct_spark_sql_spark.operators import text as tx
@@ -343,5 +345,49 @@ def rrf_fuse(
         a.join(b, id_col, "full_outer")
         .select(id_col, "bm25_rank", "cosine_rank", rrf.alias("rrf_score"))
         .orderBy(F.desc("rrf_score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cross_score_rerank(
+    candidates: DataFrame,
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Second-stage reranking of a bounded candidate list — the RAG
+    retrieve→rerank shape: the expensive per-(query, doc) scorer runs
+    only on the ~tens of candidates the first stage surfaced, never the
+    corpus.  Candidates are broadcast into the docs scan (bounded join),
+    then scored by an Arrow-batched pandas UDF — the slot where a real
+    cross-encoder forward pass goes.
+
+    The stand-in model is deterministic and engine-portable (the honest
+    multimodal-synth pattern): integer units Σ_t tf(t) · ⌊1e6/first_pos(t)⌋
+    — term frequency weighted by earliest mention — so the DuckDB oracle
+    replays scores exactly while the Spark-side plumbing (batched UDF,
+    bounded join, top-k) is the real thing.
+    """
+    @F.pandas_udf("long")
+    def _cross_score(texts: pd.Series) -> pd.Series:
+        def score_one(text: str) -> int:
+            toks = [t for t in text.split(" ") if t]
+            units = 0
+            for t in terms:
+                tf = toks.count(t)
+                if tf:
+                    units += tf * (1000000 // (toks.index(t) + 1))
+            return units
+
+        return texts.map(score_one)
+
+    cand = F.broadcast(candidates.select(id_col)).join(
+        docs.select(id_col, text_col), id_col
+    )
+    return (
+        cand.select(F.col(id_col), _cross_score(F.col(text_col)).alias("cross_units"))
+        .orderBy(F.desc("cross_units"), F.col(id_col))
         .limit(k)
     )

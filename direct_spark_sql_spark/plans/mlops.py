@@ -44,10 +44,12 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.rrf_fuse(sparse, dense, c=_RRF_C, k=_RRF_K)
 
 
-def _hybrid_rrf_oracle() -> str:
+def _hybrid_rrf_ctes() -> str:
+    """Hybrid-retrieval oracle CTE chain ending in ``fused(doc_id,
+    bm25_rank, cosine_rank, rrf_score)`` (top-``_RRF_K``) — shared by the
+    standalone query and the rerank stage built on top of it."""
     c = float(_RRF_C)
-    return f"""
-WITH {bm25_oracle_ctes(_RRF_POOL)},
+    return f"""{bm25_oracle_ctes(_RRF_POOL)},
 {_EX_SQL.strip()},
 q AS (SELECT i, a AS b FROM ex WHERE vec_id = 0),
 cd AS (
@@ -68,12 +70,55 @@ ra AS (SELECT doc_id,
        FROM bm25),
 rb AS (SELECT doc_id,
               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS cosine_rank
-       FROM cos)
-SELECT doc_id, bm25_rank, cosine_rank,
-       COALESCE(1.0 / ({c} + CAST(bm25_rank AS DOUBLE)), 0.0)
-       + COALESCE(1.0 / ({c} + CAST(cosine_rank AS DOUBLE)), 0.0) AS rrf_score
-FROM ra FULL JOIN rb USING (doc_id)
-ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_K}
+       FROM cos),
+fused AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, bm25_rank, cosine_rank,
+         COALESCE(1.0 / ({c} + CAST(bm25_rank AS DOUBLE)), 0.0)
+         + COALESCE(1.0 / ({c} + CAST(cosine_rank AS DOUBLE)), 0.0) AS rrf_score
+  FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id
+  ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_K}
+)"""
+
+
+def _hybrid_rrf_oracle() -> str:
+    return f"""
+WITH {_hybrid_rrf_ctes()}
+SELECT doc_id, bm25_rank, cosine_rank, rrf_score FROM fused
+ORDER BY rrf_score DESC, doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Retrieve → rerank: cross-scoring the hybrid candidates
+# ---------------------------------------------------------------------------
+
+_RERANK_K = 5
+
+
+def hybrid_rerank_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-stage rerank of the hybrid-RRF candidates: the Arrow-batched
+    pandas-UDF scorer (the cross-encoder slot) runs only on the bounded
+    top-10 list, broadcast-joined back to the corpus for text
+    (operators/retrieval.py:cross_score_rerank)."""
+    docs = load_table(spark, sf_dir, "documents")
+    candidates = hybrid_search_rrf(spark, sf_dir)
+    return rt.cross_score_rerank(candidates, docs, BM25_TERMS, k=_RERANK_K)
+
+
+def _rerank_oracle() -> str:
+    per_term = " + ".join(
+        f"CASE WHEN len(list_filter(toks, x -> x = '{t}')) > 0"
+        f" THEN CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT)"
+        f" * (1000000 // CAST(list_position(toks, '{t}') AS BIGINT))"
+        f" ELSE 0 END"
+        for t in BM25_TERMS
+    )
+    return f"""
+WITH {_hybrid_rrf_ctes()},
+tokd AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+SELECT f.doc_id, CAST({per_term} AS BIGINT) AS cross_units
+FROM fused f JOIN tokd USING (doc_id)
+ORDER BY cross_units DESC, f.doc_id LIMIT {_RERANK_K}
 """
 
 
@@ -194,6 +239,11 @@ QUERIES: list[Query] = [
           ("retrieval", "pipeline", "mlops"), bench=True,
           doc="hybrid sparse+dense retrieval: BM25 and cosine top-25 pools "
               "fused by reciprocal-rank fusion (c=60), deterministic ties"),
+    Query("hybrid_rerank_cross", hybrid_rerank_cross, _rerank_oracle(),
+          ("retrieval", "mlops"),
+          doc="retrieve-then-rerank: Arrow-batched cross-scorer over the "
+              "bounded hybrid candidate list (the cross-encoder slot), "
+              "deterministic stand-in model oracle-checked"),
     Query("embedding_pca_covariance", embedding_pca_covariance, PCA_COV_ORACLE,
           ("similarity", "mlops"), bench=True,
           doc="distributed PCA stage 1: exact-decimal upper-triangle "

@@ -157,6 +157,8 @@ _NLJ_ALLOWED = {
                                    # cosine_topk (single query vector)
     "sketch_kmv_set_ops",          # 1-row stats × 1-row overlap count cross
     "corpus_temperature_mix",      # broadcast 1-row normalizer (Σ n^alpha)
+    "hybrid_rerank_cross",         # composes hybrid_search_rrf's bounded
+                                   # broadcasts; candidate side ≤ 10 rows
 }
 
 
