@@ -48,6 +48,44 @@ def _sigmoid(z: Column) -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
+def lr_dot(weights: list[float], xs: list[Column]) -> Column:
+    """w·x in fixed textual order (w0*x0 + w1*x1 + ...) — the shared
+    expression shape both the trainer and the oracle SQL use."""
+    z = F.lit(weights[0]) * xs[0]
+    for wi, xi in zip(weights[1:], xs[1:]):
+        z = z + F.lit(wi) * xi
+    return z
+
+
+def logreg_fit(
+    features: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "y",
+    lr: float = LR_LEARNING_RATE,
+    iterations: int = LR_ITERATIONS,
+) -> tuple[list[float], int]:
+    """The GD training loop: returns (weights incl. bias, n_rows).
+
+    The per-iteration ``collect()`` is the inherent GD sync point (a
+    ``n_features``-value row, same justified-collect class as the IVF
+    coordinator probe); all per-row math is JVM whole-stage codegen.
+    """
+    xs = [F.lit(1.0)] + [F.col(c) for c in feature_cols]
+    w = [0.0] * len(xs)
+    n_rows = 0
+    for _ in range(iterations):
+        g = _sigmoid(lr_dot(w, xs)) - F.col(label_col)
+        aggs = [_snap_sum(g * xi).alias(f"g{j}") for j, xi in enumerate(xs)]
+        aggs.append(F.count(F.lit(1)).cast("long").alias("n"))
+        row = features.agg(*aggs).collect()[0]
+        n_rows = int(row["n"])
+        w = [
+            wj - lr * (float(row[f"g{j}"]) / float(n_rows))
+            for j, wj in enumerate(w)
+        ]
+    return w, n_rows
+
+
 def logreg_train(
     features: DataFrame,
     feature_cols: list[str],
@@ -61,32 +99,13 @@ def logreg_train(
     An intercept is always included as feature 0.  Returns a single-row
     DataFrame ``(w_bias, w_<f1>, ..., log_loss, n_rows)`` built on the
     same session (no data dependency — the weights are exact scalars).
-
-    The per-iteration ``collect()`` is the inherent GD sync point (a
-    ``n_features``-value row, same justified-collect class as the IVF
-    coordinator probe); all per-row math is JVM whole-stage codegen.
     """
     spark = features.sparkSession
     xs = [F.lit(1.0)] + [F.col(c) for c in feature_cols]
-    w = [0.0] * len(xs)
+    w, n_rows = logreg_fit(features, feature_cols, label_col, lr, iterations)
 
     def dot(weights: list[float]) -> Column:
-        z = F.lit(weights[0]) * xs[0]
-        for wi, xi in zip(weights[1:], xs[1:]):
-            z = z + F.lit(wi) * xi
-        return z
-
-    n_rows = None
-    for _ in range(iterations):
-        g = _sigmoid(dot(w)) - F.col(label_col)
-        aggs = [_snap_sum(g * xi).alias(f"g{j}") for j, xi in enumerate(xs)]
-        aggs.append(F.count(F.lit(1)).cast("long").alias("n"))
-        row = features.agg(*aggs).collect()[0]
-        n_rows = int(row["n"])
-        w = [
-            wj - lr * (float(row[f"g{j}"]) / float(n_rows))
-            for j, wj in enumerate(w)
-        ]
+        return lr_dot(weights, xs)
 
     p = _sigmoid(dot(w))
     loss_expr = -(

@@ -176,10 +176,41 @@ def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml.logreg_train(feats, ["chars", "toks"])
 
 
-def _lr_oracle() -> str:
+def _lr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("chars"),
+        (tx.token_count("text").cast("double") / F.lit(100.0)).alias("toks"),
+        F.when(F.col("lang") == F.lit("en"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+
+
+def quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-serve: fit the quality classifier (3 GD scans), then
+    score every document JVM-side with the fitted weights as literals and
+    return the 10 most-confident matches.  Inference is a map-only
+    expression — the weights broadcast as plan literals, the serving
+    shape at any scale.  Probabilities are snapped to 1e-8 units so the
+    oracle (the same unrolled CTE chain ending in scoring) is exact."""
+    feats = _lr_features(spark, sf_dir)
+    w, _ = ml.logreg_fit(feats, ["chars", "toks"])
+    xs = [F.lit(1.0), F.col("chars"), F.col("toks")]
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-ml.lr_dot(w, xs)))
+    units = F.floor(p * F.lit(1e8) + F.lit(0.5)).cast("long")
+    return (
+        feats.select("doc_id", units.alias("p_units"))
+        .orderBy(F.desc("p_units"), "doc_id")
+        .limit(10)
+    )
+
+
+def _lr_oracle(for_scoring: bool = False) -> str:
     """Unrolled 3-iteration GD in SQL: each g<k> CTE is the snapped exact
     gradient under the previous weights, each w<k> the IEEE update in the
-    same textual order as the Python coordinator."""
+    same textual order as the Python coordinator.  With ``for_scoring``
+    the same CTE chain ends in per-document probability scoring instead
+    of the weights/loss row."""
     lr = ml.LR_LEARNING_RATE
     U = "100000000.0"
 
@@ -212,9 +243,9 @@ def _lr_oracle() -> str:
     loss = f"-(y * ln({p}) + (1.0 - y) * ln(1.0 - {p}))"
     loss_snap = (f"CAST(SUM(CAST(FLOOR(({loss}) * {U} + 0.5) AS BIGINT)) AS DOUBLE)"
                  f" / {U}")
-    return f"""
-WITH f AS (
-  SELECT CAST(n_chars AS DOUBLE) / 1000.0 AS chars,
+    ctes = f"""f AS (
+  SELECT doc_id,
+         CAST(n_chars AS DOUBLE) / 1000.0 AS chars,
          CAST(len({TOKS_SQL}) AS DOUBLE) / 100.0 AS toks,
          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
   FROM documents
@@ -224,7 +255,17 @@ WITH f AS (
 {grad_cte('g2', zw, ', w1')},
 {w_cte('w2', 'w1', 'g2')},
 {grad_cte('g3', zw.replace('wb', 'w2.wb').replace('wc', 'w2.wc').replace('wt', 'w2.wt'), ', w2')},
-{w_cte('w3', 'w2', 'g3')},
+{w_cte('w3', 'w2', 'g3')}"""
+    if for_scoring:
+        return f"""
+WITH {ctes}
+SELECT doc_id,
+       CAST(FLOOR({p} * {U} + 0.5) AS BIGINT) AS p_units
+FROM f, w3
+ORDER BY p_units DESC, doc_id LIMIT 10
+"""
+    return f"""
+WITH {ctes},
 l AS (SELECT {loss_snap} AS loss_sum, CAST(COUNT(*) AS BIGINT) AS n
       FROM f, w3)
 SELECT w3.wb AS w_bias, w3.wc AS w_chars, w3.wt AS w_toks,
@@ -254,4 +295,9 @@ QUERIES: list[Query] = [
           doc="full-batch GD logistic regression (3 iters, lr=0.5) on "
               "document quality features; snapped exact gradients make "
               "every weight bit-identical to the unrolled SQL oracle"),
+    Query("quality_lr_score", quality_lr_score, _lr_oracle(for_scoring=True),
+          ("mlops", "pipeline"),
+          doc="train-then-serve: fitted weights broadcast as plan "
+              "literals, map-only JVM scoring, snapped probabilities "
+              "oracle-checked end to end through training AND inference"),
 ]

@@ -250,6 +250,29 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def source_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``_metadata`` file-provenance columns over a layout this
+    engine built (the 64-file fragmented events copy): per-row file
+    lineage with zero stored columns — the provenance story lakehouse
+    audits need.  The file count is a property of our own layout, so the
+    oracle can pin it; row totals prove no file is double-counted."""
+    frag = ensure_fragmented_events(spark, sf_dir)
+    df = spark.read.parquet(frag)
+    return df.agg(
+        F.countDistinct(F.col("_metadata.file_name")).cast("long").alias("n_files"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min(F.col("_metadata.file_size") > 0).alias("all_sizes_positive"),
+    )
+
+
+SOURCE_METADATA_ORACLE = """
+SELECT CAST(64 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS all_sizes_positive
+FROM events
+"""
+
+
 QUERIES: list[Query] = [
     Query("zonemap_pruned_scan", zonemap_pruned_scan, ZONEMAP_ORACLE,
           ("source", "layout", "scale"), bench=True,
@@ -270,4 +293,8 @@ QUERIES: list[Query] = [
           doc="small-file compaction: FS-listing-sized shuffle-free "
               "coalesce rewrite of a 64-file fragmented table; content "
               "equality oracle + file-count pin"),
+    Query("source_metadata_columns", source_metadata_columns,
+          SOURCE_METADATA_ORACLE, ("source",),
+          doc="hidden _metadata file-provenance columns over an engine-"
+              "built 64-file layout; file count + row totals pinned"),
 ]
