@@ -62,12 +62,19 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.bm25_topk(d, BM25_TERMS, k=10)
 
 
-def bm25_oracle_ctes(k: int = 10) -> str:
+def bm25_oracle_ctes(
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
     """BM25 oracle as a reusable CTE chain ending in ``bm25(doc_id, score)``
-    — shared by the standalone query and the hybrid-RRF fusion oracle."""
+    — shared by the standalone query, the hybrid-RRF fusion oracle, and
+    (re-targeted at the chunk table) the RAG chunk-search oracle."""
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     k1, b, units = rt.BM25_K1, rt.BM25_B, "100000000.0"
-    return f"""t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    toks_sql = f"list_filter(string_split({text_col}, ' '), t -> length(t) > 0)"
+    return f"""t AS (SELECT {id_col} AS doc_id, {toks_sql} AS toks FROM {table}),
 base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
 stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                  CAST(sum(dl) AS BIGINT) AS sum_dl FROM base),
@@ -102,6 +109,48 @@ def _bm25_oracle() -> str:
     return f"""
 WITH {bm25_oracle_ctes(10)}
 SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id
+"""
+
+
+def rag_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG retrieval unit done end-to-end as one lazy DAG: chunk the
+    corpus into overlapping token windows, BM25-score the CHUNKS (not the
+    documents), return the top-10 passages with their (doc_id, chunk_idx)
+    provenance — retrieval granularity a context window can actually
+    consume.  Chunking is a per-row JVM generate; scoring reuses the
+    shared exact BM25 tail, so the whole pipeline stays oracle-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = rt.chunk_documents(d).select(
+        (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("chunk_id"),
+        "doc_id",
+        "chunk_idx",
+        "chunk_text",
+    )
+    top = rt.bm25_topk(
+        chunks, BM25_TERMS, k=10, text_col="chunk_text", id_col="chunk_id"
+    )
+    return (
+        top.join(chunks.select("chunk_id", "doc_id", "chunk_idx"), "chunk_id")
+        .select("doc_id", "chunk_idx", "score")
+        .orderBy(F.desc("score"), "doc_id", "chunk_idx")
+    )
+
+
+def _rag_chunk_oracle() -> str:
+    from direct_spark_sql_spark.plans.pipeline_ext import DOC_CHUNKING_ORACLE  # self-import safe
+
+    chunk_body = DOC_CHUNKING_ORACLE.strip().rstrip()
+    # strip the trailing ORDER BY of the standalone chunking oracle
+    chunk_body = chunk_body[: chunk_body.rindex("ORDER BY")]
+    return f"""
+WITH chunks AS (
+  SELECT doc_id * 10000 + chunk_idx AS chunk_id, doc_id, chunk_idx, chunk_text
+  FROM ({chunk_body})
+),
+{bm25_oracle_ctes(10, table="chunks", id_col="chunk_id", text_col="chunk_text")}
+SELECT c.doc_id, c.chunk_idx, b.score
+FROM bm25 b JOIN chunks c ON b.doc_id = c.chunk_id
+ORDER BY b.score DESC, c.doc_id, c.chunk_idx
 """
 
 
@@ -1310,6 +1359,10 @@ QUERIES = [
           ("text", "pipeline", "retrieval"), bench=True,
           doc="BM25 from a materialized term-clustered inverted index "
               "(build-once/query-many); identical scores to bm25_search"),
+    Query("rag_chunk_search", rag_chunk_search, _rag_chunk_oracle(),
+          ("text", "pipeline", "retrieval"),
+          doc="RAG passage retrieval: chunk the corpus, BM25-score the "
+              "chunks, return top passages with (doc, chunk) provenance"),
     Query("merge_cdc_upsert", merge_cdc_upsert, MERGE_CDC_ORACLE,
           ("merge", "pipeline"),
           doc="latest-wins CDC MERGE (insert/update/delete changeset), "

@@ -144,6 +144,7 @@ _NLJ_ALLOWED = {
     "embedding_batch_topk",    # broadcast bounded query batch
     "bm25_search",             # broadcast 1-row corpus stats (N, sum_dl)
     "bm25_indexed_search",     # same 1-row stats cross as bm25_search
+    "rag_chunk_search",        # same 1-row stats cross (BM25 over chunks)
     "embedding_kmeans_refine",  # ivf_assign: broadcast 1-row centroid array
     "dedup_semantic",           # ivf_assign: broadcast 1-row centroid array
     "quality_constraint_audit",  # fk check: 1-row agg × 1-row agg cross

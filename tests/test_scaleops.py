@@ -153,3 +153,24 @@ def test_bm25_index_pushes_term_filter_to_scan(spark):
     df = bm25_indexed_search(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(term" in plan, plan[:2000]
+
+
+def test_zonemap_soundness_across_ranges(spark):
+    """Zone-map skipping must be sound for ANY range, including ones
+    aligned exactly on file boundaries, empty ranges, and full-table
+    spans: pruned count == unpruned filtered count for a deterministic
+    spread of windows derived from the actual zone boundaries."""
+    table_path, index_path = ensure_events_clustered(spark, SF_DIR)
+    idx = spark.read.parquet(index_path).orderBy("ts_min").collect()
+    spans = [
+        (idx[0]["ts_min"], idx[-1]["ts_max"]),              # full table
+        (idx[1]["ts_min"], idx[1]["ts_max"]),               # one file exactly
+        (idx[2]["ts_max"], idx[3]["ts_min"]),               # boundary straddle
+        (idx[0]["ts_min"], idx[0]["ts_min"]),               # single instant
+        (idx[-1]["ts_max"], idx[-1]["ts_max"]),             # last instant
+    ]
+    base = spark.read.parquet(table_path)
+    for lo, hi in spans:
+        pruned = zm.pruned_scan(spark, table_path, index_path, "ts", lo, hi).count()
+        full = base.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
+        assert pruned == full, (lo, hi)
