@@ -460,6 +460,31 @@ def events_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Equi-depth histogram via NTILE: equal-POPULATION buckets (the planner /
+# profiling complement to agg_histogram's equal-WIDTH buckets).  Ties are
+# broken by the key so the bucket assignment is deterministic in both
+# engines.
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_SPARK = """
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(c_acctbal) AS lo,
+       MAX(c_acctbal) AS hi
+FROM (
+  SELECT c_acctbal,
+         CAST(NTILE(8) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS bucket
+  FROM customer
+)
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_query(spark, sf_dir, _EQUIDEPTH_SPARK)
+
+
+# ---------------------------------------------------------------------------
 # Join-strategy hints: the knob users reach for when the optimizer's
 # stats-based choice is wrong at scale (tiny-looking dim that explodes,
 # or a big-looking side that's actually filtered small).  The hint must
@@ -1177,6 +1202,10 @@ QUERIES = [
           ("functions", "json", "variant"),
           doc="Spark 4 VariantType: parse_json once, typed variant_get "
               "paths + try_variant_get miss semantics"),
+    Query("agg_equidepth_histogram", agg_equidepth_histogram, _EQUIDEPTH_SPARK,
+          ("agg", "window"),
+          doc="equal-population NTILE(8) histogram (equi-depth complement "
+              "to the equi-width agg_histogram), deterministic tie-break"),
     Query("join_hint_broadcast", join_hint_broadcast, JOIN_HINT_ORACLE,
           ("join", "hint"),
           doc="SQL BROADCAST hint honored with auto-broadcast off; plan "

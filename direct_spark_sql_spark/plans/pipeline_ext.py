@@ -243,6 +243,71 @@ combined AS (
 """
 
 
+def privacy_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation: a deletion-request set (stand-in:
+    customers in the BUILDING segment with negative balance) anti-joins
+    every downstream fact — orders, then lineitems through the order FK —
+    and the audit reports retained/deleted counts per table.  Each hop is
+    one broadcast/shuffle anti-join on the FK chain; no table is rewritten
+    more than once regardless of request count — the compliant-deletion
+    shape at 100 TB."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    requests = c.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") < 0)
+    ).select("c_custkey")
+    c_kept = c.join(requests, "c_custkey", "left_anti")
+    o_del = o.join(
+        requests.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_semi"
+    ).select("o_orderkey")
+    o_kept = o.join(o_del, "o_orderkey", "left_anti")
+    l_kept = l.join(
+        o_del.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti"
+    )
+
+    def audit(name: str, total, kept) -> DataFrame:
+        return total.agg(F.count(F.lit(1)).alias("__t")).crossJoin(
+            kept.agg(F.count(F.lit(1)).alias("__k"))
+        ).select(
+            F.lit(name).alias("table_name"),
+            F.col("__t").cast("long").alias("n_total"),
+            F.col("__k").cast("long").alias("n_kept"),
+            (F.col("__t") - F.col("__k")).cast("long").alias("n_deleted"),
+        )
+
+    return (
+        audit("customer", c, c_kept)
+        .unionAll(audit("orders", o, o_kept))
+        .unionAll(audit("lineitem", l, l_kept))
+        .orderBy("table_name")
+    )
+
+
+PRIVACY_DELETE_ORACLE = """
+WITH req AS (
+  SELECT c_custkey FROM customer
+  WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 0
+),
+o_del AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM req))
+SELECT 'customer' AS table_name,
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_total,
+       CAST((SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM req)) AS BIGINT) AS n_kept,
+       CAST((SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM req)) AS BIGINT) AS n_deleted
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM o_del)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM o_del)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM o_del)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM o_del)) AS BIGINT)
+ORDER BY table_name
+"""
+
+
 def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, changes = _orders_base_and_changes(spark, sf_dir)
     return mg.apply_cdc(base, changes, ["o_orderkey"]).orderBy("o_orderkey")
@@ -1363,6 +1428,11 @@ QUERIES = [
           ("text", "pipeline", "retrieval"),
           doc="RAG passage retrieval: chunk the corpus, BM25-score the "
               "chunks, return top passages with (doc, chunk) provenance"),
+    Query("privacy_delete_propagation", privacy_delete_propagation,
+          PRIVACY_DELETE_ORACLE, ("merge", "pipeline", "privacy"),
+          doc="right-to-be-forgotten: deletion requests anti-join down "
+              "the FK chain (customer -> orders -> lineitem), per-table "
+              "retained/deleted audit"),
     Query("merge_cdc_upsert", merge_cdc_upsert, MERGE_CDC_ORACLE,
           ("merge", "pipeline"),
           doc="latest-wins CDC MERGE (insert/update/delete changeset), "

@@ -148,6 +148,7 @@ _NLJ_ALLOWED = {
     "embedding_kmeans_refine",  # ivf_assign: broadcast 1-row centroid array
     "dedup_semantic",           # ivf_assign: broadcast 1-row centroid array
     "quality_constraint_audit",  # fk check: 1-row agg × 1-row agg cross
+    "privacy_delete_propagation",  # audit rows: 1-row agg × 1-row agg cross
     "tfidf_cosine_pairs",        # broadcast 1-row corpus size (N)
     "events_resample_ffill",     # broadcast 1-row (dmin, dmax) day bounds
     "embedding_quantized_rerank",  # broadcast single query vector
