@@ -34,9 +34,15 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel embeddings table (doc_id ≡ vec_id), RRF-fused.  Both candidate
     pools are produced by the existing distributed retrievers; fusion is
     coordinator-scale work on two 25-row lists."""
-    docs = load_table(spark, sf_dir, "documents")
+    from direct_spark_sql_spark.plans.pipeline_ext import ensure_bm25_index
+
     emb = load_table(spark, sf_dir, "embeddings")
-    sparse = rt.bm25_topk(docs, BM25_TERMS, k=_RRF_POOL)
+    # sparse side served from the materialized inverted index — scores
+    # are bit-identical to the tokenize-at-query-time path (shared tail),
+    # so the oracle is unchanged while the corpus is never re-tokenized.
+    sparse = rt.bm25_indexed_topk(
+        spark, ensure_bm25_index(spark, sf_dir), BM25_TERMS, k=_RRF_POOL
+    )
     query = emb.filter(F.col("vec_id") == 0)
     dense = sim.cosine_topk(emb.filter(F.col("vec_id") != 0), query, k=_RRF_POOL).select(
         F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")

@@ -154,12 +154,9 @@ ORDER BY b.score DESC, c.doc_id, c.chunk_idx
 """
 
 
-def bm25_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 served from a materialized inverted index (build-once/query-
-    many): term-range-clustered postings + doc lengths + corpus stats in
-    the warehouse; the query's term IN-list prunes postings files via
-    parquet footer stats and never re-tokenizes the corpus.  Same oracle
-    as bm25_search — the index must be score-invisible."""
+def ensure_bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently materialize the BM25 inverted index; returns its root
+    (shared by bm25_indexed_search and the hybrid-RRF sparse side)."""
     import os
 
     from direct_spark_sql_spark.sources.registry import dataset_tag, warehouse_path
@@ -170,7 +167,16 @@ def bm25_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         rt.build_inverted_index(load_table(spark, sf_dir, "documents"), root)
         with open(marker, "w") as f:
             f.write("ok\n")
-    return rt.bm25_indexed_topk(spark, root, BM25_TERMS, k=10)
+    return root
+
+
+def bm25_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from a materialized inverted index (build-once/query-
+    many): term-range-clustered postings + doc lengths + corpus stats in
+    the warehouse; the query's term IN-list prunes postings files via
+    parquet footer stats and never re-tokenizes the corpus.  Same oracle
+    as bm25_search — the index must be score-invisible."""
+    return rt.bm25_indexed_topk(spark, ensure_bm25_index(spark, sf_dir), BM25_TERMS, k=10)
 
 
 # ---------------------------------------------------------------------------
