@@ -485,6 +485,36 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# String collations (Spark 4): comparison semantics declared on the TYPE
+# (here UTF8_LCASE = case-insensitive) instead of lower()-wrapping every
+# predicate — at scale that keeps the raw column usable for pushdown/
+# statistics while comparisons follow the collation.  The output is
+# canonicalized with lower() so the result is deterministic and the
+# DuckDB oracle (which expresses the same semantics with lower()) is
+# exact.
+# ---------------------------------------------------------------------------
+
+_COLLATION_SPARK = """
+SELECT lower(et) AS event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT event_type COLLATE UTF8_LCASE AS et FROM events)
+WHERE et IN ('CLICK', 'Purchase', 'ERROR')
+GROUP BY lower(et) ORDER BY event_type
+"""
+
+
+def string_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_query(spark, sf_dir, _COLLATION_SPARK)
+
+
+COLLATION_ORACLE = """
+SELECT lower(event_type) AS event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE lower(event_type) IN ('click', 'purchase', 'error')
+GROUP BY lower(event_type) ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Join-strategy hints: the knob users reach for when the optimizer's
 # stats-based choice is wrong at scale (tiny-looking dim that explodes,
 # or a big-looking side that's actually filtered small).  The hint must
@@ -1202,6 +1232,10 @@ QUERIES = [
           ("functions", "json", "variant"),
           doc="Spark 4 VariantType: parse_json once, typed variant_get "
               "paths + try_variant_get miss semantics"),
+    Query("string_collation_compare", string_collation_compare, COLLATION_ORACLE,
+          ("functions", "collation"),
+          doc="Spark 4 collations: UTF8_LCASE case-insensitive comparison "
+              "declared on the type, IN-list + grouping semantics"),
     Query("agg_equidepth_histogram", agg_equidepth_histogram, _EQUIDEPTH_SPARK,
           ("agg", "window"),
           doc="equal-population NTILE(8) histogram (equi-depth complement "

@@ -340,6 +340,89 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def streaming_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-in-stream serving: arriving vectors are IVF-cell-assigned by
+    the map-only broadcast-centroid argmax (operators/similarity.py:
+    ivf_assign — the same operator the batch path uses, unchanged), then
+    counted per cell.  The centroid set is the static 'model' side; the
+    stream sees each vector once, no shuffle before the windowless
+    aggregation.  Oracle = the batch assignment over the same closed
+    input — stream/batch equivalence for the serving path."""
+    from pyspark.sql import types as T
+
+    from direct_spark_sql_spark.operators import similarity as sim
+    from direct_spark_sql_spark.plans.pipeline import IVF_K
+    from direct_spark_sql_spark.sources.registry import load_table
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    emb_path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    from direct_spark_sql_spark.streaming.pipelines import _hadoop_isdir
+
+    if _hadoop_isdir(spark, emb_path):
+        stream = spark.readStream.schema(schema).parquet(emb_path)
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+        )
+    centroids = load_table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K)
+    )
+    assigned = sim.ivf_assign(stream, centroids)
+    agg = assigned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.min("vec_id").cast("long").alias("min_vec_id"),
+    )
+    result = run_available_now(agg, "stream_ivf_assign", "complete")
+    return result.orderBy("cell_id")
+
+
+def _stream_ivf_oracle() -> str:
+    from direct_spark_sql_spark.plans.pipeline import IVF_K
+
+    return f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS a
+  FROM embeddings
+),
+nrm AS (
+  SELECT vec_id, CAST(CAST(ROUND(SUM(a * a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS nn
+  FROM ex GROUP BY vec_id
+),
+cc AS (
+  SELECT x.vec_id, c.vec_id AS cell_id,
+         CAST(CAST(ROUND(SUM(x.a * c.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot
+  FROM ex x
+  JOIN ex c ON c.i = x.i AND c.vec_id BETWEEN 1 AND {IVF_K}
+  GROUP BY x.vec_id, c.vec_id
+),
+cosc AS (
+  SELECT cc.vec_id, cc.cell_id, cc.dot / (sqrt(nx.nn) * sqrt(nc.nn)) AS cos
+  FROM cc
+  JOIN nrm nx ON nx.vec_id = cc.vec_id
+  JOIN nrm nc ON nc.vec_id = cc.cell_id
+),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id) AS rn
+    FROM cosc
+  ) WHERE rn = 1
+)
+SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+FROM assigned GROUP BY cell_id ORDER BY cell_id
+"""
+
+
 _PYSRC_N = 2000
 
 
@@ -388,6 +471,10 @@ QUERIES = [
           _stream_zonemap_oracle(), ("streaming", "layout", "scale"),
           doc="foreachBatch ingest appending per-file zone-map rows; "
               "pruned range scan off the live index equals batch filter"),
+    Query("streaming_ivf_assign", streaming_ivf_assign, _stream_ivf_oracle(),
+          ("streaming", "similarity"),
+          doc="model-in-stream serving: broadcast-centroid IVF assignment "
+              "on arriving vectors, per-cell counts equal the batch path"),
     Query("streaming_tumbling_window", streaming_tumbling_window,
           EVENTS_TUMBLING_ORACLE, ("streaming", "window"),
           doc="watermarked tumbling agg, stream==batch on closed input"),

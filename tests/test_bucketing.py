@@ -59,3 +59,26 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         assert joined.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucket_pruning_point_lookup(spark):
+    """A point filter on the bucket key must prune to ONE bucket at scan
+    time (SelectedBucketsCount: 1 out of N) — the bucketed-layout
+    point-lookup payoff: 1/N of the files opened, no shuffle, no sort."""
+    from direct_spark_sql_spark.plans.pipeline_ext import bucketed_order_lineitem
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    o, _ = bucketed_order_lineitem(spark, SF_DIR)
+    # autoBucketedScan turns bucketed reading off for filter-only scans
+    # (no distribution needed); force it on so bucket PRUNING applies.
+    old_conf = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        df = o.filter(F.col("o_orderkey") == 7)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", old_conf
+        )
+    assert "SelectedBucketsCount: 1 out of" in plan, plan[:1500]
