@@ -250,6 +250,50 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def agg_footer_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation: COUNT/MIN/MAX pushed into the parquet
+    scan itself (DSv2 ``PushedAggregation``), answered from footer
+    statistics without decoding a single data page — at 100 TB the
+    difference between touching every page and touching every footer.
+    Confs are scoped to this query's plan derivation (forced eagerly,
+    then restored), same discipline as the bloom-join query; the plan
+    shape is pinned in tests/test_scaleops.py."""
+    confs = {
+        "spark.sql.sources.useV1SourceList": "",
+        "spark.sql.parquet.aggregatePushdown": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+        df = li.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.min("l_shipdate").alias("min_shipdate"),
+            F.max("l_shipdate").alias("max_shipdate"),
+        )
+        df._jdf.queryExecution().executedPlan()  # pin plan under these confs
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df
+
+
+FOOTER_PUSHDOWN_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       MIN(l_shipdate) AS min_shipdate,
+       MAX(l_shipdate) AS max_shipdate
+FROM lineitem
+"""
+
+
 def source_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hidden ``_metadata`` file-provenance columns over a layout this
     engine built (the 64-file fragmented events copy): per-row file
@@ -297,4 +341,8 @@ QUERIES: list[Query] = [
           SOURCE_METADATA_ORACLE, ("source",),
           doc="hidden _metadata file-provenance columns over an engine-"
               "built 64-file layout; file count + row totals pinned"),
+    Query("agg_footer_pushdown", agg_footer_pushdown, FOOTER_PUSHDOWN_ORACLE,
+          ("agg", "source", "scale"),
+          doc="COUNT/MIN/MAX answered from parquet footer statistics "
+              "(DSv2 PushedAggregation) — no data pages decoded"),
 ]

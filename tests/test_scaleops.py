@@ -174,3 +174,13 @@ def test_zonemap_soundness_across_ranges(spark):
         pruned = zm.pruned_scan(spark, table_path, index_path, "ts", lo, hi).count()
         full = base.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
         assert pruned == full, (lo, hi)
+
+
+def test_footer_pushdown_plan(spark):
+    from direct_spark_sql_spark.plans.scaleops import agg_footer_pushdown
+
+    df = agg_footer_pushdown(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation" in plan, plan[:1500]
+    # confs restored after plan derivation
+    assert spark.conf.get("spark.sql.parquet.aggregatePushdown") != "true"
