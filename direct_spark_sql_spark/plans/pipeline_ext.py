@@ -314,6 +314,53 @@ ORDER BY table_name
 """
 
 
+def privacy_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization that keeps the data useful: identifier columns are
+    replaced by stable deterministic tokens (salted MD5-family hash), and
+    because the SAME function pseudonymizes the FK on both tables, joins
+    still work on tokens alone — analytics continue with zero raw
+    identifiers in flight.  Map-only transform; the per-segment aggregate
+    over the token-joined tables must equal the raw-key join."""
+    from direct_spark_sql_spark.hashing import h64
+
+    def token(col):
+        return h64(F.concat_ws(":", F.lit("pseud"), col.cast("string")))
+
+    c = load_table(spark, sf_dir, "customer").select(
+        token(F.col("c_custkey")).alias("cust_token"),
+        "c_mktsegment",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        token(F.col("o_custkey")).alias("cust_token"),
+        "o_totalprice",
+    )
+    return (
+        o.join(c, "cust_token")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("cust_token").cast("long").alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _pseudonymize_oracle() -> str:
+    from direct_spark_sql_spark.hashing import h64_sql
+
+    tok_c = h64_sql("'pseud' || ':' || CAST(c_custkey AS VARCHAR)")
+    tok_o = h64_sql("'pseud' || ':' || CAST(o_custkey AS VARCHAR)")
+    return f"""
+WITH c AS (SELECT {tok_c} AS cust_token, c_mktsegment FROM customer),
+o AS (SELECT {tok_o} AS cust_token, o_totalprice FROM orders)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT c.cust_token) AS BIGINT) AS n_customers
+FROM o JOIN c ON o.cust_token = c.cust_token
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
 def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, changes = _orders_base_and_changes(spark, sf_dir)
     return mg.apply_cdc(base, changes, ["o_orderkey"]).orderBy("o_orderkey")
@@ -1434,6 +1481,10 @@ QUERIES = [
           ("text", "pipeline", "retrieval"),
           doc="RAG passage retrieval: chunk the corpus, BM25-score the "
               "chunks, return top passages with (doc, chunk) provenance"),
+    Query("privacy_pseudonymize_join", privacy_pseudonymize_join,
+          _pseudonymize_oracle(), ("pipeline", "privacy"),
+          doc="stable salted-hash pseudonyms replace identifiers on both "
+              "sides of an FK; token joins reproduce raw-key analytics"),
     Query("privacy_delete_propagation", privacy_delete_propagation,
           PRIVACY_DELETE_ORACLE, ("merge", "pipeline", "privacy"),
           doc="right-to-be-forgotten: deletion requests anti-join down "

@@ -8,8 +8,8 @@ signal through *all* registry entries across rounds, ``all_queries()``
 returns entries sorted by the last round in which they appeared in a
 ``CORRECTNESS_r*.json`` at the repo root — never-checked queries first,
 then least-recently-checked.  The sort is stable, so within a cohort the
-canonical module order is preserved.  With ~180 entries and a 50-row budget
-the full registry earns driver-side verification within four rounds.
+canonical module order is preserved.  With ~220 entries and a 50-row budget
+the full registry earns driver-side verification within five rounds.
 """
 
 from __future__ import annotations
