@@ -250,6 +250,74 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+_US_PER_DAY = 86_400_000_000
+_Z2_FILES = 16
+#: 2-D box: users 20..50 × days 8..12 (Jan, 0-based day-of-epoch offsets)
+_Z2_USER = (20, 50)
+_Z2_DAY = (19730 + 7, 19730 + 11)  # 2024-01-08 .. 2024-01-12 as epoch days
+
+
+def ensure_events_zordered(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Idempotently materialize events Z-ordered on (user_id, epoch-day)
+    into 16 files, with a two-column zone map — the layout whose per-file
+    min/max stays tight on BOTH dimensions."""
+    import os
+
+    from direct_spark_sql_spark.operators.layout import zorder_layout
+
+    tag = dataset_tag(sf_dir)
+    table_path = warehouse_path("zonemap", f"events_zorder_{tag}")
+    index_path = warehouse_path("zonemap", f"events_zorder_{tag}_idx")
+    marker = os.path.join(table_path, "_ZORDER_OK")
+    if not os.path.exists(marker):
+        e = load_table(spark, sf_dir, "events").withColumn(
+            # ts reads as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (UTC
+            # session tz makes the cast a no-op on the instant)
+            "day", F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_US_PER_DAY}")
+        )
+        zorder_layout(e, "user_id", "day", _Z2_FILES).drop("zcode").write.mode(
+            "overwrite"
+        ).parquet(table_path)
+        zm.write_zonemap(spark, table_path, index_path, ["user_id", "day"])
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return table_path, index_path
+
+
+def zorder_zonemap_2d_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D box query over the Z-ordered layout: the two-column zone map
+    prunes on the CONJUNCTION of both ranges — the payoff of space-
+    filling clustering, which a 1-D sort can't give (tight on one
+    dimension, useless on the other).  Row filter re-applied; the oracle
+    is the plain 2-predicate filter over the raw table."""
+    table_path, index_path = ensure_events_zordered(spark, sf_dir)
+    scan = zm.pruned_scan_multi(
+        spark,
+        table_path,
+        index_path,
+        [("user_id", _Z2_USER[0], _Z2_USER[1]), ("day", _Z2_DAY[0], _Z2_DAY[1])],
+    )
+    return (
+        scan.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ZORDER_2D_ORACLE = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE user_id BETWEEN {_Z2_USER[0]} AND {_Z2_USER[1]}
+  AND (epoch_us(ts) // {_US_PER_DAY}) BETWEEN {_Z2_DAY[0]} AND {_Z2_DAY[1]}
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def agg_footer_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only aggregation: COUNT/MIN/MAX pushed into the parquet
     scan itself (DSv2 ``PushedAggregation``), answered from footer
@@ -345,4 +413,8 @@ QUERIES: list[Query] = [
           ("agg", "source", "scale"),
           doc="COUNT/MIN/MAX answered from parquet footer statistics "
               "(DSv2 PushedAggregation) — no data pages decoded"),
+    Query("zorder_zonemap_2d_scan", zorder_zonemap_2d_scan, ZORDER_2D_ORACLE,
+          ("layout", "source", "scale"),
+          doc="2-D box query: Z-ordered layout + two-column zone map "
+              "prunes on the conjunction of both ranges"),
 ]

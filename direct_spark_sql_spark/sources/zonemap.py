@@ -111,3 +111,29 @@ def ensure_clustered_table(
     write_zonemap(spark, table_path, index_path, [cluster_col])
     with open(marker, "w") as f:
         f.write("ok\n")
+
+
+def pruned_scan_multi(
+    spark: SparkSession,
+    table_path: str,
+    index_path: str,
+    predicates: list,
+) -> DataFrame:
+    """Multi-column range scan: keep files whose zone-map interval
+    overlaps EVERY ``(col, lo, hi)`` predicate — the 2-D (and beyond)
+    pruning that makes a Z-ordered layout pay off: because space-filling
+    clustering keeps both columns locally narrow per file, per-column
+    min/max intervals are tight and the conjunction skips most files for
+    a box query, which neither column alone could do on a 1-D sort."""
+    idx = spark.read.parquet(index_path)
+    cond = None
+    row_filter = None
+    for col, lo, hi in predicates:
+        c = (F.col(f"{col}_max") >= F.lit(lo)) & (F.col(f"{col}_min") <= F.lit(hi))
+        cond = c if cond is None else (cond & c)
+        rf = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        row_filter = rf if row_filter is None else (row_filter & rf)
+    keep = [r["file"] for r in idx.filter(cond).collect()]
+    if not keep:
+        return spark.read.parquet(table_path).filter(row_filter).limit(0)
+    return spark.read.parquet(*keep).filter(row_filter)

@@ -184,3 +184,29 @@ def test_footer_pushdown_plan(spark):
     assert "PushedAggregation" in plan, plan[:1500]
     # confs restored after plan derivation
     assert spark.conf.get("spark.sql.parquet.aggregatePushdown") != "true"
+
+
+def test_zorder_2d_zonemap_skips_files(spark):
+    """The Z-ordered layout must make the two-column zone map effective:
+    the 2-D box keeps a minority of the 16 files, and strictly fewer than
+    pruning on the time dimension alone (what a 1-D sort would give)."""
+    from direct_spark_sql_spark.plans.scaleops import (
+        _Z2_DAY,
+        _Z2_USER,
+        ensure_events_zordered,
+    )
+
+    table_path, index_path = ensure_events_zordered(spark, SF_DIR)
+    total = len(spark.read.parquet(table_path).inputFiles())
+    both = zm.pruned_scan_multi(
+        spark, table_path, index_path,
+        [("user_id", *_Z2_USER), ("day", *_Z2_DAY)],
+    )
+    day_only = zm.pruned_scan_multi(
+        spark, table_path, index_path, [("day", *_Z2_DAY)]
+    )
+    n_both = len(both.inputFiles())
+    n_day = len(day_only.inputFiles())
+    assert n_both < total
+    assert n_both <= n_day
+    assert n_both <= total // 2, (n_both, n_day, total)
