@@ -660,6 +660,107 @@ ORDER BY e.dim
 # Gap-filled resampling with forward fill
 # ---------------------------------------------------------------------------
 
+def events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample with LINEAR INTERPOLATION between observations (the
+    numeric-gap-fill complement to events_resample_ffill): empty days get
+    ``prev + (next-prev) * elapsed_fraction``; before the first / after
+    the last observation the nearest anchor is clamped.  Same bounded
+    scaffold shape as ffill; two window passes (backward + forward
+    anchors).  All interpolation arithmetic is IEEE doubles in identical
+    textual order in the oracle."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}")
+    ordk = F.expr(
+        f"(unix_micros(cast(ts as timestamp)) - {_TREND_BASE_US}) * 1024"
+        " + pmod(event_id, 1024)"
+    )
+    bounds = e.agg(F.min(day).alias("dmin"), F.max(day).alias("dmax"))
+    users = e.select("user_id").distinct()
+    scaffold = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id", F.explode(F.sequence("dmin", "dmax")).alias("day")
+    )
+    bins = (
+        e.select("user_id", day.alias("day"), "value", ordk.alias("ordk"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max_by("value", "ordk").alias("last_v"),
+        )
+    )
+    j = scaffold.join(bins, ["user_id", "day"], "left").withColumn(
+        "anchor_day", F.when(F.col("last_v").isNotNull(), F.col("day"))
+    )
+    wp = W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    wn = W.partitionBy("user_id").orderBy("day").rowsBetween(0, W.unboundedFollowing)
+    prev_v = F.last("last_v", ignorenulls=True).over(wp)
+    prev_d = F.last("anchor_day", ignorenulls=True).over(wp)
+    next_v = F.first("last_v", ignorenulls=True).over(wn)
+    next_d = F.first("anchor_day", ignorenulls=True).over(wn)
+    frac = (F.col("day") - prev_d).cast("double") / (next_d - prev_d).cast("double")
+    interp = (
+        F.when(F.col("last_v").isNotNull(), F.col("last_v"))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * frac,
+        )
+        .otherwise(F.coalesce(prev_v, next_v))
+    )
+    return (
+        j.select(
+            "user_id",
+            F.col("day").cast("long").alias("day"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            interp.alias("interp_value"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+RESAMPLE_INTERP_ORACLE = f"""
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         max_by(value, (epoch_us(ts) - {_TREND_BASE_US}) * 1024 + event_id % 1024)
+           AS last_v
+  FROM events GROUP BY user_id, epoch_us(ts) // {_US_PER_DAY}
+),
+bounds AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM b),
+users AS (SELECT DISTINCT user_id FROM events),
+scaffold AS (
+  SELECT user_id, UNNEST(generate_series(dmin, dmax)) AS day
+  FROM users, bounds
+),
+j AS (
+  SELECT s.user_id, s.day, b.n_events, b.last_v,
+         CASE WHEN b.last_v IS NOT NULL THEN s.day END AS anchor_day
+  FROM scaffold s LEFT JOIN b ON b.user_id = s.user_id AND b.day = s.day
+),
+w AS (
+  SELECT user_id, day, n_events, last_v,
+         last_value(last_v IGNORE NULLS) OVER wp AS prev_v,
+         last_value(anchor_day IGNORE NULLS) OVER wp AS prev_d,
+         first_value(last_v IGNORE NULLS) OVER wn AS next_v,
+         first_value(anchor_day IGNORE NULLS) OVER wn AS next_d
+  FROM j
+  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, CAST(day AS BIGINT) AS day,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       CASE WHEN last_v IS NOT NULL THEN last_v
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+              THEN prev_v + (next_v - prev_v)
+                   * (CAST(day - prev_d AS DOUBLE) / CAST(next_d - prev_d AS DOUBLE))
+            ELSE COALESCE(prev_v, next_v)
+       END AS interp_value
+FROM w ORDER BY user_id, day
+"""
+
+
 def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily resample per user over the corpus' full day range, empty days
     gap-filled (n_events = 0) and the last observed value forward-filled —
@@ -1276,6 +1377,14 @@ QUERIES: list[Query] = [
         oracle=RESAMPLE_FFILL_ORACLE,
         tags=("analytics", "events"),
         doc="daily gap-filled resample with deterministic forward fill",
+    ),
+    Query(
+        name="events_resample_interp",
+        spark_fn=events_resample_interp,
+        oracle=RESAMPLE_INTERP_ORACLE,
+        tags=("analytics", "events"),
+        doc="daily resample with linear interpolation between anchors, "
+            "edge-clamped; IEEE-identical interpolation in both engines",
     ),
     Query(
         name="events_user_trend",

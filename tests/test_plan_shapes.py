@@ -151,6 +151,7 @@ _NLJ_ALLOWED = {
     "privacy_delete_propagation",  # audit rows: 1-row agg × 1-row agg cross
     "tfidf_cosine_pairs",        # broadcast 1-row corpus size (N)
     "events_resample_ffill",     # broadcast 1-row (dmin, dmax) day bounds
+    "events_resample_interp",    # broadcast 1-row (dmin, dmax) day bounds
     "embedding_quantized_rerank",  # broadcast single query vector
     "text_bigram_logprob",         # broadcast 1-row vocabulary size (V)
     "text_pmi_collocations",       # broadcast 1-row total bigram count (N)
