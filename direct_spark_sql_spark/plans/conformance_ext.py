@@ -265,6 +265,64 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Native UNPIVOT syntax (the SQL:2016 form; the stack() spelling above is
+# the generator-level equivalent) — wide-to-long without listing UNION ALL
+# branches.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_NATIVE_SPARK = """
+SELECT n_name, k, CAST(v AS BIGINT) AS v
+FROM nation
+UNPIVOT (v FOR k IN (n_nationkey AS `nationkey`, n_regionkey AS `regionkey`))
+ORDER BY n_name, k
+"""
+
+
+def unpivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_query(spark, sf_dir, _UNPIVOT_NATIVE_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Higher-order function suite: exists / forall / aggregate (reduce) /
+# filter / zip_with — the lambda surface that keeps per-row array logic
+# inside the JVM instead of a Python UDF.
+# ---------------------------------------------------------------------------
+
+_HOF_SPARK = """
+WITH per_order AS (
+  SELECT l_orderkey, array_sort(collect_list(CAST(l_quantity AS INT))) AS qtys
+  FROM lineitem WHERE l_orderkey <= 300 GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       exists(qtys, x -> x >= 45) AS any_big,
+       forall(qtys, x -> x >= 5) AS all_ge5,
+       CAST(aggregate(qtys, 0, (acc, x) -> acc + x) AS BIGINT) AS total,
+       CAST(size(filter(qtys, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+       CAST(aggregate(zip_with(qtys, reverse(qtys), (a, b) -> a * b),
+                      0, (acc, x) -> acc + x) AS BIGINT) AS dot_rev
+FROM per_order ORDER BY l_orderkey
+"""
+
+_HOF_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey, list_sort(array_agg(CAST(l_quantity AS INTEGER))) AS qtys
+  FROM lineitem WHERE l_orderkey <= 300 GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       len(list_filter(qtys, x -> x >= 45)) > 0 AS any_big,
+       len(list_filter(qtys, x -> NOT (x >= 5))) = 0 AS all_ge5,
+       CAST(list_sum(qtys) AS BIGINT) AS total,
+       CAST(len(list_filter(qtys, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+       CAST(list_dot_product(qtys, list_reverse(qtys)) AS BIGINT) AS dot_rev
+FROM per_order ORDER BY l_orderkey
+"""
+
+
+def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_query(spark, sf_dir, _HOF_SPARK)
+
+
+# ---------------------------------------------------------------------------
 # approx_count_distinct (HLL++) with an exactness-bounded oracle
 # (reference test: DirectExecSuite.scala:72-82)
 # ---------------------------------------------------------------------------
@@ -1232,6 +1290,12 @@ QUERIES = [
           ("functions", "json", "variant"),
           doc="Spark 4 VariantType: parse_json once, typed variant_get "
               "paths + try_variant_get miss semantics"),
+    Query("unpivot_native", unpivot_native, _UNPIVOT_ORACLE, ("setop", "generator"),
+          doc="native SQL UNPIVOT syntax (same semantics as the stack() "
+              "spelling, same oracle)"),
+    Query("array_hof_suite", array_hof_suite, _HOF_ORACLE, ("functions", "array"),
+          doc="exists/forall/aggregate/filter/zip_with lambda surface, "
+              "all JVM-side"),
     Query("string_collation_compare", string_collation_compare, COLLATION_ORACLE,
           ("functions", "collation"),
           doc="Spark 4 collations: UTF8_LCASE case-insensitive comparison "
