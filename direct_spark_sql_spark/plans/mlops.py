@@ -129,6 +129,41 @@ ORDER BY cross_units DESC, f.doc_id LIMIT {_RERANK_K}
 
 
 # ---------------------------------------------------------------------------
+# Filtered vector search: metadata predicate + cosine top-k
+# ---------------------------------------------------------------------------
+
+def embedding_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN: top-10 by cosine among vectors whose metadata
+    matches (label = 3) — the *pre-filter* strategy: the predicate is
+    pushed into the scan BEFORE any distance computation, so recall is
+    exact over the filtered set by construction (post-filtering a top-k
+    can starve; pre-filtering cannot).  At scale the label predicate
+    rides the same parquet pushdown as any column filter."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    base = emb.filter((F.col("vec_id") != 0) & (F.col("label") == 3))
+    return sim.cosine_topk(base, query, k=10)
+
+
+FILTERED_TOPK_ORACLE = f"""
+WITH {_EX_SQL.strip()},
+q AS (SELECT i, a AS b FROM ex WHERE vec_id = 0),
+keep AS (SELECT vec_id FROM embeddings WHERE vec_id <> 0 AND label = 3),
+d AS (
+  SELECT ex.vec_id,
+         CAST(CAST(ROUND(SUM(ex.a * q.b), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot,
+         CAST(CAST(ROUND(SUM(ex.a * ex.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS na,
+         CAST(CAST(ROUND(SUM(q.b * q.b), 6) AS DECIMAL(24,6)) AS DOUBLE) AS nb
+  FROM ex JOIN q ON ex.i = q.i
+  WHERE ex.vec_id IN (SELECT vec_id FROM keep)
+  GROUP BY ex.vec_id
+)
+SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS cosine
+FROM d ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Distributed PCA: covariance accumulation
 # ---------------------------------------------------------------------------
 
@@ -291,6 +326,10 @@ QUERIES: list[Query] = [
           doc="retrieve-then-rerank: Arrow-batched cross-scorer over the "
               "bounded hybrid candidate list (the cross-encoder slot), "
               "deterministic stand-in model oracle-checked"),
+    Query("embedding_filtered_topk", embedding_filtered_topk, FILTERED_TOPK_ORACLE,
+          ("similarity", "mlops"),
+          doc="filtered vector search: metadata predicate pre-filters the "
+              "scan before distances (exact recall over the filtered set)"),
     Query("embedding_pca_covariance", embedding_pca_covariance, PCA_COV_ORACLE,
           ("similarity", "mlops"), bench=True,
           doc="distributed PCA stage 1: exact-decimal upper-triangle "

@@ -139,6 +139,7 @@ _NLJ_ALLOWED = {
     "agg_histogram",         # broadcast 1-row (min, max) bounds
     "corpus_negative_pairs",  # broadcast 1-row id-space bound
     "embedding_cosine_topk",   # broadcast single query vector
+    "embedding_filtered_topk",  # broadcast single query vector (pre-filtered scan)
     "embedding_ivf_topk",      # broadcast query vector + centroid array
     "embedding_ivf_recall",    # composes cosine_topk: same 1-row broadcast
     "embedding_batch_topk",    # broadcast bounded query batch
