@@ -392,6 +392,43 @@ FROM win GROUP BY win_start, event_type ORDER BY win_start, event_type
 """
 
 
+def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DISTINCT cardinality (unique active users per 2-hour
+    window sliding hourly) — distinct aggregation under the window
+    generator, the expensive variant of the sliding total (each event
+    lands in 2 windows and dedup happens per window)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "n_users",
+            "n_events",
+        )
+        .orderBy("win_start")
+    )
+
+
+_SLIDING_DISTINCT_ORACLE = """
+WITH ex AS (
+  SELECT user_id, (epoch_us(ts) // 3600000000) * 3600000000 AS m
+  FROM events
+),
+win AS (
+  SELECT user_id, make_timestamp(m - off) AS win_start
+  FROM ex CROSS JOIN (SELECT unnest([0, 3600000000]) AS off) offs
+)
+SELECT win_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM win GROUP BY win_start ORDER BY win_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extended string function suite
 # ---------------------------------------------------------------------------
@@ -1290,6 +1327,10 @@ QUERIES = [
           ("functions", "json", "variant"),
           doc="Spark 4 VariantType: parse_json once, typed variant_get "
               "paths + try_variant_get miss semantics"),
+    Query("events_sliding_distinct", events_sliding_distinct,
+          _SLIDING_DISTINCT_ORACLE, ("window", "events"),
+          doc="sliding-window distinct cardinality (unique users per "
+              "2h window, hourly slide)"),
     Query("unpivot_native", unpivot_native, _UNPIVOT_ORACLE, ("setop", "generator"),
           doc="native SQL UNPIVOT syntax (same semantics as the stack() "
               "spelling, same oracle)"),
