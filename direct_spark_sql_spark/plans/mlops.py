@@ -201,6 +201,123 @@ ORDER BY i, j
 
 
 # ---------------------------------------------------------------------------
+# Multinomial naive Bayes language classifier (count-based training)
+# ---------------------------------------------------------------------------
+
+def quality_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a multinomial naive Bayes lang classifier on the corpus and
+    classify every document, reporting the (actual, predicted) confusion
+    matrix.
+
+    Training IS aggregation — per-(lang, token) counts, per-lang totals,
+    vocabulary size, doc priors — all map-side-combined hash aggs, the
+    ideal distributed-training shape (no iterations, no coordinator
+    state).  Inference joins each document's token tf to the 5-row-per-
+    token model (langs broadcast), sums 1e-8-snapped add-one-smoothed log
+    likelihoods exactly, and argmaxes with a deterministic tie-break —
+    so the full train+classify pipeline is bit-exact against the oracle.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.col("lang").alias("actual"),
+                    F.explode(tx.tokens("text")).alias("token"))
+    doc_tok = toks.groupBy("doc_id", "actual", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    counts = toks.groupBy(F.col("actual").alias("lang"), "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c_lt")
+    )
+    totals = toks.groupBy(F.col("actual").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_l")
+    )
+    vocab = toks.agg(F.countDistinct("token").cast("long").alias("v"))
+    priors = d.groupBy(F.col("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_l")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    model = (
+        F.broadcast(priors.crossJoin(n_docs).crossJoin(vocab).join(totals, "lang"))
+    )
+    cand = doc_tok.crossJoin(model.select("lang", "n_l", "v", "n_docs_l", "n_docs"))
+    lik = F.log(
+        (F.coalesce(F.col("c_lt"), F.lit(0)).cast("double") + F.lit(1.0))
+        / (F.col("n_l").cast("double") + F.col("v").cast("double"))
+    )
+    term_units = F.col("tf") * F.floor(lik * F.lit(1e8) + F.lit(0.5)).cast("long")
+    scored = (
+        cand.join(F.broadcast(counts), ["lang", "token"], "left")
+        .groupBy("doc_id", "actual", "lang")
+        .agg(F.sum(term_units).alias("lik_units"),
+             F.min("n_docs_l").alias("n_docs_l"),
+             F.min("n_docs").alias("n_docs"))
+    )
+    prior_units = F.floor(
+        F.log(F.col("n_docs_l").cast("double") / F.col("n_docs").cast("double"))
+        * F.lit(1e8) + F.lit(0.5)
+    ).cast("long")
+    ranked = scored.select(
+        "doc_id", "actual", "lang",
+        (F.col("lik_units") + prior_units).alias("units"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.desc("units"), F.col("lang"))
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("actual", F.col("lang").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
+
+
+NB_CLASSIFY_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang AS actual, unnest({TOKS_SQL}) AS token FROM documents),
+doc_tok AS (SELECT doc_id, actual, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM t GROUP BY doc_id, actual, token),
+counts AS (SELECT actual AS lang, token, CAST(COUNT(*) AS BIGINT) AS c_lt
+           FROM t GROUP BY actual, token),
+totals AS (SELECT actual AS lang, CAST(COUNT(*) AS BIGINT) AS n_l
+           FROM t GROUP BY actual),
+vocab AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM t),
+priors AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_l FROM documents GROUP BY lang),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+model AS (SELECT p.lang, p.n_docs_l, nd.n_docs, vocab.v, totals.n_l
+          FROM priors p, nd, vocab JOIN totals ON totals.lang = p.lang),
+scored AS (
+  SELECT dt.doc_id, dt.actual, m.lang,
+         SUM(dt.tf * CAST(FLOOR(
+           ln((CAST(COALESCE(c.c_lt, 0) AS DOUBLE) + 1.0)
+              / (CAST(m.n_l AS DOUBLE) + CAST(m.v AS DOUBLE)))
+           * 100000000.0 + 0.5) AS BIGINT)) AS lik_units,
+         MIN(m.n_docs_l) AS n_docs_l, MIN(m.n_docs) AS n_docs
+  FROM doc_tok dt
+  CROSS JOIN model m
+  LEFT JOIN counts c ON c.lang = m.lang AND c.token = dt.token
+  GROUP BY dt.doc_id, dt.actual, m.lang
+),
+ranked AS (
+  SELECT doc_id, actual, lang,
+         lik_units + CAST(FLOOR(
+           ln(CAST(n_docs_l AS DOUBLE) / CAST(n_docs AS DOUBLE))
+           * 100000000.0 + 0.5) AS BIGINT) AS units
+  FROM scored
+),
+pred AS (
+  SELECT doc_id, actual, lang FROM (
+    SELECT doc_id, actual, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY units DESC, lang) AS rn
+    FROM ranked
+  ) WHERE rn = 1
+)
+SELECT actual, lang AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY actual, lang ORDER BY actual, predicted
+"""
+
+
+# ---------------------------------------------------------------------------
 # Logistic-regression quality classifier (full-batch GD, 3 iterations)
 # ---------------------------------------------------------------------------
 
@@ -335,6 +452,11 @@ QUERIES: list[Query] = [
           doc="distributed PCA stage 1: exact-decimal upper-triangle "
               "covariance via per-row JVM outer-product expansion + one "
               "d2-bounded agg (no joins on the data path)"),
+    Query("quality_nb_classify", quality_nb_classify, NB_CLASSIFY_ORACLE,
+          ("mlops", "pipeline"),
+          doc="multinomial naive Bayes lang classifier: training is pure "
+              "map-side-combined aggregation, inference a broadcast-model "
+              "join; confusion matrix bit-exact vs the oracle"),
     Query("quality_lr_train", quality_lr_train, _lr_oracle(),
           ("mlops", "pipeline"),
           doc="full-batch GD logistic regression (3 iters, lr=0.5) on "

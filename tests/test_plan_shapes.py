@@ -163,6 +163,7 @@ _NLJ_ALLOWED = {
     "corpus_temperature_mix",      # broadcast 1-row normalizer (Σ n^alpha)
     "hybrid_rerank_cross",         # composes hybrid_search_rrf's bounded
                                    # broadcasts; candidate side ≤ 10 rows
+    "quality_nb_classify",         # broadcast model = one row per language
 }
 
 
