@@ -124,3 +124,102 @@ def logreg_train(
         ", ".join(f"{n} double" for n in names) + ", log_loss double, n_rows long",
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram negative-sampling (word2vec) — one exact SGD step
+# ---------------------------------------------------------------------------
+
+SGNS_DIMS = 8
+SGNS_LR = 0.1
+#: embedding init: ((h64(word:side:dim) % 2001) - 1000) / 10000 ∈ [-0.1, 0.1]
+SGNS_INIT_MOD = 2001
+SGNS_INIT_DIV = 10000.0
+
+
+def _sgns_init(word: Column, side: str, d: Column) -> Column:
+    """Deterministic hash-based embedding init — a pure function of
+    (word, side, dim), so both engines materialize identical vectors
+    without any stored model."""
+    from direct_spark_sql_spark.hashing import h64
+
+    key = F.concat_ws("", word, F.lit(f":{side}:"), d.cast("string"))
+    return ((h64(key) % F.lit(SGNS_INIT_MOD)) - F.lit(1000)).cast("double") / F.lit(
+        SGNS_INIT_DIV
+    )
+
+
+def sgns_train_step(
+    pairs: DataFrame, dims: int = SGNS_DIMS, lr: float = SGNS_LR
+) -> DataFrame:
+    """One exact skip-gram negative-sampling SGD step over weighted
+    (center, context, n) pairs; returns the UPDATED center-side vectors
+    as ``(word, d, new_v)`` rows.
+
+    The word2vec shape on Spark: embeddings are hash-derived expressions
+    (no model table), the per-pair negative is a deterministic hash draw
+    from the vocabulary, dot products and gradients are snapped to 1e-8
+    units so the per-(word, dim) gradient accumulation is an exact BIGINT
+    sum, and the update is one IEEE expression — every output value is
+    bit-identical to the unrolled SQL oracle (plans/mlops.py).  All
+    fan-outs are pairs × dims (bounded); the only coordinator scalar is
+    the vocabulary size (the same bounded class as the IVF probe).
+    """
+    from pyspark.sql import Window as W
+
+    spark = pairs.sparkSession
+    words = (
+        pairs.select(F.col("center").alias("w"))
+        .union(pairs.select(F.col("context").alias("w")))
+        .distinct()
+    )
+    # vocabulary is bounded by 2 × the pair budget — a tiny single-
+    # partition rank window, same bounded class as the RRF fusion lists
+    vocab = words.select(
+        "w",
+        (F.row_number().over(W.orderBy("w")) - 1).cast("long").alias("rank"),
+    )
+    v_size = vocab.count()
+
+    neg_rank = ml_neg_rank(F.col("center"), F.col("context"), v_size)
+    p = pairs.join(
+        F.broadcast(vocab.select(F.col("rank"), F.col("w").alias("neg"))),
+        neg_rank == F.col("rank"),
+    ).select("center", "context", "neg", "n")
+
+    d_df = spark.range(dims).select(F.col("id").cast("int").alias("d"))
+    pd_ = p.crossJoin(F.broadcast(d_df))
+    u_pos = _sgns_init(F.col("context"), "u", F.col("d"))
+    u_neg = _sgns_init(F.col("neg"), "u", F.col("d"))
+    v_c = _sgns_init(F.col("center"), "v", F.col("d"))
+    snap = lambda x: F.floor(x * F.lit(_UNITS) + F.lit(0.5)).cast("long")
+    dots = pd_.groupBy("center", "context", "neg", "n").agg(
+        F.sum(snap(u_pos * v_c)).alias("s_pos_units"),
+        F.sum(snap(u_neg * v_c)).alias("s_neg_units"),
+    )
+    g_pos = _sigmoid(F.col("s_pos_units").cast("double") / F.lit(_UNITS)) - F.lit(1.0)
+    g_neg = _sigmoid(F.col("s_neg_units").cast("double") / F.lit(_UNITS))
+    scored = dots.select("center", "context", "neg", "n",
+                         g_pos.alias("g_pos"), g_neg.alias("g_neg"))
+    sd = scored.crossJoin(F.broadcast(d_df))
+    contrib = (
+        snap(F.col("n").cast("double") * F.col("g_pos") * u_pos)
+        + snap(F.col("n").cast("double") * F.col("g_neg") * u_neg)
+    )
+    grads = sd.groupBy(F.col("center").alias("word"), "d").agg(
+        F.sum(contrib).alias("grad_units")
+    )
+    v0 = _sgns_init(F.col("word"), "v", F.col("d"))
+    new_v = v0 - F.lit(lr) * (F.col("grad_units").cast("double") / F.lit(_UNITS))
+    return grads.select(
+        "word", F.col("d").cast("long").alias("d"), new_v.alias("new_v")
+    ).orderBy("word", "d")
+
+
+def ml_neg_rank(center: Column, context: Column, v_size: int) -> Column:
+    """Deterministic negative-sample draw: hash the pair into a vocab rank."""
+    from direct_spark_sql_spark.hashing import h64
+
+    return h64(F.concat_ws("", center, F.lit("|"), context, F.lit("|neg"))) % F.lit(
+        int(v_size)
+    )

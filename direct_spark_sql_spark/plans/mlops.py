@@ -201,6 +201,99 @@ ORDER BY i, j
 
 
 # ---------------------------------------------------------------------------
+# Skip-gram negative-sampling: one exact word2vec SGD step
+# ---------------------------------------------------------------------------
+
+_SGNS_PAIRS = 200
+_SGNS_WINDOW = 2
+
+
+def embedding_sgns_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact word2vec (SGNS) SGD step over the corpus' top-200
+    skip-gram pairs: hash-derived init embeddings, deterministic negative
+    draws, fixed-point-snapped gradient accumulation — the updated
+    center vectors are bit-identical to the unrolled SQL oracle
+    (operators/mltrain.py:sgns_train_step)."""
+    from direct_spark_sql_spark.operators.text import skipgram_cooccurrence
+
+    d = load_table(spark, sf_dir, "documents")
+    top = skipgram_cooccurrence(d, window=_SGNS_WINDOW, top_k=_SGNS_PAIRS)
+    pairs = top.select(
+        F.split("pair", " ").getItem(0).alias("center"),
+        F.split("pair", " ").getItem(1).alias("context"),
+        F.col("n_cooccur").alias("n"),
+    )
+    return ml.sgns_train_step(pairs)
+
+
+def _sgns_oracle() -> str:
+    from direct_spark_sql_spark.hashing import h64_sql
+    from direct_spark_sql_spark.operators.mltrain import (
+        SGNS_DIMS,
+        SGNS_INIT_DIV,
+        SGNS_INIT_MOD,
+        SGNS_LR,
+    )
+
+    U = "100000000.0"
+
+    def init(word: str, side: str, d: str) -> str:
+        key = f"{word} || ':{side}:' || CAST({d} AS VARCHAR)"
+        return (f"CAST(({h64_sql(key)} % {SGNS_INIT_MOD}) - 1000 AS DOUBLE)"
+                f" / {SGNS_INIT_DIV}")
+
+    def snap(x: str) -> str:
+        return f"CAST(FLOOR(({x}) * {U} + 0.5) AS BIGINT)"
+
+    def sig(z: str) -> str:
+        return f"(1.0 / (1.0 + exp(-({z}))))"
+
+    neg_key = "center || '|' || context || '|neg'"
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+dd AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) >= 2),
+pp AS (
+  SELECT toks[i + 1] || ' ' || toks[j + 1] AS pair
+  FROM dd,
+       UNNEST(generate_series(0, nt - 1)) u(i),
+       UNNEST(generate_series(0, nt - 1)) v(j)
+  WHERE j BETWEEN i - {_SGNS_WINDOW} AND i + {_SGNS_WINDOW} AND j <> i),
+top AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pp
+        GROUP BY pair ORDER BY n DESC, pair LIMIT {_SGNS_PAIRS}),
+pairs AS (SELECT string_split(pair, ' ')[1] AS center,
+                 string_split(pair, ' ')[2] AS context, n FROM top),
+words AS (SELECT DISTINCT w FROM (
+  SELECT center AS w FROM pairs UNION ALL SELECT context FROM pairs)),
+vocab AS (SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY w) - 1 AS BIGINT) AS rank
+          FROM words),
+vsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+pneg AS (
+  SELECT p.center, p.context, voc.w AS neg, p.n
+  FROM pairs p, vsz
+  JOIN vocab voc ON ({h64_sql(neg_key)} % vsz.v) = voc.rank),
+dims AS (SELECT CAST(UNNEST(generate_series(0, {SGNS_DIMS - 1})) AS INT) AS d),
+dots AS (
+  SELECT center, context, neg, n,
+         SUM({snap(f"({init('context', 'u', 'd')}) * ({init('center', 'v', 'd')})")}) AS s_pos_units,
+         SUM({snap(f"({init('neg', 'u', 'd')}) * ({init('center', 'v', 'd')})")}) AS s_neg_units
+  FROM pneg, dims GROUP BY center, context, neg, n),
+scored AS (
+  SELECT center, context, neg, n,
+         {sig(f"CAST(s_pos_units AS DOUBLE) / {U}")} - 1.0 AS g_pos,
+         {sig(f"CAST(s_neg_units AS DOUBLE) / {U}")} AS g_neg
+  FROM dots),
+grads AS (
+  SELECT center AS word, d,
+         SUM({snap(f"(CAST(n AS DOUBLE) * g_pos) * ({init('context', 'u', 'd')})")}
+             + {snap(f"(CAST(n AS DOUBLE) * g_neg) * ({init('neg', 'u', 'd')})")}) AS grad_units
+  FROM scored, dims GROUP BY center, d)
+SELECT word, CAST(d AS BIGINT) AS d,
+       ({init('word', 'v', 'd')}) - {SGNS_LR} * (CAST(grad_units AS DOUBLE) / {U}) AS new_v
+FROM grads ORDER BY word, d
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multinomial naive Bayes language classifier (count-based training)
 # ---------------------------------------------------------------------------
 
@@ -452,6 +545,11 @@ QUERIES: list[Query] = [
           doc="distributed PCA stage 1: exact-decimal upper-triangle "
               "covariance via per-row JVM outer-product expansion + one "
               "d2-bounded agg (no joins on the data path)"),
+    Query("embedding_sgns_step", embedding_sgns_step, _sgns_oracle(),
+          ("mlops", "similarity"),
+          doc="one exact word2vec SGNS SGD step: hash-init embeddings, "
+              "deterministic negatives, snapped gradient sums — updated "
+              "vectors bit-identical to the unrolled SQL oracle"),
     Query("quality_nb_classify", quality_nb_classify, NB_CLASSIFY_ORACLE,
           ("mlops", "pipeline"),
           doc="multinomial naive Bayes lang classifier: training is pure "

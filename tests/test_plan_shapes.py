@@ -164,6 +164,8 @@ _NLJ_ALLOWED = {
     "hybrid_rerank_cross",         # composes hybrid_search_rrf's bounded
                                    # broadcasts; candidate side ≤ 10 rows
     "quality_nb_classify",         # broadcast model = one row per language
+    "embedding_sgns_step",         # broadcast 8-row dims table × bounded
+                                   # top-200 pair set
 }
 
 
