@@ -201,6 +201,99 @@ ORDER BY i, j
 
 
 # ---------------------------------------------------------------------------
+# Decision-stump training: exact best-split search
+# ---------------------------------------------------------------------------
+
+def quality_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a decision stump (best single threshold on ``n_chars``
+    predicting lang='en') by EXACT split search: per-value label counts
+    (one hash agg), cumulative sums over the sorted value axis (one
+    window pass over |distinct values| rows — bounded, not corpus-sized),
+    weighted Gini impurity per candidate threshold from pure integer
+    counts, argmin with a deterministic tie-break.  The tree-learning
+    primitive (this per-feature scan is what every histogram-based GBDT
+    does per node), expressed as three bounded relational steps."""
+    d = load_table(spark, sf_dir, "documents")
+    per_v = (
+        d.select(
+            F.col("n_chars").alias("v"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v",
+        F.sum("cnt").over(w).alias("n_le"),
+        F.sum("pos").over(w).alias("pos_le"),
+        F.sum("cnt").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("n_all"),
+        F.sum("pos").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("pos_all"),
+    ).filter(F.col("n_le") < F.col("n_all"))  # a split must leave both sides non-empty
+
+    def gini_side(n: F.Column, p: F.Column) -> F.Column:
+        # n * gini = n - (p^2 + (n-p)^2) / n ; weighted by n/n_all later —
+        # computed as one double expression from exact integer operands
+        nd, pd_ = n.cast("double"), p.cast("double")
+        return nd - (pd_ * pd_ + (nd - pd_) * (nd - pd_)) / nd
+
+    weighted = (
+        gini_side(F.col("n_le"), F.col("pos_le"))
+        + gini_side(
+            F.col("n_all") - F.col("n_le"), F.col("pos_all") - F.col("pos_le")
+        )
+    ) / F.col("n_all").cast("double")
+    scored = cum.select(
+        F.col("v").cast("long").alias("threshold"),
+        F.col("n_le").cast("long").alias("n_left"),
+        F.col("pos_le").cast("long").alias("pos_left"),
+        weighted.alias("gini"),
+    )
+    best = scored.orderBy(F.col("gini").asc(), F.col("threshold").asc()).limit(1)
+    return best
+
+
+STUMP_ORACLE = """
+WITH per_v AS (
+  SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM documents GROUP BY n_chars
+),
+cum AS (
+  SELECT v,
+         SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_le,
+         SUM(pos) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pos_le,
+         SUM(cnt) OVER () AS n_all,
+         SUM(pos) OVER () AS pos_all
+  FROM per_v
+),
+scored AS (
+  SELECT CAST(v AS BIGINT) AS threshold,
+         CAST(n_le AS BIGINT) AS n_left,
+         CAST(pos_le AS BIGINT) AS pos_left,
+         ((CAST(n_le AS DOUBLE)
+            - (CAST(pos_le AS DOUBLE) * CAST(pos_le AS DOUBLE)
+               + (CAST(n_le AS DOUBLE) - CAST(pos_le AS DOUBLE))
+                 * (CAST(n_le AS DOUBLE) - CAST(pos_le AS DOUBLE))) / CAST(n_le AS DOUBLE))
+          + (CAST(n_all - n_le AS DOUBLE)
+            - (CAST(pos_all - pos_le AS DOUBLE) * CAST(pos_all - pos_le AS DOUBLE)
+               + (CAST(n_all - n_le AS DOUBLE) - CAST(pos_all - pos_le AS DOUBLE))
+                 * (CAST(n_all - n_le AS DOUBLE) - CAST(pos_all - pos_le AS DOUBLE)))
+              / CAST(n_all - n_le AS DOUBLE)))
+         / CAST(n_all AS DOUBLE) AS gini
+  FROM cum WHERE n_le < n_all
+)
+SELECT threshold, n_left, pos_left, gini
+FROM scored ORDER BY gini ASC, threshold ASC LIMIT 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Skip-gram negative-sampling: one exact word2vec SGD step
 # ---------------------------------------------------------------------------
 
@@ -545,6 +638,11 @@ QUERIES: list[Query] = [
           doc="distributed PCA stage 1: exact-decimal upper-triangle "
               "covariance via per-row JVM outer-product expansion + one "
               "d2-bounded agg (no joins on the data path)"),
+    Query("quality_stump_train", quality_stump_train, STUMP_ORACLE,
+          ("mlops", "pipeline"),
+          doc="decision-stump training: exact best-Gini split search via "
+              "per-value counts + cumulative window (the histogram-GBDT "
+              "per-node primitive), deterministic tie-break"),
     Query("embedding_sgns_step", embedding_sgns_step, _sgns_oracle(),
           ("mlops", "similarity"),
           doc="one exact word2vec SGNS SGD step: hash-init embeddings, "
