@@ -201,6 +201,87 @@ ORDER BY i, j
 
 
 # ---------------------------------------------------------------------------
+# Model evaluation: exact AUC from rank statistics
+# ---------------------------------------------------------------------------
+
+def quality_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the trained LR classifier with an EXACT ROC-AUC: scores
+    are the 1e-8-snapped probabilities (integers), so the Mann-Whitney
+    formulation over tie-averaged ranks is pure rational arithmetic —
+    AUC = (Σ ranks(pos) − n_pos(n_pos+1)/2) / (n_pos · n_neg) — and the
+    one double division at the end is IEEE-identical in the oracle.
+    Train → serve → evaluate, every stage oracle-checked."""
+    from pyspark.sql import Window as W
+
+    feats = _lr_features(spark, sf_dir)
+    w, _ = ml.logreg_fit(feats, ["chars", "toks"])
+    xs = [F.lit(1.0), F.col("chars"), F.col("toks")]
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-ml.lr_dot(w, xs)))
+    units = F.floor(p * F.lit(1e8) + F.lit(0.5)).cast("long")
+    scored = feats.select(units.alias("score"), F.col("y"))
+    # tie-averaged rank = avg of row_number over ties = rank + (cnt-1)/2;
+    # computed as SUM over the per-score group to stay integer for the sums
+    per_score = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    wlo = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    ranked = per_score.select(
+        "score", "cnt", "pos",
+        F.coalesce(F.sum("cnt").over(wlo), F.lit(0)).cast("long").alias("n_below"),
+    )
+    # sum of tie-averaged ranks of the positives in this score group:
+    # pos * (n_below + (cnt + 1)/2) — kept exact by scaling ×2
+    two_rank_sum = F.col("pos") * (F.lit(2) * F.col("n_below") + F.col("cnt") + F.lit(1))
+    agg = ranked.agg(
+        F.sum(two_rank_sum).cast("long").alias("two_r_pos"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n_neg"),
+    )
+    auc = (
+        F.col("two_r_pos").cast("double") / F.lit(2.0)
+        - F.col("n_pos").cast("double") * (F.col("n_pos").cast("double") + F.lit(1.0)) / F.lit(2.0)
+    ) / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+    return agg.select("n_pos", "n_neg", auc.alias("auc"))
+
+
+def _lr_auc_oracle() -> str:
+    base = _lr_oracle(for_scoring=True)
+    # reuse the scoring CTE chain: swap the final top-10 SELECT for the
+    # full per-document (score, y) projection, then rank-sum in SQL
+    head = base[: base.rindex("SELECT doc_id")].rstrip()
+    return f"""{head},
+scored AS (
+  SELECT CAST(FLOOR((1.0 / (1.0 + exp(-(wb * 1.0 + wc * chars + wt * toks))))
+                    * 100000000.0 + 0.5) AS BIGINT) AS score, y
+  FROM f, w3
+),
+per_score AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pos
+  FROM scored GROUP BY score
+),
+ranked AS (
+  SELECT score, cnt, pos,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_below
+  FROM per_score
+),
+agg AS (
+  SELECT CAST(SUM(pos * (2 * n_below + cnt + 1)) AS BIGINT) AS two_r_pos,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt - pos) AS BIGINT) AS n_neg
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       (CAST(two_r_pos AS DOUBLE) / 2.0
+        - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+       / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # Decision-stump training: exact best-split search
 # ---------------------------------------------------------------------------
 
@@ -638,6 +719,11 @@ QUERIES: list[Query] = [
           doc="distributed PCA stage 1: exact-decimal upper-triangle "
               "covariance via per-row JVM outer-product expansion + one "
               "d2-bounded agg (no joins on the data path)"),
+    Query("quality_lr_auc", quality_lr_auc, _lr_auc_oracle(),
+          ("mlops", "pipeline"),
+          doc="exact ROC-AUC of the trained LR classifier via tie-averaged "
+              "Mann-Whitney ranks over snapped integer scores — "
+              "train/serve/evaluate all oracle-checked"),
     Query("quality_stump_train", quality_stump_train, STUMP_ORACLE,
           ("mlops", "pipeline"),
           doc="decision-stump training: exact best-Gini split search via "
