@@ -1406,6 +1406,68 @@ SELECT node, rank FROM {prev} ORDER BY rank DESC, node
 """
 
 
+_BFS_MAX_DEPTH = 4
+
+
+def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop BFS over the near-duplicate graph from its smallest node:
+    (node, depth) for every node within {_BFS_MAX_DEPTH} hops, min-depth
+    semantics.  Each hop is ONE frontier-to-edges equi-join + an anti-join
+    against the visited set (lineage truncated per hop, the CC/PageRank
+    precedent) — the traversal primitive the graph family lacked; the
+    oracle is a depth-capped recursive CTE reduced to MIN(depth)."""
+    from direct_spark_sql_spark.operators import dedup as dd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dd.minhash_near_duplicates(d).select("id_a", "id_b").localCheckpoint()
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    seed = edges.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("depth")
+    )
+    visited = seed.localCheckpoint()
+    frontier = visited
+    for depth in range(1, _BFS_MAX_DEPTH + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(depth).cast("long").alias("depth"))
+            .localCheckpoint()
+        )
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.orderBy("depth", "node")
+
+
+def _bfs_oracle() -> str:
+    from direct_spark_sql_spark.plans.pipeline import _minhash_pairs_ctes
+
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+seed AS (SELECT MIN(src) AS node FROM edges),
+walk(node, depth) AS (
+  SELECT node, 0 FROM seed
+  UNION ALL
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.depth < {_BFS_MAX_DEPTH}
+)
+SELECT node, CAST(MIN(depth) AS BIGINT) AS depth
+FROM walk GROUP BY node ORDER BY depth, node
+"""
+
+
 def _triangle_oracle() -> str:
     from direct_spark_sql_spark.plans.pipeline import _minhash_pairs_ctes
 
@@ -1450,6 +1512,10 @@ QUERIES = [
           ("graph", "pipeline"),
           doc="fixed-point integer PageRank (5 iterations) over the "
               "near-dup graph — bit-exact iterative algorithm"),
+    Query("graph_bfs_khop", graph_bfs_khop, _bfs_oracle(),
+          ("graph", "pipeline"),
+          doc="k-hop BFS traversal (min-depth) from the smallest node of "
+              "the near-dup graph; frontier joins + anti-join visited set"),
     Query("graph_triangle_enum", graph_triangle_enum, _triangle_oracle(),
           ("dedup", "graph", "pipeline"),
           doc="oriented-edge triangle enumeration over the near-dup graph "
