@@ -286,35 +286,43 @@ FROM agg
 # ---------------------------------------------------------------------------
 
 def quality_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train a decision stump (best single threshold on ``n_chars``
-    predicting lang='en') by EXACT split search: per-value label counts
-    (one hash agg), cumulative sums over the sorted value axis (one
-    window pass over |distinct values| rows — bounded, not corpus-sized),
-    weighted Gini impurity per candidate threshold from pure integer
-    counts, argmin with a deterministic tie-break.  The tree-learning
-    primitive (this per-feature scan is what every histogram-based GBDT
-    does per node), expressed as three bounded relational steps."""
+    """Train a decision stump (best (feature, threshold) over n_chars AND
+    token count, predicting lang='en') by EXACT split search: per-
+    (feature, value) label counts in one hash agg over the unioned
+    feature columns, cumulative sums along each feature's sorted value
+    axis (one window pass over |distinct values| rows — bounded, not
+    corpus-sized), weighted Gini per candidate from pure integer counts,
+    argmin with a deterministic (gini, feature, threshold) tie-break.
+    The per-node scan every histogram-based GBDT runs, including the
+    across-features argmin, in three bounded relational steps."""
     d = load_table(spark, sf_dir, "documents")
-    per_v = (
-        d.select(
-            F.col("n_chars").alias("v"),
-            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
-        )
-        .groupBy("v")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("cnt"),
-            F.sum("y").cast("long").alias("pos"),
-        )
+    labeled = d.select(
+        F.col("n_chars").cast("long").alias("f_chars"),
+        tx.token_count("text").alias("f_toks"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    feats = labeled.select(
+        F.lit("n_chars").alias("feature"), F.col("f_chars").alias("v"), "y"
+    ).union(
+        labeled.select(F.lit("n_tokens").alias("feature"), F.col("f_toks").alias("v"), "y")
+    )
+    per_v = feats.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
     )
     from pyspark.sql import Window as W
 
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    w = W.partitionBy("feature").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy("feature").orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
     cum = per_v.select(
+        "feature",
         "v",
         F.sum("cnt").over(w).alias("n_le"),
         F.sum("pos").over(w).alias("pos_le"),
-        F.sum("cnt").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("n_all"),
-        F.sum("pos").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("pos_all"),
+        F.sum("cnt").over(wall).alias("n_all"),
+        F.sum("pos").over(wall).alias("pos_all"),
     ).filter(F.col("n_le") < F.col("n_all"))  # a split must leave both sides non-empty
 
     def gini_side(n: F.Column, p: F.Column) -> F.Column:
@@ -330,31 +338,48 @@ def quality_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ) / F.col("n_all").cast("double")
     scored = cum.select(
+        "feature",
         F.col("v").cast("long").alias("threshold"),
         F.col("n_le").cast("long").alias("n_left"),
         F.col("pos_le").cast("long").alias("pos_left"),
         weighted.alias("gini"),
     )
-    best = scored.orderBy(F.col("gini").asc(), F.col("threshold").asc()).limit(1)
+    best = scored.orderBy(
+        F.col("gini").asc(), F.col("feature").asc(), F.col("threshold").asc()
+    ).limit(1)
     return best
 
 
-STUMP_ORACLE = """
-WITH per_v AS (
-  SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
-         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
-  FROM documents GROUP BY n_chars
+STUMP_ORACLE = f"""
+WITH labeled AS (
+  SELECT CAST(n_chars AS BIGINT) AS f_chars,
+         CAST(len({TOKS_SQL}) AS BIGINT) AS f_toks,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+feats AS (
+  SELECT 'n_chars' AS feature, f_chars AS v, y FROM labeled
+  UNION ALL
+  SELECT 'n_tokens' AS feature, f_toks AS v, y FROM labeled
+),
+per_v AS (
+  SELECT feature, v, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM feats GROUP BY feature, v
 ),
 cum AS (
-  SELECT v,
-         SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_le,
-         SUM(pos) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pos_le,
-         SUM(cnt) OVER () AS n_all,
-         SUM(pos) OVER () AS pos_all
+  SELECT feature, v,
+         SUM(cnt) OVER (PARTITION BY feature ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_le,
+         SUM(pos) OVER (PARTITION BY feature ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pos_le,
+         SUM(cnt) OVER (PARTITION BY feature) AS n_all,
+         SUM(pos) OVER (PARTITION BY feature) AS pos_all
   FROM per_v
 ),
 scored AS (
-  SELECT CAST(v AS BIGINT) AS threshold,
+  SELECT feature,
+         CAST(v AS BIGINT) AS threshold,
          CAST(n_le AS BIGINT) AS n_left,
          CAST(pos_le AS BIGINT) AS pos_left,
          ((CAST(n_le AS DOUBLE)
@@ -369,8 +394,8 @@ scored AS (
          / CAST(n_all AS DOUBLE) AS gini
   FROM cum WHERE n_le < n_all
 )
-SELECT threshold, n_left, pos_left, gini
-FROM scored ORDER BY gini ASC, threshold ASC LIMIT 1
+SELECT feature, threshold, n_left, pos_left, gini
+FROM scored ORDER BY gini ASC, feature ASC, threshold ASC LIMIT 1
 """
 
 
