@@ -142,6 +142,8 @@ def observed(df: DataFrame, name: str, metrics: dict[str, Column]):
     """
     from pyspark.sql import Observation
 
+    if not metrics:
+        raise ValueError("observed() needs at least one metric expression")
     obs = Observation(name)
     first, *rest = [v.alias(k) for k, v in metrics.items()]
     return df.observe(obs, first, *rest), obs

@@ -46,6 +46,8 @@ class SynthCorpusReader(DataSourceReader):
         self.parts = max(1, int(options.get("parts", 8)))
 
     def partitions(self):
+        if self.n <= 0:  # empty source: one no-op split (range step 0 guard)
+            return [InputPartition((0, 0))]
         per = -(-self.n // self.parts)  # ceil: parts of equal index range
         return [
             InputPartition((lo, min(lo + per, self.n)))
