@@ -220,7 +220,10 @@ def quality_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     units = F.floor(p * F.lit(1e8) + F.lit(0.5)).cast("long")
     scored = feats.select(units.alias("score"), F.col("y"))
     # tie-averaged rank = avg of row_number over ties = rank + (cnt-1)/2;
-    # computed as SUM over the per-score group to stay integer for the sums
+    # computed as SUM over the per-score group to stay integer for the sums.
+    # Scale note: the rank pass is a global window over DISTINCT snapped
+    # scores (bounded by the 1e8-unit score range, and in practice by the
+    # model's distinct feature combinations) — not over the corpus rows.
     per_score = scored.groupBy("score").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"),
         F.sum("y").cast("long").alias("pos"),
