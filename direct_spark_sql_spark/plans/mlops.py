@@ -201,6 +201,178 @@ ORDER BY i, j
 
 
 # ---------------------------------------------------------------------------
+# AdaBoost: two boosted stumps, exact weights
+# ---------------------------------------------------------------------------
+
+def quality_adaboost_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two AdaBoost rounds of threshold stumps on ``n_chars`` (h(x)=+1
+    iff v ≤ t, label +1 = lang='en'), everything exact:
+
+    - round 1 error counts are integers; t1 = argmin err (tie → smaller t);
+      α1 = ½·ln((W−e)/e) — one libm call on identical operands;
+    - round-2 weights take only TWO values (e^∓α1 for correct/wrong under
+      h1), so weighted cumulative errors are cumulative INTEGER counts of
+      the four (label × side-of-t1) classes times two scalar doubles —
+      exact window sums, fixed-order arithmetic;
+    - the ensemble sign(α1·h1 + α2·h2) has four possible scores
+      (±α1±α2), so training accuracy is again pure integer counting.
+
+    Each round is one bounded pass (hash agg + value-axis window + argmin)
+    with a coordinator sync of two scalars — the boosting shape at any
+    scale.  Output: one row (t1, err1, alpha1, t2, err2, alpha2,
+    n_correct, n_docs), bit-identical to the unrolled SQL oracle."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    per_v = (
+        d.select(
+            F.col("n_chars").cast("long").alias("v"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+        .withColumn("neg", F.col("cnt") - F.col("pos"))
+        .localCheckpoint()
+    )
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+
+    # round 1: err(t) = neg_le(t) + pos_gt(t), integer
+    r1 = per_v.select(
+        "v",
+        (
+            F.sum("neg").over(wcum)
+            + (F.sum("pos").over(wall) - F.sum("pos").over(wcum))
+        ).alias("err"),
+        F.sum("cnt").over(wall).alias("n_all"),
+    )
+    best1 = r1.orderBy(F.col("err").asc(), F.col("v").asc()).limit(1).collect()[0]
+    t1, e1, n_all = int(best1["v"]), int(best1["err"]), int(best1["n_all"])
+    alpha1 = 0.5 * math.log((float(n_all) - float(e1)) / float(e1))
+    wc, ww = math.exp(-alpha1), math.exp(alpha1)
+
+    # round 2: 4 integer classes per value — (pos|neg) × (≤t1 | >t1)
+    le1 = F.col("v") <= F.lit(t1)
+    cls = per_v.select(
+        "v",
+        F.when(le1, F.col("pos")).otherwise(F.lit(0)).alias("pos_in"),
+        F.when(le1, F.lit(0)).otherwise(F.col("pos")).alias("pos_out"),
+        F.when(le1, F.col("neg")).otherwise(F.lit(0)).alias("neg_in"),
+        F.when(le1, F.lit(0)).otherwise(F.col("neg")).alias("neg_out"),
+    )
+    cum = cls.select(
+        "v",
+        *[F.sum(c).over(wcum).alias(f"{c}_le") for c in
+          ("pos_in", "pos_out", "neg_in", "neg_out")],
+        *[F.sum(c).over(wall).alias(f"{c}_all") for c in
+          ("pos_in", "pos_out", "neg_in", "neg_out")],
+    )
+    # under h1: pos_in & neg_out are CORRECT (weight wc); others wrong (ww).
+    # err2(t) = weight(neg ≤ t) + weight(pos > t)
+    dbl = lambda c: F.col(c).cast("double")
+    err2 = (
+        (dbl("neg_in_le") * F.lit(ww) + dbl("neg_out_le") * F.lit(wc))
+        + ((dbl("pos_in_all") - dbl("pos_in_le")) * F.lit(wc)
+           + (dbl("pos_out_all") - dbl("pos_out_le")) * F.lit(ww))
+    )
+    w_total = (
+        (dbl("pos_in_all") + dbl("neg_out_all")) * F.lit(wc)
+        + (dbl("pos_out_all") + dbl("neg_in_all")) * F.lit(ww)
+    )
+    best2 = (
+        cum.select("v", err2.alias("err2"), w_total.alias("w_tot"))
+        .orderBy(F.col("err2").asc(), F.col("v").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    t2, e2, wt = int(best2["v"]), float(best2["err2"]), float(best2["w_tot"])
+    alpha2 = 0.5 * math.log((wt - e2) / e2)
+
+    # ensemble accuracy from the four (h1, h2) score combos
+    def h(t: int):
+        return F.when(F.col("v") <= F.lit(t), F.lit(1)).otherwise(F.lit(-1))
+
+    s = F.lit(alpha1) * h(t1).cast("double") + F.lit(alpha2) * h(t2).cast("double")
+    pred_pos = s >= F.lit(0.0)
+    correct = per_v.select(
+        F.sum(F.when(pred_pos, F.col("pos")).otherwise(F.col("neg"))).alias("ok")
+    ).collect()[0]["ok"]
+
+    return spark.createDataFrame(
+        [(t1, e1, alpha1, t2, e2, alpha2, int(correct), n_all)],
+        "t1 long, err1 long, alpha1 double, t2 long, err2 double, "
+        "alpha2 double, n_correct long, n_docs long",
+    )
+
+
+def _adaboost_oracle() -> str:
+    return """
+WITH per_v AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+  FROM documents GROUP BY n_chars
+),
+r1 AS (
+  SELECT v,
+         SUM(neg) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         + (SUM(pos) OVER () - SUM(pos) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS err,
+         SUM(cnt) OVER () AS n_all
+  FROM per_v
+),
+b1 AS (SELECT v AS t1, CAST(err AS BIGINT) AS e1, CAST(n_all AS BIGINT) AS n_all
+       FROM r1 ORDER BY err ASC, v ASC LIMIT 1),
+a1 AS (SELECT t1, e1, n_all,
+              0.5 * ln((CAST(n_all AS DOUBLE) - CAST(e1 AS DOUBLE)) / CAST(e1 AS DOUBLE)) AS alpha1
+       FROM b1),
+wts AS (SELECT t1, e1, n_all, alpha1, exp(-alpha1) AS wc, exp(alpha1) AS ww FROM a1),
+cls AS (
+  SELECT p.v,
+         CASE WHEN p.v <= w.t1 THEN p.pos ELSE 0 END AS pos_in,
+         CASE WHEN p.v <= w.t1 THEN 0 ELSE p.pos END AS pos_out,
+         CASE WHEN p.v <= w.t1 THEN p.neg ELSE 0 END AS neg_in,
+         CASE WHEN p.v <= w.t1 THEN 0 ELSE p.neg END AS neg_out
+  FROM per_v p, wts w
+),
+cum AS (
+  SELECT v,
+         SUM(pos_in)  OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pos_in_le,
+         SUM(pos_out) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pos_out_le,
+         SUM(neg_in)  OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS neg_in_le,
+         SUM(neg_out) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS neg_out_le,
+         SUM(pos_in) OVER () AS pos_in_all, SUM(pos_out) OVER () AS pos_out_all,
+         SUM(neg_in) OVER () AS neg_in_all, SUM(neg_out) OVER () AS neg_out_all
+  FROM cls
+),
+r2 AS (
+  SELECT c.v,
+         (CAST(c.neg_in_le AS DOUBLE) * w.ww + CAST(c.neg_out_le AS DOUBLE) * w.wc)
+         + ((CAST(c.pos_in_all AS DOUBLE) - CAST(c.pos_in_le AS DOUBLE)) * w.wc
+            + (CAST(c.pos_out_all AS DOUBLE) - CAST(c.pos_out_le AS DOUBLE)) * w.ww) AS err2,
+         (CAST(c.pos_in_all AS DOUBLE) + CAST(c.neg_out_all AS DOUBLE)) * w.wc
+         + (CAST(c.pos_out_all AS DOUBLE) + CAST(c.neg_in_all AS DOUBLE)) * w.ww AS w_tot
+  FROM cum c, wts w
+),
+b2 AS (SELECT v AS t2, err2, w_tot FROM r2 ORDER BY err2 ASC, v ASC LIMIT 1),
+a2 AS (SELECT t2, err2, 0.5 * ln((w_tot - err2) / err2) AS alpha2 FROM b2),
+acc AS (
+  SELECT CAST(SUM(CASE WHEN (w.alpha1 * (CASE WHEN p.v <= w.t1 THEN 1 ELSE -1 END)
+                             + a2.alpha2 * (CASE WHEN p.v <= a2.t2 THEN 1 ELSE -1 END)) >= 0.0
+                       THEN p.pos ELSE p.neg END) AS BIGINT) AS n_correct
+  FROM per_v p, wts w, a2
+)
+SELECT w.t1, w.e1 AS err1, w.alpha1, a2.t2, a2.err2, a2.alpha2,
+       acc.n_correct, w.n_all AS n_docs
+FROM wts w, a2, acc
+"""
+
+
+# ---------------------------------------------------------------------------
 # Model evaluation: exact AUC from rank statistics
 # ---------------------------------------------------------------------------
 
@@ -747,6 +919,12 @@ QUERIES: list[Query] = [
           doc="distributed PCA stage 1: exact-decimal upper-triangle "
               "covariance via per-row JVM outer-product expansion + one "
               "d2-bounded agg (no joins on the data path)"),
+    Query("quality_adaboost_train", quality_adaboost_train, _adaboost_oracle(),
+          ("mlops", "pipeline"),
+          doc="two exact AdaBoost rounds of threshold stumps: integer "
+              "round-1 errors, two-valued round-2 weights over cumulative "
+              "integer class counts, four-score ensemble accuracy — all "
+              "bit-exact vs the unrolled oracle"),
     Query("quality_lr_auc", quality_lr_auc, _lr_auc_oracle(),
           ("mlops", "pipeline"),
           doc="exact ROC-AUC of the trained LR classifier via tie-averaged "
