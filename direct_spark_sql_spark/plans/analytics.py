@@ -411,6 +411,100 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 ANOMALY_Z = 1.5
 
 
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (day-of-week) decomposition of daily event volume:
+    dow-mean seasonal component, per-day residual, and the residual
+    z-score — the seasonally-adjusted complement to events_anomaly_days
+    (a weekly rhythm would otherwise masquerade as anomalies).  Exact:
+    daily counts and moment sums are BIGINT; seasonal means, residuals
+    and z are single IEEE expressions over identical integers.  Plan:
+    one daily hash agg, a broadcast 7-row seasonal dim, a broadcast
+    1-row residual-stats agg."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}")
+    daily = e.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    dow = F.pmod(F.col("day") + F.lit(4), F.lit(7))  # epoch day 0 = Thursday
+    with_dow = daily.select("day", "n_events", dow.cast("long").alias("dow"))
+    seasonal = with_dow.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_dow"),
+        F.sum("n_events").cast("long").alias("s_dow"),
+    )
+    j = with_dow.join(F.broadcast(seasonal), "dow")
+    resid = (
+        F.col("n_events").cast("double")
+        - F.col("s_dow").cast("double") / F.col("n_days_dow").cast("double")
+    )
+    r = j.select("day", "dow", "n_events", resid.alias("residual"))
+    # residual moments snapped to 1e-6 units so the variance sums are
+    # exact BIGINT (residuals are rationals with small denominators)
+    units = F.floor(F.col("residual") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    stats = r.select(units.alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("u").cast("long").alias("su"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("suu"),
+    )
+    mean_u = F.col("su").cast("double") / F.col("n").cast("double")
+    std_u = F.sqrt(
+        F.col("suu").cast("double") / F.col("n").cast("double") - mean_u * mean_u
+    )
+    z = F.when(
+        std_u > 0,
+        (F.floor(F.col("residual") * F.lit(1e6) + F.lit(0.5)).cast("long").cast("double") - mean_u) / std_u,
+    )
+    return (
+        r.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("day").cast("long").alias("day"),
+            F.col("dow").cast("long").alias("dow"),
+            "n_events",
+            "residual",
+            z.alias("resid_z"),
+        )
+        .orderBy("day")
+    )
+
+
+SEASONAL_DECOMPOSE_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {_US_PER_DAY} AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY epoch_us(ts) // {_US_PER_DAY}
+),
+wd AS (SELECT day, n_events, CAST((day + 4) % 7 AS BIGINT) AS dow FROM daily),
+seasonal AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days_dow,
+         CAST(SUM(n_events) AS BIGINT) AS s_dow
+  FROM wd GROUP BY dow
+),
+r AS (
+  SELECT w.day, w.dow, w.n_events,
+         CAST(w.n_events AS DOUBLE)
+           - CAST(s.s_dow AS DOUBLE) / CAST(s.n_days_dow AS DOUBLE) AS residual
+  FROM wd w JOIN seasonal s ON s.dow = w.dow
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(residual * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS su,
+         CAST(SUM(CAST(FLOOR(residual * 1000000.0 + 0.5) AS BIGINT)
+                  * CAST(FLOOR(residual * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS suu
+  FROM r
+)
+SELECT r.day, r.dow, r.n_events, r.residual,
+       CASE WHEN SQRT(CAST(suu AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(su AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(su AS DOUBLE) / CAST(n AS DOUBLE))) > 0
+            THEN (CAST(CAST(FLOOR(r.residual * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+                  - CAST(su AS DOUBLE) / CAST(n AS DOUBLE))
+                 / SQRT(CAST(suu AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(su AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(su AS DOUBLE) / CAST(n AS DOUBLE)))
+       END AS resid_z
+FROM r, stats ORDER BY day
+"""
+
+
 def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Days whose event volume deviates ≥ {z}σ from the corpus mean — the
     monitoring query over ingestion volume.  Exact by construction: daily
@@ -1377,6 +1471,15 @@ QUERIES: list[Query] = [
         oracle=RESAMPLE_FFILL_ORACLE,
         tags=("analytics", "events"),
         doc="daily gap-filled resample with deterministic forward fill",
+    ),
+    Query(
+        name="events_seasonal_decompose",
+        spark_fn=events_seasonal_decompose,
+        oracle=SEASONAL_DECOMPOSE_ORACLE,
+        tags=("analytics", "events"),
+        doc="day-of-week seasonal decomposition: dow-mean component, "
+            "residual, snapped-moment residual z — seasonally-adjusted "
+            "anomaly signal",
     ),
     Query(
         name="events_resample_interp",

@@ -157,6 +157,7 @@ _NLJ_ALLOWED = {
     "text_bigram_logprob",         # broadcast 1-row vocabulary size (V)
     "text_pmi_collocations",       # broadcast 1-row total bigram count (N)
     "events_anomaly_days",         # broadcast 1-row corpus day stats
+    "events_seasonal_decompose",   # broadcast 1-row residual stats
     "hybrid_search_rrf",           # composes bm25 (1-row stats broadcast) +
                                    # cosine_topk (single query vector)
     "sketch_kmv_set_ops",          # 1-row stats × 1-row overlap count cross
