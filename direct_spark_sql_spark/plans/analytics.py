@@ -505,6 +505,87 @@ FROM r, stats ORDER BY day
 """
 
 
+_XCORR_LAGS = 3
+
+
+def events_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag cross-correlation between the daily click and purchase
+    series at lags -{k}..+{k} (does click volume LEAD purchase volume?).
+    For each lag the Pearson correlation comes from five integer sums
+    over the aligned day pairs — count, Σx, Σy, Σxy, Σx², Σy² — so both
+    engines evaluate one identical IEEE expression per lag.  Plan: one
+    daily hash agg, a 7-row lag dim exploded against it, a self-join on
+    the shifted day key, one group-by-lag aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}")
+    daily = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(day.alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    clicks = daily.filter(F.col("event_type") == "click").select(
+        F.col("day"), F.col("n").alias("x")
+    )
+    purch = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("pday"), F.col("n").alias("y")
+    )
+    lags = spark.range(-_XCORR_LAGS, _XCORR_LAGS + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    paired = (
+        clicks.crossJoin(F.broadcast(lags))
+        .join(purch, F.col("day") + F.col("lag") == F.col("pday"))
+    )
+    agg = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    n = d("n_days")
+    cov = d("sxy") - d("sx") * d("sy") / n
+    vx = d("sxx") - d("sx") * d("sx") / n
+    vy = d("syy") - d("sy") * d("sy") / n
+    corr = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return agg.select("lag", "n_days", corr.alias("corr")).orderBy("lag")
+
+
+XCORR_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {_US_PER_DAY} AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY epoch_us(ts) // {_US_PER_DAY}, event_type
+),
+c AS (SELECT day, n AS x FROM daily WHERE event_type = 'click'),
+p AS (SELECT day AS pday, n AS y FROM daily WHERE event_type = 'purchase'),
+lags AS (SELECT CAST(UNNEST(generate_series(-{_XCORR_LAGS}, {_XCORR_LAGS})) AS BIGINT) AS lag),
+paired AS (
+  SELECT l.lag, c.x, p.y
+  FROM c CROSS JOIN lags l JOIN p ON c.day + l.lag = p.pday
+),
+agg AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM paired GROUP BY lag
+)
+SELECT lag, n_days,
+       CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) > 0
+             AND (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)) > 0
+            THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
+                 / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
+                        * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)))
+       END AS corr
+FROM agg ORDER BY lag
+"""
+
+
 def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Days whose event volume deviates ≥ {z}σ from the corpus mean — the
     monitoring query over ingestion volume.  Exact by construction: daily
@@ -1471,6 +1552,14 @@ QUERIES: list[Query] = [
         oracle=RESAMPLE_FFILL_ORACLE,
         tags=("analytics", "events"),
         doc="daily gap-filled resample with deterministic forward fill",
+    ),
+    Query(
+        name="events_crosscorr_lags",
+        spark_fn=events_crosscorr_lags,
+        oracle=XCORR_ORACLE,
+        tags=("analytics", "events"),
+        doc="lead/lag Pearson cross-correlation between click and "
+            "purchase daily series from five integer sums per lag",
     ),
     Query(
         name="events_seasonal_decompose",

@@ -158,6 +158,7 @@ _NLJ_ALLOWED = {
     "text_pmi_collocations",       # broadcast 1-row total bigram count (N)
     "events_anomaly_days",         # broadcast 1-row corpus day stats
     "events_seasonal_decompose",   # broadcast 1-row residual stats
+    "events_crosscorr_lags",       # broadcast 7-row lag dimension
     "hybrid_search_rrf",           # composes bm25 (1-row stats broadcast) +
                                    # cosine_topk (single query vector)
     "sketch_kmv_set_ops",          # 1-row stats × 1-row overlap count cross
