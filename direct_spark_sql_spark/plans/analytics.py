@@ -505,6 +505,126 @@ FROM r, stats ORDER BY day
 """
 
 
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily event volume, PURE-INTEGER
+    form: CUSUM_k = Σ_{i≤k}(n_i − mean) would be order-sensitive doubles,
+    but scaled by n_days it is ``n·S_le(k) − k·S`` — exact BIGINT
+    arithmetic, so the argmax |CUSUM| split day is bit-deterministic.
+    Output: the detected changepoint day, its scaled CUSUM, and the
+    before/after mean rates (single IEEE divisions).  One daily hash agg
+    + one bounded value-axis window + argmax."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(cast(ts as timestamp)) div {_US_PER_DAY}")
+    daily = e.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = daily.select(
+        "day",
+        F.sum("n").over(wcum).alias("s_le"),
+        F.count(F.lit(1)).over(wcum).alias("k"),
+        F.sum("n").over(wall).alias("s_all"),
+        F.count(F.lit(1)).over(wall).alias("n_days"),
+    ).filter(F.col("k") < F.col("n_days"))
+    scaled = (
+        F.col("n_days") * F.col("s_le") - F.col("k") * F.col("s_all")
+    ).alias("cusum_scaled")
+    scored = cum.select("day", "k", "s_le", "s_all", "n_days", scaled)
+    best = scored.orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("day").asc()
+    ).limit(1)
+    mean_before = F.col("s_le").cast("double") / F.col("k").cast("double")
+    mean_after = (F.col("s_all") - F.col("s_le")).cast("double") / (
+        F.col("n_days") - F.col("k")
+    ).cast("double")
+    return best.select(
+        F.col("day").cast("long").alias("change_day"),
+        F.col("cusum_scaled").cast("long").alias("cusum_scaled"),
+        mean_before.alias("mean_before"),
+        mean_after.alias("mean_after"),
+    )
+
+
+CHANGEPOINT_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {_US_PER_DAY} AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY epoch_us(ts) // {_US_PER_DAY}
+),
+cum AS (
+  SELECT day,
+         SUM(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_le,
+         COUNT(*) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
+         SUM(n) OVER () AS s_all,
+         COUNT(*) OVER () AS n_days
+  FROM daily
+),
+scored AS (
+  SELECT day, k, s_le, s_all, n_days,
+         n_days * s_le - k * s_all AS cusum_scaled
+  FROM cum WHERE k < n_days
+)
+SELECT CAST(day AS BIGINT) AS change_day,
+       CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+       CAST(s_le AS DOUBLE) / CAST(k AS DOUBLE) AS mean_before,
+       CAST(s_all - s_le AS DOUBLE) / CAST(n_days - k AS DOUBLE) AS mean_after
+FROM scored ORDER BY ABS(cusum_scaled) DESC, day ASC LIMIT 1
+"""
+
+
+def corpus_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration of event volume across users as a Gini coefficient —
+    the curation diagnostic for "is the corpus dominated by a few heavy
+    sources?".  With per-user counts x_(i) rank-sorted (ties broken by
+    user id), Gini = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx): every sum is
+    BIGINT-exact, leaving one IEEE division.  One hash agg + a bounded
+    per-user rank window."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    from pyspark.sql import Window as W
+
+    ranked = per_user.select(
+        "x",
+        F.row_number().over(W.orderBy(F.col("x").asc(), F.col("user_id").asc()))
+        .cast("long").alias("i"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+        F.sum("x").cast("long").alias("sx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    gini = (
+        (F.lit(2).cast("long") * F.col("six")
+         - (F.col("n") + F.lit(1)) * F.col("sx")).cast("double")
+        / (F.col("n") * F.col("sx")).cast("double")
+    )
+    return agg.select("n", "sx", gini.alias("gini"))
+
+
+USER_GINI_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x ASC, user_id ASC) AS BIGINT) AS i
+  FROM per_user
+),
+agg AS (
+  SELECT CAST(SUM(i * x) AS BIGINT) AS six,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ranked
+)
+SELECT n, sx,
+       CAST(2 * six - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE) AS gini
+FROM agg
+"""
+
+
 _XCORR_LAGS = 3
 
 
@@ -1552,6 +1672,22 @@ QUERIES: list[Query] = [
         oracle=RESAMPLE_FFILL_ORACLE,
         tags=("analytics", "events"),
         doc="daily gap-filled resample with deterministic forward fill",
+    ),
+    Query(
+        name="events_changepoint_cusum",
+        spark_fn=events_changepoint_cusum,
+        oracle=CHANGEPOINT_ORACLE,
+        tags=("analytics", "events"),
+        doc="CUSUM changepoint on daily volume in pure-integer scaled "
+            "form (n*S_le - k*S), argmax split day bit-deterministic",
+    ),
+    Query(
+        name="corpus_user_gini",
+        spark_fn=corpus_user_gini,
+        oracle=USER_GINI_ORACLE,
+        tags=("analytics", "quality"),
+        doc="Gini concentration of event volume across users from exact "
+            "rank sums — the few-heavy-sources curation diagnostic",
     ),
     Query(
         name="events_crosscorr_lags",
