@@ -55,6 +55,16 @@ class DataTable:
         """Reference: DirectDataTable.toJavaMapList (DirectDataTable.scala:27-38)."""
         return [row.asDict(recursive=True) for row in self.data]
 
+    def to_local_iterator(self):
+        """Pull-based row egress (reference result contract:
+        ``Iterator[InternalRow]``, DirectPlan.scala:81-83) — yields one
+        dict per row with the same coercion as :meth:`to_list_of_dicts`.
+        This table is already materialized; for larger-than-driver
+        results use ``Engine.sql_iterator``, which streams batches from
+        the executors without ever holding the full result."""
+        for row in self.data:
+            yield row.asDict(recursive=True)
+
     def to_dataframe(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(self.data, self.schema)
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import re
 import threading
+import time
 from collections import OrderedDict
 from typing import Any, Iterable
 
@@ -50,16 +51,36 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.codegen.wholeStage": "true",
 }
 
-#: Time-dependent function detection (plan-cache bypass).  Word-boundary
-#: anchored so substrings inside identifiers (``known``, ``nowhere``,
-#: ``renowned``) don't spuriously bypass the cache; ``now``/``unix_timestamp``
-#: only count when called with zero args (with args unix_timestamp parses a
-#: column and is cache-safe).
-_TIME_FUNCS_RE = re.compile(
+#: Nondeterministic-expression detection (plan-cache bypass).  Two classes
+#: of expression get their value fixed during the FIRST analysis and would
+#: be frozen by a cached analyzed plan:
+#:
+#: - time functions — Spark folds ``current_timestamp``/``current_date``
+#:   to a literal at analysis (the bug the reference built
+#:   DirectCurrentDate/Timestamp to fix, DirectSessionStateBuilder.scala:
+#:   134-155);
+#: - seeded-random expressions — ``rand()``/``randn()``/``shuffle()``/
+#:   ``uuid()`` pick their seed during analysis
+#:   (``ResolveRandomSeed``), and ``monotonically_increasing_id`` depends
+#:   on runtime partition layout, so a cached plan replays identical
+#:   "random" values on every execution.
+#:
+#: Word-boundary anchored so substrings inside identifiers (``known``,
+#: ``nowhere``, ``renowned``, ``operand``) don't spuriously bypass the
+#: cache; ``now``/``unix_timestamp`` only count when called with zero args
+#: (with args unix_timestamp parses a column and is cache-safe); the
+#: random family must look like a call (``rand(``) so a column named
+#: ``rand`` stays cacheable — except ``monotonically_increasing_id``,
+#: callable without parens in SQL.
+_NONDETERMINISTIC_RE = re.compile(
     r"\bcurrent_date\b|\bcurrent_timestamp\b|\blocaltimestamp\b"
-    r"|\bnow\s*\(\s*\)|\bunix_timestamp\s*\(\s*\)",
+    r"|\bnow\s*\(\s*\)|\bunix_timestamp\s*\(\s*\)"
+    r"|\brandn?\s*\(|\buuid\s*\(|\bshuffle\s*\(|\brandom\s*\("
+    r"|\bmonotonically_increasing_id\b",
     re.IGNORECASE,
 )
+#: Backwards-compat alias (pre-round-4 name, time functions only then).
+_TIME_FUNCS_RE = _NONDETERMINISTIC_RE
 
 #: Quoted spans a qualified-name rewrite must not touch: single-quoted SQL
 #: string literals (with '' escapes) and backtick-quoted identifiers.
@@ -91,6 +112,31 @@ _FUNCTION_DDL_RE = re.compile(
     r"(?:\s+USING\s+JAR\s+'(?P<jar>[^']+)')?\s*;?\s*$",
     re.IGNORECASE,
 )
+
+
+def _walk_plan_metrics(jnode, out: list[dict[str, Any]]) -> None:
+    """Depth-first walk of a java SparkPlan collecting each node's raw
+    SQLMetric values — descends through AQE roots and query stages so the
+    FINAL physical operators (post-reoptimization) are what's reported."""
+    try:
+        metrics: dict[str, int] = {}
+        it = jnode.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            metrics[str(kv._1())] = kv._2().value()
+        out.append({"operator": str(jnode.nodeName()), "metrics": metrics})
+        cls = jnode.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            _walk_plan_metrics(jnode.executedPlan(), out)
+        elif "QueryStageExec" in cls:
+            _walk_plan_metrics(jnode.plan(), out)
+        ch = jnode.children().iterator()
+        while ch.hasNext():
+            _walk_plan_metrics(ch.next(), out)
+    except Exception:
+        # a node without the metrics surface (or a py4j hiccup) degrades
+        # to partial output rather than failing the readout
+        pass
 
 
 class EngineBuilder:
@@ -189,6 +235,15 @@ class Engine:
         #: db-qualified temp views, reference: DirectSessionCatalog.directTempViews
         #: (DirectSessionCatalog.scala:55).
         self._qualified_views: dict[str, DataFrame] = {}
+        #: name -> the .cache()d DataFrame backing an
+        #: execute_and_register_temp_view result, so replacing it can
+        #: unpersist the old storage (reference re-registers freely,
+        #: DirectSparkSession.scala:181-219).
+        self._materialized_views: dict[str, DataFrame] = {}
+        #: (DataFrame, wall_sec) of the most recent sql_directly — backs
+        #: last_metrics() (reference: per-plan SQLMetric map,
+        #: DirectSQLMetrics.scala:21-72, DirectPlan.scala:63-77).
+        self._last_execution: tuple[DataFrame, float] | None = None
         self._lock = threading.Lock()
         #: UDF surface (reference: DirectSessionCatalog.scala:62-112 Hive
         #: UDF registration): engine functions callable from SQL text.
@@ -348,7 +403,7 @@ class Engine:
             return df
         if not _QUERY_START_RE.match(sql):
             return self.spark.sql(self._rewrite_qualified(sql))
-        if self._uses_time(sql):
+        if self._is_nondeterministic(sql):
             return self.spark.sql(self._rewrite_qualified(sql))
         key = self._cache_key(sql)
         df = self._plan_cache.get(key)
@@ -360,24 +415,53 @@ class Engine:
     def sql_directly(self, sql: str) -> DataTable:
         """Execute SQL and materialize the result (reference:
         sqlDirectly, DirectSparkSession.scala:88-127)."""
-        return DataTable.from_dataframe(self.dataframe(sql))
+        df = self.dataframe(sql)
+        t0 = time.perf_counter()
+        table = DataTable.from_dataframe(df)
+        self._last_execution = (df, time.perf_counter() - t0)
+        return table
 
     def sql(self, sql: str) -> DataFrame:
         """Escape hatch: plain lazy Spark SQL, uncached."""
         return self.spark.sql(sql)
 
+    def sql_iterator(self, sql: str):
+        """Execute SQL and stream the result rows as dicts WITHOUT
+        materializing the full result on the driver — the pull-based
+        result contract the reference exposes as ``Iterator[InternalRow]``
+        (DirectPlan.scala:81-83).  Backed by ``toLocalIterator`` with
+        partition prefetch: one partition is in driver memory at a time
+        (plus one being fetched), so a larger-than-driver result can be
+        consumed incrementally."""
+        df = self.dataframe(sql)
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            yield row.asDict(recursive=True)
+
     def execute_and_register_temp_view(self, sql: str, name: str) -> int:
         """Materialize a query into a new temp view; returns the row count
         (reference: DirectSparkSession.scala:181-219).  Spark-first: the
         result is cached (memory-and-disk) rather than collected to the
-        driver, so multi-step pipelines stay distributed."""
+        driver, so multi-step pipelines stay distributed.
+
+        Re-registering a name unpersists the DataFrame it replaces —
+        without that, a long-lived service loop re-materializing the same
+        view leaks one cached RDD per call until the executor store fills.
+        """
         df = self.spark.sql(self._rewrite_qualified(sql)).cache()
         count = df.count()
+        old = self._materialized_views.get(name)
         df.createOrReplaceTempView(name)
+        self._materialized_views[name] = df
+        if old is not None:
+            old.unpersist()
+        self._drop_cached_plans_referencing(name)
         return count
 
-    def _uses_time(self, sql: str) -> bool:
-        return _TIME_FUNCS_RE.search(sql) is not None
+    def _is_nondeterministic(self, sql: str) -> bool:
+        return _NONDETERMINISTIC_RE.search(sql) is not None
+
+    # pre-round-4 name, kept for callers/tests written against it
+    _uses_time = _is_nondeterministic
 
     def _register_function_ddl(
         self, sql: str, name: str, cls: str, jar: str | None
@@ -427,6 +511,58 @@ class Engine:
                 "entries": len(c._data),
                 "capacity": c.capacity,
             }
+
+    def last_metrics(self) -> dict[str, Any] | None:
+        """Executed-plan metrics of the most recent ``sql_directly``.
+
+        The reference exposes a per-plan-node SQLMetric map
+        (DirectSQLMetrics.scala:21-72, wired through DirectPlan.scala:
+        63-77); this is the same readout off Spark's own executed plan:
+        every physical node's metrics (raw numeric accumulator values),
+        plus rolled-up totals an operator would alert on — output rows,
+        shuffle bytes, spill bytes, peak memory — and the driver-side
+        wall time of the materialization.
+
+        Returns ``None`` before any ``sql_directly`` call.  Values
+        reflect the accumulated state of that statement's plan (for a
+        cache-hit statement re-executed from the plan cache, accumulators
+        continue counting across executions — same contract as the Spark
+        UI's SQL tab for a reused plan object)."""
+        if self._last_execution is None:
+            return None
+        df, wall = self._last_execution
+        nodes: list[dict[str, Any]] = []
+        _walk_plan_metrics(df._jdf.queryExecution().executedPlan(), nodes)
+
+        def _total(metric: str) -> int:
+            return sum(
+                n["metrics"][metric] for n in nodes if metric in n["metrics"]
+            )
+
+        root_rows = next(
+            (
+                n["metrics"]["numOutputRows"]
+                for n in nodes
+                if "numOutputRows" in n["metrics"]
+            ),
+            0,
+        )
+        return {
+            "wall_sec": wall,
+            "output_rows": root_rows,
+            "shuffle_bytes_written": _total("shuffleBytesWritten"),
+            "shuffle_records_written": _total("shuffleRecordsWritten"),
+            "spill_bytes": _total("spillSize"),
+            "peak_memory_bytes": max(
+                (
+                    n["metrics"]["peakMemory"]
+                    for n in nodes
+                    if "peakMemory" in n["metrics"]
+                ),
+                default=0,
+            ),
+            "operators": nodes,
+        }
 
     def explain(self, sql: str, mode: str = "formatted") -> str:
         """Formatted plan text for a SQL statement (debugging surface; goes

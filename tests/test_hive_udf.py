@@ -69,6 +69,33 @@ e.sql_directly(
 )
 out["generic"] = e.sql_directly("SELECT hive_shout('abc') AS s").to_list_of_dicts()
 
+# Old-style UDAF (reflective iterate/merge/terminate dispatch,
+# DirectSessionCatalog.scala:78-91).
+e.sql_directly(
+    f"CREATE TEMPORARY FUNCTION hive_maxlen AS 'org.dss.hive.MaxLenUdaf' USING JAR '{jar}'"
+)
+out["udaf"] = e.sql_directly(
+    "SELECT age, hive_maxlen(name) AS maxlen FROM people GROUP BY age ORDER BY age"
+).to_list_of_dicts()
+
+# AbstractGenericUDAFResolver (full GenericUDAFEvaluator mode protocol;
+# partial aggregation + merge across 2 shuffle partitions).
+e.sql_directly(
+    f"CREATE TEMPORARY FUNCTION hive_maxlen_g AS 'org.dss.hive.MaxLenResolver' USING JAR '{jar}'"
+)
+out["udaf_generic"] = e.sql_directly(
+    "SELECT hive_maxlen_g(name) AS maxlen FROM people"
+).to_list_of_dicts()
+
+# GenericUDTF via LATERAL VIEW (initialize/process/forward protocol).
+e.sql_directly(
+    f"CREATE TEMPORARY FUNCTION hive_explode_csv AS 'org.dss.hive.ExplodeCsv' USING JAR '{jar}'"
+)
+out["udtf"] = e.sql_directly(
+    "SELECT t.pos, t.token FROM (SELECT 'x,yy,zzz' AS csv) s "
+    "LATERAL VIEW hive_explode_csv(csv) t AS pos, token ORDER BY t.pos"
+).to_list_of_dicts()
+
 print("RESULT:" + json.dumps(out))
 e.stop()
 """
@@ -90,3 +117,14 @@ def test_hive_udf_temp_permanent_and_generic(tmp_path):
     assert out["temp"] == [{"a": 2, "b": 101}, {"a": 8, "b": 200}]
     assert out["perm"] == [{"a": 8, "b": 200}]
     assert out["generic"] == [{"s": "ABC!"}]
+    # people: age 1 -> 'ab' (len 2), age 100 -> 'hyf_test' (len 8)
+    assert out["udaf"] == [
+        {"age": 1, "maxlen": 2},
+        {"age": 100, "maxlen": 8},
+    ]
+    assert out["udaf_generic"] == [{"maxlen": 8}]
+    assert out["udtf"] == [
+        {"pos": 0, "token": "x"},
+        {"pos": 1, "token": "yy"},
+        {"pos": 2, "token": "zzz"},
+    ]

@@ -539,3 +539,113 @@ def test_concurrent_view_ddl_and_queries(engine):
     for t in range(n_threads):
         got = engine.sql_directly(f"SELECT a FROM soak_v{t}").to_list_of_dicts()
         assert got == [{"a": n_iters - 1}], f"thread {t} view stale: {got}"
+
+
+# -- round-4 surfaces ---------------------------------------------------------
+
+def test_nondeterministic_statements_bypass_plan_cache(engine):
+    """Seeded-random expressions must re-analyze per call — a cached
+    analyzed plan fixes the seed at first analysis, so repeated calls
+    would return identical "random" values (the randomness analogue of
+    the DirectCurrentDate time bug, DirectSessionStateBuilder.scala:
+    134-155)."""
+    # unit level: the detector
+    assert engine._is_nondeterministic("SELECT uuid() AS u")
+    assert engine._is_nondeterministic("SELECT rand() AS r")
+    assert engine._is_nondeterministic("SELECT randn(), x FROM t")
+    assert engine._is_nondeterministic("SELECT shuffle(arr) FROM t")
+    assert engine._is_nondeterministic("SELECT monotonically_increasing_id()")
+    # identifiers that merely contain the substrings stay cacheable
+    assert not engine._is_nondeterministic("SELECT operand, brand FROM t")
+    assert not engine._is_nondeterministic("SELECT rand FROM strands")
+    # end-to-end: two executions differ
+    u1 = engine.sql_directly("SELECT uuid() AS u").to_list_of_dicts()[0]["u"]
+    u2 = engine.sql_directly("SELECT uuid() AS u").to_list_of_dicts()[0]["u"]
+    assert u1 != u2
+    r1 = [
+        r["r"]
+        for r in engine.sql_directly(
+            "SELECT rand() AS r FROM range(5)"
+        ).to_list_of_dicts()
+    ]
+    r2 = [
+        r["r"]
+        for r in engine.sql_directly(
+            "SELECT rand() AS r FROM range(5)"
+        ).to_list_of_dicts()
+    ]
+    assert r1 != r2
+
+
+def test_execute_and_register_unpersists_replaced_view(engine, spark):
+    """Re-registering a materialized view name must not leak one cached
+    RDD per call (service-loop pathology)."""
+    jsc = spark.sparkContext._jsc.sc()
+    for i in range(5):
+        n = engine.execute_and_register_temp_view(
+            f"SELECT {i} AS gen, id FROM range(10)", "mat_view_leak_t"
+        )
+        assert n == 10
+    # exactly one persisted RDD may remain for this view (the live one);
+    # the four replaced ones must be gone
+    live = jsc.getPersistentRDDs().size()
+    assert live <= 2, f"{live} persistent RDDs after 5 re-registrations"
+    got = engine.sql_directly(
+        "SELECT DISTINCT gen FROM mat_view_leak_t"
+    ).to_list_of_dicts()
+    assert got == [{"gen": 4}]
+
+
+def test_execute_and_register_invalidates_cached_plans(engine):
+    """A cached statement referencing the materialized view must see the
+    new data after re-registration."""
+    engine.execute_and_register_temp_view("SELECT 1 AS v", "mat_inval_t")
+    sql = "SELECT SUM(v) AS s FROM mat_inval_t"
+    assert engine.sql_directly(sql).to_list_of_dicts() == [{"s": 1}]
+    engine.execute_and_register_temp_view("SELECT 7 AS v", "mat_inval_t")
+    assert engine.sql_directly(sql).to_list_of_dicts() == [{"s": 7}]
+
+
+def test_last_metrics_readout(engine):
+    """last_metrics() exposes the executed plan's SQLMetric map plus
+    rollups (reference: DirectSQLMetrics.scala:21-72)."""
+    engine.register_table(
+        "metrics_t", [{"k": i % 3, "v": i} for i in range(100)], "k int, v int"
+    )
+    t = engine.sql_directly(
+        "SELECT k, SUM(v) AS s FROM metrics_t GROUP BY k ORDER BY k"
+    )
+    assert len(t) == 3
+    m = engine.last_metrics()
+    assert m is not None
+    assert m["wall_sec"] > 0
+    assert m["output_rows"] >= 3
+    ops = [n["operator"] for n in m["operators"]]
+    assert any("HashAggregate" in o for o in ops), ops
+    # every node entry carries a raw numeric metric dict
+    assert all(isinstance(n["metrics"], dict) for n in m["operators"])
+    agg_rows = [
+        n["metrics"]["numOutputRows"]
+        for n in m["operators"]
+        if "HashAggregate" in n["operator"] and "numOutputRows" in n["metrics"]
+    ]
+    assert agg_rows and agg_rows[0] >= 3
+
+
+def test_sql_iterator_streams_without_materializing(engine):
+    """Pull-based egress (reference contract Iterator[InternalRow],
+    DirectPlan.scala:81-83): 100k rows consumed incrementally."""
+    import types
+
+    it = engine.sql_iterator("SELECT id, id * 2 AS dbl FROM range(100000)")
+    assert isinstance(it, types.GeneratorType)
+    first = next(it)
+    assert first == {"id": 0, "dbl": 0}
+    count = 1 + sum(1 for _ in it)
+    assert count == 100000
+
+
+def test_datatable_to_local_iterator(engine):
+    t = engine.sql_directly("SELECT id FROM range(5)")
+    rows = list(t.to_local_iterator())
+    assert rows == [{"id": i} for i in range(5)]
