@@ -2,10 +2,23 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
 JSON line with per-query wall seconds.
 
-Each query is executed twice: a warmup to amortize JVM/codegen/scan-cache
-effects, then the measured run (the reference's latency story is exactly
-plan-cache-warm repeated queries — DirectSparkSession.scala:411-415 — so a
-warm measurement is the comparable number)."""
+Measurement policy is UNIFORM for every query (no per-query conditional
+warmups or re-measures, so the regression gate compares identically
+collected numbers): one warmup run to amortize JVM/scan-cache effects,
+then best-of-3 measured runs — four executions total, which carries
+interpreted-expression queries through the C1→C2 JIT ramp.  The min is
+the recorded number (robust to transient host contention; the reference's
+latency story is exactly plan-cache-warm repeated queries,
+DirectSparkSession.scala:411-415).
+
+Tiers beyond the base set, each disable-able by env var:
+- scale probe (10× key-shifted rows): per-query wall ratio vs base —
+  super-linear scaling flags a plan that wouldn't survive a scale-up;
+- deep scale probe (30× by default): only the queries whose 10× ratios
+  were worst last round — pins their sub-linearity at a harder factor;
+- skew probe (zipf-hot variant, one key = 10% of rows): the
+  skew-sensitive queries on engineered hot keys — wall ratio vs the
+  unskewed base tier."""
 
 from __future__ import annotations
 
@@ -69,26 +82,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for q in bench_queries:
-        # warmup (plans JIT, files get OS-cached), then best-of-2 measured
-        # runs — the min is robust against transient host contention.
-        # Queries without a pinned baseline are being measured for the
-        # first time: give them the full JIT ramp (3 warmups) so the
-        # recorded number is steady state, comparable to how pinned
-        # queries converge via the regression-guard re-measures below.
-        for _ in range(1 if q.name in base_q else 3):
-            materialize(q.spark_fn(spark, sf_dir))
-        best = measure(q, 2)
-        # Queries dominated by interpreted-expression codegen (decimal HOFs)
-        # reach JIT steady state only after ~4 executions; if the first
-        # measurement trips the regression guard, take up to 3 more REAL
-        # measured runs so the recorded number is steady-state, not the
-        # C1→C2 compilation ramp.  Still a genuine min-of-measured-runs.
-        # trigger at 90% of the gate too: a query hovering near the
-        # threshold on a noisy/slower host deserves the extra samples
-        # BEFORE it false-trips, not after.
-        if q.name in base_q and best > 1.8 * base_q[q.name]:
-            best = min(best, measure(q, 3))
-        timings[q.name] = round(best, 4)
+        # uniform policy: 1 warmup + best-of-3 measured, for every query
+        materialize(q.spark_fn(spark, sf_dir))
+        timings[q.name] = round(measure(q, 3), 4)
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -113,11 +109,23 @@ def main() -> None:
             if name in base_q and t > 2.0 * base_q[name]
         }
         out["baseline_total_sec"] = baseline.get("total_sec")
-        # apples-to-apples subtotal: only queries the pinned baseline also
-        # timed, so the headline set can grow without skewing the ratio
-        out["baseline_comparable_total_sec"] = round(
-            sum(t for name, t in timings.items() if name in base_q), 4
+        # apples-to-apples: BOTH totals over the same intersection of
+        # timed ∩ pinned queries, so the comparison stays honest as the
+        # headline set and the pin file grow independently.
+        comparable = sorted(n for n in timings if n in base_q)
+        out["comparable_query_count"] = len(comparable)
+        out["comparable_current_total_sec"] = round(
+            sum(timings[n] for n in comparable), 4
         )
+        out["comparable_baseline_total_sec"] = round(
+            sum(base_q[n] for n in comparable), 4
+        )
+        if out["comparable_baseline_total_sec"]:
+            out["comparable_ratio"] = round(
+                out["comparable_current_total_sec"]
+                / out["comparable_baseline_total_sec"],
+                3,
+            )
         out["regressions"] = regressions
         out["regression_count"] = len(regressions)
 
@@ -155,6 +163,89 @@ def main() -> None:
             "superlinear": sorted(
                 n for n, r in ratios.items() if r > factor * 1.25
             ),
+        }
+
+    # Deep scale probe: the queries whose 10× ratios ran worst in round 3
+    # (PCA 2.73×, q13 2.26×, IVF 2.03×) re-measured at a harder factor —
+    # sub-linearity that holds at 30× is much stronger evidence the plan
+    # survives 100 TB than sub-linearity at 10×.
+    if os.environ.get("SPARK_GRAFT_SKIP_DEEP_SCALE") != "1":
+        from direct_spark_sql_spark.sources.scale import ensure_scaled_dataset
+
+        deep_factor = int(os.environ.get("SPARK_GRAFT_DEEP_SCALE_FACTOR", "30"))
+        deep_names = {
+            "embedding_pca_covariance",
+            "q13_customer_distribution",
+            "embedding_ivf_topk",
+        }
+        deep_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "spark-warehouse", "scaledata", f"sf{sf}x{deep_factor}",
+        )
+        ensure_scaled_dataset(spark, sf_dir, deep_dir, factor=deep_factor)
+        d_timings: dict[str, float] = {}
+        for q in all_queries():  # deep/skew picks aren't all bench-flagged
+            if q.name not in deep_names:
+                continue
+            materialize(q.spark_fn(spark, deep_dir))  # warmup
+            d_timings[q.name] = round(measure(q, 2, deep_dir), 4)
+        d_ratios = {
+            name: round(d_timings[name] / timings[name], 2)
+            for name in d_timings
+            if timings.get(name)
+        }
+        out["deep_scale_probe"] = {
+            "factor": deep_factor,
+            "queries": d_timings,
+            "ratio_vs_base": d_ratios,
+            "superlinear": sorted(
+                n for n, r in d_ratios.items() if r > deep_factor * 1.25
+            ),
+        }
+
+    # Skew probe: zipf-hot variant of the base dataset (one events user ≈
+    # 10% of rows, one lineitem orderkey ≈ 10% of rows, 10% of documents
+    # sharing a boilerplate prefix).  The uniform scale-probe copies never
+    # stress AQE skew handling, the salted join, or the MinHash
+    # stop-shingle cap — this tier does, and reports wall ratio vs the
+    # unskewed base tier.  A ratio far above ~3 (hot key = 10% of data on
+    # 32 cores means the worst single task holds ~3× a balanced share)
+    # flags a skew-fragile plan.
+    if os.environ.get("SPARK_GRAFT_SKIP_SKEW") != "1":
+        from direct_spark_sql_spark.sources.scale import ensure_skewed_dataset
+
+        skew_names = {
+            "events_user_sessions",
+            "join_skew_salted",
+            "dedup_minhash_lsh",
+        }
+        skew_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "spark-warehouse", "skewdata", f"sf{sf}skew",
+        )
+        ensure_skewed_dataset(spark, sf_dir, skew_dir)
+        k_timings: dict[str, float] = {}
+        k_base: dict[str, float] = {}
+        for q in all_queries():
+            if q.name not in skew_names:
+                continue
+            if q.name in timings:
+                k_base[q.name] = timings[q.name]
+            else:  # not in the headline set: time the unskewed base here
+                materialize(q.spark_fn(spark, sf_dir))
+                k_base[q.name] = round(measure(q, 2), 4)
+            materialize(q.spark_fn(spark, skew_dir))  # warmup
+            k_timings[q.name] = round(measure(q, 2, skew_dir), 4)
+        k_ratios = {
+            name: round(k_timings[name] / k_base[name], 2)
+            for name in k_timings
+            if k_base.get(name)
+        }
+        out["skew_probe"] = {
+            "hot_key_fraction": 0.1,
+            "queries": k_timings,
+            "ratio_vs_unskewed": k_ratios,
+            "skew_fragile": sorted(n for n, r in k_ratios.items() if r > 4.0),
         }
     print(json.dumps(out))
     spark.stop()

@@ -54,6 +54,30 @@ def sql_query(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def derive_with_confs(
+    spark: SparkSession,
+    confs: dict[str, str],
+    build: "Callable[[SparkSession], DataFrame]",
+) -> DataFrame:
+    """Derive a query's physical plan under per-query SQL confs WITHOUT
+    touching the shared session's conf state.
+
+    ``build`` runs against a CLONED session (``spark.newSession()``:
+    isolated SQLConf + catalog over the shared SparkContext) with
+    ``confs`` applied there; the plan is forced eagerly so the returned
+    DataFrame keeps it for later actions.  Unlike the set/restore-on-the-
+    shared-session pattern, a concurrent query deriving its plan on the
+    original session can never observe these confs mid-flight — the
+    concurrency-soak flake the set/restore approach allowed.
+    """
+    ns = spark.newSession()
+    for k, v in confs.items():
+        ns.conf.set(k, v)
+    df = build(ns)
+    df._jdf.queryExecution().executedPlan()  # pin plan under these confs
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Exact-arithmetic column helpers (Spark side).  The DuckDB oracle uses the
 # textual twins below.

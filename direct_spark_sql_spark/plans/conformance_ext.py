@@ -626,18 +626,20 @@ GROUP BY n.n_name ORDER BY n.n_name
 
 def join_hint_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL BROADCAST hint honored even with auto-broadcast disabled; the
-    BroadcastHashJoin plan shape is pinned in tests/test_plan_shapes.py."""
+    BroadcastHashJoin plan shape is pinned in tests/test_plan_shapes.py.
+    The -1 threshold applies only to this query: the plan is derived on a
+    cloned session (plans/base.py:derive_with_confs), so concurrent
+    queries on the shared session never observe it."""
+    from direct_spark_sql_spark.plans.base import derive_with_confs
     from direct_spark_sql_spark.sources.registry import register_star_schema
 
-    register_star_schema(spark, sf_dir)
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        df = spark.sql(_JOIN_HINT_SPARK)
-        df._jdf.queryExecution().executedPlan()  # pin plan under -1
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    return df
+    def build(ns: SparkSession) -> DataFrame:
+        register_star_schema(ns, sf_dir)
+        return ns.sql(_JOIN_HINT_SPARK)
+
+    return derive_with_confs(
+        spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}, build
+    )
 
 
 JOIN_HINT_ORACLE = """

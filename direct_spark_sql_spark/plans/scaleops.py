@@ -149,25 +149,18 @@ def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     run would use; the bloom filter is exactly what makes that shape
     cheap.  Plan pinned in tests/test_scaleops.py.
 
-    The thresholds are set only while this query's plan is derived (the
-    plan is forced eagerly, then confs restored), so other queries'
-    pinned plans are untouched.
+    The thresholds apply only to this query: the plan is derived on a
+    cloned session (plans/base.py:derive_with_confs), so concurrent
+    queries on the shared session never observe them.
     """
-    confs = {
-        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
-    old = {k: spark.conf.get(k, None) for k in confs}
-    for k, v in confs.items():
-        spark.conf.set(k, v)
-    try:
-        li = load_table(spark, sf_dir, "lineitem")
-        o = load_table(spark, sf_dir, "orders").filter(
+    from direct_spark_sql_spark.plans.base import derive_with_confs
+
+    def build(ns: SparkSession) -> DataFrame:
+        li = load_table(ns, sf_dir, "lineitem")
+        o = load_table(ns, sf_dir, "orders").filter(
             F.col("o_orderpriority") == "1-URGENT"
         )
-        df = (
+        return (
             li.join(o, li.l_orderkey == o.o_orderkey)
             .groupBy("l_returnflag")
             .agg(
@@ -176,16 +169,17 @@ def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("l_returnflag")
         )
-        # Force plan derivation under these confs; queryExecution is
-        # cached on the DataFrame, so the later action reuses this plan.
-        df._jdf.queryExecution().executedPlan()
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
-    return df
+
+    return derive_with_confs(
+        spark,
+        {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+        build,
+    )
 
 
 BLOOM_JOIN_ORACLE = """
@@ -252,9 +246,9 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 _US_PER_DAY = 86_400_000_000
 _Z2_FILES = 16
-#: 2-D box: users 20..50 × days 8..12 (Jan, 0-based day-of-epoch offsets)
+#: 2-D box: users 20..50 × days Jan 15..19 (epoch-day offsets +7..+11)
 _Z2_USER = (20, 50)
-_Z2_DAY = (19730 + 7, 19730 + 11)  # 2024-01-08 .. 2024-01-12 as epoch days
+_Z2_DAY = (19730 + 7, 19730 + 11)  # 2024-01-15 .. 2024-01-19 as epoch days
 
 
 def ensure_events_zordered(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -323,33 +317,30 @@ def agg_footer_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan itself (DSv2 ``PushedAggregation``), answered from footer
     statistics without decoding a single data page — at 100 TB the
     difference between touching every page and touching every footer.
-    Confs are scoped to this query's plan derivation (forced eagerly,
-    then restored), same discipline as the bloom-join query; the plan
-    shape is pinned in tests/test_scaleops.py."""
-    confs = {
-        "spark.sql.sources.useV1SourceList": "",
-        "spark.sql.parquet.aggregatePushdown": "true",
-    }
-    old = {k: spark.conf.get(k, None) for k in confs}
-    for k, v in confs.items():
-        spark.conf.set(k, v)
-    try:
-        li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
-        df = li.agg(
+    Confs apply only to this query's plan, derived on a cloned session
+    (plans/base.py:derive_with_confs) so concurrent queries on the shared
+    session never observe them; plan shape pinned in
+    tests/test_scaleops.py."""
+    from direct_spark_sql_spark.plans.base import derive_with_confs
+
+    def build(ns: SparkSession) -> DataFrame:
+        li = ns.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+        return li.agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.min("l_quantity").alias("min_qty"),
             F.max("l_quantity").alias("max_qty"),
             F.min("l_shipdate").alias("min_shipdate"),
             F.max("l_shipdate").alias("max_shipdate"),
         )
-        df._jdf.queryExecution().executedPlan()  # pin plan under these confs
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
-    return df
+
+    return derive_with_confs(
+        spark,
+        {
+            "spark.sql.sources.useV1SourceList": "",
+            "spark.sql.parquet.aggregatePushdown": "true",
+        },
+        build,
+    )
 
 
 FOOTER_PUSHDOWN_ORACLE = """

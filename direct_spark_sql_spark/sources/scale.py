@@ -127,3 +127,77 @@ def ensure_scaled_dataset(
     with open(marker, "w") as f:
         f.write(want)
     return dst_dir
+
+
+#: Boilerplate prefix shared by the hot documents in the skewed variant —
+#: long enough that every one of its w-gram shingles is shared by ~10% of
+#: the corpus, the "web boilerplate" pathology MinHash-LSH's stop-shingle
+#: document-frequency cap exists to absorb.
+_BOILERPLATE = (
+    "terms of service privacy policy cookie notice all rights reserved "
+    "subscribe to our newsletter follow us on social media copyright "
+    "disclaimer the information provided on this site is for general "
+    "purposes only and does not constitute professional advice"
+)
+
+
+def ensure_skewed_dataset(
+    spark: SparkSession, src_dir: str, dst_dir: str, hot_frac_mod: int = 10
+) -> str:
+    """Materialize a zipf-hot variant of ``src_dir`` into ``dst_dir``
+    (idempotent via marker): same row counts, three engineered hot keys —
+
+    - ``events``: ~1/``hot_frac_mod`` of rows collapse onto one hot
+      ``user_id`` (one user ≈ 10% of traffic — the per-key window/groupBy
+      straggler shape);
+    - ``lineitem``: ~1/``hot_frac_mod`` of rows collapse onto one hot
+      ``l_orderkey`` (a single join key carrying 10% of the fact side —
+      the AQE-skew-join / salted-join stress);
+    - ``documents``: ~1/``hot_frac_mod`` of docs gain a shared
+      boilerplate prefix (ubiquitous shingles — the MinHash stop-shingle
+      df-cap stress).
+
+    All other tables are copied unchanged so every registry query runs
+    against the directory.  The bench's skew-probe tier runs the
+    skew-sensitive queries here and reports wall ratios vs the unskewed
+    base tier.
+    """
+    marker = os.path.join(dst_dir, "_SKEWED_OK")
+    want = f"{os.path.abspath(src_dir)}\n{hot_frac_mod}\n"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == want:
+                return dst_dir
+    os.makedirs(dst_dir, exist_ok=True)
+
+    for t in TABLES:
+        df = load_table(spark, src_dir, t)
+        if t == "events":
+            hot = df.agg(F.min("user_id")).collect()[0][0]
+            df = df.withColumn(
+                "user_id",
+                F.when(
+                    F.pmod("event_id", F.lit(hot_frac_mod)) == 0, F.lit(hot)
+                ).otherwise(F.col("user_id")).cast("long"),
+            )
+        elif t == "lineitem":
+            hot = df.agg(F.min("l_orderkey")).collect()[0][0]
+            df = df.withColumn(
+                "l_orderkey",
+                F.when(
+                    F.pmod("l_partkey", F.lit(hot_frac_mod)) == 0, F.lit(hot)
+                ).otherwise(F.col("l_orderkey")).cast("long"),
+            )
+        elif t == "documents":
+            df = df.withColumn(
+                "text",
+                F.when(
+                    F.pmod("doc_id", F.lit(hot_frac_mod)) == 0,
+                    F.concat(F.lit(_BOILERPLATE + " "), F.col("text")),
+                ).otherwise(F.col("text")),
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        df.write.mode("overwrite").parquet(os.path.join(dst_dir, f"{t}.parquet"))
+
+    with open(marker, "w") as f:
+        f.write(want)
+    return dst_dir
