@@ -60,15 +60,43 @@ def main() -> None:
         except Exception:
             df.collect()
 
+    last_plan_metrics: dict[str, dict[str, int]] = {}
+
     def measure(q, runs: int, data_dir: str = None) -> float:
         # A FRESH DataFrame per run: re-collecting the same object lets
         # Spark skip completed shuffle stages and under-reports.
         data_dir = data_dir or sf_dir
         best = float("inf")
+        df = None
         for _ in range(runs):
             t0 = time.perf_counter()
-            materialize(q.spark_fn(spark, data_dir))
+            df = q.spark_fn(spark, data_dir)
+            materialize(df)
             best = min(best, time.perf_counter() - t0)
+        # Executed-plan rollups off the last measured run — shuffle and
+        # spill regressions the wall clock can't see (a plan that starts
+        # shuffling 10x the bytes but hides it in parallelism on 32 local
+        # cores would devastate a 1000-executor cluster).
+        if df is not None:
+            try:
+                from direct_spark_sql_spark.session import _walk_plan_metrics
+
+                nodes: list = []
+                _walk_plan_metrics(df._jdf.queryExecution().executedPlan(), nodes)
+
+                def total(metric):
+                    return sum(
+                        n["metrics"][metric]
+                        for n in nodes
+                        if metric in n["metrics"]
+                    )
+
+                last_plan_metrics[q.name] = {
+                    "shuffle_bytes_written": total("shuffleBytesWritten"),
+                    "spill_bytes": total("spillSize"),
+                }
+            except Exception:
+                pass
         return best
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -92,6 +120,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # base-tier executed-plan rollups (snapshot before the probe tiers
+        # re-run measure() and overwrite per-name entries)
+        "plan_metrics": dict(last_plan_metrics),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -128,6 +159,22 @@ def main() -> None:
             )
         out["regressions"] = regressions
         out["regression_count"] = len(regressions)
+        # Shuffle-bytes guard: wall clock on 32 local cores can hide a
+        # plan that started shuffling far more data (parallelism soaks it
+        # up locally; a 1000-executor cluster would not).  Compare the
+        # executed plan's shuffle bytes against the pinned values; >1.5x
+        # with a nontrivial absolute delta flags the plan change.
+        base_m = baseline.get("plan_metrics", {})
+        out["shuffle_regressions"] = {
+            name: {
+                "bytes": m["shuffle_bytes_written"],
+                "baseline_bytes": base_m[name]["shuffle_bytes_written"],
+            }
+            for name, m in last_plan_metrics.items()
+            if name in base_m
+            and m["shuffle_bytes_written"]
+            > max(1.5 * base_m[name]["shuffle_bytes_written"], 1_000_000)
+        }
 
     # Scale-probe tier: the same headline set at FACTOR× rows (key-shifted
     # copies, sources/scale.py).  Converts "this plan would survive a
@@ -218,6 +265,9 @@ def main() -> None:
             "events_user_sessions",
             "join_skew_salted",
             "dedup_minhash_lsh",
+            # groupBy on the hot orderkey: map-side partial aggregation
+            # should absorb group skew almost entirely (ratio ~1)
+            "q18_large_orders",
         }
         skew_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),

@@ -82,3 +82,54 @@ def test_generation_is_idempotent(spark, scaled, tmp_path):
     ensure_scaled_dataset(spark, SRC, scaled, factor=FACTOR)  # cached: no rewrite
     for t, m in before.items():
         assert os.path.getmtime(os.path.join(scaled, f"{t}.parquet")) == m
+
+
+# -- skewed variant (ensure_skewed_dataset) -----------------------------------
+
+@pytest.fixture(scope="module")
+def skewed(spark, tmp_path_factory):
+    from direct_spark_sql_spark.sources.scale import ensure_skewed_dataset
+
+    dst = str(tmp_path_factory.mktemp("skewed") / "hot")
+    ensure_skewed_dataset(spark, SRC, dst, hot_frac_mod=10)
+    return dst
+
+
+def test_skewed_preserves_row_counts(spark, skewed):
+    for t in ["events", "lineitem", "documents", "orders"]:
+        assert (
+            load_table(spark, skewed, t).count()
+            == load_table(spark, SRC, t).count()
+        ), t
+
+
+def test_skewed_hot_keys_at_expected_fraction(spark, skewed):
+    e = load_table(spark, skewed, "events")
+    n = e.count()
+    top = (
+        e.groupBy("user_id").count().orderBy(F.desc("count")).limit(1).collect()[0]
+    )
+    # hot user holds >= ~8% of rows (1/10 engineered + its organic share)
+    assert top["count"] >= 0.08 * n, f"hot user only {top['count']}/{n}"
+
+    li = load_table(spark, skewed, "lineitem")
+    n_li = li.count()
+    top_li = (
+        li.groupBy("l_orderkey").count().orderBy(F.desc("count")).limit(1).collect()[0]
+    )
+    assert top_li["count"] >= 0.08 * n_li
+    # hot orderkey still joins: it must exist in orders (FK preserved)
+    o = load_table(spark, skewed, "orders")
+    assert o.filter(F.col("o_orderkey") == top_li["l_orderkey"]).count() == 1
+
+
+def test_skewed_documents_share_boilerplate(spark, skewed):
+    from direct_spark_sql_spark.sources.scale import _BOILERPLATE
+
+    d = load_table(spark, skewed, "documents")
+    n = d.count()
+    hot = d.filter(F.col("text").startswith(_BOILERPLATE)).count()
+    assert abs(hot - n / 10) <= n / 10 * 0.5 + 2
+    # n_chars stays consistent with the rewritten text
+    bad = d.filter(F.length("text") != F.col("n_chars")).count()
+    assert bad == 0
