@@ -210,3 +210,52 @@ def test_zorder_2d_zonemap_skips_files(spark):
     assert n_both < total
     assert n_both <= n_day
     assert n_both <= total // 2, (n_both, n_day, total)
+
+
+def test_conf_scoped_derivation_is_concurrency_safe(spark):
+    """The three conf-scoped queries derive their plans on cloned sessions
+    (plans/base.py:derive_with_confs); a query deriving its plan on the
+    SHARED session concurrently must never see bloom/pushdown/broadcast
+    confs — under the old set/restore-globals pattern this exact soak
+    could flake with a BroadcastHashJoin appearing in the disabled-
+    broadcast query or vice versa."""
+    import threading
+
+    from direct_spark_sql_spark.plans.scaleops import (
+        agg_footer_pushdown,
+        join_bloom_filtered,
+    )
+    from direct_spark_sql_spark.sources.registry import load_table
+
+    errors: list[str] = []
+    stop = threading.Event()
+
+    def conf_mutators():
+        for _ in range(6):
+            join_bloom_filtered(spark, SF_DIR)
+            agg_footer_pushdown(spark, SF_DIR)
+        stop.set()
+
+    def bystander():
+        # a small-dim join planned on the shared session: with default
+        # confs it must ALWAYS broadcast; if a mutator's -1 threshold
+        # leaked mid-derivation it would plan as SMJ/SHJ instead
+        while not stop.is_set():
+            c = load_table(spark, SF_DIR, "customer")
+            n = load_table(spark, SF_DIR, "nation")
+            df = c.join(n, c.c_nationkey == n.n_nationkey).groupBy("n_name").count()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if "BroadcastHashJoin" not in plan:
+                errors.append(plan[:800])
+                return
+
+    threads = [
+        threading.Thread(target=conf_mutators),
+        threading.Thread(target=bystander),
+        threading.Thread(target=bystander),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, f"broadcast conf leaked into shared session: {errors[0]}"
