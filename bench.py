@@ -194,9 +194,10 @@ def main() -> None:
         s_timings: dict[str, float] = {}
         for q in bench_queries:
             materialize(q.spark_fn(spark, scale_dir))  # warmup
-            # best-of-2 like the base tier: a single measured run is noisy
-            # enough (GC pause, page-cache miss) to false-flag superlinear
-            s_timings[q.name] = round(measure(q, 2, scale_dir), 4)
+            # best-of-3 like the base tier (uniform sampling on both
+            # sides of every ratio; a single run is noisy enough — GC
+            # pause, page-cache miss — to false-flag superlinear)
+            s_timings[q.name] = round(measure(q, 3, scale_dir), 4)
         ratios = {
             name: round(s_timings[name] / timings[name], 2)
             for name in s_timings
@@ -235,7 +236,7 @@ def main() -> None:
             if q.name not in deep_names:
                 continue
             materialize(q.spark_fn(spark, deep_dir))  # warmup
-            d_timings[q.name] = round(measure(q, 2, deep_dir), 4)
+            d_timings[q.name] = round(measure(q, 3, deep_dir), 4)
         d_ratios = {
             name: round(d_timings[name] / timings[name], 2)
             for name in d_timings
@@ -283,9 +284,9 @@ def main() -> None:
                 k_base[q.name] = timings[q.name]
             else:  # not in the headline set: time the unskewed base here
                 materialize(q.spark_fn(spark, sf_dir))
-                k_base[q.name] = round(measure(q, 2), 4)
+                k_base[q.name] = round(measure(q, 3), 4)
             materialize(q.spark_fn(spark, skew_dir))  # warmup
-            k_timings[q.name] = round(measure(q, 2, skew_dir), 4)
+            k_timings[q.name] = round(measure(q, 3, skew_dir), 4)
         k_ratios = {
             name: round(k_timings[name] / k_base[name], 2)
             for name in k_timings

@@ -27,6 +27,11 @@ public class ExplodeCsv extends GenericUDTF {
         if (argOIs.length != 1) {
             throw new UDFArgumentException("explode_csv takes exactly one argument");
         }
+        if (!(argOIs[0] instanceof PrimitiveObjectInspector)) {
+            throw new UDFArgumentException(
+                "explode_csv takes a primitive (string) argument, got "
+                + argOIs[0].getTypeName());
+        }
         inputOI = (PrimitiveObjectInspector) argOIs[0];
         List<String> names = new ArrayList<>();
         names.add("pos");

@@ -69,10 +69,22 @@ def derive_with_confs(
     shared-session pattern, a concurrent query deriving its plan on the
     original session can never observe these confs mid-flight — the
     concurrency-soak flake the set/restore approach allowed.
+
+    Clones are cached per (session, conf-set) on the parent session
+    object: SessionState construction is not free, and these queries run
+    hundreds of times across the differential sweeps and bench loops.
     """
-    ns = spark.newSession()
-    for k, v in confs.items():
-        ns.conf.set(k, v)
+    key = tuple(sorted(confs.items()))
+    cache = getattr(spark, "_dss_conf_clones", None)
+    if cache is None:
+        cache = {}
+        spark._dss_conf_clones = cache
+    ns = cache.get(key)
+    if ns is None:
+        ns = spark.newSession()
+        for k, v in confs.items():
+            ns.conf.set(k, v)
+        cache[key] = ns
     df = build(ns)
     df._jdf.queryExecution().executedPlan()  # pin plan under these confs
     return df

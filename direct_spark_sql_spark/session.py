@@ -240,10 +240,11 @@ class Engine:
         #: unpersist the old storage (reference re-registers freely,
         #: DirectSparkSession.scala:181-219).
         self._materialized_views: dict[str, DataFrame] = {}
-        #: (DataFrame, wall_sec) of the most recent sql_directly — backs
-        #: last_metrics() (reference: per-plan SQLMetric map,
-        #: DirectSQLMetrics.scala:21-72, DirectPlan.scala:63-77).
-        self._last_execution: tuple[DataFrame, float] | None = None
+        #: (DataFrame, wall_sec, result_rows) of the most recent
+        #: sql_directly — backs last_metrics() (reference: per-plan
+        #: SQLMetric map, DirectSQLMetrics.scala:21-72,
+        #: DirectPlan.scala:63-77).
+        self._last_execution: tuple[DataFrame, float, int] | None = None
         self._lock = threading.Lock()
         #: UDF surface (reference: DirectSessionCatalog.scala:62-112 Hive
         #: UDF registration): engine functions callable from SQL text.
@@ -418,7 +419,7 @@ class Engine:
         df = self.dataframe(sql)
         t0 = time.perf_counter()
         table = DataTable.from_dataframe(df)
-        self._last_execution = (df, time.perf_counter() - t0)
+        self._last_execution = (df, time.perf_counter() - t0, len(table.data))
         return table
 
     def sql(self, sql: str) -> DataFrame:
@@ -446,14 +447,30 @@ class Engine:
         Re-registering a name unpersists the DataFrame it replaces —
         without that, a long-lived service loop re-materializing the same
         view leaks one cached RDD per call until the executor store fills.
+        Two subtleties: Spark's CacheManager is keyed by canonicalized
+        plan, so when the replacement is the SAME statement the old and
+        new DataFrames share one cache entry — unpersisting the old would
+        uncache the new, hence the sameResult guard; and the replace is
+        done under the engine lock so concurrent re-registrations of one
+        name can't both unpersist the survivor / strand a loser.
         """
         df = self.spark.sql(self._rewrite_qualified(sql)).cache()
         count = df.count()
-        old = self._materialized_views.get(name)
-        df.createOrReplaceTempView(name)
-        self._materialized_views[name] = df
+        with self._lock:
+            old = self._materialized_views.get(name)
+            df.createOrReplaceTempView(name)
+            self._materialized_views[name] = df
         if old is not None:
-            old.unpersist()
+            try:
+                shares_cache_entry = (
+                    old._jdf.queryExecution()
+                    .analyzed()
+                    .sameResult(df._jdf.queryExecution().analyzed())
+                )
+            except Exception:
+                shares_cache_entry = False
+            if not shares_cache_entry:
+                old.unpersist()
         self._drop_cached_plans_referencing(name)
         return count
 
@@ -530,7 +547,7 @@ class Engine:
         UI's SQL tab for a reused plan object)."""
         if self._last_execution is None:
             return None
-        df, wall = self._last_execution
+        df, wall, n_rows = self._last_execution
         nodes: list[dict[str, Any]] = []
         _walk_plan_metrics(df._jdf.queryExecution().executedPlan(), nodes)
 
@@ -539,17 +556,13 @@ class Engine:
                 n["metrics"][metric] for n in nodes if metric in n["metrics"]
             )
 
-        root_rows = next(
-            (
-                n["metrics"]["numOutputRows"]
-                for n in nodes
-                if "numOutputRows" in n["metrics"]
-            ),
-            0,
-        )
         return {
             "wall_sec": wall,
-            "output_rows": root_rows,
+            # the statement's actual result-row count (counted at the
+            # egress boundary — plan-root numOutputRows would report a
+            # deep operator's count for roots like CollectLimit that
+            # carry no metric themselves)
+            "output_rows": n_rows,
             "shuffle_bytes_written": _total("shuffleBytesWritten"),
             "shuffle_records_written": _total("shuffleRecordsWritten"),
             "spill_bytes": _total("spillSize"),

@@ -581,6 +581,7 @@ def test_execute_and_register_unpersists_replaced_view(engine, spark):
     """Re-registering a materialized view name must not leak one cached
     RDD per call (service-loop pathology)."""
     jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()  # context-global: delta-based
     for i in range(5):
         n = engine.execute_and_register_temp_view(
             f"SELECT {i} AS gen, id FROM range(10)", "mat_view_leak_t"
@@ -588,8 +589,8 @@ def test_execute_and_register_unpersists_replaced_view(engine, spark):
         assert n == 10
     # exactly one persisted RDD may remain for this view (the live one);
     # the four replaced ones must be gone
-    live = jsc.getPersistentRDDs().size()
-    assert live <= 2, f"{live} persistent RDDs after 5 re-registrations"
+    grew = jsc.getPersistentRDDs().size() - before
+    assert grew <= 1, f"{grew} new persistent RDDs after 5 re-registrations"
     got = engine.sql_directly(
         "SELECT DISTINCT gen FROM mat_view_leak_t"
     ).to_list_of_dicts()
@@ -649,3 +650,17 @@ def test_datatable_to_local_iterator(engine):
     t = engine.sql_directly("SELECT id FROM range(5)")
     rows = list(t.to_local_iterator())
     assert rows == [{"id": i} for i in range(5)]
+
+
+def test_reregister_same_sql_keeps_materialization(engine, spark):
+    """CacheManager keys by canonicalized plan: re-registering the SAME
+    statement must not unpersist the shared cache entry out from under
+    the new view (the sameResult guard in execute_and_register)."""
+    engine.execute_and_register_temp_view("SELECT id FROM range(20)", "mat_same_t")
+    engine.execute_and_register_temp_view("SELECT id FROM range(20)", "mat_same_t")
+    df = engine._materialized_views["mat_same_t"]
+    assert df.storageLevel.useMemory, "shared cache entry was unpersisted"
+    got = engine.sql_directly(
+        "SELECT COUNT(*) AS n FROM mat_same_t"
+    ).to_list_of_dicts()
+    assert got == [{"n": 20}]
