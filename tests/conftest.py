@@ -24,15 +24,23 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "8")
 def spark():
     from direct_spark_sql_spark.session import Engine
 
-    engine = (
+    builder = (
         Engine.builder()
         .master(f"local[{CPUS}]")
         .app_name("direct_spark_sql_spark-tests")
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
-        .get_or_create()
     )
+    # Robustness matrix hook: ';'-separated k=v pairs, e.g.
+    # SPARK_GRAFT_TEST_EXTRA_CONF="spark.sql.adaptive.enabled=false" runs
+    # the whole differential suite under a hostile config — results must
+    # not depend on AQE, partition counts, or codegen being on.
+    extra = os.environ.get("SPARK_GRAFT_TEST_EXTRA_CONF", "")
+    for pair in filter(None, extra.split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
+    engine = builder.get_or_create()
     engine.spark.sparkContext.setLogLevel("ERROR")
     yield engine.spark
     engine.stop()
