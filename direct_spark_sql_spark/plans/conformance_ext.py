@@ -1406,3 +1406,128 @@ QUERIES = [
           doc="WITH RECURSIVE data-driven ancestor walk (UnionLoopExec), "
               "depth histogram with id checksum"),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Round-4 SQL-surface additions: listagg (SQL:2023 ordered string agg, new
+# in Spark 4), the linear-regression aggregate family, and the
+# median/count_if/bool_and/bool_or group.  All implicit reference surface
+# (full FunctionRegistry through the reused analyzer).
+# ---------------------------------------------------------------------------
+
+def agg_listagg_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg(...) WITHIN GROUP (ORDER BY ...): ordered, delimited string
+    aggregation per market segment over a bounded slice (result strings
+    stay comparable).  DuckDB twin: string_agg(expr, sep ORDER BY ...)."""
+    return sql_query(
+        spark,
+        sf_dir,
+        """
+        SELECT c_mktsegment,
+               listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer WHERE c_custkey <= 100
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+    )
+
+
+LISTAGG_ORACLE = """
+SELECT c_mktsegment,
+       string_agg(c_name, ',' ORDER BY c_name) AS names,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer WHERE c_custkey <= 100
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def agg_regression_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope/intercept/r2 semantics) of
+    extended price on quantity per return flag, computed from exact
+    decimal moment sums so both engines run identical double arithmetic
+    (same discipline as agg_correlation; built-in regr_* accumulate in
+    floating point with engine-specific ordering and cannot hash-match)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(14,2)")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(x).cast("decimal(24,0)").cast("double")
+    sy = F.sum(y).cast("decimal(24,0)").cast("double")
+    sxx = F.sum((x * x).cast("decimal(28,4)")).cast("decimal(30,0)").cast("double")
+    syy = F.sum((y * y).cast("decimal(30,4)")).cast("decimal(32,0)").cast("double")
+    sxy = F.sum((x * y).cast("decimal(29,4)")).cast("decimal(31,0)").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            slope.alias("slope"),
+            intercept.alias("intercept"),
+            r2.alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+REGRESSION_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS n_out,
+         CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 0) AS DECIMAL(24,0)) AS DOUBLE) AS sx,
+         CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 0) AS DECIMAL(24,0)) AS DOUBLE) AS sy,
+         CAST(CAST(ROUND(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,4))), 0) AS DECIMAL(30,0)) AS DOUBLE) AS sxx,
+         CAST(CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2)) AS DECIMAL(30,4))), 0) AS DECIMAL(32,0)) AS DOUBLE) AS syy,
+         CAST(CAST(ROUND(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2)) AS DECIMAL(29,4))), 0) AS DECIMAL(31,0)) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_out AS n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM m ORDER BY l_returnflag
+"""
+
+
+def agg_median_countif_boolagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median / count_if / bool_and / bool_or per event type.  Exact
+    cross-engine: median of doubles averages the two middle values the
+    same way in both engines; the boolean aggregates are set-logic."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.median("value").alias("med"),
+            F.count_if(F.col("value") > 50).cast("long").alias("n_big"),
+            F.bool_and(F.col("value").isNotNull()).alias("all_nonnull"),
+            F.bool_or(F.col("value") > 99).alias("any_hot"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MEDIAN_BOOLAGG_ORACLE = """
+SELECT event_type,
+       median(value) AS med,
+       CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT) AS n_big,
+       bool_and(value IS NOT NULL) AS all_nonnull,
+       bool_or(value > 99) AS any_hot
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES += [
+    Query("agg_listagg_strings", agg_listagg_strings, LISTAGG_ORACLE, ("agg",),
+          doc="SQL:2023 listagg WITHIN GROUP ordered string aggregation "
+              "(Spark 4) vs DuckDB string_agg"),
+    Query("agg_regression_suite", agg_regression_suite, REGRESSION_ORACLE, ("agg",),
+          doc="regr_slope/intercept/r2 semantics from exact decimal "
+              "moment sums (bit-exact both engines)"),
+    Query("agg_median_countif_boolagg", agg_median_countif_boolagg,
+          MEDIAN_BOOLAGG_ORACLE, ("agg",),
+          doc="median / count_if / bool_and / bool_or aggregate group"),
+]
