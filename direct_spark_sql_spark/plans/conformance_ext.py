@@ -1531,3 +1531,92 @@ QUERIES += [
           MEDIAN_BOOLAGG_ORACLE, ("agg",),
           doc="median / count_if / bool_and / bool_or aggregate group"),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch distinct counting — the 100 TB distinct-count toolkit:
+# datasketches HLL (Spark 4 hll_sketch_agg / hll_union_agg: mergeable
+# across partitions AND across groups) and the exact two-level bitmap
+# pattern (bitmap_bucket_number / bitmap_bit_position / bitmap_count).
+# ---------------------------------------------------------------------------
+
+_HLL_SPARK = """
+WITH sk AS (
+  SELECT o_orderpriority,
+         hll_sketch_agg(o_custkey) AS sk,
+         COUNT(DISTINCT o_custkey) AS exact_cnt
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       abs(hll_sketch_estimate(sk) - exact_cnt)
+         <= CAST(0.05 * exact_cnt AS BIGINT) AS hll_ok
+FROM sk
+UNION ALL
+SELECT 'ALL' AS o_orderpriority,
+       (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders),
+       abs(hll_sketch_estimate(hll_union_agg(sk))
+           - (SELECT COUNT(DISTINCT o_custkey) FROM orders))
+         <= CAST(0.05 * (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT)
+FROM sk
+ORDER BY o_orderpriority
+"""
+
+_HLL_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cnt,
+       TRUE AS hll_ok
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'ALL', CAST(COUNT(DISTINCT o_custkey) AS BIGINT), TRUE FROM orders
+ORDER BY o_orderpriority
+"""
+
+
+def sketch_hll_union_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL per group plus a cross-group hll_union_agg rollup
+    ('ALL' row) — the re-aggregatable distinct-count shape (build leaf
+    sketches once, merge upward without re-reading data).  The sketch is
+    seedless/deterministic; like agg_approx_distinct_bounded, both
+    engines agree on the exact count and Spark additionally asserts its
+    estimate lands within ±5%."""
+    return sql_query(spark, sf_dir, _HLL_SPARK)
+
+
+_BITMAP_SPARK = """
+SELECT o_orderpriority, CAST(SUM(cnt) AS BIGINT) AS n_distinct
+FROM (
+  SELECT o_orderpriority,
+         bitmap_count(bitmap_construct_agg(bitmap_bit_position(o_custkey))) AS cnt
+  FROM orders
+  GROUP BY o_orderpriority, bitmap_bucket_number(o_custkey)
+)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+_BITMAP_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via two-level roaring-style bitmaps
+    (bucket → bit position → popcount → sum): unlike HLL this is exact,
+    and unlike COUNT(DISTINCT) the per-bucket bitmaps are mergeable
+    partial aggregates — no distinct-expand shuffle of raw values.  The
+    oracle is plain COUNT(DISTINCT), so any bucket/position bug breaks
+    the match."""
+    return sql_query(spark, sf_dir, _BITMAP_SPARK)
+
+
+QUERIES += [
+    Query("sketch_hll_union_estimate", sketch_hll_union_estimate, _HLL_ORACLE,
+          ("agg", "sketch"),
+          doc="datasketches HLL per group + hll_union_agg cross-group "
+              "rollup, estimate within ±5% of exact"),
+    Query("sketch_bitmap_distinct", sketch_bitmap_distinct, _BITMAP_ORACLE,
+          ("agg", "sketch"),
+          doc="exact mergeable distinct via two-level bitmap "
+              "(bucket/bit-position/popcount) vs COUNT(DISTINCT)"),
+]
