@@ -312,3 +312,28 @@ def test_broadcast_hint_overrides_disabled_autobroadcast(spark):
     df = join_hint_broadcast(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:1200]
+
+
+def test_bitmap_distinct_has_no_expand(spark):
+    """The exact-bitmap distinct's whole point is the mergeable
+    partial-aggregate shape: no Expand-based COUNT(DISTINCT) rewrite may
+    appear — each bucket's bitmap is built map-side and merged."""
+    from direct_spark_sql_spark.plans.conformance_ext import sketch_bitmap_distinct
+
+    df = sketch_bitmap_distinct(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan[:1200]
+    assert "HashAggregate" in plan
+
+
+def test_hll_union_is_object_hash_aggregate(spark):
+    """Datasketches HLL aggregates carry binary sketch state — they must
+    plan as ObjectHashAggregate (TypedImperativeAggregate), the mergeable
+    sketch-buffer path."""
+    from direct_spark_sql_spark.plans.conformance_ext import (
+        sketch_hll_union_estimate,
+    )
+
+    df = sketch_hll_union_estimate(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" in plan, plan[:1200]
