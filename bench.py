@@ -298,6 +298,19 @@ def main() -> None:
             "ratio_vs_unskewed": k_ratios,
             "skew_fragile": sorted(n for n, r in k_ratios.items() if r > 4.0),
         }
+
+    # LAST key on purpose: the driver records only the tail of long output
+    # lines (observed in round 3), so the verdict-critical numbers live at
+    # the very end where truncation can't eat them.
+    out["summary"] = {
+        "total_sec": out["value"],
+        "comparable_ratio": out.get("comparable_ratio"),
+        "regression_count": out.get("regression_count"),
+        "shuffle_regression_count": len(out.get("shuffle_regressions", {})),
+        "scale_superlinear": out.get("scale_probe", {}).get("superlinear"),
+        "deep_scale_superlinear": out.get("deep_scale_probe", {}).get("superlinear"),
+        "skew_fragile": out.get("skew_probe", {}).get("skew_fragile"),
+    }
     print(json.dumps(out))
     spark.stop()
 
