@@ -306,7 +306,13 @@ def main() -> None:
         "total_sec": out["value"],
         "comparable_ratio": out.get("comparable_ratio"),
         "regression_count": out.get("regression_count"),
-        "shuffle_regression_count": len(out.get("shuffle_regressions", {})),
+        # None (not 0) when no baseline existed to compare against —
+        # 0 must always mean "compared and clean"
+        "shuffle_regression_count": (
+            len(out["shuffle_regressions"])
+            if "shuffle_regressions" in out
+            else None
+        ),
         "scale_superlinear": out.get("scale_probe", {}).get("superlinear"),
         "deep_scale_superlinear": out.get("deep_scale_probe", {}).get("superlinear"),
         "skew_fragile": out.get("skew_probe", {}).get("skew_fragile"),

@@ -21,6 +21,7 @@ Conventions that make the differential hash-compare exact:
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -54,6 +55,10 @@ def sql_query(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     return spark.sql(sql)
 
 
+#: guards creation of per-conf-set session clones (see derive_with_confs)
+_CLONE_REGISTRY_LOCK = threading.Lock()
+
+
 def derive_with_confs(
     spark: SparkSession,
     confs: dict[str, str],
@@ -73,20 +78,29 @@ def derive_with_confs(
     Clones are cached per (session, conf-set) on the parent session
     object: SessionState construction is not free, and these queries run
     hundreds of times across the differential sweeps and bench loops.
+    Because ``build`` may (re)bind temp views on the shared clone, each
+    clone carries its own lock held across build + plan pin — two
+    concurrent derivations with the same conf-set (possibly different
+    datasets) serialize instead of analyzing against each other's
+    mid-rebind catalog state.
     """
     key = tuple(sorted(confs.items()))
-    cache = getattr(spark, "_dss_conf_clones", None)
-    if cache is None:
-        cache = {}
-        spark._dss_conf_clones = cache
-    ns = cache.get(key)
-    if ns is None:
-        ns = spark.newSession()
-        for k, v in confs.items():
-            ns.conf.set(k, v)
-        cache[key] = ns
-    df = build(ns)
-    df._jdf.queryExecution().executedPlan()  # pin plan under these confs
+    with _CLONE_REGISTRY_LOCK:
+        cache = getattr(spark, "_dss_conf_clones", None)
+        if cache is None:
+            cache = {}
+            spark._dss_conf_clones = cache
+        entry = cache.get(key)
+        if entry is None:
+            ns = spark.newSession()
+            for k, v in confs.items():
+                ns.conf.set(k, v)
+            entry = (ns, threading.Lock())
+            cache[key] = entry
+    ns, ns_lock = entry
+    with ns_lock:
+        df = build(ns)
+        df._jdf.queryExecution().executedPlan()  # pin plan under these confs
     return df
 
 

@@ -1550,14 +1550,14 @@ WITH sk AS (
 SELECT o_orderpriority,
        CAST(exact_cnt AS BIGINT) AS exact_cnt,
        abs(hll_sketch_estimate(sk) - exact_cnt)
-         <= CAST(0.05 * exact_cnt AS BIGINT) AS hll_ok
+         <= 0.05 * exact_cnt AS hll_ok
 FROM sk
 UNION ALL
 SELECT 'ALL' AS o_orderpriority,
        (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders),
        abs(hll_sketch_estimate(hll_union_agg(sk))
            - (SELECT COUNT(DISTINCT o_custkey) FROM orders))
-         <= CAST(0.05 * (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT)
+         <= 0.05 * (SELECT COUNT(DISTINCT o_custkey) FROM orders)
 FROM sk
 ORDER BY o_orderpriority
 """

@@ -444,33 +444,40 @@ class Engine:
         result is cached (memory-and-disk) rather than collected to the
         driver, so multi-step pipelines stay distributed.
 
-        Re-registering a name unpersists the DataFrame it replaces —
-        without that, a long-lived service loop re-materializing the same
-        view leaks one cached RDD per call until the executor store fills.
-        Two subtleties: Spark's CacheManager is keyed by canonicalized
-        plan, so when the replacement is the SAME statement the old and
-        new DataFrames share one cache entry — unpersisting the old would
-        uncache the new, hence the sameResult guard; and the replace is
-        done under the engine lock so concurrent re-registrations of one
-        name can't both unpersist the survivor / strand a loser.
+        Re-registration semantics: the replaced DataFrame is unpersisted
+        BEFORE the new statement materializes — so re-running the SAME
+        statement re-reads fresh source data (a re-register is a refresh,
+        matching the reference's collect-a-new-snapshot behavior) and a
+        long-lived service loop never leaks one cached RDD per call.
+        Spark's CacheManager keys by canonicalized plan, so the
+        unpersist-first ordering is what makes the refresh work: caching
+        the new identical plan AFTER the old entry is gone materializes
+        anew instead of silently reusing stale cached rows.  If a
+        concurrent re-register of the same name races us, the displaced
+        DataFrame's storage is dropped only when it doesn't share the
+        survivor's cache entry (conservative: on doubt, keep).
         """
+        with self._lock:
+            old = self._materialized_views.pop(name, None)
+        if old is not None:
+            old.unpersist()
         df = self.spark.sql(self._rewrite_qualified(sql)).cache()
         count = df.count()
         with self._lock:
-            old = self._materialized_views.get(name)
+            displaced = self._materialized_views.get(name)
             df.createOrReplaceTempView(name)
             self._materialized_views[name] = df
-        if old is not None:
+        if displaced is not None and displaced is not df:
             try:
                 shares_cache_entry = (
-                    old._jdf.queryExecution()
+                    displaced._jdf.queryExecution()
                     .analyzed()
                     .sameResult(df._jdf.queryExecution().analyzed())
                 )
             except Exception:
-                shares_cache_entry = False
+                shares_cache_entry = True  # keep: never uncache survivor
             if not shares_cache_entry:
-                old.unpersist()
+                displaced.unpersist()
         self._drop_cached_plans_referencing(name)
         return count
 

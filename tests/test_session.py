@@ -664,3 +664,23 @@ def test_reregister_same_sql_keeps_materialization(engine, spark):
         "SELECT COUNT(*) AS n FROM mat_same_t"
     ).to_list_of_dicts()
     assert got == [{"n": 20}]
+
+
+def test_reregister_same_sql_refreshes_snapshot(engine):
+    """Re-registering the SAME statement is a refresh: the new
+    materialization must read the source's current data, not serve the
+    previously cached rows (unpersist-before-recache ordering)."""
+    engine.register_table("snap_src_t", [{"v": 1}], "v int")
+    engine.execute_and_register_temp_view(
+        "SELECT SUM(v) AS s FROM snap_src_t", "snap_view_t"
+    )
+    assert engine.sql_directly(
+        "SELECT s FROM snap_view_t"
+    ).to_list_of_dicts() == [{"s": 1}]
+    engine.register_table("snap_src_t", [{"v": 5}, {"v": 6}], "v int")
+    engine.execute_and_register_temp_view(
+        "SELECT SUM(v) AS s FROM snap_src_t", "snap_view_t"
+    )
+    assert engine.sql_directly(
+        "SELECT s FROM snap_view_t"
+    ).to_list_of_dicts() == [{"s": 11}]

@@ -77,6 +77,9 @@ out["sum_q"] = sum(r["q"] for r in arows)
 nodes = []
 _walk_plan_metrics(agg._jdf.queryExecution().executedPlan(), nodes)
 out["agg_spill_bytes"] = sum(n["metrics"].get("spillSize", 0) for n in nodes)
+out["agg_fallback_tasks"] = sum(
+    n["metrics"].get("numTasksFallBacked", 0) for n in nodes
+)
 
 print("RESULT:" + json.dumps(out))
 e.stop()
@@ -131,5 +134,8 @@ def test_sort_and_agg_survive_memory_squeeze(tmp_path, spark):
     assert out["last"] == [last[0], last[1], float(last[2])]
     assert out["n_groups"] == exp_groups
     assert out["sum_q"] == exp_sum
-    # the point of the test: the squeeze genuinely forced the spill path
+    # the point of the test: the squeeze genuinely forced the spill paths
     assert out["sort_spill_bytes"] > 0, "sort never spilled - squeeze harder"
+    assert out["agg_spill_bytes"] > 0, "agg never spilled - squeeze harder"
+    # hash-agg hit its memory cap and fell back to sort-based aggregation
+    assert out["agg_fallback_tasks"] > 0
