@@ -269,6 +269,10 @@ def main() -> None:
             # groupBy on the hot orderkey: map-side partial aggregation
             # should absorb group skew almost entirely (ratio ~1)
             "q18_large_orders",
+            # plain (unsalted) 3-way join through the hot orderkey: AQE's
+            # skew-join split is what keeps this ~1 — the counterpart
+            # datapoint to the manually salted join above
+            "q3_shipping_priority",
         }
         skew_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
