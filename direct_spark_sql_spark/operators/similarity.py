@@ -934,3 +934,93 @@ def pca_project(
         )
         out_cols.append(dot.alias(f"pc{c}"))
     return df.select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id: int = 0,
+    n_codes: int = 16,
+    m: int = 4,
+    dims: int = 64,
+    k: int = 10,
+) -> DataFrame:
+    """Product-quantization encode + ADC top-k (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI'11) — the
+    memory-compression half of IVF-PQ: each vector is split into ``m``
+    subvectors and each subvector replaced by the index of its nearest
+    codebook entry, so a d-float vector becomes ``m`` small codes
+    (here 4 × 4 bits).  Query time never decodes: the query's exact
+    distance to every codebook entry is precomputed (an m × n_codes
+    lookup table) and a vector's distance estimate is the sum of ``m``
+    table lookups — the asymmetric distance.
+
+    Codebooks are seed-based for engine-replayability: entry ``c`` of
+    subspace ``j`` is the j-th subvector of the vector with
+    ``id = c + 1`` (ids 1..n_codes) — PQ with sampled (untrained)
+    codebooks, the deterministic analogue of random-init k-means.
+    All distances run in exact decimal with the repo's standard
+    ROUND-6 / DECIMAL(24,6) egress funnel, so codes AND estimates are
+    bit-identical in any engine (argmin ties break on the code index).
+
+    100 TB shape: encoding is the standard N × d × n_codes multiply-add
+    scan expressed as one equi-join + hash aggregate keyed
+    (vector, subspace, code) — fully shuffle-parallel, no Python, no
+    driver materialization; the ADC phase joins the m-code table against
+    an m × n_codes lookup side that would broadcast on a cluster.
+
+    Returns the ``k`` nearest (vec_id, adc_dist) to the query vector by
+    estimated L2², ascending, ties on id.
+    """
+    sub = dims // m
+    elems = df.select(
+        F.col(id_col),
+        F.posexplode(_dec_vec(emb_col)).alias("i0", "a"),
+    ).select(
+        id_col,
+        "a",
+        F.floor(F.col("i0") / sub).cast("int").alias("j"),
+        F.pmod(F.col("i0"), F.lit(sub)).cast("int").alias("pos"),
+    )
+    cb = (
+        elems.filter(
+            (F.col(id_col) >= 1) & (F.col(id_col) <= n_codes)
+        ).select(
+            (F.col(id_col) - 1).cast("int").alias("c"),
+            "j",
+            "pos",
+            F.col("a").alias("b"),
+        )
+    )
+    # encode: exact L2^2 of every (vector, subspace) against every code
+    diff = F.col("a") - F.col("b")
+    d2 = (
+        elems.filter(F.col(id_col) != query_id)
+        .join(cb, ["j", "pos"])
+        .groupBy(id_col, "j", "c")
+        .agg(F.sum(diff * diff).cast("decimal(24,6)").alias("d2"))
+    )
+    codes = d2.groupBy(id_col, "j").agg(
+        F.min(F.struct("d2", "c")).alias("mc")
+    ).select(id_col, "j", F.col("mc.c").alias("code"))
+    # query-side lookup table: exact distance of the query subvector to
+    # every codebook entry (m x n_codes rows - broadcast-sized)
+    qd = (
+        elems.filter(F.col(id_col) == query_id)
+        .join(cb, ["j", "pos"])
+        .groupBy("j", "c")
+        .agg(F.sum(diff * diff).cast("decimal(24,6)").alias("qd2"))
+    )
+    adc = (
+        codes.join(F.broadcast(qd), (codes.j == qd.j) & (codes.code == qd.c))
+        .groupBy(id_col)
+        .agg(
+            F.sum("qd2").cast("decimal(24,6)").cast("double").alias("adc_dist")
+        )
+    )
+    return adc.orderBy("adc_dist", id_col).limit(k)

@@ -1611,3 +1611,62 @@ QUERIES = [
           ("similarity", "pipeline"),
           doc="top-k per query vector for a broadcast query batch, one job"),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + ADC (round 4): the memory-compression half of
+# IVF-PQ.  Oracle replays the full encode + lookup-table pipeline in SQL.
+# ---------------------------------------------------------------------------
+
+def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.pq_adc_topk(e, query_id=0, n_codes=16, m=4, dims=64, k=10)
+
+
+EMBEDDING_PQ_ORACLE = f"""
+WITH {_EX_SQL.strip()},
+el AS (
+  SELECT vec_id, a,
+         CAST(FLOOR((i - 1) / 16) AS INT) AS j,
+         CAST((i - 1) % 16 AS INT) AS pos
+  FROM ex
+),
+cb AS (
+  SELECT CAST(vec_id - 1 AS INT) AS c, j, pos, a AS b
+  FROM el WHERE vec_id BETWEEN 1 AND 16
+),
+d2 AS (
+  SELECT el.vec_id, el.j, cb.c,
+         CAST(ROUND(SUM((el.a - cb.b) * (el.a - cb.b)), 6) AS DECIMAL(24,6)) AS d2
+  FROM el JOIN cb ON el.j = cb.j AND el.pos = cb.pos
+  WHERE el.vec_id <> 0
+  GROUP BY el.vec_id, el.j, cb.c
+),
+codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+qd AS (
+  SELECT el.j, cb.c,
+         CAST(ROUND(SUM((el.a - cb.b) * (el.a - cb.b)), 6) AS DECIMAL(24,6)) AS qd2
+  FROM el JOIN cb ON el.j = cb.j AND el.pos = cb.pos
+  WHERE el.vec_id = 0
+  GROUP BY el.j, cb.c
+)
+SELECT codes.vec_id,
+       CAST(CAST(SUM(qd.qd2) AS DECIMAL(24,6)) AS DOUBLE) AS adc_dist
+FROM codes JOIN qd ON codes.j = qd.j AND codes.code = qd.c
+GROUP BY codes.vec_id
+ORDER BY adc_dist, codes.vec_id LIMIT 10
+"""
+
+QUERIES += [
+    Query("embedding_pq_adc_topk", embedding_pq_adc_topk, EMBEDDING_PQ_ORACLE,
+          ("similarity", "pipeline"),
+          doc="product quantization (m=4, 16 codes, seed codebooks) + "
+              "asymmetric-distance top-k; oracle replays encode + ADC "
+              "lookup table bit-exactly"),
+]
