@@ -202,3 +202,141 @@ def cohort_retention(
             "retention_pct"
         ),
     ).orderBy("cohort_week", "week_offset")
+
+
+def basket_affinity(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_baskets: int = 2,
+    top_k: int = 40,
+) -> DataFrame:
+    """Market-basket pair affinity: support and lift for item pairs.
+
+    Classic association-rule statistics over (basket, item) rows — the
+    co-occurrence shape behind "frequently bought together" and feature
+    co-occurrence mining.  For every unordered item pair (a < b):
+
+        support = n(a,b) / N           lift = n(a,b) * N / (n(a) * n(b))
+
+    with N = distinct baskets.  All counts are exact BIGINTs; support and
+    lift are single IEEE expressions over those counts, so both engines
+    produce bit-identical doubles.
+
+    Scale posture: the only shuffles are (1) the distinct on
+    (basket, item) and (2) the self-equi-join on basket_col — Spark reuses
+    the exchange for both sides (same child plan), and the expansion per
+    basket is bounded by the per-basket distinct-item count, not data
+    volume.  The 1-row total is broadcast.  No all-pairs product anywhere.
+    """
+    ob = baskets.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
+    ).distinct()
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pair_counts = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_baskets"))
+        .filter(F.col("pair_baskets") >= min_pair_baskets)
+    )
+    item_counts = ob.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("item_baskets")
+    )
+    total = ob.agg(F.countDistinct("bk").cast("long").alias("n_baskets"))
+    ia = item_counts.alias("ia")
+    ib = item_counts.alias("ib")
+    joined = (
+        pair_counts.join(F.broadcast(ia), F.col("item_a") == F.col("ia.item"))
+        .join(F.broadcast(ib), F.col("item_b") == F.col("ib.item"))
+        .crossJoin(F.broadcast(total))
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        joined.select(
+            "item_a",
+            "item_b",
+            "pair_baskets",
+            (dbl("pair_baskets") / dbl("n_baskets")).alias("support"),
+            (
+                dbl("pair_baskets") * dbl("n_baskets")
+                / (dbl("ia.item_baskets") * dbl("ib.item_baskets"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(top_k)
+    )
+
+
+#: fixed-point snap for PSI contributions (1e-8 units held as BIGINT so the
+#: cross-bin total is an exact integer sum — order-independent)
+PSI_SNAP = 100_000_000.0
+
+
+def psi_drift(
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
+    bin_col: str = "bin",
+    count_col: str = "n",
+) -> DataFrame:
+    """Population-stability-index drift between two binned distributions.
+
+    The standard training-data drift monitor: given per-bin counts for a
+    reference slice and a current slice, computes Laplace-smoothed
+    proportions and the per-bin PSI contribution
+
+        (p_cur - p_ref) * ln(p_cur / p_ref)    (always >= 0)
+
+    snapped to 1e-8 units as a BIGINT (ln() is not guaranteed identically
+    rounded across libms, so the snap is the cross-engine contract), plus
+    the distribution-wide PSI total as an exact integer sum of the snapped
+    units.  PSI > 0.2 is the conventional "investigate" threshold.
+
+    Scale posture: inputs are already bin-cardinality aggregates (the
+    callers reduce raw rows map-side); everything here is a bounded
+    full-outer join on bin id plus two 1-row broadcast totals.
+    """
+    r = ref_counts.select(F.col(bin_col).alias("bin"), F.col(count_col).alias("n_ref"))
+    c = cur_counts.select(F.col(bin_col).alias("bin"), F.col(count_col).alias("n_cur"))
+    merged = (
+        r.join(c, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    tot = merged.agg(
+        F.sum("n_ref").cast("long").alias("tot_ref"),
+        F.sum("n_cur").cast("long").alias("tot_cur"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    m = merged.crossJoin(F.broadcast(tot))
+    # Laplace-smoothed proportions: (n + 1) / (tot + n_bins); exact-long
+    # numerators/denominators so the doubles agree bit-for-bit.
+    p_ref = (F.col("n_ref").cast("double") + F.lit(1.0)) / (
+        F.col("tot_ref").cast("double") + F.col("n_bins").cast("double")
+    )
+    p_cur = (F.col("n_cur").cast("double") + F.lit(1.0)) / (
+        F.col("tot_cur").cast("double") + F.col("n_bins").cast("double")
+    )
+    units = F.floor((p_cur - p_ref) * F.log(p_cur / p_ref) * F.lit(PSI_SNAP) + F.lit(0.5)).cast(
+        "long"
+    )
+    w_all = Window.partitionBy()
+    return (
+        m.select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            units.alias("psi_units"),
+        )
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            (F.col("psi_units").cast("double") / F.lit(PSI_SNAP)).alias("psi_contrib"),
+            (F.sum("psi_units").over(w_all).cast("double") / F.lit(PSI_SNAP)).alias("psi_total"),
+        )
+        .orderBy("bin")
+    )

@@ -1553,7 +1553,130 @@ GROUP BY source ORDER BY source
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair affinity (support / lift)
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_PAIRS = 2
+BASKET_TOP_K = 40
+
+
+def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brands co-purchased within an order, ranked by lift.
+
+    The association-rule / co-occurrence-mining shape (reference exposes
+    the same statistic family through its aggregate pipeline; here the
+    basket key is o_orderkey and the item is p_brand — 25 distinct items,
+    so the pair space is bounded at C(25,2) regardless of data volume).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(pt, li.l_partkey == pt.p_partkey).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    return an.basket_affinity(
+        baskets, "basket", "item",
+        min_pair_baskets=BASKET_MIN_PAIRS, top_k=BASKET_TOP_K,
+    )
+
+
+BASKET_AFFINITY_ORACLE = f"""
+WITH ob AS (SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS item
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+pc AS (SELECT a.item AS item_a, b.item AS item_b,
+              CAST(count(*) AS BIGINT) AS pair_baskets
+       FROM ob a JOIN ob b ON a.bk = b.bk AND a.item < b.item
+       GROUP BY 1, 2
+       HAVING count(*) >= {BASKET_MIN_PAIRS}),
+ic AS (SELECT item, CAST(count(*) AS BIGINT) AS item_baskets FROM ob GROUP BY item),
+tot AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM ob)
+SELECT item_a, item_b, pair_baskets,
+       CAST(pair_baskets AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+       CAST(pair_baskets AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+         / (CAST(ia.item_baskets AS DOUBLE) * CAST(ib.item_baskets AS DOUBLE)) AS lift
+FROM pc JOIN ic ia ON ia.item = pc.item_a
+        JOIN ic ib ON ib.item = pc.item_b
+        CROSS JOIN tot
+ORDER BY lift DESC, item_a, item_b LIMIT {BASKET_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# PSI distribution drift (training-data monitoring)
+# ---------------------------------------------------------------------------
+
+PSI_BIN_W = 8
+
+
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution drift between two deterministic corpus halves.
+
+    The population-stability-index monitor every recurring-ingest training
+    pipeline runs: slice A (reference) vs slice B (current), binned
+    token-count histograms, per-bin PSI contributions and the exact total.
+    The halves are split by MD5 parity of doc_id so both engines agree.
+    """
+    from direct_spark_sql_spark.hashing import h64
+
+    d = load_table(spark, sf_dir, "documents")
+    binned = d.select(
+        (h64(F.col("doc_id")) % 2).alias("half"),
+        F.floor(F.size(tokens("text")) / F.lit(PSI_BIN_W)).cast("long").alias("bin"),
+    )
+    counts = lambda h: (  # noqa: E731
+        binned.filter(F.col("half") == h)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return an.psi_drift(counts(0), counts(1))
+
+
+PSI_DRIFT_ORACLE = f"""
+WITH t AS (SELECT doc_id, len({TOKS_SQL}) AS ntok FROM documents),
+b AS (SELECT {h64_sql('doc_id')} % 2 AS half,
+             CAST(ntok // {PSI_BIN_W} AS BIGINT) AS bin FROM t),
+m AS (SELECT bin,
+             CAST(count(*) FILTER (WHERE half = 0) AS BIGINT) AS n_ref,
+             CAST(count(*) FILTER (WHERE half = 1) AS BIGINT) AS n_cur
+      FROM b GROUP BY bin),
+tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tot_ref,
+               CAST(SUM(n_cur) AS BIGINT) AS tot_cur,
+               CAST(count(*) AS BIGINT) AS n_bins FROM m),
+u AS (SELECT bin, n_ref, n_cur,
+             CAST(FLOOR((pc - pr) * LN(pc / pr) * {an.PSI_SNAP} + 0.5) AS BIGINT)
+               AS psi_units
+      FROM (SELECT bin, n_ref, n_cur,
+                   (CAST(n_ref AS DOUBLE) + 1.0)
+                     / (CAST(tot_ref AS DOUBLE) + CAST(n_bins AS DOUBLE)) AS pr,
+                   (CAST(n_cur AS DOUBLE) + 1.0)
+                     / (CAST(tot_cur AS DOUBLE) + CAST(n_bins AS DOUBLE)) AS pc
+            FROM m CROSS JOIN tot))
+SELECT bin, n_ref, n_cur,
+       CAST(psi_units AS DOUBLE) / {an.PSI_SNAP} AS psi_contrib,
+       CAST(SUM(psi_units) OVER () AS DOUBLE) / {an.PSI_SNAP} AS psi_total
+FROM u ORDER BY bin
+"""
+
+
 QUERIES: list[Query] = [
+    Query(
+        name="basket_brand_affinity",
+        spark_fn=basket_brand_affinity,
+        oracle=BASKET_AFFINITY_ORACLE,
+        tags=("analytics", "join"),
+        doc="market-basket brand-pair support/lift via exchange-reused "
+            "self-equi-join on the basket key (bounded C(25,2) pair space)",
+    ),
+    Query(
+        name="quality_psi_drift",
+        spark_fn=quality_psi_drift,
+        oracle=PSI_DRIFT_ORACLE,
+        tags=("analytics", "quality"),
+        doc="population-stability-index drift between corpus halves; "
+            "snapped-ln per-bin contributions, exact integer-unit total",
+    ),
     Query(
         name="events_funnel",
         spark_fn=events_funnel,

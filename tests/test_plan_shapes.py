@@ -337,3 +337,15 @@ def test_hll_union_is_object_hash_aggregate(spark):
     df = sketch_hll_union_estimate(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ObjectHashAggregate" in plan, plan[:1200]
+
+
+def test_basket_affinity_reuses_exchange_no_product(spark):
+    """The (basket, item) distinct feeds both sides of the pair self-join
+    plus the item-count and total aggregates; AQE must reuse the exchange
+    rather than recompute the scan+join per consumer, and the pair
+    expansion must be an equi-join on the basket key, never a product."""
+    plan = _executed_plan_after_action(spark, "basket_brand_affinity")
+    assert "CartesianProduct" not in plan
+    assert "ReusedExchange" in plan or "ReusedSubquery" in plan, (
+        "basket self-join recomputes the basket-item pipeline per consumer"
+    )
