@@ -1,0 +1,107 @@
+"""One-off 100× scale probe (not part of the per-round bench budget).
+
+Materializes a 100× key-shifted copy of the sf0.1 testdata (~60 M events
+/ ~60 M lineitem rows) and measures a strategy-spanning query set at base
+and at 100×, printing one JSON line with per-query wall ratios.  The
+per-round bench already pins 10× (all headline queries) and 30× (the
+worst three); this records the same evidence one decade further out —
+run it once per round by hand when plans change:
+
+    python -m direct_spark_sql_spark.tools.scale100_probe
+
+Query picks cover the distinct physical strategies:
+- full-scan aggregate (q1), filter-scan (q6): should track data volume
+  until the 32 local cores saturate (ratio << 100 while base runs
+  underutilize, approaching ~linear once saturated);
+- zone-map pruned scan: should stay FAR sub-linear — pruning skips
+  untouched row groups no matter how many exist;
+- bounded top-k (embedding cosine): bounded result, sub-linear;
+- hash-agg dedup fingerprint, window sessionization, AQE 3-way join,
+  banded LSH self-join: the shapes whose degradation would signal a plan
+  that can't survive a real scale-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+PROBE_QUERIES = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "zonemap_pruned_scan",
+    "embedding_cosine_topk",
+    "dedup_exact_fingerprint",
+    "events_user_sessions",
+    "q3_shipping_priority",
+    "dedup_minhash_lsh",
+]
+
+FACTOR = 100
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from direct_spark_sql_spark.session import Engine
+
+    engine = (
+        Engine.builder()
+        .master(f"local[{cpus}]")
+        .app_name("direct_spark_sql_spark-scale100")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .get_or_create()
+    )
+    spark = engine.spark
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from direct_spark_sql_spark.plans.registry import QUERIES
+    from direct_spark_sql_spark.sources.scale import ensure_scaled_dataset
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    scale_dir = os.path.join(repo, "spark-warehouse", "scaledata", f"sf{sf}x{FACTOR}")
+    t0 = time.perf_counter()
+    ensure_scaled_dataset(spark, sf_dir, scale_dir, factor=FACTOR)
+    gen_sec = round(time.perf_counter() - t0, 1)
+
+    def measure(q, data_dir: str) -> float:
+        def once() -> float:
+            t = time.perf_counter()
+            df = q.spark_fn(spark, data_dir)
+            try:
+                df.toPandas()
+            except Exception:
+                df.collect()
+            return time.perf_counter() - t
+
+        once()  # warmup
+        return round(min(once() for _ in range(3)), 4)
+
+    base, scaled = {}, {}
+    for name in PROBE_QUERIES:
+        q = QUERIES[name]
+        base[name] = measure(q, sf_dir)
+        scaled[name] = measure(q, scale_dir)
+
+    ratios = {n: round(scaled[n] / base[n], 2) for n in PROBE_QUERIES}
+    out = {
+        "metric": "scale100_probe",
+        "factor": FACTOR,
+        "sf": sf,
+        "gen_sec": gen_sec,
+        "base_sec": base,
+        "scaled_sec": scaled,
+        "ratio_vs_base": ratios,
+        "superlinear": sorted(n for n, r in ratios.items() if r > FACTOR * 1.25),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
