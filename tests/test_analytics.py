@@ -312,3 +312,59 @@ def test_observed_metrics_single_pass(spark):
     assert m["n_null_text"] == 0
     assert m["max_chars"] == d.agg(F.max("n_chars")).collect()[0][0]
     assert kept < m["n_rows"]
+
+
+def test_basket_affinity_hand_computed_lift(spark):
+    # 4 baskets: A+B co-occur twice, A+C once; N=4, n(A)=3, n(B)=2, n(C)=2.
+    # lift(A,B) = 2*4/(3*2) = 4/3; lift(A,C) = 1*4/(3*2) = 2/3.
+    from direct_spark_sql_spark.operators.analytics import basket_affinity
+
+    rows = [
+        (1, "A"), (1, "B"),
+        (2, "A"), (2, "B"),
+        (3, "A"), (3, "C"),
+        (4, "C"),
+        (4, "C"),  # duplicate (basket, item) row must not double-count
+    ]
+    df = spark.createDataFrame(rows, "bk BIGINT, item STRING")
+    out = basket_affinity(df, "bk", "item", min_pair_baskets=1)
+    got = {(r.item_a, r.item_b): (r.pair_baskets, r.support, r.lift) for r in out.collect()}
+    assert got == {
+        ("A", "B"): (2, 0.5, 4.0 / 3.0),
+        ("A", "C"): (1, 0.25, 2.0 / 3.0),
+    }
+
+
+def test_basket_affinity_min_pair_threshold(spark):
+    from direct_spark_sql_spark.operators.analytics import basket_affinity
+
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "C")]
+    df = spark.createDataFrame(rows, "bk BIGINT, item STRING")
+    out = basket_affinity(df, "bk", "item", min_pair_baskets=2)
+    assert [(r.item_a, r.item_b) for r in out.collect()] == [("A", "B")]
+
+
+def test_psi_drift_identical_distributions_zero(spark):
+    from direct_spark_sql_spark.operators.analytics import psi_drift
+
+    c = spark.createDataFrame([(0, 10), (1, 20), (2, 5)], "bin BIGINT, n BIGINT")
+    out = psi_drift(c, c).collect()
+    assert all(r.psi_contrib == 0.0 for r in out)
+    assert out[0].psi_total == 0.0
+
+
+def test_psi_drift_disjoint_bins_full_outer_and_positive(spark):
+    # ref has bin 0 only, cur has bin 1 only: the full-outer merge must
+    # surface both bins with zero-filled counts, and every smoothed
+    # contribution must be strictly positive with total = sum of parts.
+    from direct_spark_sql_spark.operators.analytics import psi_drift
+
+    r = spark.createDataFrame([(0, 10)], "bin BIGINT, n BIGINT")
+    c = spark.createDataFrame([(1, 10)], "bin BIGINT, n BIGINT")
+    out = {row.bin: row for row in psi_drift(r, c).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].n_ref == 10 and out[0].n_cur == 0
+    assert out[1].n_ref == 0 and out[1].n_cur == 10
+    assert all(row.psi_contrib > 0 for row in out.values())
+    total = round(sum(row.psi_contrib for row in out.values()), 8)
+    assert round(out[0].psi_total, 8) == total
