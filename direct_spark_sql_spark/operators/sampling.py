@@ -153,3 +153,42 @@ def temperature_weighted_sample(
         .filter(bucket < F.col("__rate_buckets"))
         .drop("__d")
     )
+
+
+#: fixed-point snap for the Efraimidis–Spirakis key (1e-8 units as BIGINT):
+#: ln() is not identically rounded across libms, so ranking happens on the
+#: snapped integer with the row key as the deterministic tie-break.
+ES_KEY_SNAP = 100_000_000.0
+
+#: hash range of h64 (60 bits) as a double divisor mapping hashes to (0, 1]
+_H64_RANGE = float(1 << 60)
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame, key: str, weight: str, k: int
+) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis, "Weighted random sampling with a reservoir", IPL'06) — the
+    distributed weighted-reservoir standard: each row draws a uniform
+    u from its key hash and scores ``ln(u) / w``; the top-k scores ARE a
+    weighted sample without replacement.  Deterministic end-to-end: u is
+    the MD5-derived h64 mapped into (0, 1], and the score is snapped to
+    1e-8 units (BIGINT) with the key as tie-break, so any engine draws
+    the identical sample.
+
+    100 TB shape: one scan + a bounded top-k (TakeOrderedAndProject) —
+    per-partition heaps of size k, k rows to the driver, no shuffle of
+    the data itself.
+    """
+    u = (h64(F.col(key)).cast("double") + F.lit(1.0)) / F.lit(_H64_RANGE)
+    score = F.log(u) / F.col(weight).cast("double")
+    key_units = F.floor(score * F.lit(ES_KEY_SNAP) + F.lit(0.5)).cast("long")
+    return (
+        df.select(
+            key,
+            F.col(weight).cast("long").alias("weight"),
+            key_units.alias("es_key_units"),
+        )
+        .orderBy(F.desc("es_key_units"), key)
+        .limit(k)
+    )

@@ -684,6 +684,34 @@ FROM documents GROUP BY split ORDER BY split
 """
 
 
+ES_SAMPLE_K = 25
+
+
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-25 length-weighted document sample without replacement
+    (Efraimidis-Spirakis top-k keys) — the deterministic distributed twin
+    of weighted reservoir sampling: longer docs proportionally likelier,
+    no doc twice, replayable in any engine."""
+    from direct_spark_sql_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_without_replacement(
+        d, "doc_id", "n_chars", k=ES_SAMPLE_K
+    )
+
+
+SAMPLE_WEIGHTED_ORACLE = f"""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       CAST(FLOOR(LN((CAST({h64_sql('doc_id')} AS DOUBLE) + 1.0) / {float(1 << 60)})
+                  / CAST(n_chars AS DOUBLE) * 100000000.0 + 0.5) AS BIGINT)
+         AS es_key_units
+FROM documents
+ORDER BY es_key_units DESC, doc_id LIMIT {ES_SAMPLE_K}
+"""
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language downsampling (the rebalance step of corpus curation):
     keep 50% of dominant 'en', all of 'fr'/'de', drop the rest."""
@@ -1551,6 +1579,11 @@ QUERIES = [
           ("sampling", "pipeline")),
     Query("sample_hash_split", sample_hash_split, SAMPLE_SPLIT_ORACLE,
           ("sampling", "pipeline")),
+    Query("sample_weighted_reservoir", sample_weighted_reservoir,
+          SAMPLE_WEIGHTED_ORACLE, ("sampling", "pipeline"),
+          doc="Efraimidis-Spirakis exact-k weighted sample without "
+              "replacement: snapped ln(u)/w keys, bounded top-k, "
+              "engine-replayable"),
     Query("sample_stratified", sample_stratified, SAMPLE_STRATIFIED_ORACLE,
           ("sampling", "pipeline")),
     Query("corpus_vocabulary", corpus_vocabulary, VOCABULARY_ORACLE,

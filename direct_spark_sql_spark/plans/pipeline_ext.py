@@ -1468,6 +1468,112 @@ FROM walk GROUP BY node ORDER BY depth, node
 """
 
 
+_SSSP_ROUNDS = 6
+
+
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (bounded Bellman-Ford) over
+    the near-duplicate graph from its smallest node — the weighted
+    completion of the graph family (CC / PageRank / BFS / triangles).
+    Edges = near-dup pairs (chords) unioned with per-lang doc-id chains
+    (lag window) so multiple routes exist; weights are deterministic
+    integers 1..9 from the MD5 hash of the canonical pair, so both
+    engines walk the identical graph.
+    Each relaxation round is one frontier-to-edges equi-join + a min
+    aggregation with lineage truncated per round (the CC precedent);
+    {_SSSP_ROUNDS} rounds = exact shortest paths using at most
+    {_SSSP_ROUNDS} edges, which the depth-capped recursive-CTE oracle
+    reproduces with MIN(dist) over enumerated walks."""
+    from pyspark.sql import Window
+
+    from direct_spark_sql_spark.hashing import h64
+    from direct_spark_sql_spark.operators import dedup as dd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pairs = dd.minhash_near_duplicates(
+        d.select("doc_id", "text")
+    ).select("id_a", "id_b").localCheckpoint()
+    # densify with per-lang doc-id chains (lag window): long deterministic
+    # paths whose near-dup chords create genuine alternative routes, so
+    # the min-over-paths relaxation is actually exercised (the raw
+    # near-dup graph alone is 2-3-node cliques)
+    prev = F.lag("doc_id").over(Window.partitionBy("lang").orderBy("doc_id"))
+    chain = (
+        d.select("lang", "doc_id")
+        .select(prev.alias("id_a"), F.col("doc_id").alias("id_b"))
+        .filter(F.col("id_a").isNotNull())
+    )
+    allp = pairs.union(chain).distinct()
+    w = (
+        F.lit(1)
+        + h64(F.concat_ws("-", F.col("id_a"), F.col("id_b"))) % 9
+    ).cast("long")
+    wp = allp.select("id_a", "id_b", w.alias("w"))
+    edges = (
+        wp.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "w")
+        .union(wp.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "w"))
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = (
+        edges.agg(F.min("src").alias("node"))
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint()
+    )
+    for _ in range(_SSSP_ROUNDS):
+        cand = dist.join(edges, dist.node == edges.src).select(
+            edges.dst.alias("node"),
+            (F.col("dist") + F.col("w")).cast("long").alias("dist"),
+        )
+        dist = (
+            dist.union(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.orderBy("dist", "node")
+
+
+def _sssp_oracle() -> str:
+    from direct_spark_sql_spark.hashing import h64_sql
+    from direct_spark_sql_spark.plans.pipeline import _minhash_pairs_ctes
+
+    pair_key = "CAST(id_a AS VARCHAR) || '-' || CAST(id_b AS VARCHAR)"
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+chain AS (
+  SELECT LAG(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS id_a,
+         doc_id AS id_b
+  FROM documents
+),
+allp AS (
+  SELECT id_a, id_b FROM pairs
+  UNION
+  SELECT id_a, id_b FROM chain WHERE id_a IS NOT NULL
+),
+wp AS (
+  SELECT id_a, id_b,
+         CAST(1 + {h64_sql(pair_key)} % 9 AS BIGINT) AS w
+  FROM allp
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst, w FROM wp
+  UNION
+  SELECT id_b, id_a, w FROM wp
+),
+seed AS (SELECT MIN(src) AS node FROM edges),
+walk(node, dist, hops) AS (
+  SELECT node, CAST(0 AS BIGINT), 0 FROM seed
+  UNION ALL
+  SELECT e.dst, w.dist + e.w, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hops < {_SSSP_ROUNDS}
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node ORDER BY dist, node
+"""
+
+
 def _triangle_oracle() -> str:
     from direct_spark_sql_spark.plans.pipeline import _minhash_pairs_ctes
 
@@ -1516,6 +1622,11 @@ QUERIES = [
           ("graph", "pipeline"),
           doc="k-hop BFS traversal (min-depth) from the smallest node of "
               "the near-dup graph; frontier joins + anti-join visited set"),
+    Query("graph_sssp_weighted", graph_sssp_weighted, _sssp_oracle(),
+          ("graph", "pipeline"),
+          doc="bounded Bellman-Ford weighted SSSP (4 relaxation rounds) "
+              "over the near-dup graph, deterministic hash weights; "
+              "depth-capped recursive-CTE oracle"),
     Query("graph_triangle_enum", graph_triangle_enum, _triangle_oracle(),
           ("dedup", "graph", "pipeline"),
           doc="oriented-edge triangle enumeration over the near-dup graph "
