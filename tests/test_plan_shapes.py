@@ -157,6 +157,8 @@ _NLJ_ALLOWED = {
     "text_bigram_logprob",         # broadcast 1-row vocabulary size (V)
     "text_pmi_collocations",       # broadcast 1-row total bigram count (N)
     "events_anomaly_days",         # broadcast 1-row corpus day stats
+    "basket_brand_affinity",       # broadcast 1-row basket total (N)
+    "quality_psi_drift",           # broadcast 1-row (tot_ref, tot_cur, n_bins)
     "events_seasonal_decompose",   # broadcast 1-row residual stats
     "events_crosscorr_lags",       # broadcast 7-row lag dimension
     "hybrid_search_rrf",           # composes bm25 (1-row stats broadcast) +
