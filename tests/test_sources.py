@@ -153,3 +153,27 @@ def test_python_datasource_stream_resumes_from_offset(spark, tmp_path):
         seen.append(ids)
     assert seen[0] == list(range(0, 100))
     assert seen[1] == list(range(0, 200))  # run 2 appended the NEXT range
+
+
+def test_corrupt_file_tolerance(spark, tmp_path):
+    """Operational contract for large scans: with
+    `spark.sql.files.ignoreCorruptFiles=true` a scan survives a corrupt
+    parquet part (returns the readable rows); with the default (false)
+    it fails loudly rather than silently dropping data.  At fleet scale
+    a torn write WILL eventually appear in some partition — both
+    behaviors (fail-loud default, opt-in skip) must be provable."""
+    import pytest as _pytest
+
+    d = tmp_path / "corrupt_src"
+    spark.range(100).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(str(d))
+    (d / "part-corrupt.parquet").write_bytes(b"PAR1 this is not a real parquet file")
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    rows = s.read.parquet(str(d)).count()
+    assert rows == 100
+
+    strict = spark.newSession()
+    strict.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+    with _pytest.raises(Exception):
+        strict.read.parquet(str(d)).count()
