@@ -177,3 +177,48 @@ def test_corrupt_file_tolerance(spark, tmp_path):
     strict.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
     with _pytest.raises(Exception):
         strict.read.parquet(str(d)).count()
+
+
+def test_scan_split_parallelism_controlled_by_max_partition_bytes(spark, tmp_path):
+    """Scan parallelism contract: one large file must split into many
+    input partitions when `spark.sql.files.maxPartitionBytes` shrinks —
+    the knob that decides task granularity (and therefore executor
+    utilization and spill pressure) on a 100 TB scan."""
+    d = tmp_path / "bigfile"
+    spark.range(2_000_000).selectExpr(
+        "id", "CAST(id % 1000 AS STRING) AS s"
+    ).coalesce(1).write.parquet(str(d))
+
+    coarse = spark.newSession()
+    coarse.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 30))
+    n_coarse = coarse.read.parquet(str(d)).rdd.getNumPartitions()
+
+    fine = spark.newSession()
+    fine.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 20))
+    n_fine = fine.read.parquet(str(d)).rdd.getNumPartitions()
+
+    # coarse target → a handful of splits (Spark also factors in
+    # default parallelism via files.minPartitionNum, so not exactly 1);
+    # the contract is that shrinking the byte target raises parallelism
+    assert n_fine > n_coarse
+    assert n_fine > 4  # ~8 MB file / 1 MB target
+
+
+def test_writer_bounds_file_sizes_with_max_records_per_file(spark, tmp_path):
+    """Writer-side layout contract (the inverse of small-file
+    compaction): `maxRecordsPerFile` must cap every output file so one
+    task can never emit an unsplittable monster file."""
+    d = tmp_path / "bounded_out"
+    (
+        spark.range(10_000)
+        .coalesce(1)
+        .write.option("maxRecordsPerFile", 2_500)
+        .parquet(str(d))
+    )
+    files = [p for p in d.iterdir() if p.name.endswith(".parquet")]
+    assert len(files) >= 4
+    for p in files:
+        n = spark.read.parquet(str(p)).count()
+        assert n <= 2_500
+    total = spark.read.parquet(str(d)).count()
+    assert total == 10_000
