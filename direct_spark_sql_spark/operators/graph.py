@@ -84,3 +84,36 @@ def duplicate_groups(
             ).alias("member_ids"),
         )
     )
+
+
+def bellman_ford(
+    edges: DataFrame,
+    seed: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Bounded Bellman-Ford relaxation: shortest distance from the seed
+    set using at most ``rounds`` edges.  ``edges`` must already contain
+    both directions for an undirected graph; ``seed`` is (node, dist)
+    rows (normally dist 0).  Each round is one frontier-to-edges
+    equi-join + a min aggregation, lineage truncated per round — the
+    same iterative hygiene as :func:`connected_components`.
+    """
+    dist = seed.select(
+        F.col(seed.columns[0]).alias("node"),
+        F.col(seed.columns[1]).cast("long").alias("dist"),
+    ).localCheckpoint()
+    for _ in range(rounds):
+        cand = dist.join(edges, dist.node == F.col(src)).select(
+            F.col(dst).alias("node"),
+            (F.col("dist") + F.col(weight)).cast("long").alias("dist"),
+        )
+        dist = (
+            dist.union(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

@@ -1515,23 +1515,12 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    dist = (
-        edges.agg(F.min("src").alias("node"))
-        .select("node", F.lit(0).cast("long").alias("dist"))
-        .localCheckpoint()
+    from direct_spark_sql_spark.operators.graph import bellman_ford
+
+    seed = edges.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("dist")
     )
-    for _ in range(_SSSP_ROUNDS):
-        cand = dist.join(edges, dist.node == edges.src).select(
-            edges.dst.alias("node"),
-            (F.col("dist") + F.col("w")).cast("long").alias("dist"),
-        )
-        dist = (
-            dist.union(cand)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
-        )
-    return dist.orderBy("dist", "node")
+    return bellman_ford(edges, seed, _SSSP_ROUNDS).orderBy("dist", "node")
 
 
 def _sssp_oracle() -> str:

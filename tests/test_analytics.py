@@ -368,3 +368,53 @@ def test_psi_drift_disjoint_bins_full_outer_and_positive(spark):
     assert all(row.psi_contrib > 0 for row in out.values())
     total = round(sum(row.psi_contrib for row in out.values()), 8)
     assert round(out[0].psi_total, 8) == total
+
+
+def test_bellman_ford_hand_graph(spark):
+    # diamond with a shortcut: 1→2 (w1), 2→4 (w1) total 2 beats 1→3 (w5),
+    # 3→4 (w5) total 10 AND the direct 1→4 edge (w7); node 5 unreachable
+    # from the seed within the graph's direction set.
+    from direct_spark_sql_spark.operators.graph import bellman_ford
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 1), (2, 4, 1),
+            (1, 3, 5), (3, 4, 5),
+            (1, 4, 7),
+            (5, 1, 1),  # into the seed, never out of it
+        ],
+        "src BIGINT, dst BIGINT, w BIGINT",
+    )
+    seed = spark.createDataFrame([(1, 0)], "node BIGINT, dist BIGINT")
+    got = {r.node: r.dist for r in bellman_ford(edges, seed, rounds=4).collect()}
+    assert got == {1: 0, 2: 1, 3: 5, 4: 2}
+
+
+def test_bellman_ford_round_bound_semantics(spark):
+    # chain 1→2→3→4, all weight 1: with rounds=2 node 4 (3 edges away)
+    # must be absent — the bounded contract the oracle replays
+    from direct_spark_sql_spark.operators.graph import bellman_ford
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1)], "src BIGINT, dst BIGINT, w BIGINT"
+    )
+    seed = spark.createDataFrame([(1, 0)], "node BIGINT, dist BIGINT")
+    got = {r.node: r.dist for r in bellman_ford(edges, seed, rounds=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_weighted_reservoir_huge_weight_dominates(spark):
+    # ln(u)/w -> 0- as w -> inf, so a row with overwhelming weight must be
+    # in any top-k (deterministic for every u in (0,1)); uniform-weight
+    # rows fill the rest, and the draw is replayable call to call.
+    from direct_spark_sql_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = [(i, 1) for i in range(50)] + [(999, 10**12)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, w BIGINT")
+    out1 = weighted_sample_without_replacement(df, "doc_id", "w", k=5).collect()
+    ids1 = [r.doc_id for r in out1]
+    assert 999 in ids1 and len(ids1) == 5 and len(set(ids1)) == 5
+    out2 = weighted_sample_without_replacement(df, "doc_id", "w", k=5).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
