@@ -79,3 +79,45 @@ def test_contamination_df_cap_drops_boilerplate(spark):
     assert tx.contamination_pairs(train, ev, n=5, max_gram_df=3).count() == 0
     # without the cap all 5 pairs appear
     assert tx.contamination_pairs(train, ev, n=5, max_gram_df=100).count() == 5
+
+
+def test_h64_cross_engine_on_multibyte_text(spark, oracle):
+    """Real corpora aren't ASCII: the MD5-family hash must agree across
+    engines on CJK, emoji, combining marks, and mixed-script strings
+    (both engines hash the UTF-8 bytes)."""
+    import duckdb
+
+    from direct_spark_sql_spark.hashing import h64, h64_sql
+
+    samples = [
+        "日本語の文書",          # Japanese
+        "中文 mixed with ASCII",                  # Chinese + ASCII
+        "café naïve résumé",          # Latin-1 accents
+        "étoile",                                    # combining mark (NFD)
+        "\U0001f600\U0001f680 emoji text",                # emoji
+        "العربية",      # Arabic (RTL)
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(s,) for s in samples], "s STRING")
+    got = {r.s: r.h for r in df.select("s", h64(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for s in samples:
+        expected = con.execute(
+            f"SELECT {h64_sql('s')} FROM (SELECT ? AS s)", [s]
+        ).fetchone()[0]
+        assert got[s] == expected, s
+
+
+def test_tokens_and_shingles_on_multibyte_text(spark):
+    """Whitespace tokenization and shingling must be byte-safe on
+    multibyte input (no mojibake, no dropped tokens)."""
+    from pyspark.sql import functions as F
+
+    from direct_spark_sql_spark.operators.text import tokens
+
+    df = spark.createDataFrame(
+        [("café 日本語 \U0001f600 word",)], "text STRING"
+    )
+    toks = df.select(tokens("text").alias("t")).collect()[0].t
+    assert toks == ["café", "日本語", "\U0001f600", "word"]
