@@ -183,6 +183,12 @@ def weighted_sample_without_replacement(
     u = (h64(F.col(key)).cast("double") + F.lit(1.0)) / F.lit(_H64_RANGE)
     score = F.log(u) / F.col(weight).cast("double")
     key_units = F.floor(score * F.lit(ES_KEY_SNAP) + F.lit(0.5)).cast("long")
+    # Efraimidis-Spirakis requires strictly positive weights: w=0 makes the
+    # score ln(u)/0 = -Inf (whose BIGINT cast saturates in Spark but differs
+    # in other engines, breaking the identical-sample contract) and w<0
+    # silently inverts the ranking.  Non-positive weights are excluded from
+    # the draw — same contract as the SQL oracle's WHERE weight > 0.
+    df = df.filter(F.col(weight).cast("double") > 0)
     return (
         df.select(
             key,

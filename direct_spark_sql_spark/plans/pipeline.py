@@ -140,8 +140,8 @@ WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents WHERE doc_id <
 SELECT doc_id,
        md5(text) AS fp_md5,
        {h64_sql("array_to_string(list_sort(list_distinct(toks)), ' ')")} AS fp_content,
-       (SELECT COALESCE(SUM({h64_sql('u.tok')} % {P}), 0) % {P}
-        FROM unnest(toks) AS u(tok)) AS fp_rolling
+       CAST((SELECT COALESCE(SUM({h64_sql('u.tok')} % {P}), 0) % {P}
+        FROM unnest(toks) AS u(tok)) AS BIGINT) AS fp_rolling
 FROM t ORDER BY doc_id
 """
 
@@ -708,6 +708,7 @@ SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
                   / CAST(n_chars AS DOUBLE) * 100000000.0 + 0.5) AS BIGINT)
          AS es_key_units
 FROM documents
+WHERE n_chars > 0
 ORDER BY es_key_units DESC, doc_id LIMIT {ES_SAMPLE_K}
 """
 

@@ -1613,7 +1613,7 @@ QUERIES = [
               "the near-dup graph; frontier joins + anti-join visited set"),
     Query("graph_sssp_weighted", graph_sssp_weighted, _sssp_oracle(),
           ("graph", "pipeline"),
-          doc="bounded Bellman-Ford weighted SSSP (4 relaxation rounds) "
+          doc=f"bounded Bellman-Ford weighted SSSP ({_SSSP_ROUNDS} relaxation rounds) "
               "over the near-dup graph, deterministic hash weights; "
               "depth-capped recursive-CTE oracle"),
     Query("graph_triangle_enum", graph_triangle_enum, _triangle_oracle(),

@@ -6,8 +6,9 @@ Ordering: the driver's per-round CORRECTNESS sweep checks a bounded prefix
 of ``queries()`` (observed cap: 50 rows/round).  To rotate the hard oracle
 signal through *all* registry entries across rounds, ``all_queries()``
 returns entries sorted by the last round in which they appeared in a
-``CORRECTNESS_r*.json`` at the repo root — never-checked queries first,
-then least-recently-checked.  The sort is stable, so within a cohort the
+``CORRECTNESS_r*.json`` at the repo root — most-recently-FAILED queries
+first (so fixes are re-verified next sweep), then never-checked, then
+least-recently-checked.  The sort is stable, so within a cohort the
 canonical module order is preserved.  With ~220 entries and a 50-row budget
 the full registry earns driver-side verification within five rounds.
 """
@@ -41,8 +42,18 @@ def _last_checked_round() -> dict[str, int]:
             continue
         if not isinstance(rows, dict):
             continue
-        for name in rows:
-            last[name] = max(last.get(name, 0), rnd)
+        for name, row in rows.items():
+            failed = isinstance(row, dict) and (
+                row.get("err") is not None
+                or row.get("rows_match") is False
+                or row.get("schema_match") is False
+                or row.get("hash_match") is False
+            )
+            # A failed check doesn't count as "checked"; a *most-recent*
+            # failure sorts ahead of even never-checked rows (-1) so the fix
+            # is re-verified in the very next sweep instead of ~3 rounds on.
+            if rnd >= abs(last.get(name, 0)):
+                last[name] = -rnd if failed else rnd
     return last
 
 
