@@ -118,24 +118,64 @@ def _walk_plan_metrics(jnode, out: list[dict[str, Any]]) -> None:
     """Depth-first walk of a java SparkPlan collecting each node's raw
     SQLMetric values — descends through AQE roots and query stages so the
     FINAL physical operators (post-reoptimization) are what's reported."""
+    node_entry: dict[str, Any] = {"operator": "<unreadable>", "metrics": {}}
     try:
+        node_entry["operator"] = str(jnode.nodeName())
         metrics: dict[str, int] = {}
         it = jnode.metrics().iterator()
         while it.hasNext():
             kv = it.next()
             metrics[str(kv._1())] = kv._2().value()
-        out.append({"operator": str(jnode.nodeName()), "metrics": metrics})
+        node_entry["metrics"] = metrics
+    except Exception:
+        # a node without the metrics surface (or a py4j hiccup) degrades to
+        # ONE partial entry — the walk still descends, so a single bad node
+        # cannot silently drop the rest of the subtree from shuffle/spill
+        # totals (which feed bench.py's shuffle-regression gate).
+        node_entry["partial"] = True
+    out.append(node_entry)
+    try:
         cls = jnode.getClass().getSimpleName()
         if cls == "AdaptiveSparkPlanExec":
             _walk_plan_metrics(jnode.executedPlan(), out)
         elif "QueryStageExec" in cls:
             _walk_plan_metrics(jnode.plan(), out)
+    except Exception:
+        node_entry["partial"] = True
+    try:
         ch = jnode.children().iterator()
         while ch.hasNext():
             _walk_plan_metrics(ch.next(), out)
     except Exception:
-        # a node without the metrics surface (or a py4j hiccup) degrades
-        # to partial output rather than failing the readout
+        node_entry["partial"] = True
+
+
+#: accumulator keys last_metrics() reports as per-call deltas; everything
+#: else in the per-node map stays cumulative (same contract as the Spark
+#: UI's SQL tab for a reused plan object)
+_DELTA_METRIC_KEYS = ("shuffleBytesWritten", "shuffleRecordsWritten", "spillSize")
+
+
+def _collect_delta_handles(jnode, out: list[tuple[str, Any]]) -> None:
+    """Collect the java SQLMetric accumulator objects for the delta-reported
+    keys so a pre-execution baseline snapshot costs a handful of py4j value
+    reads (not a full plan walk) on the warm path."""
+    try:
+        it = jnode.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            key = str(kv._1())
+            if key in _DELTA_METRIC_KEYS:
+                out.append((key, kv._2()))
+        cls = jnode.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            _collect_delta_handles(jnode.executedPlan(), out)
+        elif "QueryStageExec" in cls:
+            _collect_delta_handles(jnode.plan(), out)
+        ch = jnode.children().iterator()
+        while ch.hasNext():
+            _collect_delta_handles(ch.next(), out)
+    except Exception:
         pass
 
 
@@ -225,7 +265,12 @@ class _LRU:
 class Engine:
     """PySpark-native engine session with the reference's API surface."""
 
-    def __init__(self, spark: SparkSession, plan_cache_size: int = 1000):
+    def __init__(
+        self,
+        spark: SparkSession,
+        plan_cache_size: int = 1000,
+        result_cache_size: int = 64,
+    ):
         self.spark = spark
         self._namespace = ""
         #: (namespace+sql) -> analyzed DataFrame; re-executes lazily with
@@ -240,11 +285,28 @@ class Engine:
         #: unpersist the old storage (reference re-registers freely,
         #: DirectSparkSession.scala:181-219).
         self._materialized_views: dict[str, DataFrame] = {}
-        #: (DataFrame, wall_sec, result_rows) of the most recent
-        #: sql_directly — backs last_metrics() (reference: per-plan
-        #: SQLMetric map, DirectSQLMetrics.scala:21-72,
-        #: DirectPlan.scala:63-77).
-        self._last_execution: tuple[DataFrame, float, int] | None = None
+        #: (DataFrame, wall_sec, result_rows, pre_exec_metric_baseline,
+        #: result_cache_hit) of the most recent sql_directly — backs
+        #: last_metrics() (reference: per-execution SQLMetric map,
+        #: DirectSQLMetrics.scala:21-72, DirectExecutionContext.scala:45).
+        self._last_execution: tuple | None = None
+        #: Result cache — the Spark-analogue of the reference's sub-ms
+        #: repeated-query class.  The reference re-executes a cached
+        #: single-node plan same-thread (DirectPlan.scala:79-83), which
+        #: costs microseconds; Spark's distributed execution has a
+        #: ~30 ms-per-job floor (measured: plan-cache lookup is 11 µs,
+        #: the rest is stage scheduling), so the semantically-equivalent
+        #: fast path is caching the *materialized result* of a
+        #: deterministic query over unchanged temp views.  Entries are
+        #: dropped by exactly the invalidation that drops cached plans
+        #: (view re-register / view DDL / function DDL), and a statement
+        #: is eligible only when the statement text AND the analyzed plan
+        #: are deterministic, non-streaming, and read no files (file data
+        #: can change outside the facade's view of the world).
+        self._result_cache = _LRU(result_cache_size)
+        self.result_cache_enabled = result_cache_size > 0
+        #: rows above this are never result-cached (driver-memory bound)
+        self.result_cache_max_rows = 100_000
         self._lock = threading.Lock()
         #: UDF surface (reference: DirectSessionCatalog.scala:62-112 Hive
         #: UDF registration): engine functions callable from SQL text.
@@ -281,12 +343,28 @@ class Engine:
         """
         if isinstance(rows, DataFrame):
             df = rows
-        elif isinstance(rows, DataTable):
-            df = rows.to_dataframe(self.spark)
         else:
-            if schema is None:
-                raise ValueError("schema is required for list-of-dicts input")
-            df = DataTable.from_list_of_dicts(rows, schema).to_dataframe(self.spark)
+            if isinstance(rows, DataTable):
+                table = rows
+            else:
+                if schema is None:
+                    raise ValueError("schema is required for list-of-dicts input")
+                table = DataTable.from_list_of_dicts(rows, schema)
+            df = table.to_dataframe(self.spark)
+            # Driver-local ingress arrives via sc.parallelize, which slices
+            # tiny lists across defaultParallelism (32 on the target rig)
+            # partitions — dozens of near-empty scan tasks per execution.
+            # Right-size to ~50k rows/partition so small reference tables
+            # scan in one task (the dominant term in warm facade latency)
+            # while genuinely large ingress keeps its parallelism.
+            slices = max(
+                1,
+                min(
+                    self.spark.sparkContext.defaultParallelism,
+                    len(table.data) // 50_000,
+                ),
+            )
+            df = df.coalesce(slices)
 
         if "." in name:
             # db-qualified temp view: keep it in a python-side registry and
@@ -343,9 +421,12 @@ class Engine:
                 key,
             )
 
-        self._plan_cache.drop_where(
-            lambda key: pattern.search(_matchable(key)) is not None
-        )
+        def _references(key: str) -> bool:
+            return pattern.search(_matchable(key)) is not None
+
+        self._plan_cache.drop_where(_references)
+        # materialized results referencing the view are stale the same way
+        self._result_cache.drop_where(_references)
 
     def _rewrite_qualified(self, sql: str) -> str:
         """Rewrite ``db.table`` references for registered qualified views.
@@ -415,12 +496,104 @@ class Engine:
 
     def sql_directly(self, sql: str) -> DataTable:
         """Execute SQL and materialize the result (reference:
-        sqlDirectly, DirectSparkSession.scala:88-127)."""
-        df = self.dataframe(sql)
+        sqlDirectly, DirectSparkSession.scala:88-127).
+
+        Warm repeated queries take the result cache (see ``__init__``):
+        a deterministic, file-free, non-streaming query whose referenced
+        views haven't changed returns its previously materialized rows
+        without re-running the Spark job — the engine's answer to the
+        reference's same-thread iterator over a cached single-node plan.
+        """
+        df = self.dataframe(sql)  # plan-cache get first: stats + invalidation
+        cacheable = self.result_cache_enabled and self._statement_result_cacheable(
+            sql
+        )
+        key = self._cache_key(sql)
+        if cacheable:
+            t0 = time.perf_counter()
+            hit = self._result_cache.get(key)
+            if hit is not None:
+                schema, rows, hit_df, pre = hit
+                self._last_execution = (
+                    hit_df,
+                    time.perf_counter() - t0,
+                    len(rows),
+                    pre,
+                    True,
+                )
+                return DataTable(schema, list(rows))
+        pre = self._metric_baseline(df)
         t0 = time.perf_counter()
         table = DataTable.from_dataframe(df)
-        self._last_execution = (df, time.perf_counter() - t0, len(table.data))
+        wall = time.perf_counter() - t0
+        df.__dict__["_dss_executed"] = True
+        self._last_execution = (df, wall, len(table.data), pre, False)
+        if (
+            cacheable
+            and len(table.data) <= self.result_cache_max_rows
+            and self._plan_result_cacheable(df)
+        ):
+            self._result_cache.put(key, (table.schema, tuple(table.data), df, pre))
         return table
+
+    def _statement_result_cacheable(self, sql: str) -> bool:
+        """Statement-text gate for the result cache: queries only, no
+        time/random functions (same regexes that gate the plan cache)."""
+        return bool(_QUERY_START_RE.match(sql)) and not self._is_nondeterministic(
+            sql
+        )
+
+    def _plan_result_cacheable(self, df: DataFrame) -> bool:
+        """Plan-level gate, computed once per cached-plan object: the
+        ANALYZED plan must be fully deterministic (catches rand()/uuid()
+        hidden inside a referenced view body, which the statement regex
+        can't see), non-streaming, and read no files — file-backed data
+        can change on disk outside the facade's invalidation hooks, while
+        temp-view data only changes through register_table / view DDL,
+        which drop result entries."""
+        ok = df.__dict__.get("_dss_result_ok")
+        if ok is None:
+            try:
+                ok = (
+                    not df.isStreaming
+                    and not df.inputFiles()
+                    and bool(df._jdf.queryExecution().analyzed().deterministic())
+                )
+            except Exception:
+                ok = False
+            df.__dict__["_dss_result_ok"] = ok
+        return ok
+
+    def _metric_baseline(self, df: DataFrame) -> dict[str, int] | None:
+        """Pre-execution snapshot of the delta-reported accumulators.
+
+        ``None`` for a plan's first execution (fresh accumulators — the
+        absolute values ARE that execution's values).  For a re-executed
+        cached plan the SQLMetric accumulators keep counting, so
+        last_metrics() subtracts this snapshot to report per-call values
+        (reference resets its metric map per execution,
+        DirectExecutionContext.scala:45)."""
+        if not df.__dict__.get("_dss_executed"):
+            return None
+        handles = df.__dict__.get("_dss_delta_handles")
+        if handles is None:
+            handles = []
+            try:
+                _collect_delta_handles(
+                    df._jdf.queryExecution().executedPlan(), handles
+                )
+            except Exception:
+                handles = []
+            df.__dict__["_dss_delta_handles"] = handles
+        base = dict.fromkeys(_DELTA_METRIC_KEYS, 0)
+        for metric_key, jmetric in handles:
+            try:
+                v = int(jmetric.value())
+            except Exception:
+                continue
+            if v > 0:
+                base[metric_key] += v
+        return base
 
     def sql(self, sql: str) -> DataFrame:
         """Escape hatch: plain lazy Spark SQL, uncached."""
@@ -507,6 +680,9 @@ class Engine:
         Returns an empty result like any DDL statement."""
         from direct_spark_sql_spark.functions.jvm import register_java_function
 
+        # a (re)defined function can change any cached result that called
+        # it; clearing the whole result cache is cheap and DDL is rare
+        self._result_cache.clear()
         try:
             register_java_function(self.spark, name, cls, jar_path=jar)
         except Exception:
@@ -529,12 +705,23 @@ class Engine:
         exposes it."""
         c = self._plan_cache
         with c._lock:
-            return {
+            out = {
                 "hits": c.hits,
                 "misses": c.misses,
                 "entries": len(c._data),
                 "capacity": c.capacity,
             }
+        r = self._result_cache
+        with r._lock:
+            out.update(
+                {
+                    "result_hits": r.hits,
+                    "result_misses": r.misses,
+                    "result_entries": len(r._data),
+                    "result_capacity": r.capacity,
+                }
+            )
+        return out
 
     def last_metrics(self) -> dict[str, Any] | None:
         """Executed-plan metrics of the most recent ``sql_directly``.
@@ -547,21 +734,33 @@ class Engine:
         shuffle bytes, spill bytes, peak memory — and the driver-side
         wall time of the materialization.
 
-        Returns ``None`` before any ``sql_directly`` call.  Values
-        reflect the accumulated state of that statement's plan (for a
-        cache-hit statement re-executed from the plan cache, accumulators
-        continue counting across executions — same contract as the Spark
-        UI's SQL tab for a reused plan object)."""
+        Returns ``None`` before any ``sql_directly`` call.  The rollup
+        keys (``shuffle_*``, ``spill_bytes``) are PER-CALL values: for a
+        plan-cache-hit re-execution they are deltas against a
+        pre-execution accumulator snapshot, matching the reference's
+        reset-per-execution metric map (DirectExecutionContext.scala:45).
+        The per-node ``operators`` list stays raw/cumulative (the Spark
+        UI's contract for a reused plan object), and ``partial: true``
+        flags a truncated plan walk whose rollups may under-count."""
         if self._last_execution is None:
             return None
-        df, wall, n_rows = self._last_execution
+        df, wall, n_rows, pre, cache_hit = self._last_execution
         nodes: list[dict[str, Any]] = []
         _walk_plan_metrics(df._jdf.queryExecution().executedPlan(), nodes)
 
         def _total(metric: str) -> int:
+            # skip SQLMetric's -1 "unset" sentinel
             return sum(
-                n["metrics"][metric] for n in nodes if metric in n["metrics"]
+                v
+                for n in nodes
+                if (v := n["metrics"].get(metric)) is not None and v > 0
             )
+
+        def _per_call(metric: str) -> int:
+            total = _total(metric)
+            if pre is not None:
+                total -= pre.get(metric, 0)
+            return max(0, total)
 
         return {
             "wall_sec": wall,
@@ -570,9 +769,15 @@ class Engine:
             # deep operator's count for roots like CollectLimit that
             # carry no metric themselves)
             "output_rows": n_rows,
-            "shuffle_bytes_written": _total("shuffleBytesWritten"),
-            "shuffle_records_written": _total("shuffleRecordsWritten"),
-            "spill_bytes": _total("spillSize"),
+            # per-call values: for a re-executed cached plan these are
+            # deltas against the pre-execution accumulator snapshot, the
+            # reference's reset-per-execution contract
+            # (DirectExecutionContext.scala:45); for a result-cache-hit
+            # call they reproduce the metrics of the execution that
+            # materialized the cached rows
+            "shuffle_bytes_written": _per_call("shuffleBytesWritten"),
+            "shuffle_records_written": _per_call("shuffleRecordsWritten"),
+            "spill_bytes": _per_call("spillSize"),
             "peak_memory_bytes": max(
                 (
                     n["metrics"]["peakMemory"]
@@ -581,6 +786,12 @@ class Engine:
                 ),
                 default=0,
             ),
+            "result_cache_hit": cache_hit,
+            # True when a py4j failure truncated part of the plan walk —
+            # the rollups above may then under-count (ADVICE r4)
+            "partial": any(n.get("partial") for n in nodes),
+            # raw per-node accumulator values (cumulative across
+            # executions of a reused plan object, like the Spark UI)
             "operators": nodes,
         }
 
