@@ -1666,6 +1666,7 @@ QUERIES: list[Query] = [
         spark_fn=basket_brand_affinity,
         oracle=BASKET_AFFINITY_ORACLE,
         tags=("analytics", "join"),
+        bench=True,
         doc="market-basket brand-pair support/lift via exchange-reused "
             "self-equi-join on the basket key (bounded C(25,2) pair space)",
     ),
@@ -1674,6 +1675,7 @@ QUERIES: list[Query] = [
         spark_fn=quality_psi_drift,
         oracle=PSI_DRIFT_ORACLE,
         tags=("analytics", "quality"),
+        bench=True,
         doc="population-stability-index drift between corpus halves; "
             "snapped-ln per-bin contributions, exact integer-unit total",
     ),

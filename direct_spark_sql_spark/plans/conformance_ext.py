@@ -1612,7 +1612,7 @@ def sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES += [
     Query("sketch_hll_union_estimate", sketch_hll_union_estimate, _HLL_ORACLE,
-          ("agg", "sketch"),
+          ("agg", "sketch"), bench=True,
           doc="datasketches HLL per group + hll_union_agg cross-group "
               "rollup, estimate within ±5% of exact"),
     Query("sketch_bitmap_distinct", sketch_bitmap_distinct, _BITMAP_ORACLE,

@@ -10,18 +10,25 @@ import os
 
 
 def generate() -> str:
-    from direct_spark_sql_spark.plans.registry import all_queries
+    from direct_spark_sql_spark.plans.registry import _last_checked_round, all_queries
 
     qs = sorted(all_queries(), key=lambda q: (q.spark_fn.__module__, q.name))
+    last = _last_checked_round()
+    n_checked = sum(1 for q in qs if last.get(q.name, 0) > 0)
     lines = [
         "# Operator / query inventory",
         "",
         "Auto-generated from `direct_spark_sql_spark/plans/registry.py` "
         "(`python -m direct_spark_sql_spark.tools.gen_inventory`). One row per "
         "registered capability; every row has a DuckDB oracle and is covered by "
-        "the differential suite at sf0.001 and the driver gate at sf0.01.",
+        "the differential suite at sf0.001 and the driver gate at sf0.01. "
+        "`driver` = the most recent round whose `CORRECTNESS_r*.json` green-"
+        "checked the query against the independent DuckDB oracle at sf0.01 "
+        "(`rN ✗` = checked and red that round; blank = not yet rotated into "
+        "the driver's 50-row-per-round sweep).",
         "",
-        f"**{len(qs)} queries** · {sum(1 for q in qs if q.bench)} in the bench headline set",
+        f"**{len(qs)} queries** · {sum(1 for q in qs if q.bench)} in the bench "
+        f"headline set · {n_checked} driver-verified so far",
         "",
     ]
     by_mod = collections.defaultdict(list)
@@ -30,13 +37,15 @@ def generate() -> str:
     for mod in sorted(by_mod):
         lines.append(f"## plans/{mod}.py ({len(by_mod[mod])})")
         lines.append("")
-        lines.append("| query | tags | bench | description |")
-        lines.append("|---|---|---|---|")
+        lines.append("| query | tags | bench | driver | description |")
+        lines.append("|---|---|---|---|---|")
         for q in by_mod[mod]:
             doc = " ".join(q.doc.split())
+            rnd = last.get(q.name, 0)
+            driver = f"r{rnd} ✓" if rnd > 0 else (f"r{-rnd} ✗" if rnd < 0 else "")
             lines.append(
                 f"| `{q.name}` | {', '.join(q.tags)} | "
-                f"{'✓' if q.bench else ''} | {doc} |"
+                f"{'✓' if q.bench else ''} | {driver} | {doc} |"
             )
         lines.append("")
     return "\n".join(lines)
