@@ -307,6 +307,12 @@ class Engine:
         self.result_cache_enabled = result_cache_size > 0
         #: rows above this are never result-cached (driver-memory bound)
         self.result_cache_max_rows = 100_000
+        #: bumped on every invalidation event (view re-register, view DDL,
+        #: function DDL).  A result computed against pre-invalidation data
+        #: can finish AFTER the invalidation sweep ran; comparing the epoch
+        #: captured before execution against the current one at put() time
+        #: keeps that in-flight stale result out of the cache.
+        self._invalidation_epoch = 0
         self._lock = threading.Lock()
         #: UDF surface (reference: DirectSessionCatalog.scala:62-112 Hive
         #: UDF registration): engine functions callable from SQL text.
@@ -425,8 +431,13 @@ class Engine:
             return pattern.search(_matchable(key)) is not None
 
         self._plan_cache.drop_where(_references)
-        # materialized results referencing the view are stale the same way
-        self._result_cache.drop_where(_references)
+        # materialized results referencing the view are stale the same way;
+        # epoch bump + drop are atomic w.r.t. the post-execution put in
+        # sql_directly (same lock), so an in-flight stale result can
+        # neither land between the bump and the sweep nor after it
+        with self._lock:
+            self._invalidation_epoch += 1
+            self._result_cache.drop_where(_references)
 
     def _rewrite_qualified(self, sql: str) -> str:
         """Rewrite ``db.table`` references for registered qualified views.
@@ -523,6 +534,7 @@ class Engine:
                 )
                 return DataTable(schema, list(rows))
         pre = self._metric_baseline(df)
+        epoch = self._invalidation_epoch  # captured BEFORE execution
         t0 = time.perf_counter()
         table = DataTable.from_dataframe(df)
         wall = time.perf_counter() - t0
@@ -533,7 +545,15 @@ class Engine:
             and len(table.data) <= self.result_cache_max_rows
             and self._plan_result_cacheable(df)
         ):
-            self._result_cache.put(key, (table.schema, tuple(table.data), df, pre))
+            # epoch re-check and put are atomic w.r.t. the invalidation
+            # sweep (which bumps the epoch and drops entries under the
+            # same lock), so a result computed against pre-invalidation
+            # view data can never land after the sweep and survive
+            with self._lock:
+                if epoch == self._invalidation_epoch:
+                    self._result_cache.put(
+                        key, (table.schema, tuple(table.data), df, pre)
+                    )
         return table
 
     def _statement_result_cacheable(self, sql: str) -> bool:
@@ -682,7 +702,9 @@ class Engine:
 
         # a (re)defined function can change any cached result that called
         # it; clearing the whole result cache is cheap and DDL is rare
-        self._result_cache.clear()
+        with self._lock:
+            self._invalidation_epoch += 1
+            self._result_cache.clear()
         try:
             register_java_function(self.spark, name, cls, jar_path=jar)
         except Exception:

@@ -162,3 +162,47 @@ def test_oversized_result_not_cached(eng):
         assert eng.last_metrics()["result_cache_hit"] is False
     finally:
         eng.result_cache_max_rows = 100_000
+
+
+def test_soak_result_cache_vs_reregister(eng):
+    """Readers hammer a result-cache-eligible query while a writer
+    re-registers the referenced view with a new value every few
+    iterations.  Every observed result must be a value that was
+    registered at some point (never a torn row), and once the writer
+    stops, readers must converge on the final value — i.e. an in-flight
+    stale result can never poison the cache past an invalidation (the
+    epoch guard in sql_directly)."""
+    import threading
+    import time
+
+    registered: list[int] = [0]
+    eng.register_table("rc_soak", [{"a": 0}], "a BIGINT")
+    sql = "SELECT max(a) AS m FROM rc_soak"
+    errors: list[str] = []
+    stop = threading.Event()
+
+    def writer():
+        for v in range(1, 30):
+            eng.register_table("rc_soak", [{"a": v}], "a BIGINT")
+            registered.append(v)
+            time.sleep(0.02)
+        stop.set()
+
+    def reader():
+        while not stop.is_set():
+            m = eng.sql_directly(sql).data[0].m
+            if m not in registered:
+                errors.append(f"unregistered value observed: {m}")
+                return
+
+    threads = [threading.Thread(target=writer)] + [
+        threading.Thread(target=reader) for _ in range(6)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    # after the writer settles, the cache must serve the FINAL value
+    assert eng.sql_directly(sql).data[0].m == 29
+    assert eng.sql_directly(sql).data[0].m == 29  # and again, from cache
