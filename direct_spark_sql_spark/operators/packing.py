@@ -100,6 +100,47 @@ def token_prefix_sums(
     )
 
 
+def global_shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    shard_size: int,
+    partitions: int = 8,
+) -> DataFrame:
+    """Deterministic global corpus shuffle + fixed-size shard assignment —
+    the last-mile step that turns a curated corpus into training shards:
+    rows are permuted by a keyed hash (reproducible run-to-run and
+    engine-to-engine), globally ranked in hash order, and cut into
+    consecutive ``shard_size``-row shards.
+
+    Adds ``shuffle_key`` (the 60-bit hash), ``rank`` (1-based global
+    position in the shuffled order), and ``shard_id``.
+
+    100 TB shape: the rank is the distributed prefix sum above (TeraSort-
+    style data-derived range buckets — never a single-partition window),
+    so the only row-data shuffle is one range partition; shard assignment
+    is then a pure per-row expression.  A zero-padded ``hash|key``
+    composite gives a total order even under (astronomically unlikely)
+    60-bit hash collisions, keeping the permutation exactly reproducible.
+    """
+    from direct_spark_sql_spark.hashing import h64
+
+    keyed = df.withColumn("shuffle_key", h64(F.col(key_col)))
+    ordered = keyed.withColumn(
+        "__ord",
+        F.format_string(
+            "%019d|%019d", F.col("shuffle_key"), F.col(key_col).cast("long")
+        ),
+    ).withColumn("__one", F.lit(1))
+    ranked = token_prefix_sums(ordered, "__ord", "__one", partitions)
+    return (
+        ranked.withColumn("rank", F.col("end_tok").cast("long"))
+        .withColumn(
+            "shard_id", F.expr(f"CAST((rank - 1) DIV {int(shard_size)} AS BIGINT)")
+        )
+        .drop("__ord", "__one", "start_tok", "end_tok")
+    )
+
+
 def pack_sequences(
     docs_with_tokens: DataFrame,
     seq_len: int,

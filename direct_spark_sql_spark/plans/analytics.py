@@ -1425,6 +1425,59 @@ FROM e GROUP BY seq_id ORDER BY seq_id
 
 
 # ---------------------------------------------------------------------------
+# Global corpus shuffle → training shards
+# ---------------------------------------------------------------------------
+
+SHARD_SIZE = 64
+
+
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle cut into fixed 64-doc training
+    shards (operators/packing.py:global_shuffle_shards), reported as a
+    per-shard manifest: doc/token counts, the shard's hash-space
+    boundaries, and a SUM(doc_id * rank) checksum that pins every single
+    row's shard assignment (any misplaced rank breaks the hash match).
+
+    100 TB shape: one TeraSort-style range partition for the global rank
+    (distributed prefix sum, no single-partition window); the manifest
+    aggregation is bounded by the shard count."""
+    from direct_spark_sql_spark.operators.packing import global_shuffle_shards
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    assigned = global_shuffle_shards(d, "doc_id", SHARD_SIZE)
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.col("doc_id") * F.col("rank")).cast("long").alias("assign_checksum"),
+            F.min("shuffle_key").alias("lo_hash"),
+            F.max("shuffle_key").alias("hi_hash"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+SHUFFLE_SHARDS_ORACLE = f"""
+WITH t AS (SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens,
+                  {h64_sql('doc_id')} AS shuffle_key
+           FROM documents),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+                  AS rank
+      FROM t)
+SELECT CAST((rank - 1) // {SHARD_SIZE} AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_id * rank) AS BIGINT) AS assign_checksum,
+       CAST(MIN(shuffle_key) AS BIGINT) AS lo_hash,
+       CAST(MAX(shuffle_key) AS BIGINT) AS hi_hash
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Video frame sampling (real Y4M codec)
 # ---------------------------------------------------------------------------
 
@@ -1880,6 +1933,15 @@ QUERIES: list[Query] = [
         oracle=PACK_SEQUENCES_ORACLE,
         tags=("text", "packing"),
         doc="concat-then-chunk 512-token sequence packing via distributed prefix sum",
+    ),
+    Query(
+        name="corpus_shuffle_shards",
+        spark_fn=corpus_shuffle_shards,
+        oracle=SHUFFLE_SHARDS_ORACLE,
+        tags=("sampling", "packing", "pipeline"),
+        doc="deterministic global corpus shuffle cut into 64-doc training "
+            "shards; per-shard manifest with an assignment-pinning checksum "
+            "(TeraSort-style range partition + distributed prefix sum)",
     ),
     Query(
         name="multimodal_video_frames",

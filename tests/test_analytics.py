@@ -418,3 +418,28 @@ def test_weighted_reservoir_huge_weight_dominates(spark):
     assert 999 in ids1 and len(ids1) == 5 and len(set(ids1)) == 5
     out2 = weighted_sample_without_replacement(df, "doc_id", "w", k=5).collect()
     assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+
+
+def test_global_shuffle_shards_is_exact_permutation(spark):
+    """Every rank 1..n appears exactly once, shards are consecutive
+    fixed-size cuts of the hash order, and the permutation is stable
+    call-to-call (training-shard reproducibility contract)."""
+    from direct_spark_sql_spark.operators.packing import global_shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(257)], "doc_id BIGINT")
+    out = global_shuffle_shards(df, "doc_id", shard_size=50).collect()
+    assert sorted(r.rank for r in out) == list(range(1, 258))
+    assert sorted(r.doc_id for r in out) == list(range(257))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard_id, []).append(r)
+        assert r.shard_id == (r.rank - 1) // 50
+    sizes = [len(by_shard[s]) for s in sorted(by_shard)]
+    assert sizes == [50, 50, 50, 50, 50, 7]
+    # ranks follow hash order: sorting by shuffle_key must sort by rank
+    srt = sorted(out, key=lambda r: (r.shuffle_key, r.doc_id))
+    assert [r.rank for r in srt] == list(range(1, 258))
+    again = global_shuffle_shards(df, "doc_id", shard_size=50).collect()
+    assert sorted((r.doc_id, r.rank) for r in again) == sorted(
+        (r.doc_id, r.rank) for r in out
+    )
