@@ -213,6 +213,53 @@ ORDER BY id_a, id_b
 DEDUP_NGRAM_ORACLE = _ngram_pairs_sql(0.3)
 
 
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split-leakage audit: the hash split is leak-proof at the
+    ROW level by construction, but near-duplicate *pairs* can still
+    straddle the boundary — the contamination that inflates eval scores.
+    Composes the exact n-gram Jaccard pairs (>= 0.3, stop-shingle-capped)
+    with the standard 10% hash split and reports pair counts + worst
+    similarity per (split_a, split_b) cell; the cross cells ARE the leak.
+
+    100 TB shape: identical to dedup_ngram_jaccard (blocked equi-join) —
+    the split label is a pure per-row hash expression, no extra join."""
+    from direct_spark_sql_spark.operators.sampling import sample_bucket
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dd.ngram_jaccard_pairs(d, threshold=0.3, max_shingle_df=1000)
+
+    def split(col: str):
+        return F.when(sample_bucket(F.col(col)) < 1000, "eval").otherwise("train")
+
+    return (
+        pairs.withColumn("split_a", split("id_a"))
+        .withColumn("split_b", split("id_b"))
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+def _split_case_sql(col: str) -> str:
+    return (
+        f"CASE WHEN {h64_sql(col)} % 10000 < 1000 THEN 'eval' ELSE 'train' END"
+    )
+
+
+#: nested-CTE reuse of the exact pairs oracle — one source of truth
+SPLIT_LEAKAGE_ORACLE = f"""
+WITH pairs AS ({_ngram_pairs_sql(0.3)})
+SELECT {_split_case_sql('id_a')} AS split_a,
+       {_split_case_sql('id_b')} AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MAX(jaccard) AS max_jaccard
+FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dd.minhash_near_duplicates(d, min_est_jaccard=0.5).orderBy("id_a", "id_b")
@@ -1561,6 +1608,11 @@ QUERIES = [
           ("dedup", "pipeline"), bench=True),
     Query("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE,
           ("dedup", "pipeline")),
+    Query("dedup_split_leakage", dedup_split_leakage, SPLIT_LEAKAGE_ORACLE,
+          ("dedup", "sampling", "pipeline"),
+          doc="train/eval contamination audit: near-dup pairs straddling "
+              "the 10% hash split, pair counts + worst Jaccard per split "
+              "cell (blocked equi-join, split label is a pure hash expr)"),
     Query("dedup_minhash_quality", dedup_minhash_quality,
           _minhash_quality_oracle(), ("dedup", "pipeline"),
           doc="MinHash-LSH precision/recall vs exact Jaccard ground truth, "
