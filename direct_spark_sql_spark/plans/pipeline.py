@@ -886,6 +886,82 @@ ORDER BY doc_id
 """
 
 
+def pipeline_stage_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stage-yield funnel for the curation pipeline — the
+    "where did my data go" report: docs and tokens surviving each stage
+    (raw → language → quality bar → canonical dedup) computed in ONE scan
+    via conditional aggregation.  No multi-pass, no self-union: each
+    stage is a cumulative boolean over the same row, so the whole funnel
+    costs exactly what corpus_curation costs (one fingerprint window
+    shuffle + one groupBy)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    feats = tx.quality_features(d)
+    scored = feats.select(
+        "doc_id", "source", "text", "n_tokens", "quality_score",
+        tx.predicted_language("text").alias("plang"),
+    )
+    fp = tx.fingerprint(scored)
+    canon = fp.withColumn(
+        "keep_id", F.min("doc_id").over(W.partitionBy("fp_content"))
+    )
+    lang_ok = F.col("plang") == "en"
+    qual_ok = lang_ok & (F.col("quality_score") >= 0.5)
+    canon_ok = qual_ok & (F.col("doc_id") == F.col("keep_id"))
+
+    def docs(cond) -> F.Column:
+        return F.sum(cond.cast("long")).cast("long")
+
+    def toks(cond) -> F.Column:
+        return F.sum(F.when(cond, F.col("n_tokens")).otherwise(F.lit(0))).cast(
+            "long"
+        )
+
+    return (
+        canon.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_raw"),
+            docs(lang_ok).alias("docs_lang"),
+            docs(qual_ok).alias("docs_quality"),
+            docs(canon_ok).alias("docs_canonical"),
+            F.sum("n_tokens").cast("long").alias("toks_raw"),
+            toks(lang_ok).alias("toks_lang"),
+            toks(qual_ok).alias("toks_quality"),
+            toks(canon_ok).alias("toks_canonical"),
+        )
+        .orderBy("source")
+    )
+
+
+def _stage_yield_oracle() -> str:
+    lang = "plang = 'en'"
+    qual = f"{lang} AND quality_score >= 0.5"
+    canon = f"{qual} AND doc_id = keep_id"
+
+    def docs(cond: str, name: str) -> str:
+        return f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
+
+    def toks(cond: str, name: str) -> str:
+        return (
+            f"CAST(SUM(CASE WHEN {cond} THEN n_tokens ELSE 0 END) AS BIGINT)"
+            f" AS {name}"
+        )
+
+    return f"""{curation_canon_cte(extra=", source")}
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs_raw,
+       {docs(lang, "docs_lang")},
+       {docs(qual, "docs_quality")},
+       {docs(canon, "docs_canonical")},
+       CAST(SUM(n_tokens) AS BIGINT) AS toks_raw,
+       {toks(lang, "toks_lang")},
+       {toks(qual, "toks_quality")},
+       {toks(canon, "toks_canonical")}
+FROM canon GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1661,6 +1737,10 @@ QUERIES = [
     Query("corpus_curation", corpus_curation, _curation_oracle(),
           ("text", "dedup", "pipeline"), bench=True,
           doc="lang filter + quality bar + canonical-copy dedup, one pipeline"),
+    Query("pipeline_stage_yield", pipeline_stage_yield, _stage_yield_oracle(),
+          ("text", "dedup", "pipeline"),
+          doc="per-source stage-yield funnel (raw→lang→quality→dedup, docs "
+              "+ tokens) in one scan via conditional aggregation"),
     Query("embedding_cosine_topk", embedding_cosine_topk, EMBEDDING_TOPK_ORACLE,
           ("similarity", "pipeline"), bench=True),
     Query("embedding_ivf_topk", embedding_ivf_topk, _IVF_ORACLE,
