@@ -29,7 +29,7 @@ from __future__ import annotations
 import re
 import threading
 import time
-from collections import OrderedDict
+from collections import OrderedDict, deque
 from typing import Any, Iterable
 
 from pyspark.sql import DataFrame, SparkSession, types as T
@@ -313,6 +313,9 @@ class Engine:
         #: captured before execution against the current one at put() time
         #: keeps that in-flight stale result out of the cache.
         self._invalidation_epoch = 0
+        #: bounded ring buffer of per-call summaries (no plan walks — the
+        #: cheap always-on sibling of last_metrics()); see metrics_history()
+        self._call_history: deque = deque(maxlen=200)
         self._lock = threading.Lock()
         #: UDF surface (reference: DirectSessionCatalog.scala:62-112 Hive
         #: UDF registration): engine functions callable from SQL text.
@@ -525,13 +528,9 @@ class Engine:
             hit = self._result_cache.get(key)
             if hit is not None:
                 schema, rows, hit_df, pre = hit
-                self._last_execution = (
-                    hit_df,
-                    time.perf_counter() - t0,
-                    len(rows),
-                    pre,
-                    True,
-                )
+                wall = time.perf_counter() - t0
+                self._last_execution = (hit_df, wall, len(rows), pre, True)
+                self._record_call(sql, wall, len(rows), True)
                 return DataTable(schema, list(rows))
         pre = self._metric_baseline(df)
         epoch = self._invalidation_epoch  # captured BEFORE execution
@@ -540,6 +539,7 @@ class Engine:
         wall = time.perf_counter() - t0
         df.__dict__["_dss_executed"] = True
         self._last_execution = (df, wall, len(table.data), pre, False)
+        self._record_call(sql, wall, len(table.data), False)
         if (
             cacheable
             and len(table.data) <= self.result_cache_max_rows
@@ -555,6 +555,28 @@ class Engine:
                         key, (table.schema, tuple(table.data), df, pre)
                     )
         return table
+
+    def _record_call(self, sql: str, wall: float, rows: int, hit: bool) -> None:
+        self._call_history.append(
+            {
+                "sql": sql if len(sql) <= 200 else sql[:200] + "…",
+                "wall_sec": wall,
+                "rows": rows,
+                "result_cache_hit": hit,
+                "ts": time.time(),
+            }
+        )
+
+    def metrics_history(self, n: int = 50) -> list[dict[str, Any]]:
+        """The last ``n`` ``sql_directly`` calls, newest last: statement
+        (truncated), wall seconds, result rows, result-cache hit flag,
+        unix timestamp.  Always-on and walk-free (unlike
+        :meth:`last_metrics`, which reads plan accumulators), so a
+        long-lived service can expose its recent query log at zero
+        per-call cost — the operational readout the reference's
+        per-execution context map implies but never surfaces
+        (DirectExecutionContext.scala:45)."""
+        return list(self._call_history)[-n:]
 
     def _statement_result_cacheable(self, sql: str) -> bool:
         """Statement-text gate for the result cache: queries only, no

@@ -206,3 +206,17 @@ def test_soak_result_cache_vs_reregister(eng):
     # after the writer settles, the cache must serve the FINAL value
     assert eng.sql_directly(sql).data[0].m == 29
     assert eng.sql_directly(sql).data[0].m == 29  # and again, from cache
+
+
+def test_metrics_history_records_calls(eng):
+    eng.register_table("rc_h", [{"a": 1}], "a BIGINT")
+    sql = "SELECT sum(a) AS s FROM rc_h"
+    start = len(eng.metrics_history(200))
+    eng.sql_directly(sql)
+    eng.sql_directly(sql)
+    hist = eng.metrics_history(200)
+    assert len(hist) >= start + 2 or len(hist) == 200
+    last_two = hist[-2:]
+    assert [h["result_cache_hit"] for h in last_two] == [False, True]
+    assert all(h["rows"] == 1 and h["wall_sec"] >= 0 for h in last_two)
+    assert all(sql.startswith(h["sql"][:20]) for h in last_two)
