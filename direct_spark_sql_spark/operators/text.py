@@ -254,6 +254,54 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    min_df: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> tuple[DataFrame, DataFrame]:
+    """Corpus-level boilerplate detection (the CCNet/RefinedWeb curation
+    stage): an n-gram counts as boilerplate within a group (``source``)
+    when it appears in at least ``min_df`` distinct documents of that
+    group — headers, footers, nav chrome, license blurbs.
+
+    Returns ``(per_doc, boiler)``: ``per_doc`` has one row per document
+    with ``n_grams`` (distinct n-grams) and ``n_boiler`` (how many of them
+    are group-boilerplate); ``boiler`` is the detected boilerplate gram
+    table ``(group, gram, gram_df)``.
+
+    Scale: the document-frequency count is one hash aggregation keyed
+    (group, gram) with map-side combine; because each doc contributes each
+    gram once (``array_distinct``), ``COUNT(*)`` IS the document frequency
+    — no ``countDistinct`` shuffle. The boilerplate set is only the
+    high-df tail (size bounded by corpus gram diversity / min_df), so the
+    annotate-back join is broadcast-eligible at typical sizes and a plain
+    equi-join otherwise. No self-join, no cartesian product.
+    """
+    grams = F.array_distinct(word_ngrams(text_col, n))
+    g = df.select(id_col, group_col, F.explode(grams).alias("gram"))
+    boiler = (
+        g.groupBy(group_col, "gram")
+        .agg(F.count("*").alias("gram_df"))
+        .filter(F.col("gram_df") >= int(min_df))
+    )
+    per_doc = (
+        g.join(
+            boiler.select(group_col, "gram", F.lit(1).alias("__b")),
+            [group_col, "gram"],
+            "left",
+        )
+        .groupBy(id_col, group_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("__b").alias("n_boiler"),
+        )
+    )
+    return per_doc, boiler
+
+
 # ---------------------------------------------------------------------------
 # Train/eval decontamination
 # ---------------------------------------------------------------------------

@@ -1631,6 +1631,57 @@ ORDER BY t.doc_id
 """
 
 
+def text_boilerplate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate profile (CCNet/RefinedWeb curation stage):
+    2-grams occurring in >= 4 distinct docs of the same source are
+    boilerplate; report per source how many grams were flagged, how many
+    docs carry any, and the corpus-level flagged-gram ratio."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    per_doc, boiler = tx.boilerplate_ngrams(d, n=2, min_df=4)
+    bcnt = boiler.groupBy("source").agg(F.count("*").alias("__nb"))
+    return (
+        per_doc.join(bcnt, "source", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.max("__nb"), F.lit(0)).cast("long").alias("n_boiler_grams"),
+            F.sum(F.when(F.col("n_boiler") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_affected"),
+            F.round(
+                F.sum("n_boiler").cast("double") / F.sum("n_grams"), 6
+            ).alias("boiler_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+#: Distinct 2-grams, short docs → whole-span gram — the n=2 twin of
+#: SHINGLES_SQL, mirroring word_ngrams(col, 2) + array_distinct.
+_NGRAMS2_DISTINCT_SQL = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 1, 1)), "
+    "i -> array_to_string(toks[i:i+1], ' ')))"
+)
+
+_BOILERPLATE_ORACLE = f"""
+WITH t AS (SELECT doc_id, source, {TOKS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, source, unnest({_NGRAMS2_DISTINCT_SQL}) AS gram FROM t),
+bc AS (SELECT source, gram FROM g GROUP BY source, gram HAVING COUNT(*) >= 4),
+pd AS (SELECT g.doc_id, g.source, COUNT(*) AS n_grams, COUNT(bc.gram) AS n_boiler
+       FROM g LEFT JOIN bc USING (source, gram) GROUP BY g.doc_id, g.source),
+bn AS (SELECT source, COUNT(*) AS nb FROM bc GROUP BY source)
+SELECT pd.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(MAX(bn.nb), 0) AS BIGINT) AS n_boiler_grams,
+       CAST(SUM(CASE WHEN pd.n_boiler > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_affected,
+       ROUND(CAST(SUM(pd.n_boiler) AS DOUBLE) / SUM(pd.n_grams), 6)
+         AS boiler_ratio
+FROM pd LEFT JOIN bn USING (source)
+GROUP BY pd.source ORDER BY pd.source
+"""
+
+
 def decontamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: eval slice = doc_id % 10 == 0, find train
     docs sharing any distinct 5-gram (boilerplate grams df-capped)."""
@@ -1677,6 +1728,10 @@ QUERIES = [
           ("text", "pipeline"),
           doc="Gopher-style repetition signals: dup-token/dup-3gram/"
               "top-token fractions"),
+    Query("text_boilerplate_profile", text_boilerplate_profile,
+          _BOILERPLATE_ORACLE, ("text", "pipeline"),
+          doc="CCNet-style per-source boilerplate n-gram profile: df>=4 "
+              "2-grams flagged, single DF-count agg + annotate-back join"),
     Query("decontamination_ngrams", decontamination_ngrams,
           _DECONTAMINATION_ORACLE, ("dedup", "pipeline"),
           doc="train/eval 5-gram overlap sweep, df-capped gram blocking"),

@@ -121,3 +121,32 @@ def test_tokens_and_shingles_on_multibyte_text(spark):
     )
     toks = df.select(tokens("text").alias("t")).collect()[0].t
     assert toks == ["café", "日本語", "\U0001f600", "word"]
+
+
+def test_boilerplate_ngrams_flags_shared_footer(spark):
+    """A 2-gram shared by >= min_df docs of one source is boilerplate for
+    that source only; unique content is never flagged; a doc made entirely
+    of the footer has ratio 1.0."""
+    footer = "all rights reserved"
+    rows = [
+        (1, "a", f"alpha beta {footer}"),
+        (2, "a", f"gamma delta {footer}"),
+        (3, "a", f"epsilon zeta {footer}"),
+        (4, "a", footer),                      # pure boilerplate doc
+        (5, "b", f"eta theta {footer}"),       # same text, other source: df=1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    per_doc, boiler = __import__(
+        "direct_spark_sql_spark.operators.text", fromlist=["text"]
+    ).boilerplate_ngrams(df, n=2, min_df=3)
+
+    flagged = {(r.source, r.gram) for r in boiler.collect()}
+    assert ("a", "all rights") in flagged and ("a", "rights reserved") in flagged
+    assert not any(src == "b" for src, _ in flagged)
+    assert not any(g.startswith(("alpha", "gamma", "epsilon")) for _, g in flagged)
+
+    pd_rows = {r.doc_id: r for r in per_doc.collect()}
+    # "alpha beta all rights reserved" -> 4 distinct 2-grams, 2 boiler
+    assert (pd_rows[1].n_grams, pd_rows[1].n_boiler) == (4, 2)
+    assert (pd_rows[4].n_grams, pd_rows[4].n_boiler) == (2, 2)  # ratio 1.0
+    assert pd_rows[5].n_boiler == 0
