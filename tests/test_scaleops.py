@@ -4,6 +4,7 @@ reach the fact scan's PartitionFilters."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from direct_spark_sql_spark.plans.scaleops import (
@@ -62,11 +63,14 @@ def test_zonemap_index_is_metadata_scale(spark):
 def test_bloom_filter_join_plan(spark):
     from direct_spark_sql_spark.plans.scaleops import join_bloom_filtered
 
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     df = join_bloom_filtered(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "bloom_filter_agg" in plan and "might_contain" in plan, plan[:1500]
-    # confs were restored after plan derivation
-    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+    # confs were restored after plan derivation (compare against the
+    # pre-call value — under the broadcast-disabled robustness axis the
+    # session default is itself -1, which is not a leak)
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
 
 
 def test_compaction_collapses_files_preserving_rows(spark):
@@ -220,6 +224,13 @@ def test_conf_scoped_derivation_is_concurrency_safe(spark):
     could flake with a BroadcastHashJoin appearing in the disabled-
     broadcast query or vice versa."""
     import threading
+
+    if spark.conf.get("spark.sql.autoBroadcastJoinThreshold") in ("-1", "-1b"):
+        pytest.skip(
+            "leak detector distinguishes leaked -1 from the default "
+            "broadcast plan; under the broadcast-disabled robustness axis "
+            "the session default is already -1 so the signal is undefined"
+        )
 
     from direct_spark_sql_spark.plans.scaleops import (
         agg_footer_pushdown,
