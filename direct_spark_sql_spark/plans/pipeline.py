@@ -1729,7 +1729,7 @@ QUERIES = [
           doc="Gopher-style repetition signals: dup-token/dup-3gram/"
               "top-token fractions"),
     Query("text_boilerplate_profile", text_boilerplate_profile,
-          _BOILERPLATE_ORACLE, ("text", "pipeline"),
+          _BOILERPLATE_ORACLE, ("text", "pipeline"), bench=True,
           doc="CCNet-style per-source boilerplate n-gram profile: df>=4 "
               "2-grams flagged, single DF-count agg + annotate-back join"),
     Query("decontamination_ngrams", decontamination_ngrams,
