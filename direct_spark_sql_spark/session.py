@@ -295,7 +295,11 @@ class Engine:
         #: single-node plan same-thread (DirectPlan.scala:79-83), which
         #: costs microseconds; Spark's distributed execution has a
         #: ~30 ms-per-job floor (measured: plan-cache lookup is 11 µs,
-        #: the rest is stage scheduling), so the semantically-equivalent
+        #: the rest is stage scheduling — a cProfile of the warm
+        #: recompute path shows >90% of wall inside the blocking socket
+        #: read that waits on the JVM job, with all Python-side work
+        #: under 2 ms/call, so the floor is structural, not facade
+        #: overhead), so the semantically-equivalent
         #: fast path is caching the *materialized result* of a
         #: deterministic query over unchanged temp views.  Entries are
         #: dropped by exactly the invalidation that drops cached plans
