@@ -156,10 +156,17 @@ def _walk_plan_metrics(jnode, out: list[dict[str, Any]]) -> None:
 _DELTA_METRIC_KEYS = ("shuffleBytesWritten", "shuffleRecordsWritten", "spillSize")
 
 
-def _collect_delta_handles(jnode, out: list[tuple[str, Any]]) -> None:
+def _collect_delta_handles(jnode, out: list[tuple[str, Any]]) -> bool:
     """Collect the java SQLMetric accumulator objects for the delta-reported
     keys so a pre-execution baseline snapshot costs a handful of py4j value
-    reads (not a full plan walk) on the warm path."""
+    reads (not a full plan walk) on the warm path.
+
+    Returns True only when the whole walk succeeded.  The same per-section
+    degradation as ``_walk_plan_metrics``: a py4j hiccup on one node loses
+    that node's handles, not the remaining subtree — and the caller must
+    not cache (or silently trust) a truncated handle list, because a
+    baseline that under-counts makes every per-call delta OVER-count."""
+    complete = True
     try:
         it = jnode.metrics().iterator()
         while it.hasNext():
@@ -167,16 +174,23 @@ def _collect_delta_handles(jnode, out: list[tuple[str, Any]]) -> None:
             key = str(kv._1())
             if key in _DELTA_METRIC_KEYS:
                 out.append((key, kv._2()))
+    except Exception:
+        complete = False
+    try:
         cls = jnode.getClass().getSimpleName()
         if cls == "AdaptiveSparkPlanExec":
-            _collect_delta_handles(jnode.executedPlan(), out)
+            complete = _collect_delta_handles(jnode.executedPlan(), out) and complete
         elif "QueryStageExec" in cls:
-            _collect_delta_handles(jnode.plan(), out)
+            complete = _collect_delta_handles(jnode.plan(), out) and complete
+    except Exception:
+        complete = False
+    try:
         ch = jnode.children().iterator()
         while ch.hasNext():
-            _collect_delta_handles(ch.next(), out)
+            complete = _collect_delta_handles(ch.next(), out) and complete
     except Exception:
-        pass
+        complete = False
+    return complete
 
 
 class EngineBuilder:
@@ -522,7 +536,13 @@ class Engine:
         without re-running the Spark job — the engine's answer to the
         reference's same-thread iterator over a cached single-node plan.
         """
-        df = self.dataframe(sql)  # plan-cache get first: stats + invalidation
+        # Epoch captured BEFORE the plan-cache lookup: an invalidation
+        # that lands anywhere between the lookup and the put (including
+        # during the cacheable check or the metric-baseline py4j reads)
+        # must fail the put check, or a result computed from the displaced
+        # plan could poison the cache until the NEXT invalidation.
+        epoch = self._invalidation_epoch
+        df = self.dataframe(sql)  # plan-cache get: stats + invalidation
         cacheable = self.result_cache_enabled and self._statement_result_cacheable(
             sql
         )
@@ -531,24 +551,29 @@ class Engine:
             t0 = time.perf_counter()
             hit = self._result_cache.get(key)
             if hit is not None:
-                schema, rows, hit_df, pre = hit
+                schema, rows, hit_df, snap = hit
                 wall = time.perf_counter() - t0
-                self._last_execution = (hit_df, wall, len(rows), pre, True)
+                self._last_execution = (hit_df, wall, len(rows), None, True, snap)
                 self._record_call(sql, wall, len(rows), True)
                 return DataTable(schema, list(rows))
         pre = self._metric_baseline(df)
-        epoch = self._invalidation_epoch  # captured BEFORE execution
         t0 = time.perf_counter()
         table = DataTable.from_dataframe(df)
         wall = time.perf_counter() - t0
         df.__dict__["_dss_executed"] = True
-        self._last_execution = (df, wall, len(table.data), pre, False)
+        self._last_execution = (df, wall, len(table.data), pre, False, None)
         self._record_call(sql, wall, len(table.data), False)
         if (
             cacheable
             and len(table.data) <= self.result_cache_max_rows
             and self._plan_result_cacheable(df)
         ):
+            # Metrics snapshot frozen AT PUT TIME: a later cache hit must
+            # reproduce the materializing execution's metrics even if the
+            # same plan object executed again in between (sql_iterator, a
+            # concurrent thread, a cache-bypassed call) — re-walking the
+            # live accumulators at hit time would count those executions.
+            snap = self._compute_metrics(df, wall, len(table.data), pre, False)
             # epoch re-check and put are atomic w.r.t. the invalidation
             # sweep (which bumps the epoch and drops entries under the
             # same lock), so a result computed against pre-invalidation
@@ -556,7 +581,7 @@ class Engine:
             with self._lock:
                 if epoch == self._invalidation_epoch:
                     self._result_cache.put(
-                        key, (table.schema, tuple(table.data), df, pre)
+                        key, (table.schema, tuple(table.data), df, snap)
                     )
         return table
 
@@ -622,23 +647,33 @@ class Engine:
         if not df.__dict__.get("_dss_executed"):
             return None
         handles = df.__dict__.get("_dss_delta_handles")
+        complete = True
         if handles is None:
             handles = []
             try:
-                _collect_delta_handles(
+                complete = _collect_delta_handles(
                     df._jdf.queryExecution().executedPlan(), handles
                 )
             except Exception:
-                handles = []
-            df.__dict__["_dss_delta_handles"] = handles
+                complete = False
+            if complete:
+                # only a COMPLETE walk is cached on the plan object; a
+                # truncated one is retried next call instead of pinning an
+                # under-counting baseline forever
+                df.__dict__["_dss_delta_handles"] = handles
         base = dict.fromkeys(_DELTA_METRIC_KEYS, 0)
         for metric_key, jmetric in handles:
             try:
                 v = int(jmetric.value())
             except Exception:
+                complete = False
                 continue
             if v > 0:
                 base[metric_key] += v
+        if not complete:
+            # surfaced by last_metrics() as partial: true — the deltas
+            # derived from this baseline may over-count
+            base["__partial__"] = 1
         return base
 
     def sql(self, sql: str) -> DataFrame:
@@ -789,10 +824,29 @@ class Engine:
         reset-per-execution metric map (DirectExecutionContext.scala:45).
         The per-node ``operators`` list stays raw/cumulative (the Spark
         UI's contract for a reused plan object), and ``partial: true``
-        flags a truncated plan walk whose rollups may under-count."""
+        flags a truncated plan walk whose rollups may under-count.
+
+        For a result-cache hit the snapshot frozen at put time is
+        returned (with this call's wall time), so intervening executions
+        of the same plan object can never inflate the readout."""
         if self._last_execution is None:
             return None
-        df, wall, n_rows, pre, cache_hit = self._last_execution
+        df, wall, n_rows, pre, cache_hit, snap = self._last_execution
+        if snap is not None:
+            out = dict(snap)
+            out["wall_sec"] = wall
+            out["result_cache_hit"] = True
+            return out
+        return self._compute_metrics(df, wall, n_rows, pre, cache_hit)
+
+    def _compute_metrics(
+        self,
+        df: DataFrame,
+        wall: float,
+        n_rows: int,
+        pre: dict[str, int] | None,
+        cache_hit: bool,
+    ) -> dict[str, Any]:
         nodes: list[dict[str, Any]] = []
         _walk_plan_metrics(df._jdf.queryExecution().executedPlan(), nodes)
 
@@ -836,8 +890,11 @@ class Engine:
             ),
             "result_cache_hit": cache_hit,
             # True when a py4j failure truncated part of the plan walk —
-            # the rollups above may then under-count (ADVICE r4)
-            "partial": any(n.get("partial") for n in nodes),
+            # the rollups above may then under- or over-count (ADVICE r4;
+            # a truncated BASELINE walk makes the deltas over-count, so
+            # its marker surfaces here too)
+            "partial": any(n.get("partial") for n in nodes)
+            or bool(pre and pre.get("__partial__")),
             # raw per-node accumulator values (cumulative across
             # executions of a reused plan object, like the Spark UI)
             "operators": nodes,
@@ -901,8 +958,19 @@ class Engine:
 
     def new_session(self) -> "Engine":
         """Isolated catalog + cache over the shared SparkContext
-        (reference: DirectSparkSession.scala:81-86)."""
-        return Engine(self.spark.newSession(), self._plan_cache.capacity)
+        (reference: DirectSparkSession.scala:81-86).  The child inherits
+        the parent's cache sizing AND runtime toggles — an engine built
+        with result caching disabled must not hand out children that
+        silently re-enable it (each entry can pin up to
+        ``result_cache_max_rows`` materialized rows on the driver)."""
+        child = Engine(
+            self.spark.newSession(),
+            self._plan_cache.capacity,
+            self._result_cache.capacity,
+        )
+        child.result_cache_enabled = self.result_cache_enabled
+        child.result_cache_max_rows = self.result_cache_max_rows
+        return child
 
     def stop(self) -> None:
         self.spark.stop()

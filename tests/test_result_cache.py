@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import pytest
 
+from tests.conftest import SF_DIR
+
 
 @pytest.fixture()
 def eng(engine):
@@ -71,8 +73,8 @@ def test_nondeterministic_view_body_never_result_cached(eng):
     assert eng._plan_result_cacheable(eng.dataframe(sql)) is False
 
 
-def test_file_backed_query_never_result_cached(eng, sf_dir="/root/testdata/sf0.001"):
-    eng.spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView(
+def test_file_backed_query_never_result_cached(eng):
+    eng.spark.read.parquet(f"{SF_DIR}/region.parquet").createOrReplaceTempView(
         "rc_file_v"
     )
     sql = "SELECT count(*) AS n FROM rc_file_v"
@@ -108,7 +110,7 @@ def test_per_call_metrics_not_doubled_on_reexecution(eng):
     (DirectExecutionContext.scala:45).  A re-executed cached plan must
     report per-call shuffle values — never the doubled accumulator."""
     eng.spark.read.parquet(
-        "/root/testdata/sf0.001/lineitem.parquet"
+        f"{SF_DIR}/lineitem.parquet"
     ).createOrReplaceTempView("rc_li")
     sql = (
         "SELECT l_returnflag, count(*) AS n FROM rc_li "
@@ -183,8 +185,13 @@ def test_soak_result_cache_vs_reregister(eng):
 
     def writer():
         for v in range(1, 30):
-            eng.register_table("rc_soak", [{"a": v}], "a BIGINT")
+            # append BEFORE register: a reader may legitimately observe
+            # the new value the instant register_table returns (or even
+            # mid-call, once the view swap lands) — observing a value
+            # slightly "early" is harmless, observing one never in the
+            # list is the actual torn/stale failure being tested
             registered.append(v)
+            eng.register_table("rc_soak", [{"a": v}], "a BIGINT")
             time.sleep(0.02)
         stop.set()
 
@@ -220,3 +227,46 @@ def test_metrics_history_records_calls(eng):
     assert [h["result_cache_hit"] for h in last_two] == [False, True]
     assert all(h["rows"] == 1 and h["wall_sec"] >= 0 for h in last_two)
     assert all(sql.startswith(h["sql"][:20]) for h in last_two)
+
+
+def test_result_cache_hit_metrics_frozen_at_put_time(eng):
+    """A hit must reproduce the MATERIALIZING execution's metrics even
+    when the same plan object executed again between put and hit (e.g.
+    cache-bypassed calls, sql_iterator, a concurrent thread) — the
+    snapshot is frozen at put time, never re-derived from the live
+    accumulators."""
+    eng.register_table(
+        "rc_frozen", [{"k": i % 7, "v": i} for i in range(2000)], "k INT, v INT"
+    )
+    sql = "SELECT k, sum(v) AS s FROM rc_frozen GROUP BY k ORDER BY k"
+    eng.sql_directly(sql)
+    miss = eng.last_metrics()
+    eng.result_cache_enabled = False
+    try:
+        for _ in range(3):  # intervening executions of the same plan object
+            eng.sql_directly(sql)
+    finally:
+        eng.result_cache_enabled = True
+    eng.sql_directly(sql)
+    hit = eng.last_metrics()
+    assert hit["result_cache_hit"] is True
+    assert hit["output_rows"] == miss["output_rows"] == 7
+    assert hit["shuffle_records_written"] == miss["shuffle_records_written"]
+    assert hit["shuffle_bytes_written"] == miss["shuffle_bytes_written"]
+
+
+def test_new_session_inherits_result_cache_config(engine):
+    """An engine built with result caching disabled must not hand out
+    child sessions that silently re-enable it."""
+    from direct_spark_sql_spark.session import Engine
+
+    parent = Engine(engine.spark, result_cache_size=0)
+    assert parent.result_cache_enabled is False
+    child = parent.new_session()
+    assert child.result_cache_enabled is False
+    assert child._result_cache.capacity == 0
+    # and an enabled parent's sizing carries over too
+    child2 = engine.new_session()
+    assert child2.result_cache_enabled == engine.result_cache_enabled
+    assert child2._result_cache.capacity == engine._result_cache.capacity
+    assert child2.result_cache_max_rows == engine.result_cache_max_rows
