@@ -12,13 +12,25 @@ latency story is exactly plan-cache-warm repeated queries,
 DirectSparkSession.scala:411-415).
 
 Tiers beyond the base set, each disable-able by env var:
+- facade-latency tier: plan-cache-warm repeated sql_directly calls
+  (result-cached and honest-recompute paths);
 - scale probe (10× key-shifted rows): per-query wall ratio vs base —
   super-linear scaling flags a plan that wouldn't survive a scale-up;
 - deep scale probe (30× by default): only the queries whose 10× ratios
   were worst last round — pins their sub-linearity at a harder factor;
 - skew probe (zipf-hot variant, one key = 10% of rows): the
   skew-sensitive queries on engineered hot keys — wall ratio vs the
-  unskewed base tier."""
+  unskewed base tier.
+
+The BASE tier keeps the pinned 1-warmup best-of-3 policy (its numbers
+compare against baselines/).  Probe tiers use 1 warmup + best-of-2: every
+ratio is computed within one tier from identically-sampled sides, and the
+third run bought noise-robustness the ratio thresholds (1.25× slack, 4.0
+skew bound) don't need at ~2/3 of the tier cost.  A wall-clock budget
+(SPARK_GRAFT_BENCH_BUDGET_S, default 545 — the driver runs under
+`timeout 580`) degrades probe tiers gracefully on a slow host: skipped
+tiers and per-query drops are reported in the summary instead of the
+whole process being SIGKILLed with no output."""
 
 from __future__ import annotations
 
@@ -30,6 +42,19 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    # Wall-clock budget: the driver runs `timeout 580 python bench.py`; a
+    # host running 1.3x slow (observed round-to-round variance is up to
+    # ~1.5x) would blow that and SIGKILL us with ZERO output.  The probe
+    # tiers therefore check the remaining budget and degrade gracefully —
+    # a truncated tier reports what it measured plus what it dropped
+    # ("no silent caps"), and the summary line ALWAYS prints.
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "545"))
+    skipped_tiers: list[str] = []
+
+    def remaining() -> float:
+        return budget_s - (time.perf_counter() - t_start)
 
     from direct_spark_sql_spark.session import Engine
 
@@ -176,143 +201,6 @@ def main() -> None:
             > max(1.5 * base_m[name]["shuffle_bytes_written"], 1_000_000)
         }
 
-    # Scale-probe tier: the same headline set at FACTOR× rows (key-shifted
-    # copies, sources/scale.py).  Converts "this plan would survive a
-    # scale-up" from plan inspection into a measured per-query ratio; a
-    # query scaling super-linearly (> factor × slack) is flagged.  Warm
-    # methodology matches the base tier (one warmup, then measured) so the
-    # ratios compare like for like.  SPARK_GRAFT_SKIP_SCALE=1 disables.
-    if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
-        from direct_spark_sql_spark.sources.scale import ensure_scaled_dataset
-
-        factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
-        scale_dir = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "spark-warehouse", "scaledata", f"sf{sf}x{factor}",
-        )
-        ensure_scaled_dataset(spark, sf_dir, scale_dir, factor=factor)
-        s_timings: dict[str, float] = {}
-        for q in bench_queries:
-            materialize(q.spark_fn(spark, scale_dir))  # warmup
-            # best-of-3 like the base tier (uniform sampling on both
-            # sides of every ratio; a single run is noisy enough — GC
-            # pause, page-cache miss — to false-flag superlinear)
-            s_timings[q.name] = round(measure(q, 3, scale_dir), 4)
-        ratios = {
-            name: round(s_timings[name] / timings[name], 2)
-            for name in s_timings
-            if timings.get(name)
-        }
-        out["scale_probe"] = {
-            "factor": factor,
-            "total_sec": round(sum(s_timings.values()), 4),
-            "queries": s_timings,
-            "ratio_vs_base": ratios,
-            "superlinear": sorted(
-                n for n, r in ratios.items() if r > factor * 1.25
-            ),
-        }
-
-    # Deep scale probe: the queries whose 10× ratios ran worst in round 3
-    # (PCA 2.73×, q13 2.26×, IVF 2.03×) re-measured at a harder factor —
-    # sub-linearity that holds at 30× is much stronger evidence the plan
-    # survives 100 TB than sub-linearity at 10×.
-    if os.environ.get("SPARK_GRAFT_SKIP_DEEP_SCALE") != "1":
-        from direct_spark_sql_spark.sources.scale import ensure_scaled_dataset
-
-        deep_factor = int(os.environ.get("SPARK_GRAFT_DEEP_SCALE_FACTOR", "30"))
-        # historical watch items (worst 10x ratios in rounds 3-4) PLUS
-        # whatever ran worst in THIS round's 10x tier — so a new expensive
-        # entrant can't dodge the harder factor
-        deep_names = {
-            "embedding_pca_covariance",
-            "q13_customer_distribution",
-            "embedding_ivf_topk",
-        }
-        current_ratios = out.get("scale_probe", {}).get("ratio_vs_base", {})
-        deep_names |= {
-            n
-            for n, _ in sorted(
-                current_ratios.items(), key=lambda kv: kv[1], reverse=True
-            )[:3]
-        }
-        deep_dir = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "spark-warehouse", "scaledata", f"sf{sf}x{deep_factor}",
-        )
-        ensure_scaled_dataset(spark, sf_dir, deep_dir, factor=deep_factor)
-        d_timings: dict[str, float] = {}
-        for q in all_queries():  # deep/skew picks aren't all bench-flagged
-            if q.name not in deep_names:
-                continue
-            materialize(q.spark_fn(spark, deep_dir))  # warmup
-            d_timings[q.name] = round(measure(q, 3, deep_dir), 4)
-        d_ratios = {
-            name: round(d_timings[name] / timings[name], 2)
-            for name in d_timings
-            if timings.get(name)
-        }
-        out["deep_scale_probe"] = {
-            "factor": deep_factor,
-            "queries": d_timings,
-            "ratio_vs_base": d_ratios,
-            "superlinear": sorted(
-                n for n, r in d_ratios.items() if r > deep_factor * 1.25
-            ),
-        }
-
-    # Skew probe: zipf-hot variant of the base dataset (one events user ≈
-    # 10% of rows, one lineitem orderkey ≈ 10% of rows, 10% of documents
-    # sharing a boilerplate prefix).  The uniform scale-probe copies never
-    # stress AQE skew handling, the salted join, or the MinHash
-    # stop-shingle cap — this tier does, and reports wall ratio vs the
-    # unskewed base tier.  A ratio far above ~3 (hot key = 10% of data on
-    # 32 cores means the worst single task holds ~3× a balanced share)
-    # flags a skew-fragile plan.
-    if os.environ.get("SPARK_GRAFT_SKIP_SKEW") != "1":
-        from direct_spark_sql_spark.sources.scale import ensure_skewed_dataset
-
-        skew_names = {
-            "events_user_sessions",
-            "join_skew_salted",
-            "dedup_minhash_lsh",
-            # groupBy on the hot orderkey: map-side partial aggregation
-            # should absorb group skew almost entirely (ratio ~1)
-            "q18_large_orders",
-            # plain (unsalted) 3-way join through the hot orderkey: AQE's
-            # skew-join split is what keeps this ~1 — the counterpart
-            # datapoint to the manually salted join above
-            "q3_shipping_priority",
-        }
-        skew_dir = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "spark-warehouse", "skewdata", f"sf{sf}skew",
-        )
-        ensure_skewed_dataset(spark, sf_dir, skew_dir)
-        k_timings: dict[str, float] = {}
-        k_base: dict[str, float] = {}
-        for q in all_queries():
-            if q.name not in skew_names:
-                continue
-            if q.name in timings:
-                k_base[q.name] = timings[q.name]
-            else:  # not in the headline set: time the unskewed base here
-                materialize(q.spark_fn(spark, sf_dir))
-                k_base[q.name] = round(measure(q, 3), 4)
-            materialize(q.spark_fn(spark, skew_dir))  # warmup
-            k_timings[q.name] = round(measure(q, 3, skew_dir), 4)
-        k_ratios = {
-            name: round(k_timings[name] / k_base[name], 2)
-            for name in k_timings
-            if k_base.get(name)
-        }
-        out["skew_probe"] = {
-            "hot_key_fraction": 0.1,
-            "queries": k_timings,
-            "ratio_vs_unskewed": k_ratios,
-            "skew_fragile": sorted(n for n, r in k_ratios.items() if r > 4.0),
-        }
-
     # Facade-latency tier: the reference's raison d'etre is plan-cache-warm
     # repeated queries over in-memory temp views (DirectSparkSession.scala:
     # 411-415; the DirectExecSuite soak repeats one join+agg for 30 s).
@@ -367,6 +255,176 @@ def main() -> None:
             ),
         }
 
+    # Scale-probe tier: the same headline set at FACTOR× rows (key-shifted
+    # copies, sources/scale.py).  Converts "this plan would survive a
+    # scale-up" from plan inspection into a measured per-query ratio; a
+    # query scaling super-linearly (> factor × slack) is flagged.  Warm
+    # methodology matches the base tier (one warmup, then measured) so the
+    # ratios compare like for like.  SPARK_GRAFT_SKIP_SCALE=1 disables.
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE") == "1":
+        pass
+    elif remaining() < 150:
+        skipped_tiers.append("scale_probe")
+    else:
+        from direct_spark_sql_spark.sources.scale import ensure_scaled_dataset
+
+        factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+        scale_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "spark-warehouse", "scaledata", f"sf{sf}x{factor}",
+        )
+        ensure_scaled_dataset(spark, sf_dir, scale_dir, factor=factor)
+        s_timings: dict[str, float] = {}
+        s_dropped: list[str] = []
+        for q in bench_queries:
+            # deadline check per query: a slow host truncates the tail of
+            # the tier (recorded in `dropped`), never the whole output
+            if remaining() < 60:
+                s_dropped.append(q.name)
+                continue
+            materialize(q.spark_fn(spark, scale_dir))  # warmup
+            # warmup + best-of-2 (uniform sampling on BOTH sides of every
+            # ratio within the tier; a single run is noisy enough — GC
+            # pause, page-cache miss — to false-flag superlinear, while a
+            # third run buys little and costs ~1/3 of the tier's wall)
+            s_timings[q.name] = round(measure(q, 2, scale_dir), 4)
+        ratios = {
+            name: round(s_timings[name] / timings[name], 2)
+            for name in s_timings
+            if timings.get(name)
+        }
+        out["scale_probe"] = {
+            "factor": factor,
+            "total_sec": round(sum(s_timings.values()), 4),
+            "queries": s_timings,
+            "ratio_vs_base": ratios,
+            "superlinear": sorted(
+                n for n, r in ratios.items() if r > factor * 1.25
+            ),
+        }
+        if s_dropped:
+            out["scale_probe"]["dropped_on_budget"] = s_dropped
+
+    # Deep scale probe: the queries whose 10× ratios ran worst in round 3
+    # (PCA 2.73×, q13 2.26×, IVF 2.03×) re-measured at a harder factor —
+    # sub-linearity that holds at 30× is much stronger evidence the plan
+    # survives 100 TB than sub-linearity at 10×.
+    if os.environ.get("SPARK_GRAFT_SKIP_DEEP_SCALE") == "1":
+        pass
+    elif remaining() < 150:
+        skipped_tiers.append("deep_scale_probe")
+    else:
+        from direct_spark_sql_spark.sources.scale import ensure_scaled_dataset
+
+        deep_factor = int(os.environ.get("SPARK_GRAFT_DEEP_SCALE_FACTOR", "30"))
+        # historical watch items (worst 10x ratios in rounds 3-4) PLUS
+        # whatever ran worst in THIS round's 10x tier — so a new expensive
+        # entrant can't dodge the harder factor
+        deep_names = {
+            "embedding_pca_covariance",
+            "q13_customer_distribution",
+            "embedding_ivf_topk",
+        }
+        current_ratios = out.get("scale_probe", {}).get("ratio_vs_base", {})
+        deep_names |= {
+            n
+            for n, _ in sorted(
+                current_ratios.items(), key=lambda kv: kv[1], reverse=True
+            )[:3]
+        }
+        deep_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "spark-warehouse", "scaledata", f"sf{sf}x{deep_factor}",
+        )
+        ensure_scaled_dataset(spark, sf_dir, deep_dir, factor=deep_factor)
+        d_timings: dict[str, float] = {}
+        d_dropped: list[str] = []
+        for q in all_queries():  # deep/skew picks aren't all bench-flagged
+            if q.name not in deep_names:
+                continue
+            if remaining() < 60:
+                d_dropped.append(q.name)
+                continue
+            materialize(q.spark_fn(spark, deep_dir))  # warmup
+            d_timings[q.name] = round(measure(q, 2, deep_dir), 4)
+        d_ratios = {
+            name: round(d_timings[name] / timings[name], 2)
+            for name in d_timings
+            if timings.get(name)
+        }
+        out["deep_scale_probe"] = {
+            "factor": deep_factor,
+            "queries": d_timings,
+            "ratio_vs_base": d_ratios,
+            "superlinear": sorted(
+                n for n, r in d_ratios.items() if r > deep_factor * 1.25
+            ),
+        }
+        if d_dropped:
+            out["deep_scale_probe"]["dropped_on_budget"] = d_dropped
+
+    # Skew probe: zipf-hot variant of the base dataset (one events user ≈
+    # 10% of rows, one lineitem orderkey ≈ 10% of rows, 10% of documents
+    # sharing a boilerplate prefix).  The uniform scale-probe copies never
+    # stress AQE skew handling, the salted join, or the MinHash
+    # stop-shingle cap — this tier does, and reports wall ratio vs the
+    # unskewed base tier.  A ratio far above ~3 (hot key = 10% of data on
+    # 32 cores means the worst single task holds ~3× a balanced share)
+    # flags a skew-fragile plan.
+    if os.environ.get("SPARK_GRAFT_SKIP_SKEW") == "1":
+        pass
+    elif remaining() < 120:
+        skipped_tiers.append("skew_probe")
+    else:
+        from direct_spark_sql_spark.sources.scale import ensure_skewed_dataset
+
+        skew_names = {
+            "events_user_sessions",
+            "join_skew_salted",
+            "dedup_minhash_lsh",
+            # groupBy on the hot orderkey: map-side partial aggregation
+            # should absorb group skew almost entirely (ratio ~1)
+            "q18_large_orders",
+            # plain (unsalted) 3-way join through the hot orderkey: AQE's
+            # skew-join split is what keeps this ~1 — the counterpart
+            # datapoint to the manually salted join above
+            "q3_shipping_priority",
+        }
+        skew_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "spark-warehouse", "skewdata", f"sf{sf}skew",
+        )
+        ensure_skewed_dataset(spark, sf_dir, skew_dir)
+        k_timings: dict[str, float] = {}
+        k_base: dict[str, float] = {}
+        k_dropped: list[str] = []
+        for q in all_queries():
+            if q.name not in skew_names:
+                continue
+            if remaining() < 45:
+                k_dropped.append(q.name)
+                continue
+            if q.name in timings:
+                k_base[q.name] = timings[q.name]
+            else:  # not in the headline set: time the unskewed base here
+                materialize(q.spark_fn(spark, sf_dir))
+                k_base[q.name] = round(measure(q, 2), 4)
+            materialize(q.spark_fn(spark, skew_dir))  # warmup
+            k_timings[q.name] = round(measure(q, 2, skew_dir), 4)
+        k_ratios = {
+            name: round(k_timings[name] / k_base[name], 2)
+            for name in k_timings
+            if k_base.get(name)
+        }
+        out["skew_probe"] = {
+            "hot_key_fraction": 0.1,
+            "queries": k_timings,
+            "ratio_vs_unskewed": k_ratios,
+            "skew_fragile": sorted(n for n, r in k_ratios.items() if r > 4.0),
+        }
+        if k_dropped:
+            out["skew_probe"]["dropped_on_budget"] = k_dropped
+
     # LAST key on purpose: the driver records only the tail of long output
     # lines (observed in round 3), so the verdict-critical numbers live at
     # the very end where truncation can't eat them.
@@ -387,6 +445,15 @@ def main() -> None:
         "facade_p50_ms": out.get("facade_latency", {}).get("p50_ms"),
         "facade_recompute_p50_ms": out.get("facade_latency", {}).get(
             "recompute_p50_ms"
+        ),
+        # budget accounting: [] / no drops means every tier ran in full;
+        # anything listed here was cut by the wall-clock guard, not broken
+        "bench_wall_s": round(time.perf_counter() - t_start, 1),
+        "skipped_tiers": skipped_tiers,
+        "dropped_on_budget": sorted(
+            n
+            for tier in ("scale_probe", "deep_scale_probe", "skew_probe")
+            for n in out.get(tier, {}).get("dropped_on_budget", [])
         ),
     }
     print(json.dumps(out))
