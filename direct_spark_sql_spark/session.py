@@ -451,13 +451,16 @@ class Engine:
         def _references(key: str) -> bool:
             return pattern.search(_matchable(key)) is not None
 
-        self._plan_cache.drop_where(_references)
-        # materialized results referencing the view are stale the same way;
-        # epoch bump + drop are atomic w.r.t. the post-execution put in
-        # sql_directly (same lock), so an in-flight stale result can
-        # neither land between the bump and the sweep nor after it
+        # Bump-then-drop, all under the same lock the epoch-guarded puts
+        # take (plan cache in dataframe(), result cache in sql_directly):
+        # any put that passed its epoch check happened strictly before the
+        # bump, so both drop_where sweeps see it; any analysis/execution
+        # still in flight fails its put check on the new epoch.  Dropping
+        # the plan entries OUTSIDE the lock (the pre-round-5 order) left a
+        # window where a stale analyzed plan could land after the sweep.
         with self._lock:
             self._invalidation_epoch += 1
+            self._plan_cache.drop_where(_references)
             self._result_cache.drop_where(_references)
 
     def _rewrite_qualified(self, sql: str) -> str:
@@ -522,8 +525,19 @@ class Engine:
         key = self._cache_key(sql)
         df = self._plan_cache.get(key)
         if df is None:
+            # Epoch captured BEFORE analysis: spark.sql() binds the view
+            # data visible NOW, so if an invalidation sweep (view swap +
+            # epoch bump + drop) completes before our put, this plan may
+            # hold the displaced binding.  The put is epoch-guarded and
+            # atomic with the sweep (same lock): a put that passes the
+            # check strictly precedes any bump, whose sweep then evicts
+            # it — a stale analyzed plan can never survive an
+            # invalidation and feed post-invalidation result caching.
+            epoch = self._invalidation_epoch
             df = self.spark.sql(self._rewrite_qualified(sql))
-            self._plan_cache.put(key, df)
+            with self._lock:
+                if epoch == self._invalidation_epoch:
+                    self._plan_cache.put(key, df)
         return df
 
     def sql_directly(self, sql: str) -> DataTable:
@@ -605,6 +619,8 @@ class Engine:
         per-call cost — the operational readout the reference's
         per-execution context map implies but never surfaces
         (DirectExecutionContext.scala:45)."""
+        if n <= 0:
+            return []  # list[-0:] would be the WHOLE history
         return list(self._call_history)[-n:]
 
     def _statement_result_cacheable(self, sql: str) -> bool:
@@ -614,14 +630,57 @@ class Engine:
             sql
         )
 
+    #: Analyzed-plan leaf classes whose content cannot change outside the
+    #: facade's invalidation hooks.  LocalRelation/LogicalRDD is what
+    #: register_table/createDataFrame temp views bind to (driver-local
+    #: data, re-bound only through register_table, which sweeps the
+    #: caches); InMemoryRelation is a facade-cached materialization.
+    #: Everything else — notably LogicalRelation, which wraps EXTERNAL
+    #: relations like JDBC with an empty inputFiles() — is rejected: an
+    #: external database can mutate with no invalidation hook ever firing.
+    #: CTERelationRef / UnionLoopRef are pointers, not sources: their
+    #: definitions are children of the enclosing WithCTE / UnionLoop node
+    #: (cteDefs :+ plan), so the walk inspects the real leaves through
+    #: them — the refs themselves carry no external state.
+    _RESULT_CACHE_LEAVES = frozenset(
+        {"LocalRelation", "LogicalRDD", "OneRowRelation", "Range",
+         "InMemoryRelation", "CTERelationRef", "UnionLoopRef"}
+    )
+
+    def _in_memory_leaves_only(self, df: DataFrame) -> bool:
+        """True iff every leaf of the analyzed plan — including leaves
+        inside subquery expressions (``subqueriesAll``) — is a known
+        in-memory relation (see ``_RESULT_CACHE_LEAVES``)."""
+        roots = [df._jdf.queryExecution().analyzed()]
+        it = roots[0].subqueriesAll().iterator()
+        while it.hasNext():
+            roots.append(it.next())
+        for root in roots:
+            stack = [root]
+            while stack:
+                p = stack.pop()
+                kids = p.children().iterator()
+                n = 0
+                while kids.hasNext():
+                    stack.append(kids.next())
+                    n += 1
+                if n == 0 and (
+                    p.getClass().getSimpleName().rstrip("$")
+                    not in self._RESULT_CACHE_LEAVES
+                ):
+                    return False
+        return True
+
     def _plan_result_cacheable(self, df: DataFrame) -> bool:
         """Plan-level gate, computed once per cached-plan object: the
         ANALYZED plan must be fully deterministic (catches rand()/uuid()
         hidden inside a referenced view body, which the statement regex
-        can't see), non-streaming, and read no files — file-backed data
-        can change on disk outside the facade's invalidation hooks, while
-        temp-view data only changes through register_table / view DDL,
-        which drop result entries."""
+        can't see), non-streaming, read no files (file-backed data can
+        change on disk outside the facade's invalidation hooks), and
+        bottom out ONLY in known in-memory leaf relations — an empty
+        ``inputFiles()`` alone is not proof of immutability, because
+        external relations (e.g. JDBC) report no files yet re-read
+        mutable external state on every execution."""
         ok = df.__dict__.get("_dss_result_ok")
         if ok is None:
             try:
@@ -629,6 +688,7 @@ class Engine:
                     not df.isStreaming
                     and not df.inputFiles()
                     and bool(df._jdf.queryExecution().analyzed().deterministic())
+                    and self._in_memory_leaves_only(df)
                 )
             except Exception:
                 ok = False
@@ -689,6 +749,12 @@ class Engine:
         (plus one being fetched), so a larger-than-driver result can be
         consumed incrementally."""
         df = self.dataframe(sql)
+        # Mark the plan executed BEFORE consuming: toLocalIterator ticks
+        # the same SQLMetric accumulators sql_directly reads, so a later
+        # sql_directly on this cached plan must take a baseline snapshot
+        # rather than treat the accumulated values as its own first run
+        # (unset, they'd be reported — and result-cache-frozen — at ~2x).
+        df.__dict__["_dss_executed"] = True
         for row in df.toLocalIterator(prefetchPartitions=True):
             yield row.asDict(recursive=True)
 
@@ -762,9 +828,13 @@ class Engine:
         from direct_spark_sql_spark.functions.jvm import register_java_function
 
         # a (re)defined function can change any cached result that called
-        # it; clearing the whole result cache is cheap and DDL is rare
+        # it — and any cached ANALYZED plan, which bound the old
+        # implementation at resolution time (a kept plan would re-execute
+        # the old class and re-poison the just-cleared result cache).
+        # Clearing both is cheap and DDL is rare.
         with self._lock:
             self._invalidation_epoch += 1
+            self._plan_cache.clear()
             self._result_cache.clear()
         try:
             register_java_function(self.spark, name, cls, jar_path=jar)
