@@ -27,7 +27,7 @@ compare against baselines/).  Probe tiers use 1 warmup + best-of-2: every
 ratio is computed within one tier from identically-sampled sides, and the
 third run bought noise-robustness the ratio thresholds (1.25× slack, 4.0
 skew bound) don't need at ~2/3 of the tier cost.  A wall-clock budget
-(SPARK_GRAFT_BENCH_BUDGET_S, default 545 — the driver runs under
+(SPARK_GRAFT_BENCH_BUDGET_S, default 530 — the driver runs under
 `timeout 580`) degrades probe tiers gracefully on a slow host: skipped
 tiers and per-query drops are reported in the summary instead of the
 whole process being SIGKILLed with no output."""
@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import time
 
 
@@ -50,7 +51,7 @@ def main() -> None:
     # a truncated tier reports what it measured plus what it dropped
     # ("no silent caps"), and the summary line ALWAYS prints.
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "545"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "530"))
     skipped_tiers: list[str] = []
 
     def remaining() -> float:
@@ -110,10 +111,15 @@ def main() -> None:
                 _walk_plan_metrics(df._jdf.queryExecution().executedPlan(), nodes)
 
                 def total(metric):
+                    # v > 0 skips SQLMetric's -1 "unset" sentinel on
+                    # unexecuted nodes — same semantics as the session's
+                    # _compute_metrics rollup, so pins recorded here agree
+                    # with last_metrics() for the same plan
                     return sum(
-                        n["metrics"][metric]
+                        v
                         for n in nodes
-                        if metric in n["metrics"]
+                        if (v := n["metrics"].get(metric)) is not None
+                        and v > 0
                     )
 
                 last_plan_metrics[q.name] = {
@@ -134,22 +140,95 @@ def main() -> None:
             base_q = json.load(f).get("queries", {})
 
     timings: dict[str, float] = {}
+    out: dict = {
+        "metric": "headline_queries_total_warm",
+        "value": 0.0,
+        "unit": "sec",
+        "queries": timings,  # same object: fills as the base tier runs
+        "plan_metrics": {},  # snapshotted right after the base tier
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    def _summarize(truncated: bool) -> None:
+        # LAST key on purpose: the driver records only the tail of long
+        # output lines (observed in round 3), so the verdict-critical
+        # numbers live at the very end where truncation can't eat them.
+        out["value"] = round(sum(timings.values()), 4)
+        out["summary"] = {
+            "total_sec": out["value"],
+            "comparable_ratio": out.get("comparable_ratio"),
+            "regression_count": out.get("regression_count"),
+            # None (not 0) when no baseline existed to compare against —
+            # 0 must always mean "compared and clean"
+            "shuffle_regression_count": (
+                len(out["shuffle_regressions"])
+                if "shuffle_regressions" in out
+                else None
+            ),
+            "scale_superlinear": out.get("scale_probe", {}).get("superlinear"),
+            "deep_scale_superlinear": out.get("deep_scale_probe", {}).get(
+                "superlinear"
+            ),
+            "skew_fragile": out.get("skew_probe", {}).get("skew_fragile"),
+            "facade_p50_ms": out.get("facade_latency", {}).get("p50_ms"),
+            "facade_recompute_p50_ms": out.get("facade_latency", {}).get(
+                "recompute_p50_ms"
+            ),
+            # budget accounting: [] / no drops means every tier ran in
+            # full; anything listed was cut by the wall-clock guard
+            "bench_wall_s": round(time.perf_counter() - t_start, 1),
+            "skipped_tiers": skipped_tiers,
+            "dropped_on_budget": sorted(
+                set(out.get("base_dropped_on_budget", []))
+                | {
+                    n
+                    for tier in (
+                        "scale_probe",
+                        "deep_scale_probe",
+                        "skew_probe",
+                    )
+                    for n in out.get(tier, {}).get("dropped_on_budget", [])
+                }
+            ),
+            # True only when the external timeout's SIGTERM pre-empted the
+            # internal budget guard (e.g. a cold page cache doubling the
+            # probe datasets' read time): the line holds everything
+            # measured up to that point instead of vanishing entirely
+            "truncated": truncated,
+        }
+
+    def _emit_on_sigterm(signum, frame):
+        # The driver wraps bench in `timeout 580`: if the internal 530 s
+        # budget guard ever mispredicts (a single probe query can run
+        # tens of seconds past its admission check on a cold cache), the
+        # SIGTERM would otherwise zero the round's bench evidence.
+        if not out["plan_metrics"]:
+            out["plan_metrics"] = dict(last_plan_metrics)
+        _summarize(True)
+        print(json.dumps(out), flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _emit_on_sigterm)
+
+    base_dropped: list[str] = []
     for q in bench_queries:
+        # Even the base tier bows to the wall clock on a pathologically
+        # slow host: a partial pinned-set measurement with the drop
+        # recorded beats the whole line vanishing at the timeout.
+        if remaining() < 20:
+            base_dropped.append(q.name)
+            continue
         # uniform policy: 1 warmup + best-of-3 measured, for every query
         materialize(q.spark_fn(spark, sf_dir))
         timings[q.name] = round(measure(q, 3), 4)
+    if base_dropped:
+        out["base_dropped_on_budget"] = base_dropped
 
     total = round(sum(timings.values()), 4)
-    out = {
-        "metric": "headline_queries_total_warm",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        # base-tier executed-plan rollups (snapshot before the probe tiers
-        # re-run measure() and overwrite per-name entries)
-        "plan_metrics": dict(last_plan_metrics),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
+    out["value"] = total
+    # base-tier executed-plan rollups (snapshot before the probe tiers
+    # re-run measure() and overwrite per-name entries)
+    out["plan_metrics"] = dict(last_plan_metrics)
 
     # Regression guard: compare per-query against the pinned operative
     # baseline (baselines/bench_sf<sf>.json = round-1 numbers per
@@ -425,37 +504,7 @@ def main() -> None:
         if k_dropped:
             out["skew_probe"]["dropped_on_budget"] = k_dropped
 
-    # LAST key on purpose: the driver records only the tail of long output
-    # lines (observed in round 3), so the verdict-critical numbers live at
-    # the very end where truncation can't eat them.
-    out["summary"] = {
-        "total_sec": out["value"],
-        "comparable_ratio": out.get("comparable_ratio"),
-        "regression_count": out.get("regression_count"),
-        # None (not 0) when no baseline existed to compare against —
-        # 0 must always mean "compared and clean"
-        "shuffle_regression_count": (
-            len(out["shuffle_regressions"])
-            if "shuffle_regressions" in out
-            else None
-        ),
-        "scale_superlinear": out.get("scale_probe", {}).get("superlinear"),
-        "deep_scale_superlinear": out.get("deep_scale_probe", {}).get("superlinear"),
-        "skew_fragile": out.get("skew_probe", {}).get("skew_fragile"),
-        "facade_p50_ms": out.get("facade_latency", {}).get("p50_ms"),
-        "facade_recompute_p50_ms": out.get("facade_latency", {}).get(
-            "recompute_p50_ms"
-        ),
-        # budget accounting: [] / no drops means every tier ran in full;
-        # anything listed here was cut by the wall-clock guard, not broken
-        "bench_wall_s": round(time.perf_counter() - t_start, 1),
-        "skipped_tiers": skipped_tiers,
-        "dropped_on_budget": sorted(
-            n
-            for tier in ("scale_probe", "deep_scale_probe", "skew_probe")
-            for n in out.get(tier, {}).get("dropped_on_budget", [])
-        ),
-    }
+    _summarize(False)
     print(json.dumps(out))
     spark.stop()
 
