@@ -1,0 +1,124 @@
+"""Cluster-conf derivation invariants (deploy.py).
+
+These are pure-python property checks — no SparkSession — plus one
+round-trip that applies the local profile to a real builder.  The point
+is that the derived conf stays SANE across the whole input space: a
+weird cluster shape must degrade to a clamped, safe conf, never an
+absurd one (0 partitions, broadcast bigger than the heap, ...).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from direct_spark_sql_spark.deploy import (
+    cluster_conf,
+    derive_broadcast_threshold_mb,
+    derive_shuffle_partitions,
+    local_test_conf,
+)
+from direct_spark_sql_spark.session import ENGINE_CONF
+
+
+def test_reference_scale_happy_path():
+    """The headline shape: 100 TB on 1000 executors x 8 cores."""
+    conf = cluster_conf(
+        dataset_tb=100, executors=1000, cores_per_executor=8, executor_mem_gb=64
+    )
+    parts = int(conf["spark.sql.shuffle.partitions"])
+    # 100 TB / 128 MB is ~800k raw — must clamp at the scheduler ceiling
+    assert parts == 200_000
+    # broadcast: 5% of 64 GB is over the cap -> 256 MB
+    assert int(conf["spark.sql.autoBroadcastJoinThreshold"]) == 256 * 1024**2
+    # semantic preset carried over verbatim
+    for k, v in ENGINE_CONF.items():
+        assert conf[k] == v
+    assert conf["spark.dynamicAllocation.maxExecutors"] == "1000"
+    assert conf["spark.executor.cores"] == "8"
+
+
+def test_small_cluster_small_data():
+    conf = cluster_conf(
+        dataset_tb=0.001, executors=2, cores_per_executor=2, executor_mem_gb=4
+    )
+    # tiny data: the 2-tasks-per-core floor and the global minimum rule
+    assert int(conf["spark.sql.shuffle.partitions"]) == 64
+    # 5% of 4 GB = 204 MB -> under the cap, over the floor
+    assert (
+        int(conf["spark.sql.autoBroadcastJoinThreshold"]) == 204 * 1024 * 1024
+    )
+    # overhead floored at 1 GiB even for a small heap
+    assert conf["spark.executor.memoryOverhead"] == "1024m"
+
+
+def test_dynamic_allocation_toggle():
+    on = cluster_conf(1, 10, dynamic_allocation=True)
+    off = cluster_conf(1, 10, dynamic_allocation=False)
+    assert on["spark.dynamicAllocation.enabled"] == "true"
+    assert "spark.dynamicAllocation.enabled" not in off
+
+
+@pytest.mark.parametrize("bad", [0, -1])
+def test_rejects_nonpositive_inputs(bad):
+    with pytest.raises(ValueError):
+        cluster_conf(dataset_tb=bad, executors=10)
+    with pytest.raises(ValueError):
+        cluster_conf(dataset_tb=1, executors=bad)
+    with pytest.raises(ValueError):
+        cluster_conf(dataset_tb=1, executors=10, executor_mem_gb=bad)
+
+
+@given(
+    tb=st.floats(min_value=1e-6, max_value=10_000, allow_nan=False),
+    cores=st.integers(min_value=1, max_value=1_000_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_shuffle_partitions_always_in_range_and_monotone(tb, cores):
+    p = derive_shuffle_partitions(tb, cores)
+    assert 64 <= p <= 200_000
+    # more data never DECREASES the partition count (monotone in data)
+    assert derive_shuffle_partitions(tb * 2, cores) >= p
+    # more cores never decreases it either (monotone in cores)
+    assert derive_shuffle_partitions(tb, cores * 2) >= p
+
+
+@given(mem=st.floats(min_value=0.1, max_value=10_000, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_broadcast_threshold_bounded_by_heap_fraction(mem):
+    mb = derive_broadcast_threshold_mb(mem)
+    assert 10 <= mb <= 256
+    # never more than ~5% of the heap once above the 10 MB floor
+    assert mb <= max(10, mem * 1024 * 0.05 + 1)
+
+
+@given(
+    tb=st.floats(min_value=1e-3, max_value=1_000, allow_nan=False),
+    ex=st.integers(min_value=1, max_value=10_000),
+    cpe=st.integers(min_value=1, max_value=128),
+    mem=st.floats(min_value=1, max_value=1024, allow_nan=False),
+)
+@settings(max_examples=100, deadline=None)
+def test_cluster_conf_values_are_all_strings_and_parseable(tb, ex, cpe, mem):
+    conf = cluster_conf(tb, ex, cpe, mem)
+    assert all(isinstance(v, str) for v in conf.values())
+    # numeric knobs must parse (a non-numeric value would fail at submit)
+    for key in (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.files.maxPartitionBytes",
+        "spark.default.parallelism",
+    ):
+        assert int(conf[key]) > 0
+
+
+def test_local_profile_applies_to_builder(spark):
+    """The local profile round-trips through a real conf reader: every
+    key it sets is visible on a running session created with the same
+    preset (the tests' own fixture)."""
+    prof = local_test_conf(cpus=8)
+    assert prof["spark.sql.shuffle.partitions"] == "8"
+    # the semantic preset keys all hold on the live test session
+    for k, v in ENGINE_CONF.items():
+        assert spark.conf.get(k) == v

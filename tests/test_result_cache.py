@@ -339,14 +339,20 @@ def test_sql_iterator_then_sql_directly_metrics_not_doubled(eng):
     eng.sql_directly(sql)
     m2 = eng.last_metrics()
     # the iterator's consumption really did shuffle (cumulative raw
-    # accumulators prove it) ...
+    # accumulators prove it) ...  Axis caveat: with AQE disabled,
+    # toLocalIterator's execution doesn't tick this plan instance's write
+    # accumulators at all (observed: shuffleRecordsWritten stays 0 while
+    # recordsRead shows the reused shuffle output), so no doubling is
+    # even possible there and the sanity check is meaningful only under
+    # the default adaptive config.
     cumulative = sum(
         v
         for n in m1["operators"]
         if (v := n["metrics"].get("shuffleRecordsWritten")) is not None
         and v > 0
     )
-    assert cumulative > 0
+    aqe_on = eng.spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert cumulative > 0 or not aqe_on
     # ... but the per-call readout must baseline it away: the first
     # sql_directly reports the same per-call value as a later one
     # (Spark reuses the completed shuffle stage for a re-collected plan
