@@ -506,6 +506,10 @@ def main() -> None:
 
     _summarize(False)
     print(json.dumps(out))
+    # the complete line is out: a SIGTERM during the (sometimes slow)
+    # spark.stop() must not re-enter the handler and emit a second line
+    # falsely marked truncated
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
     spark.stop()
 
 

@@ -159,7 +159,9 @@ def cluster_conf(
                 broadcast_mb * 1024 * 1024
             ),
             # -- memory -----------------------------------------------------
-            "spark.executor.memory": f"{int(executor_mem_gb)}g",
+            # megabyte units: f"{int(gb)}g" would truncate 1.9 GB to "1g"
+            # and sub-1-GB inputs (which pass validation) to a fatal "0g"
+            "spark.executor.memory": f"{int(executor_mem_gb * 1024)}m",
             "spark.executor.memoryOverhead": f"{overhead_mb}m",
             "spark.executor.cores": str(cores_per_executor),
             # -- serialization / transfer ----------------------------------
@@ -178,21 +180,15 @@ def cluster_conf(
         conf.update(
             {
                 "spark.dynamicAllocation.enabled": "true",
-                "spark.dynamicAllocation.minExecutors": "2",
+                # clamp: min > max is a fatal validateSettings error on a
+                # 1-executor cluster
+                "spark.dynamicAllocation.minExecutors": str(
+                    min(2, executors)
+                ),
                 "spark.dynamicAllocation.maxExecutors": str(executors),
                 # keep shuffle files usable after executor release, without
                 # requiring an external shuffle service on the nodes
                 "spark.dynamicAllocation.shuffleTracking.enabled": "true",
             }
         )
-    return conf
-
-
-def local_test_conf(cpus: int = 32) -> dict[str, str]:
-    """The local[] profile the tests and bench run under — kept here so
-    the doc contrast between the two ends of the dial is in one module:
-    same semantic preset (``ENGINE_CONF``), parallelism pinned to the
-    core count instead of derived from data size."""
-    conf = dict(ENGINE_CONF)
-    conf["spark.sql.shuffle.partitions"] = str(cpus)
     return conf

@@ -451,17 +451,26 @@ class Engine:
         def _references(key: str) -> bool:
             return pattern.search(_matchable(key)) is not None
 
-        # Bump-then-drop, all under the same lock the epoch-guarded puts
-        # take (plan cache in dataframe(), result cache in sql_directly):
-        # any put that passed its epoch check happened strictly before the
-        # bump, so both drop_where sweeps see it; any analysis/execution
-        # still in flight fails its put check on the new epoch.  Dropping
-        # the plan entries OUTSIDE the lock (the pre-round-5 order) left a
-        # window where a stale analyzed plan could land after the sweep.
+        # Drop-then-bump, all under the same lock the epoch-guarded puts
+        # take (plan cache in dataframe(), result cache in sql_directly).
+        # Both orderings matter:
+        # - puts: a put that passed its epoch check happened strictly
+        #   before the bump, hence before nothing — but the sweep's drops
+        #   run in the same critical section, so either the drop evicts
+        #   the entry (put preceded the section) or the check fails (put
+        #   followed the bump).  Dropping OUTSIDE the lock (pre-round-5)
+        #   left a window where a stale plan could land after the sweep.
+        # - reads: sql_directly snapshots the epoch unlocked BEFORE its
+        #   cache lookups; bumping AFTER the drops means a reader that
+        #   observes the new epoch can no longer find a displaced entry
+        #   (drops already done), while a reader holding the old epoch
+        #   has every put rejected.  Bumping FIRST would let a reader
+        #   capture the new epoch, win the cache lock before the drop,
+        #   execute the stale plan, and cache its rows at the new epoch.
         with self._lock:
-            self._invalidation_epoch += 1
             self._plan_cache.drop_where(_references)
             self._result_cache.drop_where(_references)
+            self._invalidation_epoch += 1
 
     def _rewrite_qualified(self, sql: str) -> str:
         """Rewrite ``db.table`` references for registered qualified views.
@@ -717,6 +726,22 @@ class Engine:
             except Exception:
                 complete = False
             if complete:
+                # A partially consumed sql_iterator can leave AQE mid-
+                # flight: the current executedPlan may still re-shape
+                # (new exchanges whose accumulators a pinned handle list
+                # would miss, under-counting every later baseline).  Only
+                # a FINAL adaptive plan's handles are safe to cache.
+                try:
+                    root = df._jdf.queryExecution().executedPlan()
+                    if (
+                        root.getClass().getSimpleName()
+                        == "AdaptiveSparkPlanExec"
+                        and not root.isFinalPlan()
+                    ):
+                        complete = False
+                except Exception:
+                    complete = False
+            if complete:
                 # only a COMPLETE walk is cached on the plan object; a
                 # truncated one is retried next call instead of pinning an
                 # under-counting baseline forever
@@ -831,11 +856,13 @@ class Engine:
         # it — and any cached ANALYZED plan, which bound the old
         # implementation at resolution time (a kept plan would re-execute
         # the old class and re-poison the just-cleared result cache).
-        # Clearing both is cheap and DDL is rare.
+        # Clearing both is cheap and DDL is rare.  Clear-then-bump, same
+        # reader-race reasoning as _drop_cached_plans_referencing: a
+        # reader observing the new epoch must already see empty caches.
         with self._lock:
-            self._invalidation_epoch += 1
             self._plan_cache.clear()
             self._result_cache.clear()
+            self._invalidation_epoch += 1
         try:
             register_java_function(self.spark, name, cls, jar_path=jar)
         except Exception:

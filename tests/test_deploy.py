@@ -17,7 +17,6 @@ from direct_spark_sql_spark.deploy import (
     cluster_conf,
     derive_broadcast_threshold_mb,
     derive_shuffle_partitions,
-    local_test_conf,
 )
 from direct_spark_sql_spark.session import ENGINE_CONF
 
@@ -58,6 +57,28 @@ def test_dynamic_allocation_toggle():
     off = cluster_conf(1, 10, dynamic_allocation=False)
     assert on["spark.dynamicAllocation.enabled"] == "true"
     assert "spark.dynamicAllocation.enabled" not in off
+
+
+def test_single_executor_min_clamped():
+    """min > max is a fatal ExecutorAllocationManager.validateSettings
+    error — a 1-executor cluster must clamp the floor."""
+    conf = cluster_conf(1, executors=1)
+    assert int(conf["spark.dynamicAllocation.minExecutors"]) <= int(
+        conf["spark.dynamicAllocation.maxExecutors"]
+    )
+
+
+def test_fractional_executor_memory_not_truncated():
+    """int(gb)+'g' would emit a fatal '0g' for sub-1-GB heaps and
+    silently halve 1.9 GB; megabyte units keep the requested size."""
+    assert (
+        cluster_conf(1, 10, executor_mem_gb=0.5)["spark.executor.memory"]
+        == "512m"
+    )
+    assert (
+        cluster_conf(1, 10, executor_mem_gb=1.9)["spark.executor.memory"]
+        == f"{int(1.9 * 1024)}m"
+    )
 
 
 @pytest.mark.parametrize("bad", [0, -1])
@@ -113,12 +134,21 @@ def test_cluster_conf_values_are_all_strings_and_parseable(tb, ex, cpe, mem):
         assert int(conf[key]) > 0
 
 
-def test_local_profile_applies_to_builder(spark):
-    """The local profile round-trips through a real conf reader: every
-    key it sets is visible on a running session created with the same
-    preset (the tests' own fixture)."""
-    prof = local_test_conf(cpus=8)
-    assert prof["spark.sql.shuffle.partitions"] == "8"
-    # the semantic preset keys all hold on the live test session
+def test_semantic_preset_holds_on_live_session(spark):
+    """The semantic preset the cluster profile embeds is the one the live
+    test session actually runs under (EngineBuilder applies ENGINE_CONF
+    itself — deploy.py embeds the same dict, so local and cluster runs
+    plan identically).  Keys overridden by the robustness-matrix axis
+    (SPARK_GRAFT_TEST_EXTRA_CONF) are excluded: the axis intentionally
+    perturbs them."""
+    import os
+
+    extra = os.environ.get("SPARK_GRAFT_TEST_EXTRA_CONF", "")
+    overridden = {
+        p.partition("=")[0].strip() for p in extra.split(";") if p.strip()
+    }
+    cluster = cluster_conf(1, 10)
     for k, v in ENGINE_CONF.items():
-        assert spark.conf.get(k) == v
+        assert cluster[k] == v
+        if k not in overridden:
+            assert spark.conf.get(k) == v
