@@ -27,6 +27,19 @@ from direct_spark_sql_spark.hashing import MERSENNE_P, h64, minhash_coeffs
 from direct_spark_sql_spark.operators.text import tokens
 
 # MinHash configuration (shared with the oracle builders in plans/pipeline.py)
+#
+# Banding s-curve, stated honestly: a pair with true Jaccard j shares at
+# least one band with probability 1 - (1 - j^LSH_ROWS)^LSH_BANDS.  With
+# b=4, r=4 the curve's midpoint is (1/4)^(1/4) ~ 0.71, so CANDIDATE
+# GENERATION is tuned for near-identical duplicates (j=0.9 -> 98.6%
+# caught) and deliberately sparse in the gray zone (j=0.5 -> ~23%) —
+# callers filtering at min_est_jaccard=0.5 get high precision but only
+# partial recall AT the threshold, with the shortfall shrinking rapidly
+# above it.  To serve a 0.5 threshold with high recall, use b=8, r=2 on
+# the same 16 permutations (midpoint ~0.35; j=0.5 -> ~90%) at the cost
+# of a 2x band table and more gray-zone candidates to verify — a
+# corpus-dependent trade both engines replay identically, since the
+# oracle SQL interpolates these constants.
 NUM_PERM = 16
 LSH_BANDS = 4
 LSH_ROWS = 4  # NUM_PERM == LSH_BANDS * LSH_ROWS
@@ -599,8 +612,14 @@ def incremental_dedup(
 #: Gear-style boundary-hash coefficients: 8 fixed 48-bit odd integers from
 #: the MD5 bitstream (same derivation discipline as minhash_coeffs).  The
 #: per-position hash is sum(c_k * codepoint(gram[k])): pure integer
-#: arithmetic, bit-identical in numpy int64, Spark BIGINT and DuckDB BIGINT
-#: for ASCII/BMP text (max sum 8 * 0xFFFF * 2^48 < 2^63).
+#: arithmetic.  Overflow contract, precisely: the boundary test is
+#: ``h % 64 == 0`` and 64 divides 2^64, so int64 WRAPAROUND (numpy,
+#: Spark BIGINT non-ANSI) preserves the boundary decision for ANY
+#: codepoints — but the exact sum itself only fits int64 for ASCII
+#: (max 8 * 127 * 2^48 < 2^58; BMP can reach ~2^67).  The DuckDB oracle
+#: replay computes the exact sum and ERRORS on overflow rather than
+#: wrapping, so the bit-identical-across-engines guarantee is
+#: ASCII-only; the pinned oracle corpus is ASCII.
 import hashlib as _hashlib
 
 CDC_COEFFS = [
@@ -621,7 +640,14 @@ def cdc_chunk_table(
     """(id, chunk_len, chunk) rows from stateless-divisor content-defined
     chunking: a chunk boundary falls after 1-based position i iff the gear
     hash of the 8-gram ending there is 0 mod 64 (expected chunk ~64
-    chars).  Boundaries depend only on local content, so insertions shift
+    chars).
+
+    ``min_len``/``max_len`` are DOCUMENT-length gates, not chunk-size
+    clamps: a document outside [min_len, max_len] characters is excluded
+    from chunking entirely (shorter than one hash window, or beyond the
+    intended working size).  Callers chunking a corpus with documents
+    longer than the default 1024 chars must raise ``max_len`` explicitly
+    or those documents contribute no chunks at all.  Boundaries depend only on local content, so insertions shift
     chunk *positions* but not chunk *identities* — identical passages in
     different documents produce identical chunks at any offset.  (No
     min-chunk-size clamp: that would chain each boundary on the previous

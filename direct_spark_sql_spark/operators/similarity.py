@@ -40,6 +40,21 @@ DEC_OUT = "decimal(24,6)"
 def _acc_add(acc: "Column", x: "Column") -> "Column":
     return (acc + x).cast(DEC_ACC)
 
+# SRP banding s-curve, stated honestly: for a pair at angle theta the
+# per-bit agreement probability is 1 - theta/pi, a band collides with
+# p_bit^SRP_BITS_PER_BAND, and a pair becomes a candidate with
+# 1 - (1 - p_band)^SRP_BANDS.  With 2 bands x 8 bits this is tuned for
+# bounded candidate volume (random pairs collide ~0.8%, keeping the
+# banded join far from n^2) at the cost of recall on anything but very
+# tight near-duplicates: cosine 0.95 pairs are caught ~67%, and pairs
+# near srp_near_duplicates' default 0.35 verify threshold almost never
+# band together (~4%) — the verify threshold bounds what is EMITTED,
+# not what is FOUND.  More bands of fewer bits raise recall but multiply
+# random-pair candidates (4x4: 23% of ALL pairs collide — unusable at
+# scale).  Both engines replay the same banding (the oracle interpolates
+# these constants), so the trade is measured, not hidden:
+# embedding_near_duplicates' oracle-checked output reflects exactly this
+# recall surface.
 SRP_BANDS = 2
 SRP_BITS_PER_BAND = 8
 
@@ -182,6 +197,11 @@ def ivf_assign(
     # decimal and norm'ed ONCE at collection (K rows), and the data row's
     # decimal vector + norm are hoisted into their own projection so the
     # per-centroid transform only computes the K dot products.
+    # Zero-norm centroids are dropped BEFORE the argmax: their cosine to
+    # every vector is 0/0 = NaN, which Spark orders above every number, so
+    # a single degenerate centroid (e.g. an empty k-means cluster's mean)
+    # would otherwise win every comparison and swallow the whole corpus
+    # into one cell.  Mirrors _collect_centroids on the Python probe path.
     cents = F.broadcast(
         centroids.select(
             F.struct(
@@ -189,7 +209,9 @@ def ivf_assign(
                 _dec_vec(emb_col).alias("cdec"),
                 F.sqrt(_to_double(norm_sq_dec(_dec_vec(emb_col)))).alias("cnorm"),
             ).alias("c")
-        ).agg(F.sort_array(F.collect_list("c")).alias("__cents"))
+        )
+        .filter(F.col("c")["cnorm"] > 0)
+        .agg(F.sort_array(F.collect_list("c")).alias("__cents"))
     )
     prepped = (
         df.crossJoin(cents)
@@ -342,7 +364,14 @@ def _collect_centroids(
     for r in rows:
         cdec = [_pydec9(x) for x in r["__e"]]
         cn = _pydec_to_double(sum(x * x for x in cdec))
-        out.append((r["__cid"], cdec, cn))
+        # A zero-norm centroid has no direction: its cosine to EVERY
+        # vector is 0/0 = NaN, and both Spark and DuckDB order NaN above
+        # every number, so one degenerate centroid (e.g. the mean of an
+        # empty cluster from a k-means round) would win every argmax and
+        # swallow the whole corpus.  Skip it — no vector can meaningfully
+        # belong to a direction-less cell.
+        if cn > 0:
+            out.append((r["__cid"], cdec, cn))
     return out
 
 
@@ -360,11 +389,17 @@ def _probe_select(
 
     qdec = [_pydec9(x) for x in qvec]
     qn = _pydec_to_double(sum(x * x for x in qdec))
+    if qn == 0:
+        # a zero-norm query has no direction to probe toward; a NaN
+        # cosine here would sort arbitrarily under Python's Timsort
+        # (every NaN comparison is False) and non-deterministically
+        # diverge from the Spark path's NaN-is-greatest ordering
+        raise ValueError("zero-norm query vector: cosine probe undefined")
     scored = []
     for cid, cdec, cn in cents:
+        # cn > 0 guaranteed: _collect_centroids drops zero-norm centroids
         dot = _pydec_to_double(sum(a * b for a, b in zip(cdec, qdec)))
-        denom = math.sqrt(cn) * math.sqrt(qn)
-        scored.append((dot / denom if denom else float("nan"), cid))
+        scored.append((dot / (math.sqrt(cn) * math.sqrt(qn)), cid))
     scored.sort(key=lambda t: (-t[0], t[1]))
     return [cid for _, cid in scored[:nprobe]], qn
 
@@ -513,8 +548,17 @@ def srp_band_table(
     """(id, band_idx, band_val) — Charikar sign bits grouped into bands.
 
     bit(p) = [ Σ_i plane_p[i] * emb[i] > 0 ], computed in exact decimal so
-    the sign is engine-independent even at the boundary."""
+    the sign is engine-independent even at the boundary.
+
+    Rows whose vector length differs from ``dims`` are EXCLUDED: zip_with
+    would null-pad the shorter side, the null would poison every
+    projection to NULL, every bit to 0, and all such vectors would
+    collide in every band — silently turning the banded join into the
+    all-pairs blowup this operator exists to avoid.  A mismatched row
+    cannot be meaningfully hashed by these planes, so it is dropped here
+    (callers see the row count difference) rather than mis-bucketed."""
     planes = rademacher_planes(bands * bits_per_band, dims)
+    df = df.filter(F.size(F.col(emb_col)) == dims)
     v = _dec_vec(emb_col)
     # projection for plane p: aggregate of ±emb[i] — signs as a literal array
     band_structs = []
@@ -604,10 +648,19 @@ def kmeans_refine_step(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """One spherical k-means (Lloyd) refinement step — how IVF centroids
+    """One k-means (Lloyd) refinement step — how IVF coarse quantizers
     are trained at scale (Jégou et al., "Product Quantization for Nearest
-    Neighbor Search", TPAMI'11 uses exactly this loop for coarse
-    quantizers).
+    Neighbor Search", TPAMI'11).
+
+    Semantics note: the E-step assigns by COSINE (ivf_assign) while the
+    M-step is the plain arithmetic mean of raw member vectors — the
+    standard Lloyd update, not the spherical-k-means update (mean of
+    direction-normalized members).  With (near-)unit-norm embeddings the
+    two coincide; with wildly mixed magnitudes a high-norm outlier can
+    dominate its cluster's mean direction.  The raw mean is kept because
+    it is exactly engine-replayable in decimal (a normalized mean would
+    interpose a per-element IEEE division before the order-independent
+    decimal sum, breaking the bit-exact oracle contract).
 
     E-step: :func:`ivf_assign` (broadcast centroids, map-only argmax —
     no shuffle).  M-step: per-cluster per-dimension mean via ONE hash
@@ -704,10 +757,24 @@ def quantized_rerank_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """Two-stage ANN: int8 approximate dot-product shortlist, exact
-    decimal-cosine rerank — the standard memory/compute split at corpus
-    scale (the coarse stage touches 4×-smaller codes; the exact stage
-    touches only ``shortlist`` rows).
+    """Two-stage ANN: int8 code-space shortlist, exact decimal-cosine
+    rerank — the standard memory/compute split at corpus scale (the
+    coarse stage touches 4×-smaller codes; the exact stage touches only
+    ``shortlist`` rows).
+
+    Coarse-stage fidelity, stated honestly: the codes are PER-VECTOR
+    min-max affine (quantize_int8), so the integer code dot product
+    discards each vector's shift and scale — it is a similarity proxy in
+    normalized code space, not an approximation of the true dot product
+    (two vectors differing by a constant offset quantize to identical
+    codes; a constant query quantizes to all zeros, degenerating the
+    shortlist cut to lowest-ids).  For embedding-like inputs (zero-ish
+    mean per vector, comparable ranges) the code dot tracks cosine
+    ranking well and the exact rerank corrects the shortlist's ordering;
+    a scale-aware scheme (symmetric max-abs codes dequantized by stored
+    per-vector scales, the faiss SQ8 shape) would make the coarse score
+    a true dot estimate at the cost of carrying two floats per vector —
+    the upgrade path if shortlist misses are ever observed.
 
     Both stages are JVM-side: the coarse score is an integer zip_with sum
     (bit-exact), the shortlist cut is a bounded TakeOrderedAndProject on
