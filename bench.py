@@ -150,34 +150,36 @@ def main() -> None:
     last_run_path = os.path.join(repo_dir, "baselines", "bench_last_run.json")
 
     def _load_prev_summary() -> dict:
+        # Debt is the UNION of the most recent driver-recorded round
+        # (BENCH_r*.json — the record the judge grades) and the most
+        # recent local run (bench_last_run.json): a local dev run that
+        # happened to fit every tier must not erase a driver round's
+        # skipped-tier debt before the next DRIVER run repays it.
+        merged: dict[str, set] = {"skipped_tiers": set(), "dropped_on_budget": set()}
         try:
             with open(last_run_path) as f:
-                return json.load(f).get("summary", {}) or {}
+                local = json.load(f).get("summary", {}) or {}
+            for key in merged:
+                merged[key] |= set(local.get(key) or [])
         except (OSError, ValueError):
             pass
-        # Fall back to the newest driver-recorded BENCH_r*.json: it keeps
-        # only a 2000-char tail of our output line, but the summary is
-        # deliberately last, so the tier-debt keys survive truncation.
+        # The driver keeps only a 2000-char tail of our output line, but
+        # the summary is deliberately last, so the debt keys survive.
         import glob
         import re as _re
 
         bench_files = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
-        if not bench_files:
-            return {}
-        try:
-            with open(bench_files[-1]) as f:
-                tail = json.load(f).get("tail", "") or ""
-        except (OSError, ValueError):
-            return {}
-        prev: dict = {}
-        for key in ("skipped_tiers", "dropped_on_budget"):
-            hits = _re.findall(rf'"{key}": (\[[^\]]*\])', tail)
-            if hits:  # last occurrence = the summary-level one
-                try:
-                    prev[key] = json.loads(hits[-1])
-                except ValueError:
-                    pass
-        return prev
+        if bench_files:
+            try:
+                with open(bench_files[-1]) as f:
+                    tail = json.load(f).get("tail", "") or ""
+                for key in merged:
+                    hits = _re.findall(rf'"{key}": (\[[^\]]*\])', tail)
+                    if hits:  # last occurrence = the summary-level one
+                        merged[key] |= set(json.loads(hits[-1]))
+            except (OSError, ValueError):
+                pass
+        return {k: sorted(v) for k, v in merged.items()}
 
     prev_summary = _load_prev_summary()
     prev_skipped = set(prev_summary.get("skipped_tiers") or [])

@@ -161,6 +161,48 @@ def exact_duplicate_groups(
     )
 
 
+def cross_source_duplication(
+    df: DataFrame,
+    key: Column | str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source duplicate-overlap matrix: for every unordered pair of
+    sources, how many duplicate groups (identical ``key``) span both and
+    how many documents those groups hold on each side — the
+    crawl-provenance readout that decides which ingest feeds duplicate
+    which (a mirror site, a re-crawl, one dataset re-released inside
+    another dump).
+
+    Scale shape: ONE (key, source) hash agg first (map-side combine
+    collapses per-source copies to a single counted row), then a
+    self-equi-join on the key whose fan-out is bounded by S² per key
+    (S = #sources, a small constant) — never by group size: a mega-group
+    of a million identical docs contributes at most S² joined rows, not
+    10¹².  Output bounded at S(S-1)/2 rows.
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    per_src = df.groupBy(
+        key_col.alias("dup_key"), F.col(source_col).alias("src")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    pairs = per_src.alias("a").join(
+        per_src.alias("b"),
+        (F.col("a.dup_key") == F.col("b.dup_key"))
+        & (F.col("a.src") < F.col("b.src")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_groups"),
+            F.sum("a.n_docs").cast("long").alias("n_docs_a"),
+            F.sum("b.n_docs").cast("long").alias("n_docs_b"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str,

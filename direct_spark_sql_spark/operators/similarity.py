@@ -687,6 +687,68 @@ def kmeans_refine_step(
     )
 
 
+def label_centroid_classify(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid label evaluation (Rocchio-style) over a labeled
+    embedding corpus: per-label mean centroids, every vector re-assigned
+    to the centroid with the highest cosine, reported as a
+    (label, pred_label) confusion matrix with per-label fractions — the
+    embedding-space label-quality audit for a training corpus (mislabeled
+    or entangled classes surface as heavy off-diagonal cells).
+
+    Scale shape: the centroid step is ONE (label, dim) hash agg after
+    posexplode (bounded L×d keys, balanced under label skew — the same
+    shape as :func:`kmeans_refine_step`'s M-step); assignment is
+    :func:`ivf_assign`'s broadcast map-only argmax (no shuffle on the
+    data side at any corpus size); the confusion matrix is a bounded L²
+    hash agg with an L-row broadcast join for the fractions.
+
+    Exactness: element sums in exact decimal, centroid = one IEEE
+    division, cosine on DECIMAL(24,6)-snapped dots — the engine-
+    replayable contract shared by the IVF / k-means family.
+    """
+    elems = df.select(
+        F.col(label_col).cast("long").alias("__lbl"),
+        F.posexplode(_dec_vec(emb_col)).alias("__dim", "__a"),
+    )
+    cent_elems = elems.groupBy("__lbl", "__dim").agg(
+        (_to_double(F.sum("__a")) / F.count(F.lit(1)).cast("double")).alias("__c")
+    )
+    centroids = (
+        cent_elems.groupBy("__lbl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__dim", "__c"))),
+                lambda s: s["__c"],
+            ).alias(emb_col)
+        )
+        .select(F.col("__lbl").alias(id_col), emb_col)
+    )
+    assigned = ivf_assign(
+        df, centroids, id_col=id_col, emb_col=emb_col, cell_col="pred_label"
+    )
+    conf = assigned.groupBy(
+        F.col(label_col).cast("long").alias("label"),
+        F.col("pred_label").cast("long").alias("pred_label"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    totals = conf.groupBy("label").agg(F.sum("n_vectors").alias("__tot"))
+    return (
+        conf.join(F.broadcast(totals), "label")
+        .select(
+            "label",
+            "pred_label",
+            "n_vectors",
+            (F.col("n_vectors").cast("double") / F.col("__tot").cast("double"))
+            .alias("frac"),
+        )
+        .orderBy("label", "pred_label")
+    )
+
+
 def standardize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -201,6 +201,71 @@ ORDER BY i, j
 
 
 # ---------------------------------------------------------------------------
+# Nearest-centroid label evaluation (Rocchio confusion matrix)
+# ---------------------------------------------------------------------------
+
+def embedding_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid label audit over the labeled embedding corpus:
+    per-label mean centroids (decimal element sums + one IEEE division),
+    every vector re-assigned by cosine argmax (broadcast map-only,
+    operators/similarity.py:label_centroid_classify), reported as the
+    (label, pred_label) confusion matrix with per-label fractions —
+    the label-quality / class-separability readout for a training set."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.label_centroid_classify(e)
+
+
+_CENTROID_CLASSIFY_ORACLE = f"""
+WITH {_EX_SQL.strip()},
+nrm AS (
+  SELECT vec_id, CAST(CAST(ROUND(SUM(a * a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS nn
+  FROM ex GROUP BY vec_id
+),
+lc AS (
+  SELECT e.label AS lbl, ex.i AS i,
+         CAST(CAST(ROUND(SUM(ex.a), 6) AS DECIMAL(24,6)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS c
+  FROM ex JOIN embeddings e USING (vec_id)
+  GROUP BY e.label, ex.i
+),
+lcd AS (SELECT lbl, i, CAST(c AS DECIMAL(12,9)) AS a FROM lc),
+cn AS (
+  SELECT lbl, CAST(CAST(ROUND(SUM(a * a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS nn
+  FROM lcd GROUP BY lbl
+),
+cc AS (
+  SELECT x.vec_id, d.lbl,
+         CAST(CAST(ROUND(SUM(x.a * d.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot
+  FROM ex x JOIN lcd d ON d.i = x.i
+  GROUP BY x.vec_id, d.lbl
+),
+cosc AS (
+  SELECT cc.vec_id, cc.lbl, cc.dot / (sqrt(nx.nn) * sqrt(cn.nn)) AS cos
+  FROM cc JOIN nrm nx ON nx.vec_id = cc.vec_id
+          JOIN cn ON cn.lbl = cc.lbl
+  WHERE cn.nn > 0
+),
+assign AS (
+  SELECT vec_id, lbl AS pred FROM (
+    SELECT vec_id, lbl,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, lbl) AS rn
+    FROM cosc
+  ) WHERE rn = 1
+),
+conf AS (
+  SELECT CAST(e.label AS BIGINT) AS label, CAST(a.pred AS BIGINT) AS pred_label,
+         CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM assign a JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2
+)
+SELECT label, pred_label, n_vectors,
+       CAST(n_vectors AS DOUBLE)
+         / CAST(SUM(n_vectors) OVER (PARTITION BY label) AS DOUBLE) AS frac
+FROM conf ORDER BY label, pred_label
+"""
+
+
+# ---------------------------------------------------------------------------
 # AdaBoost: two boosted stumps, exact weights
 # ---------------------------------------------------------------------------
 
@@ -914,6 +979,11 @@ QUERIES: list[Query] = [
           ("similarity", "mlops"),
           doc="filtered vector search: metadata predicate pre-filters the "
               "scan before distances (exact recall over the filtered set)"),
+    Query("embedding_centroid_classify", embedding_centroid_classify,
+          _CENTROID_CLASSIFY_ORACLE, ("embedding", "mlops", "quality"),
+          doc="nearest-centroid (Rocchio) label audit: per-label decimal-"
+              "exact mean centroids, broadcast cosine argmax re-assignment, "
+              "L² confusion matrix with per-label fractions"),
     Query("embedding_pca_covariance", embedding_pca_covariance, PCA_COV_ORACLE,
           ("similarity", "mlops"), bench=True,
           doc="distributed PCA stage 1: exact-decimal upper-triangle "

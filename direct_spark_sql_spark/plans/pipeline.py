@@ -172,6 +172,36 @@ ORDER BY dup_key
 """
 
 
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-overlap matrix on the content fingerprint:
+    which source pairs share identical (token-reshuffled-insensitive)
+    documents, and how many docs each side contributes — the crawl-
+    provenance readout for deciding which ingest mirrors which
+    (operators/dedup.py:cross_source_duplication; fan-out bounded at S²
+    per fingerprint, never by group size)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    fp = tx.fingerprint(d)
+    return dd.cross_source_duplication(fp, "fp_content", "source", "doc_id")
+
+
+_CROSS_SOURCE_ORACLE = f"""
+WITH t AS (SELECT doc_id, source, {TOKS_SQL} AS toks FROM documents),
+fp AS (SELECT doc_id, source,
+        {h64_sql("array_to_string(list_sort(list_distinct(toks)), ' ')")} AS fp_content
+       FROM t),
+ps AS (SELECT fp_content AS dup_key, source AS src,
+              CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM fp GROUP BY 1, 2)
+SELECT a.src AS source_a, b.src AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_groups,
+       CAST(SUM(a.n_docs) AS BIGINT) AS n_docs_a,
+       CAST(SUM(b.n_docs) AS BIGINT) AS n_docs_b
+FROM ps a JOIN ps b ON a.dup_key = b.dup_key AND a.src < b.src
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dd.ngram_jaccard_pairs(d, threshold=0.3, max_shingle_df=1000).orderBy(
@@ -1737,6 +1767,11 @@ QUERIES = [
           doc="train/eval 5-gram overlap sweep, df-capped gram blocking"),
     Query("dedup_exact_fingerprint", dedup_exact_fingerprint, DEDUP_EXACT_ORACLE,
           ("dedup", "pipeline"), bench=True),
+    Query("dedup_cross_source_matrix", dedup_cross_source_matrix,
+          _CROSS_SOURCE_ORACLE, ("dedup", "pipeline"),
+          doc="cross-source duplicate-overlap matrix on the content "
+              "fingerprint: one (fp, source) hash agg + S²-bounded "
+              "self-equi-join — crawl-provenance / mirror detection"),
     Query("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE,
           ("dedup", "pipeline")),
     Query("dedup_split_leakage", dedup_split_leakage, SPLIT_LEAKAGE_ORACLE,

@@ -161,6 +161,8 @@ _NLJ_ALLOWED = {
     "rag_chunk_search",        # same 1-row stats cross (BM25 over chunks)
     "embedding_kmeans_refine",  # ivf_assign: broadcast 1-row centroid array
     "dedup_semantic",           # ivf_assign: broadcast 1-row centroid array
+    "embedding_centroid_classify",  # ivf_assign: broadcast 1-row array of
+                                    # L label centroids (L = #labels)
     "quality_constraint_audit",  # fk check: 1-row agg × 1-row agg cross
     "privacy_delete_propagation",  # audit rows: 1-row agg × 1-row agg cross
     "tfidf_cosine_pairs",        # broadcast 1-row corpus size (N)
