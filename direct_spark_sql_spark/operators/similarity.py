@@ -797,6 +797,56 @@ def standardize_embeddings(
     )
 
 
+def standardized_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    top_k: int = 25,
+) -> DataFrame:
+    """Embedding-space outlier detection by diagonal Mahalanobis distance:
+    per-dimension z-scores (:func:`standardize_embeddings`), per-vector
+    mean squared z as the outlier score, bounded top-k — the
+    remove-the-junk-vectors QA pass run before clustering or ANN index
+    training (a full-covariance Mahalanobis needs the 64×64 inverse; the
+    diagonal form is the standard first-line screen and needs no
+    coordinator linear algebra).
+
+    Scale shape: one posexplode + d-row broadcast stats join (from
+    standardize_embeddings), one (id) hash agg, bounded top-k
+    (TakeOrderedAndProject) — no self-join, nothing quadratic.
+
+    Exactness: z is IEEE-identical in both engines (decimal-snapped
+    element, broadcast stats); z² snaps to INTEGER 1e-9 units
+    (``floor(z²·1e9 + 0.5)`` — floor of an identically computed double
+    is exact everywhere) BEFORE the per-vector sum, so the score is an
+    order-independent BIGINT sum followed by fixed-order IEEE divisions.
+    (A double z² sum would depend on Spark's partial-aggregation order,
+    and a double→DECIMAL snap hits the engines' differing cast-rounding
+    paths — the same reason quality_psi_drift snaps its per-bin
+    contributions to integer units.)
+    """
+    z = standardize_embeddings(df, emb_col, id_col)
+    zz = z.select(
+        id_col,
+        F.floor(F.col("z") * F.col("z") * F.lit(1.0e9) + F.lit(0.5))
+        .cast("long")
+        .alias("__zz_u"),
+    )
+    return (
+        zz.groupBy(id_col)
+        .agg(
+            (
+                F.sum("__zz_u").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1.0e9)
+            ).alias("outlier_score"),
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+        )
+        .orderBy(F.desc("outlier_score"), id_col)
+        .limit(top_k)
+    )
+
+
 def _int8_codes(vec: Column) -> Column:
     """The quantize_int8 code formula as a reusable column expression
     (identical arithmetic — see quantize_int8's exactness note)."""

@@ -952,6 +952,52 @@ ORDER BY e.dim
 
 
 # ---------------------------------------------------------------------------
+# Embedding outlier screen (diagonal Mahalanobis)
+# ---------------------------------------------------------------------------
+
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-Mahalanobis embedding outliers: per-dimension z-scores,
+    per-vector mean squared z snapped to integer 1e-9 units before the
+    sum (order-independent BIGINT total), bounded top-25
+    (operators/similarity.py:standardized_outliers) — the junk-vector
+    screen before clustering / ANN index training."""
+    from direct_spark_sql_spark.operators.similarity import standardized_outliers
+
+    return standardized_outliers(load_table(spark, sf_dir, "embeddings"))
+
+
+OUTLIER_SCORES_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(s - 1 AS BIGINT) AS dim,
+         CAST(CAST(embedding[s] AS DOUBLE) AS DECIMAL(12,9)) AS v,
+         CAST(CAST(CAST(embedding[s] AS DOUBLE) AS DECIMAL(12,9)) AS DOUBLE) AS v_dbl
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(s)),
+st AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(CAST(ROUND(SUM(v), 6) AS DECIMAL(24,6)) AS DOUBLE) AS s,
+         CAST(CAST(ROUND(SUM(v * v), 6) AS DECIMAL(24,6)) AS DOUBLE) AS ss
+  FROM e GROUP BY dim),
+m AS (SELECT dim,
+             s / CAST(n_vecs AS DOUBLE) AS mean,
+             SQRT(ss / CAST(n_vecs AS DOUBLE)
+                  - (s / CAST(n_vecs AS DOUBLE)) * (s / CAST(n_vecs AS DOUBLE)))
+               AS std
+      FROM st),
+zz AS (
+  SELECT e.vec_id,
+         CAST(FLOOR(((e.v_dbl - m.mean) / m.std) * ((e.v_dbl - m.mean) / m.std)
+                    * 1e9 + 0.5) AS BIGINT) AS zz_u
+  FROM e JOIN m USING (dim))
+SELECT vec_id,
+       CAST(SUM(zz_u) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e9
+         AS outlier_score,
+       CAST(COUNT(*) AS BIGINT) AS n_dims
+FROM zz GROUP BY vec_id
+ORDER BY outlier_score DESC, vec_id LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gap-filled resampling with forward fill
 # ---------------------------------------------------------------------------
 
@@ -1844,6 +1890,14 @@ QUERIES: list[Query] = [
         oracle=STANDARDIZE_ORACLE,
         tags=("similarity", "embedding"),
         doc="per-dimension z-score standardization with broadcast stats join",
+    ),
+    Query(
+        name="embedding_outlier_scores",
+        spark_fn=embedding_outlier_scores,
+        oracle=OUTLIER_SCORES_ORACLE,
+        tags=("similarity", "embedding", "quality"),
+        doc="diagonal-Mahalanobis outlier screen: mean squared z per "
+            "vector (decimal-exact sum), bounded top-25",
     ),
     Query(
         name="events_resample_ffill",

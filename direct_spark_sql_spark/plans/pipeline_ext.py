@@ -361,6 +361,54 @@ GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 """
 
 
+#: k-anonymity audit parameters: minimum acceptable equivalence-class
+#: size and the document-length bucketing width (a raw length is itself a
+#: quasi-identifier; banding it is the standard generalization step).
+K_ANON_K = 5
+K_ANON_BUCKET = 256
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the corpus quasi-identifiers
+    (source, lang, 256-char length band): every equivalence class with
+    fewer than k members is a re-identification risk — the release-gate
+    report a privacy review runs before publishing a dataset (Sweeney's
+    k-anonymity, the measure behind GDPR-style aggregation thresholds).
+
+    Scale shape: ONE hash aggregation on the QI tuple (map-side partial
+    combine absorbs any hot class), then a bounded filter — no window, no
+    self-join; the output is bounded by the distinct-class count, and the
+    violating set SHRINKS as data grows (classes fill past k)."""
+    d = load_table(spark, sf_dir, "documents")
+    qi = d.select(
+        "source",
+        "lang",
+        (F.floor(F.col("n_chars") / K_ANON_BUCKET) * K_ANON_BUCKET)
+        .cast("long")
+        .alias("len_bucket"),
+    )
+    return (
+        qi.groupBy("source", "lang", "len_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+        .filter(F.col("class_size") < K_ANON_K)
+        .orderBy("source", "lang", "len_bucket")
+    )
+
+
+_K_ANONYMITY_ORACLE = f"""
+WITH qi AS (
+  SELECT source, lang,
+         CAST(FLOOR(n_chars / {K_ANON_BUCKET}) * {K_ANON_BUCKET} AS BIGINT)
+           AS len_bucket
+  FROM documents
+)
+SELECT source, lang, len_bucket, CAST(COUNT(*) AS BIGINT) AS class_size
+FROM qi GROUP BY source, lang, len_bucket
+HAVING COUNT(*) < {K_ANON_K}
+ORDER BY source, lang, len_bucket
+"""
+
+
 def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, changes = _orders_base_and_changes(spark, sf_dir)
     return mg.apply_cdc(base, changes, ["o_orderkey"]).orderBy("o_orderkey")
@@ -1651,6 +1699,11 @@ QUERIES = [
           _pseudonymize_oracle(), ("pipeline", "privacy"),
           doc="stable salted-hash pseudonyms replace identifiers on both "
               "sides of an FK; token joins reproduce raw-key analytics"),
+    Query("privacy_k_anonymity", privacy_k_anonymity, _K_ANONYMITY_ORACLE,
+          ("privacy", "pipeline"),
+          doc="k-anonymity release audit: sub-k equivalence classes over "
+              "(source, lang, 256-char length band) — one QI hash agg, "
+              "no window/self-join"),
     Query("privacy_delete_propagation", privacy_delete_propagation,
           PRIVACY_DELETE_ORACLE, ("merge", "pipeline", "privacy"),
           doc="right-to-be-forgotten: deletion requests anti-join down "

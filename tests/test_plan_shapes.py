@@ -362,6 +362,18 @@ def test_hll_union_is_object_hash_aggregate(spark):
     assert "ObjectHashAggregate" in plan, plan[:1200]
 
 
+def test_cross_source_matrix_reuses_exchange(spark):
+    """Both sides of the cross-source self-join are the same
+    (fingerprint, source) aggregate; AQE must reuse the exchange so the
+    corpus is scanned and MD5-fingerprinted ONCE at runtime — at 100 TB
+    a recompute-per-side would double the most expensive stage."""
+    plan = _executed_plan_after_action(spark, "dedup_cross_source_matrix")
+    assert "CartesianProduct" not in plan
+    assert "ReusedExchange" in plan or "ReusedSubquery" in plan, (
+        "cross-source self-join recomputes the fingerprint pipeline per side"
+    )
+
+
 def test_basket_affinity_reuses_exchange_no_product(spark):
     """The (basket, item) distinct feeds both sides of the pair self-join
     plus the item-count and total aggregates; AQE must reuse the exchange
