@@ -1896,6 +1896,7 @@ QUERIES: list[Query] = [
         spark_fn=embedding_outlier_scores,
         oracle=OUTLIER_SCORES_ORACLE,
         tags=("similarity", "embedding", "quality"),
+        bench=True,
         doc="diagonal-Mahalanobis outlier screen: mean squared z per "
             "vector (decimal-exact sum), bounded top-25",
     ),

@@ -981,6 +981,7 @@ QUERIES: list[Query] = [
               "scan before distances (exact recall over the filtered set)"),
     Query("embedding_centroid_classify", embedding_centroid_classify,
           _CENTROID_CLASSIFY_ORACLE, ("embedding", "mlops", "quality"),
+          bench=True,
           doc="nearest-centroid (Rocchio) label audit: per-label decimal-"
               "exact mean centroids, broadcast cosine argmax re-assignment, "
               "L² confusion matrix with per-label fractions"),

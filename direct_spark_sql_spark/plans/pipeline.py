@@ -1768,7 +1768,7 @@ QUERIES = [
     Query("dedup_exact_fingerprint", dedup_exact_fingerprint, DEDUP_EXACT_ORACLE,
           ("dedup", "pipeline"), bench=True),
     Query("dedup_cross_source_matrix", dedup_cross_source_matrix,
-          _CROSS_SOURCE_ORACLE, ("dedup", "pipeline"),
+          _CROSS_SOURCE_ORACLE, ("dedup", "pipeline"), bench=True,
           doc="cross-source duplicate-overlap matrix on the content "
               "fingerprint: one (fp, source) hash agg + S²-bounded "
               "self-equi-join — crawl-provenance / mirror detection"),

@@ -1700,7 +1700,7 @@ QUERIES = [
           doc="stable salted-hash pseudonyms replace identifiers on both "
               "sides of an FK; token joins reproduce raw-key analytics"),
     Query("privacy_k_anonymity", privacy_k_anonymity, _K_ANONYMITY_ORACLE,
-          ("privacy", "pipeline"),
+          ("privacy", "pipeline"), bench=True,
           doc="k-anonymity release audit: sub-k equivalence classes over "
               "(source, lang, 256-char length band) — one QI hash agg, "
               "no window/self-join"),
