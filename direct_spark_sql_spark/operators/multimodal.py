@@ -171,6 +171,64 @@ def extract_image_features(
     return df.select(id_col, media_col).mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("r_width", T.IntegerType()),
+        T.StructField("r_height", T.IntegerType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("r_min", T.IntegerType()),
+        T.StructField("r_max", T.IntegerType()),
+    ]
+)
+
+
+def resize_images_box2(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """REAL decode + 2× box-filter downscale (area averaging), the
+    thumbnail/训练-resolution step of an image pipeline: each output
+    pixel is ``floor(mean of its 2×2 source block)`` per channel; an odd
+    trailing row/column is dropped (floor dimensions), so the semantics
+    are exactly integer-replayable by the oracle.  Degenerate sources
+    too small to halve emit zero stats.
+
+    Runs as Arrow-batched ``mapInPandas`` with the block sums vectorized
+    in numpy (strided slicing — no Python per-pixel loop); like the
+    other codec ops, no shuffle: map-only at any corpus size."""
+    import numpy as np
+
+    from direct_spark_sql_spark.operators.imagecodec import decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                fmt, w, h, rgb = decode_image(bytes(payload))
+                rw, rh = w // 2, h // 2
+                if rw == 0 or rh == 0:
+                    rows.append((int(doc_id), fmt, w, h, rw, rh, 0, 0, 0))
+                    continue
+                a = (
+                    np.frombuffer(rgb, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, 3)[: rh * 2, : rw * 2]
+                )
+                r = (
+                    a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]
+                ) // 4
+                rows.append(
+                    (int(doc_id), fmt, w, h, rw, rh,
+                     int(r.sum()), int(r.min()), int(r.max()))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return df.select(id_col, media_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
 JPEG_ROUNDTRIP_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -1404,6 +1404,54 @@ ORDER BY doc_id
 """
 
 
+def multimodal_resize_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode deterministic real-format images, DECODE them with the real
+    codecs, and 2× box-filter downscale (area average, floor dims) —
+    the thumbnail / training-resolution step the brief's multimodal
+    family calls for (operators/multimodal.py:resize_images_box2).  The
+    oracle recomputes every resized pixel from the source formula, so a
+    resize bug (block offsets, rounding, channel order, odd-edge
+    handling) breaks the hash match."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    imgs = mm.synthesize_images(d)
+    return mm.resize_images_box2(imgs).orderBy("doc_id")
+
+
+# resized pixel (X, Y) = floor(mean of the 2x2 source block); channels are
+# identical (grayscale formula), so r_sum = 3 * grayscale sum.
+_MULTIMODAL_RESIZE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+  FROM documents WHERE doc_id < 100
+),
+r AS (SELECT doc_id, w, h, w // 2 AS rw, h // 2 AS rh FROM d),
+px AS (
+  SELECT r.doc_id, r.w, r.h, r.rw, r.rh,
+         (  ((2 * X.x) * 7     + (2 * Y.y) * 13     + r.doc_id * 31) % 256
+          + ((2 * X.x + 1) * 7 + (2 * Y.y) * 13     + r.doc_id * 31) % 256
+          + ((2 * X.x) * 7     + (2 * Y.y + 1) * 13 + r.doc_id * 31) % 256
+          + ((2 * X.x + 1) * 7 + (2 * Y.y + 1) * 13 + r.doc_id * 31) % 256
+         ) // 4 AS v
+  FROM r
+  JOIN generate_series(0, 7) X(x) ON X.x < r.rw
+  JOIN generate_series(0, 6) Y(y) ON Y.y < r.rh
+)
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                       WHEN 2 THEN 'png' ELSE 'gif' END AS fmt,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(rw AS INT) AS r_width,
+       CAST(rh AS INT) AS r_height,
+       CAST(3 * SUM(v) AS BIGINT) AS r_sum,
+       CAST(MIN(v) AS INT) AS r_min,
+       CAST(MAX(v) AS INT) AS r_max
+FROM px
+GROUP BY doc_id, w, h, rw, rh
+ORDER BY doc_id
+"""
+
+
 def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline-JPEG encode -> sniff-decode -> tolerance audit, executor-side.
 
@@ -1851,6 +1899,10 @@ QUERIES = [
     Query("multimodal_feature_extract", multimodal_feature_extract,
           _MULTIMODAL_FEATURES_ORACLE, ("multimodal", "pipeline"),
           doc="real PPM/BMP/PNG/GIF encode→decode round-trip, pixel-stat oracle"),
+    Query("multimodal_resize_box", multimodal_resize_box,
+          _MULTIMODAL_RESIZE_ORACLE, ("multimodal", "pipeline"),
+          doc="real decode + 2x box-filter downscale (numpy-vectorized "
+              "mapInPandas), every resized pixel oracle-recomputed"),
     Query("multimodal_jpeg_roundtrip", multimodal_jpeg_roundtrip,
           _MULTIMODAL_JPEG_ORACLE, ("multimodal", "pipeline"), bench=True,
           doc="baseline JPEG (444+420) encode→decode with in-pass tolerance audit"),

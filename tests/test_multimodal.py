@@ -154,3 +154,29 @@ def test_binary_file_source_ingestion(spark, tmp_path):
         assert (r.fmt, r.width, r.height) == (ext, w, h)
         assert (r.px_sum, r.px_min, r.px_max) == (s, mn, mx)
         assert r.n_pixels == w * h
+
+
+def test_resize_box2_matches_local_recompute(spark):
+    """2x box downscale: every resized stat recomputed locally in pure
+    Python, including odd width/height edge truncation (the floor-dims
+    contract) across all four container formats."""
+    from direct_spark_sql_spark.operators import multimodal as mm
+
+    d = spark.createDataFrame([(i,) for i in range(8)], "doc_id BIGINT")
+    out = {r.doc_id: r for r in mm.resize_images_box2(mm.synthesize_images(d)).collect()}
+    for i in range(8):
+        w, h = 4 + i % 13, 3 + i % 11
+        rw, rh = w // 2, h // 2
+        vals = []
+        for yy in range(rh):
+            for xx in range(rw):
+                block = [
+                    ((2 * xx + dx) * 7 + (2 * yy + dy) * 13 + i * 31) % 256
+                    for dy in (0, 1)
+                    for dx in (0, 1)
+                ]
+                vals.append(sum(block) // 4)
+        r = out[i]
+        assert (r.width, r.height, r.r_width, r.r_height) == (w, h, rw, rh)
+        assert r.r_sum == 3 * sum(vals)  # identical RGB channels
+        assert (r.r_min, r.r_max) == (min(vals), max(vals))
