@@ -267,10 +267,12 @@ def minhash_signatures(
     return h.groupBy(id_col).agg(*aggs)
 
 
-def lsh_band_table(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Explode signatures into (id, band_idx, band_hash) rows; equal
-    (band_idx, band_hash) buckets are the candidate blocks."""
-    bands = F.array(
+def _band_array() -> Column:
+    """The (band_idx, band_hash) struct array for one signature row — the
+    SINGLE definition of the banding scheme (b=LSH_BANDS rows of
+    r=LSH_ROWS), shared by both band-table builders so the plain and
+    signature-carrying variants can never drift apart."""
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
@@ -283,6 +285,12 @@ def lsh_band_table(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for b in range(LSH_BANDS)
         ]
     )
+
+
+def lsh_band_table(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode signatures into (id, band_idx, band_hash) rows; equal
+    (band_idx, band_hash) buckets are the candidate blocks."""
+    bands = _band_array()
     return sig.select(F.col(id_col), F.explode(bands).alias("bd")).select(
         id_col, "bd.band_idx", "bd.band_hash"
     )
@@ -340,19 +348,7 @@ def minhash_near_duplicates(
 
 def _band_table_with_sig(sig: DataFrame, id_col: str) -> DataFrame:
     """Band table that carries the signature array alongside each band row."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                h64(
-                    F.concat_ws(
-                        ",", *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(LSH_BANDS)
-        ]
-    )
+    bands = _band_array()
     return sig.select(F.col(id_col), F.col("sig"), F.explode(bands).alias("bd")).select(
         id_col, "sig", "bd.band_idx", "bd.band_hash"
     )

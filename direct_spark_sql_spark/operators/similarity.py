@@ -118,15 +118,10 @@ def cosine_topk(
     side never shuffles until the bounded top-k."""
     q = F.broadcast(query.select(F.col(emb_col).alias("__q")))
     joined = df.crossJoin(q)
-    a = _dec_vec(emb_col)
-    b = _dec_vec("__q")
-    dot = _to_double(dot_dec(a, b))
-    na = _to_double(norm_sq_dec(a))
-    nb = _to_double(norm_sq_dec(b))
     return (
         joined.select(
             F.col(id_col),
-            (dot / (F.sqrt(na) * F.sqrt(nb))).alias("cosine"),
+            cosine_dec(_dec_vec(emb_col), _dec_vec("__q")).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
@@ -171,10 +166,25 @@ def cosine_topk_batch(
 def cosine_dec(a: Column, b: Column) -> Column:
     """Exact-deterministic cosine of two decimal vectors: decimal dot and
     norms → DECIMAL(24,6) → DOUBLE, then sqrt/divide (single correctly-
-    rounded IEEE ops, identical in every engine)."""
-    return _to_double(dot_dec(a, b)) / (
-        F.sqrt(_to_double(norm_sq_dec(a))) * F.sqrt(_to_double(norm_sq_dec(b)))
-    )
+    rounded IEEE ops, identical in every engine).
+
+    Zero-norm guard: a zero vector has no direction, so its cosine is
+    pinned to the sentinel -2.0 (below any real cosine) instead of the
+    0/0 = NaN the raw formula produces.  This matters because the
+    engines DISAGREE about NaN: Spark orders NaN above every number and
+    passes ``NaN >= threshold`` filters, while DuckDB's 0/0 yields a
+    NULL that sorts/filters the opposite way — so without the guard a
+    zero-norm vector would silently top Spark's top-k and pass its
+    near-dup thresholds yet vanish from the oracle replay.  With the
+    sentinel, degenerate vectors deterministically sink to the bottom
+    of rankings and fail every threshold, identically in both engines
+    (every oracle cosine site carries the matching CASE WHEN)."""
+    na = _to_double(norm_sq_dec(a))
+    nb = _to_double(norm_sq_dec(b))
+    return F.when(
+        (na > F.lit(0.0)) & (nb > F.lit(0.0)),
+        _to_double(dot_dec(a, b)) / (F.sqrt(na) * F.sqrt(nb)),
+    ).otherwise(F.lit(-2.0))
 
 
 def ivf_assign(
@@ -202,6 +212,15 @@ def ivf_assign(
     # a single degenerate centroid (e.g. an empty k-means cluster's mean)
     # would otherwise win every comparison and swallow the whole corpus
     # into one cell.  Mirrors _collect_centroids on the Python probe path.
+    #
+    # Zero-norm DATA vectors (the other degenerate side): every cosine is
+    # NaN, NaN never beats the accumulator, so the vector lands in cell
+    # -1 — "unassigned", dropped by the downstream cell equi-joins.  That
+    # is the documented assignment-family contract (ivf/kmeans/semantic/
+    # centroid-classify oracles replay REAL corpora, which never store
+    # all-zero embeddings; the ranking-family cosine — cosine_dec — pins
+    # the -2.0 sentinel on BOTH engines instead, because top-k/threshold
+    # ops must order degenerate rows deterministically).
     cents = F.broadcast(
         centroids.select(
             F.struct(
@@ -527,10 +546,15 @@ def ivf_topk(
         assigned.filter(F.col("cell_id").isin(cells))
         .select(
             F.col(id_col),
-            (
+            # zero-norm sentinel, same contract as cosine_dec (norms are
+            # precomputed here: index column / probe-time literal)
+            F.when(
+                (F.col("__norm_sq_d") > F.lit(0.0)) & (F.lit(q_norm_sq) > F.lit(0.0)),
                 _to_double(dot_dec(_dec_vec(emb_col), q_lit))
-                / (F.sqrt(F.col("__norm_sq_d")) * F.sqrt(F.lit(q_norm_sq)))
-            ).alias("cosine"),
+                / (F.sqrt(F.col("__norm_sq_d")) * F.sqrt(F.lit(q_norm_sq))),
+            )
+            .otherwise(F.lit(-2.0))
+            .alias("cosine"),
         )
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
@@ -605,10 +629,7 @@ def srp_near_duplicates(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("__ea"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("__eb"))
-    ea, eb = _dec_vec("__ea"), _dec_vec("__eb")
-    cosine = _to_double(dot_dec(ea, eb)) / (
-        F.sqrt(_to_double(norm_sq_dec(ea))) * F.sqrt(_to_double(norm_sq_dec(eb)))
-    )
+    cosine = cosine_dec(_dec_vec("__ea"), _dec_vec("__eb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -884,9 +905,10 @@ def quantized_rerank_topk(
     mean per vector, comparable ranges) the code dot tracks cosine
     ranking well and the exact rerank corrects the shortlist's ordering;
     a scale-aware scheme (symmetric max-abs codes dequantized by stored
-    per-vector scales, the faiss SQ8 shape) would make the coarse score
-    a true dot estimate at the cost of carrying two floats per vector —
-    the upgrade path if shortlist misses are ever observed.
+    per-vector scales, the faiss SQ8 shape) makes the coarse score a
+    true dot estimate at the cost of carrying one float per vector —
+    implemented as :func:`sq8_rerank_topk` (round 6); this min-max
+    variant is kept as the cheaper proxy for zero-ish-mean corpora.
 
     Both stages are JVM-side: the coarse score is an integer zip_with sum
     (bit-exact), the shortlist cut is a bounded TakeOrderedAndProject on
@@ -908,13 +930,77 @@ def quantized_rerank_topk(
         .orderBy(F.desc("approx_score"), id_col)
         .limit(shortlist)
     )
-    a = _dec_vec(emb_col)
-    b = _dec_vec("__q")
-    cosine = _to_double(dot_dec(a, b)) / (
-        F.sqrt(_to_double(norm_sq_dec(a))) * F.sqrt(_to_double(norm_sq_dec(b)))
-    )
+    cosine = cosine_dec(_dec_vec(emb_col), _dec_vec("__q"))
     return (
         short.select(id_col, "approx_score", cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def sq8_rerank_topk(
+    df: DataFrame,
+    query: DataFrame,
+    shortlist: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN with a SCALE-AWARE int8 coarse stage (the faiss SQ8
+    shape): symmetric max-abs quantization — ``code = round(v·127/maxabs)``
+    with the per-vector ``scale = maxabs/127`` stored alongside — so the
+    coarse score ``scale_a·scale_b·Σ(code_a·code_b)`` is a true estimate
+    of the float dot product, not a normalized-code proxy (compare
+    :func:`quantized_rerank_topk`, whose min-max codes discard shift and
+    scale).  The symmetric scheme's scales FACTOR OUT of the dot, so the
+    per-pair work stays one integer zip_with sum plus two double
+    multiplies — no per-element dequantization.
+
+    Cross-engine exactness: float32 widens to DOUBLE exactly; codes are
+    ``floor(v·127/maxabs + 0.5)`` (pure IEEE + exact floor, identical in
+    both engines; zero vectors code to all-zero with scale 0); the coarse
+    score is an exact BIGINT sum times two doubles in fixed order; the
+    rerank reuses the guarded exact decimal cosine.
+
+    Scale shape: identical to quantized_rerank_topk — broadcast query,
+    map-side integer scoring over 4×-smaller codes, bounded
+    TakeOrderedAndProject shortlist, exact rerank on ``shortlist`` rows.
+    """
+    q = F.broadcast(query.select(F.col(emb_col).alias("__q")))
+
+    def maxabs(col: Column) -> Column:
+        x = F.transform(col, lambda v: v.cast("double"))
+        return F.greatest(F.array_max(x), -F.array_min(x))
+
+    def codes(col: Column, ma: Column) -> Column:
+        x = F.transform(col, lambda v: v.cast("double"))
+        return F.transform(
+            x,
+            lambda v: F.when(ma == F.lit(0.0), F.lit(0))
+            .otherwise(F.floor(v * F.lit(127.0) / ma + F.lit(0.5)))
+            .cast("long"),
+        )
+
+    ma_a, ma_q = maxabs(F.col(emb_col)), maxabs(F.col("__q"))
+    intdot = F.aggregate(
+        F.zip_with(
+            codes(F.col(emb_col), ma_a),
+            codes(F.col("__q"), ma_q),
+            lambda x, y: x * y,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    score = ((ma_a / F.lit(127.0)) * (ma_q / F.lit(127.0))) * intdot.cast("double")
+    short = (
+        df.crossJoin(q)
+        .select(id_col, emb_col, "__q", score.alias("approx_dot"))
+        .orderBy(F.desc("approx_dot"), id_col)
+        .limit(shortlist)
+    )
+    cosine = cosine_dec(_dec_vec(emb_col), _dec_vec("__q"))
+    return (
+        short.select(id_col, "approx_dot", cosine.alias("cosine"))
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
@@ -959,9 +1045,13 @@ def semantic_dedup(
         F.col(id_col).alias("id_b"), F.col("cluster_id").alias("__cb"),
         F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
     )
-    cos = _to_double(dot_dec(F.col("__va"), F.col("__vb"))) / (
-        F.col("__na") * F.col("__nb")
-    )
+    # same zero-norm sentinel contract as cosine_dec (norms are hoisted
+    # here so each side's sqrt computes once per vector, not per pair)
+    cos = F.when(
+        (F.col("__na") > F.lit(0.0)) & (F.col("__nb") > F.lit(0.0)),
+        _to_double(dot_dec(F.col("__va"), F.col("__vb")))
+        / (F.col("__na") * F.col("__nb")),
+    ).otherwise(F.lit(-2.0))
     agg = (
         a.join(b, (a.cluster_id == b.__cb) & (F.col("id_b") < F.col("id_a")))
         .select("id_a", cos.alias("__cos"))

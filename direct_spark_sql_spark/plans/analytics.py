@@ -1611,7 +1611,60 @@ d AS (
   FROM ex JOIN q2 ON ex.i = q2.i
   WHERE ex.vec_id IN (SELECT vec_id FROM short)
   GROUP BY ex.vec_id)
-SELECT d.vec_id, s.approx_score, d.dot / (sqrt(d.na) * sqrt(d.nb)) AS cosine
+SELECT d.vec_id, s.approx_score, CASE WHEN d.na > 0 AND d.nb > 0
+       THEN d.dot / (sqrt(d.na) * sqrt(d.nb)) ELSE -2.0 END AS cosine
+FROM d JOIN short s ON s.vec_id = d.vec_id
+ORDER BY cosine DESC, d.vec_id LIMIT 10
+"""
+
+
+def embedding_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-aware int8 two-stage ANN (faiss SQ8 shape): symmetric
+    max-abs codes whose per-vector scales factor out of the dot, so the
+    coarse score is a TRUE dot estimate (operators/similarity.py:
+    sq8_rerank_topk) — the upgrade path the min-max proxy variant
+    documents; exact guarded-cosine rerank on the 50-row shortlist."""
+    from direct_spark_sql_spark.operators.similarity import sq8_rerank_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0)
+    return sq8_rerank_topk(e.filter(F.col("vec_id") != 0), query, shortlist=50, k=10)
+
+
+SQ8_RERANK_ORACLE = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+  FROM embeddings),
+meta AS (SELECT vec_id, xd,
+                GREATEST(list_max(xd), -list_min(xd)) AS maxabs
+         FROM base),
+cx AS (
+  SELECT vec_id, maxabs, i,
+         CASE WHEN maxabs = 0 THEN 0
+              ELSE CAST(floor(xd[i] * 127.0 / maxabs + 0.5) AS BIGINT)
+         END AS c
+  FROM meta, UNNEST(generate_series(1, len(xd))) t(i)),
+qc AS (SELECT i, c, maxabs AS qma FROM cx WHERE vec_id = 0),
+s1 AS (SELECT cx.vec_id,
+              ((ANY_VALUE(cx.maxabs) / 127.0) * (ANY_VALUE(qc.qma) / 127.0))
+                * CAST(CAST(SUM(cx.c * qc.c) AS BIGINT) AS DOUBLE) AS approx_dot
+       FROM cx JOIN qc USING (i) WHERE cx.vec_id <> 0 GROUP BY cx.vec_id),
+short AS (SELECT * FROM s1 ORDER BY approx_dot DESC, vec_id LIMIT 50),
+ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS a
+  FROM embeddings),
+q2 AS (SELECT i, a AS b FROM ex WHERE vec_id = 0),
+d AS (
+  SELECT ex.vec_id,
+         CAST(CAST(ROUND(SUM(ex.a * q2.b), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot,
+         CAST(CAST(ROUND(SUM(ex.a * ex.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS na,
+         CAST(CAST(ROUND(SUM(q2.b * q2.b), 6) AS DECIMAL(24,6)) AS DOUBLE) AS nb
+  FROM ex JOIN q2 ON ex.i = q2.i
+  WHERE ex.vec_id IN (SELECT vec_id FROM short)
+  GROUP BY ex.vec_id)
+SELECT d.vec_id, s.approx_dot, CASE WHEN d.na > 0 AND d.nb > 0
+       THEN d.dot / (sqrt(d.na) * sqrt(d.nb)) ELSE -2.0 END AS cosine
 FROM d JOIN short s ON s.vec_id = d.vec_id
 ORDER BY cosine DESC, d.vec_id LIMIT 10
 """
@@ -2012,6 +2065,14 @@ QUERIES: list[Query] = [
         oracle=QUANTIZED_RERANK_ORACLE,
         tags=("similarity", "embedding"),
         doc="two-stage ANN: int8 coarse shortlist, exact decimal-cosine rerank",
+    ),
+    Query(
+        name="embedding_sq8_rerank",
+        spark_fn=embedding_sq8_rerank,
+        oracle=SQ8_RERANK_ORACLE,
+        tags=("similarity", "embedding"),
+        doc="scale-aware SQ8 two-stage ANN: symmetric max-abs codes, "
+            "scales factor out of the dot (true dot estimate), exact rerank",
     ),
     Query(
         name="sample_domain_weighted",

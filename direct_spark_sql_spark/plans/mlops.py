@@ -68,7 +68,8 @@ cd AS (
   GROUP BY ex.vec_id
 ),
 cos AS (
-  SELECT vec_id AS doc_id, dot / (sqrt(na) * sqrt(nb)) AS score
+  SELECT vec_id AS doc_id, CASE WHEN na > 0 AND nb > 0
+         THEN dot / (sqrt(na) * sqrt(nb)) ELSE -2.0 END AS score
   FROM cd ORDER BY score DESC, doc_id LIMIT {_RRF_POOL}
 ),
 ra AS (SELECT doc_id,
@@ -158,7 +159,8 @@ d AS (
   WHERE ex.vec_id IN (SELECT vec_id FROM keep)
   GROUP BY ex.vec_id
 )
-SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS cosine
+SELECT vec_id, CASE WHEN na > 0 AND nb > 0
+       THEN dot / (sqrt(na) * sqrt(nb)) ELSE -2.0 END AS cosine
 FROM d ORDER BY cosine DESC, vec_id LIMIT 10
 """
 

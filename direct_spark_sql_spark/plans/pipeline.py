@@ -1022,7 +1022,8 @@ d AS (
   WHERE ex.vec_id <> 0
   GROUP BY ex.vec_id
 )
-SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS cosine
+SELECT vec_id, CASE WHEN na > 0 AND nb > 0
+                    THEN dot / (sqrt(na) * sqrt(nb)) ELSE -2.0 END AS cosine
 FROM d ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
@@ -1204,7 +1205,8 @@ qd AS (
 ),
 probe AS (
   SELECT cell_id FROM (
-    SELECT qd.cell_id, qd.dot / (sqrt(nq.nn) * sqrt(nc.nn)) AS cos
+    SELECT qd.cell_id, CASE WHEN nq.nn > 0 AND nc.nn > 0
+           THEN qd.dot / (sqrt(nq.nn) * sqrt(nc.nn)) ELSE -2.0 END AS cos
     FROM qd
     JOIN nrm nq ON nq.vec_id = 0
     JOIN nrm nc ON nc.vec_id = qd.cell_id
@@ -1219,7 +1221,8 @@ bd AS (
   WHERE x.vec_id IN (SELECT a2.vec_id FROM assign a2 JOIN probe USING (cell_id))
   GROUP BY x.vec_id
 )
-SELECT bd.vec_id, bd.dot / (sqrt(nx.nn) * sqrt(nq.nn)) AS cosine
+SELECT bd.vec_id, CASE WHEN nx.nn > 0 AND nq.nn > 0
+       THEN bd.dot / (sqrt(nx.nn) * sqrt(nq.nn)) ELSE -2.0 END AS cosine
 FROM bd
 JOIN nrm nx ON nx.vec_id = bd.vec_id
 JOIN nrm nq ON nq.vec_id = 0
@@ -1274,11 +1277,13 @@ dots AS (
   JOIN ex xb ON xb.vec_id = c.id_b AND xb.s_i = xa.s_i
   GROUP BY c.id_a, c.id_b
 )
-SELECT d.id_a, d.id_b, d.dot / (sqrt(na.nn) * sqrt(nb.nn)) AS cosine
+SELECT d.id_a, d.id_b, CASE WHEN na.nn > 0 AND nb.nn > 0
+       THEN d.dot / (sqrt(na.nn) * sqrt(nb.nn)) ELSE -2.0 END AS cosine
 FROM dots d
 JOIN norms na ON na.vec_id = d.id_a
 JOIN norms nb ON nb.vec_id = d.id_b
-WHERE d.dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.35
+WHERE CASE WHEN na.nn > 0 AND nb.nn > 0
+      THEN d.dot / (sqrt(na.nn) * sqrt(nb.nn)) ELSE -2.0 END >= 0.35
 ORDER BY id_a, id_b
 """
 
@@ -1338,7 +1343,8 @@ dots AS (
   GROUP BY p.id_a, p.id_b
 ),
 cosp AS (
-  SELECT d.id_a, d.dot / (sqrt(na.nn) * sqrt(nb.nn)) AS cos
+  SELECT d.id_a, CASE WHEN na.nn > 0 AND nb.nn > 0
+         THEN d.dot / (sqrt(na.nn) * sqrt(nb.nn)) ELSE -2.0 END AS cos
   FROM dots d
   JOIN nrm na ON na.vec_id = d.id_a
   JOIN nrm nb ON nb.vec_id = d.id_b
@@ -1596,7 +1602,9 @@ dots AS (
   GROUP BY 1, 2
 ),
 scored AS (
-  SELECT d.q_id, d.vec_id, d.dot / (nx.nn * nq.nn) AS cosine
+  SELECT d.q_id, d.vec_id,
+         CASE WHEN nx.nn > 0 AND nq.nn > 0
+              THEN d.dot / (nx.nn * nq.nn) ELSE -2.0 END AS cosine
   FROM dots d JOIN nrm nx ON nx.vec_id = d.vec_id JOIN nrm nq ON nq.vec_id = d.q_id
 ),
 ranked AS (

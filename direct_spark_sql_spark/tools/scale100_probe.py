@@ -36,6 +36,12 @@ PROBE_QUERIES = [
     "events_user_sessions",
     "q3_shipping_priority",
     "dedup_minhash_lsh",
+    # round-6 additions: reused-exchange self-join on the fingerprint
+    # (S²-bounded fan-out), pure QI hash agg, and posexplode + per-vector
+    # agg — the three new aggregate/join shapes this round introduced
+    "dedup_cross_source_matrix",
+    "privacy_k_anonymity",
+    "embedding_outlier_scores",
 ]
 
 FACTOR = 100

@@ -99,3 +99,55 @@ def test_k_anonymity_report_is_exactly_the_sub_k_classes(spark):
         key = (r.source, r.lang, r.len_bucket)
         if key not in reported:
             assert r["count"] >= K_ANON_K
+
+
+def test_zero_norm_vectors_sink_not_top(spark):
+    """Ranking-family zero-norm contract: a zero vector's cosine is the
+    -2.0 sentinel (below any real cosine), NOT NaN — Spark orders NaN
+    ABOVE every number, so the unguarded formula would put a zero vector
+    at the TOP of top-k and pass >= thresholds that DuckDB's replay
+    rejects (the round-5 review's deferred zero-norm item)."""
+    from direct_spark_sql_spark.operators.similarity import cosine_topk
+
+    rows = [(1, [1.0, 0.0]), (2, [0.5, 0.5]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    q = spark.createDataFrame([([1.0, 0.0],)], "embedding ARRAY<FLOAT>")
+    out = cosine_topk(df, q, k=3).collect()
+    assert [r.vec_id for r in out] == [1, 2, 3]  # zero vector LAST
+    assert out[-1].cosine == -2.0
+    # zero-norm QUERY: every row sinks to the sentinel, ties by id
+    zq = spark.createDataFrame([([0.0, 0.0],)], "embedding ARRAY<FLOAT>")
+    zout = cosine_topk(df, zq, k=3).collect()
+    assert [r.cosine for r in zout] == [-2.0, -2.0, -2.0]
+    assert [r.vec_id for r in zout] == [1, 2, 3]
+
+
+def test_sq8_coarse_score_is_true_dot_estimate(spark):
+    """The SQ8 coarse score must approximate the REAL float dot product
+    (scales factor out: scale_a*scale_q*intdot) — including for vectors
+    with a large constant offset, where the min-max proxy's codes are
+    shift-invariant and carry no signal.  Zero vectors score exactly 0."""
+    from direct_spark_sql_spark.operators.similarity import sq8_rerank_topk
+
+    rows = [
+        (1, [1.0, 2.0, -1.5, 0.25]),
+        (2, [11.0, 12.0, 8.5, 10.25]),   # big constant offset
+        (3, [-2.0, 0.5, 3.0, -0.75]),
+        (4, [0.0, 0.0, 0.0, 0.0]),       # zero vector
+    ]
+    qv = [0.5, -1.0, 2.0, 1.5]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    q = spark.createDataFrame([(qv,)], "embedding ARRAY<FLOAT>")
+    out = {r.vec_id: r for r in sq8_rerank_topk(df, q, shortlist=4, k=4).collect()}
+    for vid, vec in rows:
+        true_dot = sum(a * b for a, b in zip(vec, qv))
+        approx = out[vid].approx_dot
+        if vid == 4:
+            assert approx == 0.0
+        else:
+            # quantization error bound: d * (scale_a*|q|_inf + scale_q*|a|_inf)/2
+            ma, mq = max(abs(x) for x in vec), max(abs(x) for x in qv)
+            bound = 4 * 0.5 * (ma / 127 * mq + mq / 127 * ma) + 1e-9
+            assert abs(approx - true_dot) <= bound, (vid, approx, true_dot)
+    # the zero vector's guarded cosine is the sentinel
+    assert out[4].cosine == -2.0

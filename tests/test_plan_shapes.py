@@ -169,6 +169,7 @@ _NLJ_ALLOWED = {
     "events_resample_ffill",     # broadcast 1-row (dmin, dmax) day bounds
     "events_resample_interp",    # broadcast 1-row (dmin, dmax) day bounds
     "embedding_quantized_rerank",  # broadcast single query vector
+    "embedding_sq8_rerank",        # broadcast single query vector (SQ8)
     "text_bigram_logprob",         # broadcast 1-row vocabulary size (V)
     "text_pmi_collocations",       # broadcast 1-row total bigram count (N)
     "events_anomaly_days",         # broadcast 1-row corpus day stats
