@@ -168,7 +168,13 @@ def main() -> None:
         import glob
         import re as _re
 
-        bench_files = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
+        # sort by the parsed round number, not the filename: lexicographic
+        # order breaks at r100 / an unpadded writer and would silently
+        # read a stale round's debt
+        bench_files = sorted(
+            glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
+            key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        )
         if bench_files:
             try:
                 with open(bench_files[-1]) as f:
@@ -220,6 +226,7 @@ def main() -> None:
                 "superlinear"
             ),
             "skew_fragile": out.get("skew_probe", {}).get("skew_fragile"),
+            "skew_regressions": out.get("skew_probe", {}).get("skew_regressions"),
             "facade_p50_ms": out.get("facade_latency", {}).get("p50_ms"),
             "facade_cache_hit_rate": out.get("facade_latency", {}).get(
                 "cache_hit_rate"
@@ -367,10 +374,17 @@ def main() -> None:
         for _ in range(5):  # warm the plan cache + JIT
             engine.sql_directly(lat_sql)
         samples = []
+        hits = 0
         for _ in range(100):
             t0 = time.perf_counter()
             engine.sql_directly(lat_sql)
             samples.append((time.perf_counter() - t0) * 1000.0)
+            # count hits inline (outside the timed window): slicing the
+            # history afterwards couples the measurement to the deque's
+            # maxlen and the two soaks' exact call counts
+            last = engine.metrics_history(1)
+            if last and last[-1].get("result_cache_hit"):
+                hits += 1
         # Same 100-call shape with the result cache bypassed: the honest
         # recompute path (plan-cache-warm Spark job per call), reported
         # alongside so the cached number can't hide a recompute regression.
@@ -381,19 +395,17 @@ def main() -> None:
             engine.sql_directly(lat_sql)
             recompute.append((time.perf_counter() - t0) * 1000.0)
         engine.result_cache_enabled = True
-        # Cache hit rate over the 100-call cached-path soak, read off the
-        # engine's per-call history: a regression in the cacheability
-        # gates (a query silently becoming uncacheable) shows up here as
-        # a number, not just a latency drift.
-        cached_calls = engine.metrics_history(200)[-200:-100]
-        hits = sum(1 for c in cached_calls if c.get("result_cache_hit"))
+        # Cache hit rate over the 100-call cached-path soak (counted
+        # inline above): a regression in the cacheability gates (a query
+        # silently becoming uncacheable) shows up here as a number, not
+        # just a latency drift.
         out["facade_latency"] = {
             "shape": "repeated join+agg over in-memory temp views, plan-cache hot",
             "calls": len(samples),
             "p50_ms": round(statistics.median(samples), 3),
             "p95_ms": round(sorted(samples)[int(len(samples) * 0.95) - 1], 3),
             "calls_per_sec": round(1000.0 / max(statistics.median(samples), 1e-6), 1),
-            "cache_hit_rate": round(hits / max(len(cached_calls), 1), 3),
+            "cache_hit_rate": round(hits / max(len(samples), 1), 3),
             "recompute_p50_ms": round(statistics.median(recompute), 2),
             "recompute_p95_ms": round(
                 sorted(recompute)[int(len(recompute) * 0.95) - 1], 2
@@ -566,14 +578,59 @@ def main() -> None:
             for name in k_timings
             if k_base.get(name)
         }
+        # Per-query skew-ratio pins (baselines/skew_pins.json, recorded
+        # when a query's skew posture was last deliberately fixed): a
+        # ratio that doubles vs its pin re-flags even while still under
+        # the absolute 4.0 bar — the round-6 dedup_minhash_lsh /
+        # events_user_sessions regressions started exactly this way.
+        skew_pins: dict[str, float] = {}
+        pins_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "baselines", "skew_pins.json"
+        )
+        try:
+            with open(pins_path) as f:
+                skew_pins = json.load(f)
+        except (OSError, ValueError):
+            pass
         out["skew_probe"] = {
             "hot_key_fraction": 0.1,
             "queries": k_timings,
             "ratio_vs_unskewed": k_ratios,
             "skew_fragile": sorted(n for n, r in k_ratios.items() if r > 4.0),
+            "skew_regressions": sorted(
+                n
+                for n, r in k_ratios.items()
+                if n in skew_pins and r > 2.0 * skew_pins[n] and r > 1.5
+            ),
         }
         if k_dropped:
             out["skew_probe"]["dropped_on_budget"] = k_dropped
+        # Append this run's ratios to the per-round history file — the
+        # probe is the round's most valuable scale signal and should not
+        # live only in the truncated BENCH tail (VERDICT r6 #8).
+        hist_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "baselines", "skew_history.json",
+        )
+        try:
+            try:
+                with open(hist_path) as f:
+                    hist = json.load(f)
+            except (OSError, ValueError):
+                hist = []
+            hist.append(
+                {
+                    "unix_time": int(time.time()),
+                    "sf": sf,
+                    "ratio_vs_unskewed": k_ratios,
+                    "skew_fragile": out["skew_probe"]["skew_fragile"],
+                    "skew_regressions": out["skew_probe"]["skew_regressions"],
+                }
+            )
+            with open(hist_path, "w") as f:
+                json.dump(hist[-50:], f, indent=1)
+        except OSError:
+            pass
 
     # ---- run the probe tiers, previously skipped tiers first ------------
     tiers: dict[str, tuple] = {

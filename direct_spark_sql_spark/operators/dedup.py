@@ -46,6 +46,23 @@ LSH_ROWS = 4  # NUM_PERM == LSH_BANDS * LSH_ROWS
 SHINGLE_N = 3
 COEFFS = minhash_coeffs(NUM_PERM)
 
+# Band-bucket frequency cap (the LSH analogue of the Jaccard path's
+# stop-shingle df cap below): a (band_idx, band_hash) bucket holding s
+# rows emits s^2/2 candidate pairs from the self-join, so one
+# boilerplate-saturated bucket — millions of pages sharing a banner — is
+# a quadratic blow-up no executor count fixes.  Buckets with more than
+# MAX_BAND_BUCKET members are routed OUT of the pair join entirely:
+# such a bucket means >cap documents agree on LSH_ROWS consecutive
+# minhashes, i.e. a massive exact-or-near-exact duplicate cluster that
+# the exact fingerprint path (dedup_exact_fingerprint / corpus_curation)
+# already collapses in one groupBy.  Recall effect, stated honestly: a
+# pair is lost only if EVERY band it shares is over-cap — pairs also
+# sharing any normal band still surface — so the cap trims precisely the
+# pathological cliques, the same trade the s-curve note above makes for
+# gray-zone pairs.  The oracle SQL interpolates this constant, so both
+# engines replay the identical cap.
+MAX_BAND_BUCKET = 200
+
 # SimHash configuration
 SIMHASH_BITS = 48
 SIMHASH_BANDS = 4
@@ -313,11 +330,28 @@ def minhash_near_duplicates(
     agreement is computed directly on the joined candidate rows — no
     join-back to the signature table (saves two shuffles of the signature
     table per query; band-table duplication costs LSH_BANDS × NUM_PERM
-    longs per document, the standard space-for-shuffle LSH trade)."""
+    longs per document, the standard space-for-shuffle LSH trade).
+
+    Band buckets larger than MAX_BAND_BUCKET are excluded from candidate
+    generation (quadratic-blow-up skew guard — see the constant's note
+    for the recall statement); run the exact fingerprint path first to
+    collapse the mass-duplicate clusters such buckets represent."""
     sig = minhash_signatures(df, id_col, text_col, shingles_df).withColumn(
         "sig", F.array(*[F.col(f"m{i}") for i in range(NUM_PERM)])
     )
     bands = _band_table_with_sig(sig, id_col)
+    # Skew guard: drop over-cap band buckets before the self-join (see
+    # MAX_BAND_BUCKET).  The hot-bucket list is tiny (<= band_rows / cap
+    # entries), so the anti-join's build side stays broadcastable; the
+    # count agg is map-side combinable and shares the (band_idx,
+    # band_hash) exchange with the pair join.
+    hot = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > MAX_BAND_BUCKET)
+        .select("band_idx", "band_hash")
+    )
+    bands = bands.join(hot, ["band_idx", "band_hash"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     agree = F.aggregate(
         F.zip_with(

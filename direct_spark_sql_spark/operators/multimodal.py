@@ -190,7 +190,7 @@ def resize_images_box2(
     df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
 ) -> DataFrame:
     """REAL decode + 2× box-filter downscale (area averaging), the
-    thumbnail/训练-resolution step of an image pipeline: each output
+    thumbnail/training-resolution step of an image pipeline: each output
     pixel is ``floor(mean of its 2×2 source block)`` per channel; an odd
     trailing row/column is dropped (floor dimensions), so the semantics
     are exactly integer-replayable by the oracle.  Degenerate sources

@@ -749,9 +749,16 @@ def label_centroid_classify(
         )
         .select(F.col("__lbl").alias(id_col), emb_col)
     )
+    # ivf_assign marks zero-norm data vectors with its unassigned -1
+    # sentinel; unlike the IVF probe path, nothing downstream here drops
+    # them via a cell equi-join, and the DuckDB oracle's NaN-first
+    # ROW_NUMBER would assign such a vector a real label — an engine
+    # mismatch on degenerate corpora.  Exclude the sentinel explicitly:
+    # a zero-norm vector has no cosine-nearest centroid to be audited
+    # against, so it does not belong in the confusion matrix.
     assigned = ivf_assign(
         df, centroids, id_col=id_col, emb_col=emb_col, cell_col="pred_label"
-    )
+    ).filter(F.col("pred_label") >= 0)
     conf = assigned.groupBy(
         F.col(label_col).cast("long").alias("label"),
         F.col("pred_label").cast("long").alias("pred_label"),
@@ -846,7 +853,13 @@ def standardized_outliers(
     paths — the same reason quality_psi_drift snaps its per-bin
     contributions to integer units.)
     """
-    z = standardize_embeddings(df, emb_col, id_col)
+    # Zero-variance guard: a constant dimension has std = 0, so z is
+    # NaN/Inf — Spark's floor(NaN) casts to NULL (silently vanishing from
+    # the sum while n_dims still counts it) and DuckDB's CAST(FLOOR(Inf))
+    # errors outright.  Dropping std <= 0 dims (mirrored in
+    # OUTLIER_SCORES_ORACLE) makes both engines agree by construction:
+    # a constant dimension carries no outlier signal anyway.
+    z = standardize_embeddings(df, emb_col, id_col).filter(F.col("std") > 0)
     zz = z.select(
         id_col,
         F.floor(F.col("z") * F.col("z") * F.lit(1.0e9) + F.lit(0.5))

@@ -987,7 +987,8 @@ zz AS (
   SELECT e.vec_id,
          CAST(FLOOR(((e.v_dbl - m.mean) / m.std) * ((e.v_dbl - m.mean) / m.std)
                     * 1e9 + 0.5) AS BIGINT) AS zz_u
-  FROM e JOIN m USING (dim))
+  FROM e JOIN m USING (dim)
+  WHERE m.std > 0)
 SELECT vec_id,
        CAST(SUM(zz_u) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e9
          AS outlier_score,

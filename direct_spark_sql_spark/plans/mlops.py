@@ -242,10 +242,12 @@ cc AS (
   GROUP BY x.vec_id, d.lbl
 ),
 cosc AS (
+  -- nx.nn > 0 mirrors the engine's pred_label >= 0 filter: a zero-norm
+  -- data vector (ivf_assign's -1 sentinel) is excluded from the audit
   SELECT cc.vec_id, cc.lbl, cc.dot / (sqrt(nx.nn) * sqrt(cn.nn)) AS cos
   FROM cc JOIN nrm nx ON nx.vec_id = cc.vec_id
           JOIN cn ON cn.lbl = cc.lbl
-  WHERE cn.nn > 0
+  WHERE cn.nn > 0 AND nx.nn > 0
 ),
 assign AS (
   SELECT vec_id, lbl AS pred FROM (

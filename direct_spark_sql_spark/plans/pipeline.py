@@ -443,7 +443,9 @@ FROM merged
 def _minhash_pairs_ctes() -> str:
     """CTE block ending in ``pairs`` = the minhash near-dup pairs at
     est_jaccard >= 0.5 (shared by the pairs oracle and the duplicate-
-    cluster oracle)."""
+    cluster oracle).  Mirrors the engine's MAX_BAND_BUCKET skew guard
+    (operators/dedup.py): over-cap band buckets are excluded from
+    candidate generation in BOTH engines, one interpolated constant."""
     sig_cols = ",\n        ".join(
         f"MIN(({a} * h + {b}) % {P}) AS m{i}" for i, (a, b) in enumerate(dd.COEFFS)
     )
@@ -467,7 +469,10 @@ h AS (SELECT doc_id, {h64_sql('s')} % {P} AS h FROM sh),
 sig AS (SELECT doc_id,
         {sig_cols}
         FROM h GROUP BY doc_id),
-bands AS ({band_selects}),
+bands0 AS ({band_selects}),
+bok AS (SELECT band_idx, band_hash FROM bands0
+        GROUP BY band_idx, band_hash HAVING COUNT(*) <= {dd.MAX_BAND_BUCKET}),
+bands AS (SELECT b.* FROM bands0 b JOIN bok USING (band_idx, band_hash)),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
