@@ -478,6 +478,9 @@ def main() -> None:
             "asof_event_order",
             "basket_brand_affinity",
             "embedding_ivf_topk",
+            # round-6 entrants (VERDICT r6 #4): the two heaviest new pins
+            "embedding_centroid_classify",
+            "dedup_cross_source_matrix",
         }
         current_ratios = out.get("scale_probe", {}).get("ratio_vs_base", {})
         deep_names |= {

@@ -113,9 +113,18 @@ def session_paths(
     "what do users actually do": sessionize by inactivity gap, render each
     session as its ordered event-type sequence, count identical paths.
 
-    Shape: one shuffle by user for the session islands (lag + running
-    flag-sum windows), one hash agg per session collecting the encoded
-    events (map-side combined), one corpus-wide path count, bounded
+    Shape (two-phase, the same hot-user guard as
+    plans/conformance.py:events_user_sessions): session islands are
+    built LOCALLY inside (user, hour-chunk) windows — so a bot user's
+    sort is bounded by one hour of its events, never its lifetime —
+    then per-fragment summaries (bounded by chunks-per-user, tiny)
+    stitch across chunk edges with one small window.  In-chunk fragment
+    neighbours carry a >= gap separation by construction, so the same
+    lag test covers both cases; the merged session's event array is the
+    sorted flatten of its fragments, identical to the single-window
+    formulation's array_sort(collect_list(...)) because the struct sort
+    is a total order.  One big-table exchange, one hash agg per
+    fragment (map-side combined), one corpus-wide path count, bounded
     top-k.  Event order inside a session uses the encoded
     (micros, event_id mod 1024) key with event_type as the final
     tie-break (the struct sort is lexicographic), so paths stay
@@ -126,18 +135,21 @@ def session_paths(
 
     k = _epoch_us(F.col(ts_col)) * 1024 + F.pmod(F.col(id_col), F.lit(1024))
     gap_us = gap_minutes * 60 * 1_000_000
-    w_user = W.partitionBy("user").orderBy("k")
+    chunk_us = 3_600 * 1_000_000  # 1 h: bounds a hot user's window sort
+    # decode micros exactly with an arithmetic shift (floor division
+    # even for pre-1970 negative micros, where `div` truncates toward
+    # zero); float division would wobble on exact-gap edges
+    wc = W.partitionBy("user", "chunk").orderBy("k")
     flagged = (
         events.select(
             F.col(user_col).alias("user"), k.alias("k"), F.col(type_col).alias("etype")
         )
-        .withColumn("prev_k", F.lag("k").over(w_user))
         .withColumn(
-            "new_session",
-            # decode micros exactly with an arithmetic shift (floor
-            # division even for pre-1970 negative micros, where `div`
-            # truncates toward zero); float division would wobble on
-            # exact-gap edges
+            "chunk", F.floor(F.shiftright("k", 10) / F.lit(chunk_us))
+        )
+        .withColumn("prev_k", F.lag("k").over(wc))
+        .withColumn(
+            "new_local",
             (F.col("prev_k").isNull())
             | (
                 (F.shiftright("k", 10) - F.shiftright("prev_k", 10))
@@ -145,15 +157,40 @@ def session_paths(
             ),
         )
     )
-    sessions = flagged.withColumn(
+    fragments = (
+        flagged.withColumn(
+            "loc_seq",
+            F.sum(F.col("new_local").cast("long")).over(
+                wc.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user", "chunk", "loc_seq")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("k", "etype"))).alias("evs"),
+            F.min("k").alias("kmin"),
+            F.max("k").alias("kmax"),
+        )
+    )
+    ws = W.partitionBy("user").orderBy("chunk", "loc_seq")
+    prev_kmax = F.lag("kmax").over(ws)
+    stitched = fragments.withColumn(
         "session_seq",
-        F.sum(F.col("new_session").cast("long")).over(
-            w_user.rowsBetween(W.unboundedPreceding, 0)
-        ),
+        F.sum(
+            F.when(
+                prev_kmax.isNull()
+                | (
+                    (F.shiftright("kmin", 10) - F.shiftright(prev_kmax, 10))
+                    >= F.lit(gap_us)
+                ),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+        ).over(ws.rowsBetween(W.unboundedPreceding, 0)),
     )
     paths = (
-        sessions.groupBy("user", "session_seq")
-        .agg(F.array_sort(F.collect_list(F.struct("k", "etype"))).alias("evs"))
+        stitched.groupBy("user", "session_seq")
+        .agg(F.array_sort(F.flatten(F.collect_list("evs"))).alias("evs"))
         .select(
             F.array_join(
                 F.transform("evs", lambda e: e["etype"]), ">"

@@ -284,31 +284,38 @@ def minhash_signatures(
     return h.groupBy(id_col).agg(*aggs)
 
 
-def _band_array() -> Column:
+def _band_array(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
     """The (band_idx, band_hash) struct array for one signature row — the
-    SINGLE definition of the banding scheme (b=LSH_BANDS rows of
-    r=LSH_ROWS), shared by both band-table builders so the plain and
-    signature-carrying variants can never drift apart."""
+    SINGLE definition of the banding scheme (b bands of r rows over the
+    same NUM_PERM permutations), shared by both band-table builders so
+    the plain and signature-carrying variants can never drift apart.
+    Defaults are the precision-tuned b=4/r=4; pass b=8/r=2 for the
+    recall-tuned curve the configuration note above describes."""
     return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
                 h64(
                     F.concat_ws(
-                        ",", *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                        ",", *[F.col(f"m{b * rows + r}") for r in range(rows)]
                     )
                 ).alias("band_hash"),
             )
-            for b in range(LSH_BANDS)
+            for b in range(bands)
         ]
     )
 
 
-def lsh_band_table(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_band_table(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
     """Explode signatures into (id, band_idx, band_hash) rows; equal
     (band_idx, band_hash) buckets are the candidate blocks."""
-    bands = _band_array()
-    return sig.select(F.col(id_col), F.explode(bands).alias("bd")).select(
+    arr = _band_array(bands, rows)
+    return sig.select(F.col(id_col), F.explode(arr).alias("bd")).select(
         id_col, "bd.band_idx", "bd.band_hash"
     )
 
@@ -319,6 +326,8 @@ def minhash_near_duplicates(
     text_col: str = "text",
     min_est_jaccard: float = 0.5,
     shingles_df: DataFrame | None = None,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline → (id_a, id_b, est_jaccard).
 
@@ -339,20 +348,20 @@ def minhash_near_duplicates(
     sig = minhash_signatures(df, id_col, text_col, shingles_df).withColumn(
         "sig", F.array(*[F.col(f"m{i}") for i in range(NUM_PERM)])
     )
-    bands = _band_table_with_sig(sig, id_col)
+    bt = _band_table_with_sig(sig, id_col, bands, rows)
     # Skew guard: drop over-cap band buckets before the self-join (see
     # MAX_BAND_BUCKET).  The hot-bucket list is tiny (<= band_rows / cap
     # entries), so the anti-join's build side stays broadcastable; the
     # count agg is map-side combinable and shares the (band_idx,
     # band_hash) exchange with the pair join.
     hot = (
-        bands.groupBy("band_idx", "band_hash")
+        bt.groupBy("band_idx", "band_hash")
         .agg(F.count(F.lit(1)).alias("__bn"))
         .filter(F.col("__bn") > MAX_BAND_BUCKET)
         .select("band_idx", "band_hash")
     )
-    bands = bands.join(hot, ["band_idx", "band_hash"], "left_anti")
-    a, b = bands.alias("a"), bands.alias("b")
+    bt = bt.join(hot, ["band_idx", "band_hash"], "left_anti")
+    a, b = bt.alias("a"), bt.alias("b")
     agree = F.aggregate(
         F.zip_with(
             F.col("a.sig"), F.col("b.sig"),
@@ -380,10 +389,15 @@ def minhash_near_duplicates(
     )
 
 
-def _band_table_with_sig(sig: DataFrame, id_col: str) -> DataFrame:
+def _band_table_with_sig(
+    sig: DataFrame,
+    id_col: str,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
     """Band table that carries the signature array alongside each band row."""
-    bands = _band_array()
-    return sig.select(F.col(id_col), F.col("sig"), F.explode(bands).alias("bd")).select(
+    arr = _band_array(bands, rows)
+    return sig.select(F.col(id_col), F.col("sig"), F.explode(arr).alias("bd")).select(
         id_col, "sig", "bd.band_idx", "bd.band_hash"
     )
 
@@ -391,6 +405,42 @@ def _band_table_with_sig(sig: DataFrame, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact set similarity, shingle-blocked)
 # ---------------------------------------------------------------------------
+
+def band_cap_audit(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Observability for the MAX_BAND_BUCKET skew guard: one row of
+    (n_buckets, n_buckets_capped, n_band_rows_dropped, max_bucket_size,
+    n_docs_affected) over the corpus' band table — the number a dedup
+    deployment alarms on (a jump means a boilerplate flood upstream).
+    One band-table scan + bounded aggs; the affected-docs count is a
+    semi-join against the (tiny) over-cap bucket list, and the final
+    combine is a 1-row × 1-row cross."""
+    sig = minhash_signatures(df, id_col, text_col)
+    bt = lsh_band_table(sig, id_col)
+    bs = bt.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("n"))
+    over = F.col("n") > MAX_BAND_BUCKET
+    stats = bs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("n_buckets_capped"),
+        F.sum(F.when(over, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_band_rows_dropped"),
+        F.max("n").cast("long").alias("max_bucket_size"),
+    )
+    affected = bt.join(
+        bs.filter(over).select("band_idx", "band_hash"),
+        ["band_idx", "band_hash"],
+        "semi",
+    ).agg(F.count_distinct(id_col).cast("long").alias("n_docs_affected"))
+    return stats.crossJoin(affected).select(
+        "n_buckets",
+        "n_buckets_capped",
+        "n_band_rows_dropped",
+        "max_bucket_size",
+        "n_docs_affected",
+    )
+
 
 def shingle_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"

@@ -1306,3 +1306,123 @@ def pq_adc_topk(
         )
     )
     return adc.orderBy("adc_dist", id_col).limit(k)
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id: int = 0,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    n_codes: int = 16,
+    m: int = 4,
+    dims: int = 64,
+    shortlist: int = 40,
+    k: int = 10,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ with exact rerank — the three-stage production ANN shape
+    (FAISS ``IVFx,PQy`` + refine; Jégou et al. TPAMI'11 §V): a coarse
+    quantizer prunes the corpus to ``nprobe`` cells, asymmetric PQ
+    distance ranks the probed vectors without decoding, and the
+    ``shortlist`` best estimates are re-scored with the exact decimal
+    cosine.  Composes :func:`ivf_assign` (cell argmax), the coordinator
+    probe (:func:`_ivf_probe` — K-row job, the FAISS-coordinator
+    pattern), and :func:`pq_adc_topk`'s encode/ADC arithmetic verbatim.
+
+    ``assigned`` (a (vec_id, cell_id, ...) DataFrame, e.g. the
+    partitioned index :func:`ivf_build` materializes) skips the inline
+    assignment — the build/probe split every repeated query wants: the
+    cell filter then prunes index partitions instead of re-scoring the
+    corpus against every centroid.
+
+    100 TB shape: everything downstream of the probe touches only the
+    probed cells (at scale the assignment is the partitioned index
+    :func:`ivf_build` materializes and the PQ codes are precomputed per
+    cell; here both derive inline from the same pruned set — identical
+    plan shape from the scan on).  ADC is an equi-join against an
+    m × n_codes broadcast lookup; the rerank is bounded at ``shortlist``
+    rows.  No stage is quadratic in the corpus.
+
+    Seed conventions match the siblings: centroids are vectors
+    1..n_cells (embedding_ivf_topk), codebook entry c of subspace j is
+    the j-th subvector of vector c+1 (pq_adc_topk) — deterministic and
+    engine-replayable; all distances run in the repo's exact-decimal
+    funnel, so cell choice, codes, ADC estimates AND the reranked
+    cosines are bit-identical in any engine.
+
+    Returns the ``k`` best (vec_id, adc_dist, cosine) by exact cosine
+    descending, ties on id.
+    """
+    centroids = df.filter(
+        (F.col(id_col) >= 1) & (F.col(id_col) <= n_cells)
+    )
+    data = df.filter(F.col(id_col) != query_id)
+    query = df.filter(F.col(id_col) == query_id)
+    cells, _qn = _ivf_probe(query, centroids, nprobe, id_col, emb_col)
+    base = (
+        assigned
+        if assigned is not None
+        else ivf_assign(data, centroids, id_col, emb_col, "cell_id")
+    )
+    probed = base.filter(
+        F.col("cell_id").isin([int(c) for c in cells])
+    ).select(id_col)
+    sub = dims // m
+    elems = df.select(
+        F.col(id_col),
+        F.posexplode(_dec_vec(emb_col)).alias("i0", "a"),
+    ).select(
+        id_col,
+        "a",
+        F.floor(F.col("i0") / sub).cast("int").alias("j"),
+        F.pmod(F.col("i0"), F.lit(sub)).cast("int").alias("pos"),
+    )
+    cb = elems.filter(
+        (F.col(id_col) >= 1) & (F.col(id_col) <= n_codes)
+    ).select(
+        (F.col(id_col) - 1).cast("int").alias("c"),
+        "j",
+        "pos",
+        F.col("a").alias("b"),
+    )
+    diff = F.col("a") - F.col("b")
+    # encode only the probed vectors: the pruned-scan shape the inverted
+    # lists give a real deployment (codes there are precomputed; the
+    # arithmetic and result are the same)
+    d2 = (
+        elems.join(probed, id_col, "semi")
+        .join(cb, ["j", "pos"])
+        .groupBy(id_col, "j", "c")
+        .agg(F.sum(diff * diff).cast("decimal(24,6)").alias("d2"))
+    )
+    codes = d2.groupBy(id_col, "j").agg(
+        F.min(F.struct("d2", "c")).alias("mc")
+    ).select(id_col, "j", F.col("mc.c").alias("code"))
+    qd = (
+        elems.filter(F.col(id_col) == query_id)
+        .join(cb, ["j", "pos"])
+        .groupBy("j", "c")
+        .agg(F.sum(diff * diff).cast("decimal(24,6)").alias("qd2"))
+    )
+    adc = (
+        codes.join(F.broadcast(qd), (codes.j == qd.j) & (codes.code == qd.c))
+        .groupBy(id_col)
+        .agg(
+            F.sum("qd2").cast("decimal(24,6)").cast("double").alias("adc_dist")
+        )
+    )
+    short = adc.orderBy("adc_dist", id_col).limit(shortlist)
+    q = F.broadcast(query.select(F.col(emb_col).alias("__q")))
+    return (
+        df.join(short, id_col)
+        .crossJoin(q)
+        .select(
+            id_col,
+            "adc_dist",
+            cosine_dec(_dec_vec(emb_col), _dec_vec("__q")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )

@@ -295,6 +295,66 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_near_duplicates(d, min_est_jaccard=0.5).orderBy("id_a", "id_b")
 
 
+def dedup_band_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the MAX_BAND_BUCKET skew guard: how much of the
+    corpus' band table the cap actually routes out of the pair join —
+    the number a dedup deployment alarms on (a sudden jump means a new
+    boilerplate flood upstream).  One band-table scan + one bounded agg;
+    the docs-affected count joins the over-cap bucket list back (tiny,
+    broadcastable by construction).  Zero capped buckets on a healthy
+    corpus; the bench's zipf-skewed variant exercises the nonzero path."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.band_cap_audit(d)
+
+
+def _band_cap_audit_oracle() -> str:
+    return f"""
+WITH {_minhash_pairs_ctes(cap=None)},
+bs AS (SELECT band_idx, band_hash, CAST(COUNT(*) AS BIGINT) AS n
+       FROM bands GROUP BY band_idx, band_hash),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(CASE WHEN n > {dd.MAX_BAND_BUCKET} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_buckets_capped,
+         CAST(SUM(CASE WHEN n > {dd.MAX_BAND_BUCKET} THEN n ELSE 0 END) AS BIGINT)
+           AS n_band_rows_dropped,
+         CAST(MAX(n) AS BIGINT) AS max_bucket_size
+  FROM bs
+),
+aff AS (
+  SELECT CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_docs_affected
+  FROM bands b
+  JOIN bs ON bs.band_idx = b.band_idx AND bs.band_hash = b.band_hash
+  WHERE bs.n > {dd.MAX_BAND_BUCKET}
+)
+SELECT n_buckets, n_buckets_capped, n_band_rows_dropped, max_bucket_size,
+       n_docs_affected
+FROM stats, aff
+"""
+
+
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-tuned LSH banding: the SAME 16 permutations re-banded as
+    b=8 / r=2 (s-curve midpoint ~0.35 instead of ~0.71 — the
+    configuration the NUM_PERM note in operators/dedup.py documents for
+    serving a 0.5 threshold with high recall).  Candidate generation
+    costs a 2x band table and more gray-zone candidates to verify; the
+    est_jaccard filter and the MAX_BAND_BUCKET skew cap are identical,
+    so diffing this result against dedup_minhash_lsh measures exactly
+    the banding trade on live data."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.minhash_near_duplicates(
+        d, min_est_jaccard=0.5, bands=8, rows=2
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_recall_oracle() -> str:
+    return f"""
+WITH {_minhash_pairs_ctes(bands=8, rows=2)}
+SELECT id_a, id_b, est_jaccard FROM pairs ORDER BY id_a, id_b
+"""
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental snapshot dedup: documents with doc_id % 4 == 0 play the
     NEW batch, the rest the accumulated corpus; each new doc is classified
@@ -440,12 +500,21 @@ FROM merged
 """
 
 
-def _minhash_pairs_ctes() -> str:
+def _minhash_pairs_ctes(
+    bands: int = dd.LSH_BANDS,
+    rows: int = dd.LSH_ROWS,
+    min_est: float = 0.5,
+    cap: int | None = dd.MAX_BAND_BUCKET,
+) -> str:
     """CTE block ending in ``pairs`` = the minhash near-dup pairs at
-    est_jaccard >= 0.5 (shared by the pairs oracle and the duplicate-
-    cluster oracle).  Mirrors the engine's MAX_BAND_BUCKET skew guard
-    (operators/dedup.py): over-cap band buckets are excluded from
-    candidate generation in BOTH engines, one interpolated constant."""
+    est_jaccard >= ``min_est`` under a b=``bands`` / r=``rows`` banding
+    of the same NUM_PERM permutations (shared by the pairs oracle, the
+    duplicate-cluster oracle, and the recall-banding variant).  Mirrors
+    the engine's MAX_BAND_BUCKET skew guard (operators/dedup.py):
+    over-cap band buckets are excluded from candidate generation in BOTH
+    engines, one interpolated constant.  ``cap=None`` replays the
+    uncapped pipeline (the streaming ingest contract — see
+    run_foreach_batch_lsh_ingest)."""
     sig_cols = ",\n        ".join(
         f"MIN(({a} * h + {b}) % {P}) AS m{i}" for i, (a, b) in enumerate(dd.COEFFS)
     )
@@ -454,11 +523,11 @@ def _minhash_pairs_ctes() -> str:
             b=b,
             h=h64_sql(
                 "concat_ws(',', "
-                + ", ".join(f"m{b * dd.LSH_ROWS + r}" for r in range(dd.LSH_ROWS))
+                + ", ".join(f"m{b * rows + r}" for r in range(rows))
                 + ")"
             ),
         )
-        for b in range(dd.LSH_BANDS)
+        for b in range(bands)
     )
     agree = " + ".join(
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(dd.NUM_PERM)
@@ -471,7 +540,8 @@ sig AS (SELECT doc_id,
         FROM h GROUP BY doc_id),
 bands0 AS ({band_selects}),
 bok AS (SELECT band_idx, band_hash FROM bands0
-        GROUP BY band_idx, band_hash HAVING COUNT(*) <= {dd.MAX_BAND_BUCKET}),
+        GROUP BY band_idx, band_hash
+        HAVING COUNT(*) <= {cap if cap is not None else "COUNT(*)"}),
 bands AS (SELECT b.* FROM bands0 b JOIN bok USING (band_idx, band_hash)),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -483,7 +553,7 @@ pairs AS (
   FROM cand
   JOIN sig sa ON sa.doc_id = id_a
   JOIN sig sb ON sb.doc_id = id_b
-  WHERE CAST({agree} AS DOUBLE) / {float(dd.NUM_PERM)} >= 0.5
+  WHERE CAST({agree} AS DOUBLE) / {float(dd.NUM_PERM)} >= {float(min_est)}
 )"""
 
 
@@ -1846,6 +1916,16 @@ QUERIES = [
               "confusion counts differential-checked"),
     Query("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_oracle(),
           ("dedup", "pipeline"), bench=True),
+    Query("dedup_minhash_recall", dedup_minhash_recall, _minhash_recall_oracle(),
+          ("dedup", "pipeline"),
+          doc="recall-tuned b=8/r=2 banding of the same 16 permutations "
+              "(s-curve midpoint ~0.35): the high-recall serving "
+              "configuration, same est filter and skew cap"),
+    Query("dedup_band_cap_audit", dedup_band_cap_audit, _band_cap_audit_oracle(),
+          ("dedup", "pipeline", "quality"),
+          doc="MAX_BAND_BUCKET observability: buckets/band-rows/docs the "
+              "skew cap routes out of the pair join (zero on a healthy "
+              "corpus; the boilerplate-flood alarm)"),
     Query("dedup_simhash", dedup_simhash, _simhash_oracle(),
           ("dedup", "pipeline")),
     Query("dedup_incremental", dedup_incremental, _incremental_dedup_oracle(),
@@ -1984,10 +2064,191 @@ GROUP BY codes.vec_id
 ORDER BY adc_dist, codes.vec_id LIMIT 10
 """
 
+def embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact rerank (operators/similarity.py:ivf_pq_topk) —
+    the three-stage production ANN shape: coarse-quantizer probe prunes
+    to IVF_NPROBE of IVF_K cells, asymmetric PQ distance ranks the
+    probed vectors without decoding, the 40-best shortlist is re-scored
+    with the exact decimal cosine.  The oracle replays probe, assignment,
+    encode, ADC and rerank bit-exactly.
+
+    Reuses embedding_ivf_topk's materialized partitioned index for the
+    assignment (same IVF_K seed-centroid convention), so the per-query
+    plan prunes index partitions instead of re-scoring the corpus
+    against every centroid — the build/probe split in service shape."""
+    import os
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K))
+    index_path = _ivf_index_path(sf_dir)
+    if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
+        sim.ivf_build(e.filter(F.col("vec_id") != 0), centroids, index_path)
+    assigned = spark.read.parquet(index_path)
+    return sim.ivf_pq_topk(
+        e, query_id=0, n_cells=IVF_K, nprobe=IVF_NPROBE,
+        n_codes=16, m=4, dims=64, shortlist=40, k=10, assigned=assigned,
+    )
+
+
+# Assignment/probe CTEs follow _IVF_ORACLE; encode/ADC CTEs follow
+# EMBEDDING_PQ_ORACLE; the rerank follows EMBEDDING_TOPK_ORACLE — one
+# composed statement so every stage constant is interpolated once.
+EMBEDDING_IVF_PQ_ORACLE = f"""
+WITH {_EX_SQL.strip()},
+nrm AS (
+  SELECT vec_id, CAST(CAST(ROUND(SUM(a * a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS nn
+  FROM ex GROUP BY vec_id
+),
+cc AS (
+  SELECT x.vec_id, c.vec_id AS cell_id,
+         CAST(CAST(ROUND(SUM(x.a * c.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot
+  FROM ex x
+  JOIN ex c ON c.i = x.i AND c.vec_id BETWEEN 1 AND {IVF_K}
+  WHERE x.vec_id >= 1
+  GROUP BY x.vec_id, c.vec_id
+),
+cosc AS (
+  SELECT cc.vec_id, cc.cell_id, cc.dot / (sqrt(nx.nn) * sqrt(nc.nn)) AS cos
+  FROM cc
+  JOIN nrm nx ON nx.vec_id = cc.vec_id
+  JOIN nrm nc ON nc.vec_id = cc.cell_id
+),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id) AS rn
+    FROM cosc
+  ) WHERE rn = 1
+),
+qdp AS (
+  SELECT c.vec_id AS cell_id,
+         CAST(CAST(ROUND(SUM(q.a * c.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot
+  FROM ex q
+  JOIN ex c ON c.i = q.i AND c.vec_id BETWEEN 1 AND {IVF_K}
+  WHERE q.vec_id = 0
+  GROUP BY c.vec_id
+),
+probe AS (
+  SELECT cell_id FROM (
+    SELECT qdp.cell_id, CASE WHEN nq.nn > 0 AND nc.nn > 0
+           THEN qdp.dot / (sqrt(nq.nn) * sqrt(nc.nn)) ELSE -2.0 END AS cos
+    FROM qdp
+    JOIN nrm nq ON nq.vec_id = 0
+    JOIN nrm nc ON nc.vec_id = qdp.cell_id
+    ORDER BY cos DESC, qdp.cell_id LIMIT {IVF_NPROBE}
+  )
+),
+probedids AS (
+  SELECT a2.vec_id FROM assign a2 JOIN probe USING (cell_id)
+),
+el AS (
+  SELECT vec_id, a,
+         CAST(FLOOR((i - 1) / 16) AS INT) AS j,
+         CAST((i - 1) % 16 AS INT) AS pos
+  FROM ex
+),
+cb AS (
+  SELECT CAST(vec_id - 1 AS INT) AS c, j, pos, a AS b
+  FROM el WHERE vec_id BETWEEN 1 AND 16
+),
+d2 AS (
+  SELECT el.vec_id, el.j, cb.c,
+         CAST(ROUND(SUM((el.a - cb.b) * (el.a - cb.b)), 6) AS DECIMAL(24,6)) AS d2
+  FROM el JOIN cb ON el.j = cb.j AND el.pos = cb.pos
+  WHERE el.vec_id IN (SELECT vec_id FROM probedids)
+  GROUP BY el.vec_id, el.j, cb.c
+),
+codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+qdt AS (
+  SELECT el.j, cb.c,
+         CAST(ROUND(SUM((el.a - cb.b) * (el.a - cb.b)), 6) AS DECIMAL(24,6)) AS qd2
+  FROM el JOIN cb ON el.j = cb.j AND el.pos = cb.pos
+  WHERE el.vec_id = 0
+  GROUP BY el.j, cb.c
+),
+short AS (
+  SELECT codes.vec_id,
+         CAST(CAST(SUM(qdt.qd2) AS DECIMAL(24,6)) AS DOUBLE) AS adc_dist
+  FROM codes JOIN qdt ON codes.j = qdt.j AND codes.code = qdt.c
+  GROUP BY codes.vec_id
+  ORDER BY adc_dist, codes.vec_id LIMIT 40
+),
+rr AS (
+  SELECT ex.vec_id,
+         CAST(CAST(ROUND(SUM(ex.a * q.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot
+  FROM ex JOIN ex q ON q.i = ex.i AND q.vec_id = 0
+  WHERE ex.vec_id IN (SELECT vec_id FROM short)
+  GROUP BY ex.vec_id
+)
+SELECT rr.vec_id, short.adc_dist,
+       CASE WHEN nx.nn > 0 AND nq.nn > 0
+            THEN rr.dot / (sqrt(nx.nn) * sqrt(nq.nn)) ELSE -2.0 END AS cosine
+FROM rr
+JOIN short ON short.vec_id = rr.vec_id
+JOIN nrm nx ON nx.vec_id = rr.vec_id
+JOIN nrm nq ON nq.vec_id = 0
+ORDER BY cosine DESC, rr.vec_id LIMIT 10
+"""
+
+def embedding_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the full IVF-PQ pipeline against exact brute-force
+    search — the compound approximation loss of BOTH lossy stages (cell
+    pruning may miss true neighbours entirely; PQ distortion may rank
+    them out of the shortlist).  The sibling of embedding_ivf_recall,
+    which audits cell pruning alone: the difference between the two
+    numbers is the PQ stage's marginal cost on live data.  Both result
+    sets come from the engine's own operators and the oracle recomputes
+    both searches plus the overlap, so the recall number itself is
+    differential-checked."""
+    ivfpq = embedding_ivf_pq_topk(spark, sf_dir).select("vec_id")
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = sim.cosine_topk(
+        e.filter(F.col("vec_id") != 0), e.filter(F.col("vec_id") == 0), k=10
+    ).select("vec_id")
+    return (
+        ivfpq.join(exact, "vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(10.0)).alias("recall_at_k"),
+        )
+    )
+
+
+def _ivf_pq_recall_oracle() -> str:
+    return f"""
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_k
+FROM ({EMBEDDING_IVF_PQ_ORACLE}) ivfpq
+JOIN ({EMBEDDING_TOPK_ORACLE}) exact ON ivfpq.vec_id = exact.vec_id
+"""
+
+
 QUERIES += [
     Query("embedding_pq_adc_topk", embedding_pq_adc_topk, EMBEDDING_PQ_ORACLE,
           ("similarity", "pipeline"),
           doc="product quantization (m=4, 16 codes, seed codebooks) + "
               "asymmetric-distance top-k; oracle replays encode + ADC "
               "lookup table bit-exactly"),
+    Query("embedding_ivf_pq_topk", embedding_ivf_pq_topk,
+          EMBEDDING_IVF_PQ_ORACLE, ("similarity", "pipeline", "embedding"),
+          bench=True,
+          doc="IVF-PQ with exact rerank: coarse-cell probe prunes the "
+              "corpus, asymmetric PQ distance shortlists 40, exact "
+              "decimal-cosine rerank returns top-10 — the three-stage "
+              "production ANN composition, all stages replayed bit-"
+              "exactly by the oracle"),
+    Query("embedding_ivf_pq_recall", embedding_ivf_pq_recall,
+          _ivf_pq_recall_oracle(), ("similarity", "pipeline", "embedding"),
+          doc="recall@10 of IVF-PQ (probe + ADC + rerank) vs exact "
+              "search — the COMPOUND approximation loss of both lossy "
+              "stages, overlap differential-checked"),
 ]

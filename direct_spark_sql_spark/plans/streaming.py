@@ -272,6 +272,60 @@ ORDER BY dup_key
 """
 
 
+def streaming_lsh_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH index maintenance: documents arrive in 3
+    id-ranged micro-batches; each batch's band rows append to the
+    accumulated (band_idx, band_hash) index AFTER the batch's near-dup
+    candidates are found with one equi-join against that index plus the
+    batch-internal self-join (streaming/pipelines.py:
+    run_foreach_batch_lsh_ingest) — the materialized incremental band
+    table ``incremental_dedup``'s docstring promises, actually
+    maintained.  Because batches partition the corpus, every pair is
+    discovered exactly once with arrival-independent est values, so the
+    accumulated pair set must equal the batch operator's uncapped pairs
+    over the whole table — the oracle replays that batch pipeline."""
+    from pyspark.sql import types as T
+
+    from direct_spark_sql_spark.sources.registry import (
+        dataset_tag,
+        load_table,
+        warehouse_path,
+    )
+    from direct_spark_sql_spark.streaming import run_foreach_batch_lsh_ingest
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = warehouse_path("stream_lsh", dataset_tag(sf_dir))
+    hi = d.agg(F.max("doc_id")).collect()[0][0] or 0
+    bounds = [0, hi // 3 + 1, 2 * (hi // 3) + 1, hi + 1]
+    for i in range(3):
+        d.filter(
+            (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/chunk{i}")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/chunk*")
+    )
+    pairs = run_foreach_batch_lsh_ingest(stream, "doc_id", min_est_jaccard=0.5)
+    return pairs.orderBy("id_a", "id_b")
+
+
+def _stream_lsh_oracle() -> str:
+    from direct_spark_sql_spark.plans.pipeline import _minhash_pairs_ctes
+
+    return f"""
+WITH {_minhash_pairs_ctes(cap=None)}
+SELECT id_a, id_b, est_jaccard FROM pairs ORDER BY id_a, id_b
+"""
+
+
 def streaming_zonemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest with live data-skipping-index maintenance: events
     split into 3 chunk files arrive as separate micro-batches; each lands
@@ -504,4 +558,10 @@ QUERIES = [
           STREAM_INCR_DEDUP_ORACLE, ("streaming", "dedup"),
           doc="foreachBatch dedup ingest: per-batch fingerprint fold into "
               "accumulated state, order-independent, equals batch dedup"),
+    Query("streaming_lsh_index_ingest", streaming_lsh_index_ingest,
+          _stream_lsh_oracle(), ("streaming", "dedup"),
+          doc="foreachBatch MinHash-LSH index maintenance: per-batch band "
+              "rows join the accumulated index for cross-batch candidates "
+              "then append to it; accumulated pairs equal the batch "
+              "operator's uncapped pairs (oracle replay)"),
 ]

@@ -443,6 +443,104 @@ def run_foreach_batch_dedup(
     return state["df"]
 
 
+def run_foreach_batch_lsh_ingest(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Streaming MinHash-LSH index maintenance: foreachBatch folds each
+    micro-batch into an accumulated BAND-TABLE state — the materialized
+    (band_idx, band_hash)-keyed index that ``incremental_dedup``'s
+    docstring says a production ingest maintains, actually maintained.
+
+    Per batch: signatures + band rows for the arriving documents; the
+    batch's near-duplicate candidates against EVERYTHING ALREADY INGESTED
+    come from one equi-join of the new band rows against the state index
+    (never a history re-scan), plus the batch's internal pairs from the
+    standard self-join; then the new band rows append to the index.
+    Every discovered pair carries the signature-agreement est_jaccard.
+
+    Determinism: when batches partition the corpus by an id order, every
+    id_a < id_b pair is discovered exactly once (cross pairs at id_b's
+    arrival, internal pairs in their own batch) with arrival-independent
+    est values, so the accumulated pair set equals the batch operator's
+    UNCAPPED pair set over the closed input — the replayable contract
+    the oracle checks.  The batch path's MAX_BAND_BUCKET cap is an
+    offline corpus-scope guard and deliberately does NOT apply here:
+    an online ingest bounds hot buckets by probe limits at lookup time,
+    and a batch-scope cap would make results depend on chunk boundaries.
+
+    Returns the accumulated pairs: (id_a, id_b, est_jaccard).
+    """
+    import tempfile
+
+    from direct_spark_sql_spark.operators.dedup import (
+        NUM_PERM,
+        _band_table_with_sig,
+        minhash_signatures,
+    )
+
+    state: dict[str, DataFrame | None] = {"index": None, "pairs": None}
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"), F.col("b.sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+    def _pairs(a: DataFrame, b: DataFrame, ordered: bool) -> DataFrame:
+        cond = (F.col("a.band_idx") == F.col("b.band_idx")) & (
+            F.col("a.band_hash") == F.col("b.band_hash")
+        )
+        if ordered:  # self-join inside one batch
+            cond = cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        return (
+            a.alias("a")
+            .join(b.alias("b"), cond)
+            .select(
+                F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+                F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+                (agree.cast("double") / F.lit(float(NUM_PERM))).alias("est_jaccard"),
+            )
+            .distinct()
+            .filter(F.col("est_jaccard") >= min_est_jaccard)
+        )
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        sig = minhash_signatures(batch_df, id_col).withColumn(
+            "sig", F.array(*[F.col(f"m{i}") for i in range(NUM_PERM)])
+        )
+        bt = _band_table_with_sig(sig, id_col).localCheckpoint(eager=True)
+        found = _pairs(bt, bt, ordered=True)
+        if state["index"] is not None:
+            found = found.unionByName(_pairs(bt, state["index"], ordered=False))
+        found = found.distinct().localCheckpoint(eager=True)
+        state["pairs"] = (
+            found
+            if state["pairs"] is None
+            else state["pairs"].unionByName(found).localCheckpoint(eager=True)
+        )
+        state["index"] = (
+            bt
+            if state["index"] is None
+            else state["index"].unionByName(bt).localCheckpoint(eager=True)
+        )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            docs.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if state["pairs"] is None:
+        raise RuntimeError("stream produced no batches")
+    return state["pairs"]
+
+
 def run_foreach_batch_zonemap_ingest(
     stream: DataFrame,
     table_root: str,

@@ -186,6 +186,14 @@ _NLJ_ALLOWED = {
     "quality_nb_classify",         # broadcast model = one row per language
     "embedding_sgns_step",         # broadcast 8-row dims table × bounded
                                    # top-200 pair set
+    "embedding_ivf_pq_topk",       # composes ivf_assign (broadcast 1-row
+                                   # centroid array) + rerank (broadcast
+                                   # single query vector)
+    "embedding_ivf_pq_recall",     # composes embedding_ivf_pq_topk (above)
+                                   # + cosine_topk (single query vector)
+    "dedup_band_cap_audit",        # 1-row stats agg × 1-row affected-docs
+                                   # agg cross (quality_constraint_audit
+                                   # precedent)
 }
 
 

@@ -1,0 +1,178 @@
+"""Semantics unit tests for the round-7 skew guards: the MinHash band-
+bucket cap (operators/dedup.py:MAX_BAND_BUCKET) and the two-phase
+sessionizer (plans/conformance.py:events_user_sessions).  The oracle
+differential suite checks cross-engine agreement; these pin the intended
+MEANING on crafted inputs the sf corpora don't contain — a hot duplicate
+clique bigger than the cap, and sessions that straddle chunk boundaries.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F, types as T
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_band_bucket_cap_drops_hot_clique_keeps_normal_pairs(spark):
+    """A duplicate clique larger than MAX_BAND_BUCKET saturates its band
+    buckets and must be routed OUT of the pair join (it belongs to the
+    exact-fingerprint path), while an ordinary near-dup pair in the same
+    corpus still surfaces."""
+    from direct_spark_sql_spark.operators.dedup import (
+        MAX_BAND_BUCKET,
+        minhash_near_duplicates,
+    )
+
+    hot_n = MAX_BAND_BUCKET + 30
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(hot_n)]
+    # one genuine near-dup pair, textually disjoint from the clique
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows += [(10_000, a), (10_001, a + " lambda")]
+    pairs = minhash_near_duplicates(_docs(spark, rows), min_est_jaccard=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (10_000, 10_001) in got, "normal near-dup pair must survive the cap"
+    assert not any(i < hot_n and j < hot_n for i, j in got), (
+        "pairs inside the over-cap clique must be excluded from the band join"
+    )
+
+
+def test_band_bucket_at_cap_still_pairs(spark):
+    """Exactly-at-cap buckets are NOT dropped (the guard is > cap, not
+    >=): a clique of MAX_BAND_BUCKET identical docs emits all its pairs."""
+    from direct_spark_sql_spark.operators.dedup import (
+        MAX_BAND_BUCKET,
+        minhash_near_duplicates,
+    )
+
+    n = MAX_BAND_BUCKET
+    rows = [(i, "same exact text for every single document here") for i in range(n)]
+    n_pairs = minhash_near_duplicates(_docs(spark, rows), min_est_jaccard=0.5).count()
+    assert n_pairs == n * (n - 1) // 2
+
+
+def _write_events(spark, tmp_path, rows):
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    full = [(eid, ts, uid, "click", 1.0, "{}") for eid, ts, uid in rows]
+    path = str(tmp_path / "sessfix")
+    spark.createDataFrame(full, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/events.parquet")
+    return path
+
+
+def _naive_sessions(spark, sf_dir):
+    """The single-window lag+cumsum formulation the two-phase plan must
+    be row-identical to (also the oracle's formulation)."""
+    from pyspark.sql import Window as W
+
+    from direct_spark_sql_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    sess = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("f"),
+    )
+    w2 = w.rowsBetween(W.unboundedPreceding, 0)
+    return (
+        sess.select(
+            "user_id",
+            F.sum("f").over(w2).cast("long").alias("session_seq"),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def test_two_phase_sessionizer_matches_naive_on_boundary_cases(spark, tmp_path):
+    """Crafted chunk-boundary traps: a session straddling the hour edge,
+    a gap of exactly 1800 s (same session), 1801 s (new session), a
+    session spanning four chunks, ts ties ordered by event_id, and a
+    single-event user."""
+    from direct_spark_sql_spark.plans.conformance import events_user_sessions
+
+    t0 = dt.datetime(2024, 3, 1, 9, 59, 0)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: straddles 10:00 (gap 120 s, chunks differ) then a
+        # 1801 s gap -> new session
+        (1, at(0), 1), (2, at(120), 1), (3, at(120 + 1801), 1),
+        # user 2: gap of exactly 1800 s across an hour edge -> SAME session
+        (4, at(30), 2), (5, at(30 + 1800), 2),
+        # user 3: single event
+        (6, at(500), 3),
+        # user 4: ts tie inside one chunk (ordering falls to event_id)
+        (7, at(10), 4), (8, at(10), 4),
+        # user 5: events every 20 min for 4 h -> ONE session over 5 chunks
+        *[(100 + i, at(i * 1200), 5) for i in range(13)],
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    got = events_user_sessions(spark, sf_dir).collect()
+    want = _naive_sessions(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert by_user == {1: [2, 1], 2: [2], 3: [1], 4: [2], 5: [13]}
+
+
+def test_band_cap_audit_counts_hot_clique(spark):
+    """The audit must report the clique's saturated buckets: an
+    identical-text clique of size s > cap fills LSH_BANDS buckets of
+    size s, drops s band rows per band, and affects exactly s docs."""
+    from direct_spark_sql_spark.operators.dedup import (
+        LSH_BANDS,
+        MAX_BAND_BUCKET,
+        band_cap_audit,
+    )
+
+    hot_n = MAX_BAND_BUCKET + 30
+    rows = [(i, "identical boilerplate text shared by the hot clique") for i in range(hot_n)]
+    rows += [(10_000, "one unrelated clean document with its own words")]
+    r = band_cap_audit(_docs(spark, rows)).collect()[0]
+    assert r["n_buckets_capped"] == LSH_BANDS
+    assert r["n_band_rows_dropped"] == LSH_BANDS * hot_n
+    assert r["max_bucket_size"] == hot_n
+    assert r["n_docs_affected"] == hot_n
+
+
+def test_band_cap_audit_zero_on_clean_corpus(spark):
+    from direct_spark_sql_spark.operators.dedup import band_cap_audit
+
+    rows = [(i, f"every document number {i} has distinct words {i * 7}") for i in range(50)]
+    r = band_cap_audit(_docs(spark, rows)).collect()[0]
+    assert r["n_buckets_capped"] == 0
+    assert r["n_band_rows_dropped"] == 0
+    assert r["n_docs_affected"] == 0
+
+
+def test_two_phase_sessionizer_matches_naive_on_corpus(spark):
+    """Full-table equivalence on the sf0.001 events corpus."""
+    from direct_spark_sql_spark.plans.conformance import events_user_sessions
+
+    from tests.conftest import SF_DIR
+
+    got = events_user_sessions(spark, SF_DIR).collect()
+    want = _naive_sessions(spark, SF_DIR).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
