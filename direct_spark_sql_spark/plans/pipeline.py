@@ -1533,6 +1533,69 @@ ORDER BY doc_id
 """
 
 
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup by average hash: encode real-format images,
+    REAL-decode them, fingerprint each with the all-integer 4×3 aHash
+    (operators/multimodal.py:image_ahash), and report every image with
+    its hash and duplicate-bucket size — equal hashes are the perceptual
+    near-dup buckets (brightness-shift tolerant), found by equi-groupBy
+    with no pairwise compare, the image analogue of a MinHash band
+    bucket.  The oracle recomputes every hash from the source pixel
+    formula, so a decode, bucketing, thresholding or bit-order bug
+    breaks the match."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    hashes = mm.image_ahash(mm.synthesize_images(d))
+    return hashes.select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        "ahash",
+        F.count(F.lit(1))
+        .over(W.partitionBy("ahash"))
+        .cast("long")
+        .alias("group_size"),
+    ).orderBy("doc_id")
+
+
+_IMAGE_DEDUP_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+  FROM documents WHERE doc_id < 100
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (X.x * 7 + Y.y * 13 + d.doc_id * 31) % 256 AS g,
+         (X.x * 4) // d.w AS bx,
+         (Y.y * 3) // d.h AS by
+  FROM d
+  JOIN generate_series(0, 15) X(x) ON X.x < d.w
+  JOIN generate_series(0, 12) Y(y) ON Y.y < d.h
+),
+cells AS (
+  SELECT doc_id, w, h, by, bx, SUM(g) // COUNT(*) AS m
+  FROM px GROUP BY doc_id, w, h, by, bx
+),
+thr AS (SELECT doc_id, SUM(m) // 12 AS t FROM cells GROUP BY doc_id),
+hashes AS (
+  SELECT c.doc_id, c.w, c.h,
+         CAST(SUM(CASE WHEN c.m > thr.t
+                       THEN (1 << (c.by * 4 + c.bx)) ELSE 0 END) AS BIGINT)
+           AS ahash
+  FROM cells c JOIN thr USING (doc_id)
+  GROUP BY c.doc_id, c.w, c.h
+)
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                       WHEN 2 THEN 'png' ELSE 'gif' END AS fmt,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height, ahash,
+       CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS group_size
+FROM hashes ORDER BY doc_id
+"""
+
+
 def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline-JPEG encode -> sniff-decode -> tolerance audit, executor-side.
 
@@ -1996,6 +2059,12 @@ QUERIES = [
           _MULTIMODAL_RESIZE_ORACLE, ("multimodal", "pipeline"),
           doc="real decode + 2x box-filter downscale (numpy-vectorized "
               "mapInPandas), every resized pixel oracle-recomputed"),
+    Query("multimodal_image_dedup", multimodal_image_dedup,
+          _IMAGE_DEDUP_ORACLE, ("multimodal", "dedup", "pipeline"),
+          doc="perceptual image dedup: real decode + all-integer 4x3 "
+              "average hash, equal hashes = near-dup buckets "
+              "(equi-groupBy, no pairwise compare); every hash "
+              "oracle-recomputed from the pixel formula"),
     Query("multimodal_jpeg_roundtrip", multimodal_jpeg_roundtrip,
           _MULTIMODAL_JPEG_ORACLE, ("multimodal", "pipeline"), bench=True,
           doc="baseline JPEG (444+420) encode→decode with in-pass tolerance audit"),

@@ -42,6 +42,12 @@ PROBE_QUERIES = [
     "dedup_cross_source_matrix",
     "privacy_k_anonymity",
     "embedding_outlier_scores",
+    # round-7 additions: the three-stage IVF-PQ composition (partition-
+    # pruned index scan + encode join over probed cells + bounded
+    # rerank) — note dedup_minhash_lsh and events_user_sessions above
+    # now run their skew-guarded round-7 plans (band-bucket cap,
+    # two-phase sessionizer)
+    "embedding_ivf_pq_topk",
 ]
 
 FACTOR = 100
