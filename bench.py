@@ -537,6 +537,8 @@ def main() -> None:
 
         skew_names = {
             "events_user_sessions",
+            # same two-phase guard, path-rendering variant (r7 fix)
+            "events_session_paths",
             "join_skew_salted",
             "dedup_minhash_lsh",
             # groupBy on the hot orderkey: map-side partial aggregation

@@ -295,6 +295,86 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_near_duplicates(d, min_est_jaccard=0.5).orderBy("id_a", "id_b")
 
 
+def dedup_banding_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding trade measured on live data: precision/recall of
+    BOTH banding configurations — precision-tuned b=4/r=4 (s-curve
+    midpoint ~0.71) and recall-tuned b=8/r=2 (~0.35) — against the same
+    exact n-gram-Jaccard ground truth at the same 0.5 threshold.  The
+    two rows quantify exactly what the NUM_PERM configuration note in
+    operators/dedup.py promises: re-banding the SAME 16 permutations
+    buys recall at the cost of gray-zone candidates.  One checkpointed
+    shingle table feeds all three pair sets (the explode+distinct is the
+    dominant scan); the oracle recomputes every set and the confusion
+    counts."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = dd.shingle_table(d).localCheckpoint()
+    truth = dd.ngram_jaccard_pairs(
+        d, threshold=0.5, max_shingle_df=1000, shingles_df=sh
+    ).select("id_a", "id_b", F.lit(True).alias("in_truth")).localCheckpoint()
+    outs = []
+    for name, (b, r) in (("b4r4", (4, 4)), ("b8r2", (8, 2))):
+        pred = dd.minhash_near_duplicates(
+            d, min_est_jaccard=0.5, shingles_df=sh, bands=b, rows=r
+        ).select("id_a", "id_b", F.lit(True).alias("in_pred"))
+        merged = pred.join(truth, ["id_a", "id_b"], "full_outer").select(
+            F.coalesce("in_pred", F.lit(False)).alias("in_pred"),
+            F.coalesce("in_truth", F.lit(False)).alias("in_truth"),
+        )
+        n_pred = F.sum(F.when(F.col("in_pred"), 1).otherwise(0)).cast("long")
+        n_truth = F.sum(F.when(F.col("in_truth"), 1).otherwise(0)).cast("long")
+        tp = F.sum(
+            F.when(F.col("in_pred") & F.col("in_truth"), 1).otherwise(0)
+        ).cast("long")
+        outs.append(
+            merged.agg(
+                n_pred.alias("n_pred"), n_truth.alias("n_truth"), tp.alias("tp")
+            ).select(
+                F.lit(name).alias("banding"),
+                "n_pred",
+                "n_truth",
+                "tp",
+                F.when(
+                    F.col("n_pred") > 0,
+                    F.col("tp").cast("double") / F.col("n_pred"),
+                ).alias("precision"),
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.col("tp").cast("double") / F.col("n_truth"),
+                ).alias("recall"),
+            )
+        )
+    return outs[0].unionByName(outs[1]).orderBy("banding")
+
+
+def _banding_tradeoff_oracle() -> str:
+    truth_sql = _ngram_pairs_sql(0.5, with_jaccard=False)
+    rows = []
+    for name, (b, r) in (("b4r4", (4, 4)), ("b8r2", (8, 2))):
+        pred_sql = (
+            f"WITH {_minhash_pairs_ctes(bands=b, rows=r)} "
+            "SELECT id_a, id_b FROM pairs"
+        )
+        rows.append(f"""
+SELECT '{name}' AS banding,
+  CAST(SUM(CASE WHEN in_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+  CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+  CAST(SUM(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CASE WHEN SUM(CASE WHEN in_pred THEN 1 ELSE 0 END) > 0
+       THEN CAST(SUM(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(CASE WHEN in_pred THEN 1 ELSE 0 END) AS BIGINT)
+       END AS precision,
+  CASE WHEN SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) > 0
+       THEN CAST(SUM(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT)
+       END AS recall
+FROM (
+  SELECT (p.id_a IS NOT NULL) AS in_pred, (t.id_a IS NOT NULL) AS in_truth
+  FROM ({pred_sql}) p
+  FULL JOIN ({truth_sql}) t ON p.id_a = t.id_a AND p.id_b = t.id_b
+)""")
+    return " UNION ALL ".join(rows) + " ORDER BY banding"
+
+
 def dedup_band_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observability for the MAX_BAND_BUCKET skew guard: how much of the
     corpus' band table the cap actually routes out of the pair join —
@@ -1984,6 +2064,11 @@ QUERIES = [
           doc="recall-tuned b=8/r=2 banding of the same 16 permutations "
               "(s-curve midpoint ~0.35): the high-recall serving "
               "configuration, same est filter and skew cap"),
+    Query("dedup_banding_tradeoff", dedup_banding_tradeoff,
+          _banding_tradeoff_oracle(), ("dedup", "pipeline", "quality"),
+          doc="precision/recall of b=4/r=4 vs b=8/r=2 banding against one "
+              "exact Jaccard truth — the s-curve trade measured on live "
+              "data, confusion counts differential-checked"),
     Query("dedup_band_cap_audit", dedup_band_cap_audit, _band_cap_audit_oracle(),
           ("dedup", "pipeline", "quality"),
           doc="MAX_BAND_BUCKET observability: buckets/band-rows/docs the "
