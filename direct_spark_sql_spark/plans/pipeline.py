@@ -295,6 +295,50 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_near_duplicates(d, min_est_jaccard=0.5).orderBy("id_a", "id_b")
 
 
+def corpus_dup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-count-aware downsampling — the pretraining-corpus policy
+    of keeping duplicated content at roughly UNIT total weight instead of
+    either hard-dropping copies (corpus_curation's keep-min-id) or
+    letting a 10,000-copy boilerplate dominate the token budget: each
+    document is kept with probability ~1/group_size via its
+    deterministic hash bucket (``h64(doc_id) % 10000 < 10000 //
+    group_size``), so every member of a duplicate group has the same
+    survival chance, the expected surviving copies per group is ~1, and
+    membership is replayable in any engine and stable under
+    repartitioning (no rng).  Groups come from the
+    order/multiplicity-insensitive content fingerprint (the corpus'
+    duplicates are token-reshuffled copies).  Shape: one fingerprint
+    projection, one window count over the fp key, one filter — no joins,
+    no collect."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = tx.fingerprint(d).select("doc_id", "fp_content")
+    g = fp.withColumn(
+        "group_size",
+        F.count(F.lit(1)).over(W.partitionBy("fp_content")).cast("long"),
+    )
+    from direct_spark_sql_spark.operators.sampling import SAMPLE_BUCKETS, sample_bucket
+
+    keep = sample_bucket(F.col("doc_id")) < (
+        F.lit(SAMPLE_BUCKETS) / F.col("group_size")
+    ).cast("long")
+    return g.filter(keep).select("doc_id", "group_size").orderBy("doc_id")
+
+
+_DUP_AWARE_SAMPLE_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+fp AS (SELECT doc_id,
+       {h64_sql("array_to_string(list_sort(list_distinct(toks)), ' ')")} AS fpc
+       FROM t),
+g AS (SELECT doc_id, CAST(COUNT(*) OVER (PARTITION BY fpc) AS BIGINT) AS group_size
+      FROM fp)
+SELECT doc_id, group_size FROM g
+WHERE {h64_sql('doc_id')} % 10000 < 10000 // group_size
+ORDER BY doc_id
+"""
+
+
 def dedup_banding_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH banding trade measured on live data: precision/recall of
     BOTH banding configurations — precision-tuned b=4/r=4 (s-curve
@@ -2064,6 +2108,11 @@ QUERIES = [
           doc="recall-tuned b=8/r=2 banding of the same 16 permutations "
               "(s-curve midpoint ~0.35): the high-recall serving "
               "configuration, same est filter and skew cap"),
+    Query("corpus_dup_aware_sample", corpus_dup_aware_sample,
+          _DUP_AWARE_SAMPLE_ORACLE, ("sampling", "dedup", "pipeline"),
+          doc="duplicate-count-aware downsampling: keep each copy with "
+              "deterministic-hash probability ~1/group_size (unit total "
+              "weight per duplicate group, no rng, no joins)"),
     Query("dedup_banding_tradeoff", dedup_banding_tradeoff,
           _banding_tradeoff_oracle(), ("dedup", "pipeline", "quality"),
           doc="precision/recall of b=4/r=4 vs b=8/r=2 banding against one "

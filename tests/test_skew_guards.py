@@ -167,6 +167,32 @@ def test_band_cap_audit_zero_on_clean_corpus(spark):
     assert r["n_docs_affected"] == 0
 
 
+def test_dup_aware_sample_keeps_all_singletons(spark, tmp_path):
+    """group_size = 1 means threshold = SAMPLE_BUCKETS, so a UNIQUE
+    document can never be dropped — the invariant that makes
+    dup-aware downsampling safe to run on a clean corpus; duplicated
+    content survives with per-copy probability ~1/group_size."""
+    from direct_spark_sql_spark.plans.pipeline import corpus_dup_aware_sample
+
+    uniq = [(i, f"totally unique document body number {i} with words {i * 13}")
+            for i in range(20)]
+    dup = [(100 + i, "the same reshuffled boilerplate text content") for i in range(40)]
+    schema = "doc_id long, text string"
+    path = str(tmp_path / "dupfix")
+    spark.createDataFrame(uniq + dup, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/documents.parquet")
+    got = corpus_dup_aware_sample(spark, path).collect()
+    kept = {r["doc_id"]: r["group_size"] for r in got}
+    for i, _ in uniq:
+        assert kept.get(i) == 1, f"unique doc {i} must always survive"
+    dup_kept = [d for d in kept if d >= 100]
+    assert all(kept[d] == 40 for d in dup_kept)
+    # expected survivors ~1; deterministic-hash draw over 40 buckets can
+    # wobble but must stay far below the group size
+    assert len(dup_kept) <= 8
+
+
 def test_two_phase_sessionizer_matches_naive_on_corpus(spark):
     """Full-table equivalence on the sf0.001 events corpus."""
     from direct_spark_sql_spark.plans.conformance import events_user_sessions
