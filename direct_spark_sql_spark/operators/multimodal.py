@@ -461,6 +461,70 @@ def synthesize_audio(
     return df.select(id_col).mapInPandas(run, schema)
 
 
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("afp", T.LongType()),
+    ]
+)
+
+#: audio fingerprint windows: the energy contour is compared across 8
+#: floor-bucketed windows -> a 7-bit rising/falling signature
+AUDIO_FP_WINDOWS = 8
+
+
+def audio_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """REAL WAV decode + energy-contour fingerprint — the integer-exact
+    skeleton of an acoustic fingerprint (Haitsma-Kalker style: the HASH
+    is the sign pattern of energy deltas across time windows, so uniform
+    gain changes that scale all windows together preserve most bits):
+    frames mix down by CHANNEL SUM (no division — truncated vs floored
+    negative division differs across engines), each frame lands in one
+    of 8 floor-bucketed windows, window energy is the exact integer sum
+    of squared mono amplitudes, bit ``b-1`` (b = 1..7) is set iff
+    window b's energy exceeds window b-1's, and bit ``7+w`` (w = 0..7)
+    is set iff window w is louder than the average window
+    (``e[w] * 8 > total`` — the multiply keeps it integer-exact) — a
+    15-bit contour+profile signature.
+
+    Equal fingerprints are the near-duplicate buckets (equi-groupBy — no
+    pairwise compare at any corpus size), mirroring image_ahash for the
+    audio modality; the oracle recomputes every fingerprint from the
+    synthesis formula.  Arrow-batched mapInPandas, map-only."""
+    import numpy as np
+
+    from direct_spark_sql_spark.operators.audiocodec import decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                rate, channels, samples = decode_wav(bytes(payload))
+                arr = np.asarray(samples, dtype=np.int64).reshape(-1, channels)
+                n = arr.shape[0]
+                mono = arr.sum(axis=1)  # channel sum, stays integer
+                wb = np.arange(n) * AUDIO_FP_WINDOWS // n
+                energy = np.zeros(AUDIO_FP_WINDOWS, dtype=np.int64)
+                np.add.at(energy, wb, mono * mono)
+                bits = (energy[1:] > energy[:-1]).astype(np.int64)
+                afp = int((bits << np.arange(AUDIO_FP_WINDOWS - 1)).sum())
+                loud = (energy * AUDIO_FP_WINDOWS > energy.sum()).astype(np.int64)
+                afp += int(
+                    (loud << (np.arange(AUDIO_FP_WINDOWS) + AUDIO_FP_WINDOWS - 1)).sum()
+                )
+                rows.append((int(doc_id), rate, channels, n, afp))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FP_SCHEMA.fields]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
 def extract_audio_features(
     df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
 ) -> DataFrame:
@@ -503,6 +567,68 @@ VIDEO_FRAME_SCHEMA = T.StructType(
         T.StructField("luma_max", T.IntegerType()),
     ]
 )
+
+
+VIDEO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("vfp", T.LongType()),
+    ]
+)
+
+
+def video_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    every_k: int = 2,
+) -> DataFrame:
+    """REAL Y4M decode + temporal perceptual fingerprint: every k-th
+    frame's LUMA plane gets the same all-integer 4×3 average hash as
+    :func:`image_ahash`, and the sampled-frame hashes pack into one
+    long — ``vfp = Σ ahash(frame) << (12 · sample_pos)`` — so the
+    fingerprint captures both spatial layout and temporal evolution.
+    Equal fingerprints are the near-dup buckets (equi-groupBy), the
+    video sibling of image/audio perceptual dedup; the oracle recomputes
+    every fingerprint from the synthesis formula.  Arrow-batched
+    mapInPandas, map-only."""
+    import numpy as np
+
+    from direct_spark_sql_spark.operators.videocodec import decode_y4m
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[media_col]):
+                w, h, frames = decode_y4m(bytes(payload))
+                vfp = 0
+                for idx in range(0, len(frames), every_k):
+                    y = (
+                        np.frombuffer(frames[idx][0], dtype=np.uint8)
+                        .astype(np.int64)
+                        .reshape(h, w)
+                    )
+                    xs = np.arange(w) * AHASH_GX // w
+                    ys = np.arange(h) * AHASH_GY // h
+                    cell = np.zeros((AHASH_GY, AHASH_GX), dtype=np.int64)
+                    cnt = np.zeros((AHASH_GY, AHASH_GX), dtype=np.int64)
+                    np.add.at(cell, (ys[:, None], xs[None, :]), y)
+                    np.add.at(cnt, (ys[:, None], xs[None, :]), 1)
+                    means = cell // cnt
+                    thr = means.sum() // (AHASH_GX * AHASH_GY)
+                    bits = (means > thr).astype(np.int64)
+                    bidx = (
+                        np.arange(AHASH_GY)[:, None] * AHASH_GX
+                        + np.arange(AHASH_GX)[None, :]
+                    )
+                    vfp += int((bits << bidx).sum()) << (12 * (idx // every_k))
+                rows.append((int(doc_id), w, h, len(frames), vfp))
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FP_SCHEMA.fields])
+
+    return df.select(id_col, media_col).mapInPandas(run, VIDEO_FP_SCHEMA)
 
 
 def synthesize_videos(

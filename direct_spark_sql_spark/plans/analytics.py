@@ -1422,6 +1422,136 @@ FROM s GROUP BY doc_id, rate, channels, n ORDER BY doc_id
 """
 
 
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio dedup by energy-contour fingerprint: real WAV
+    encode → real decode → 7-bit rising/falling energy signature over 8
+    time windows (operators/multimodal.py:audio_fingerprint); equal
+    fingerprints are the near-dup buckets, found by equi-groupBy — the
+    audio sibling of multimodal_image_dedup.  The oracle recomputes
+    every fingerprint from the synthesis formula, so a decode,
+    windowing, energy or bit-order bug breaks the match."""
+    from pyspark.sql import Window as W
+
+    from direct_spark_sql_spark.operators import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    fp = mm.audio_fingerprint(mm.synthesize_audio(d))
+    return fp.select(
+        "doc_id",
+        "rate",
+        "channels",
+        "n_frames",
+        "afp",
+        F.count(F.lit(1))
+        .over(W.partitionBy("afp"))
+        .cast("long")
+        .alias("group_size"),
+    ).orderBy("doc_id")
+
+
+AUDIO_DEDUP_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 22050 END AS rate,
+         1 + doc_id % 2 AS channels,
+         64 + doc_id % 37 AS n,
+         3 + doc_id % 5 AS stp
+  FROM documents WHERE doc_id < 100),
+s AS (
+  SELECT d.doc_id, d.rate, d.channels, d.n, i.i AS f,
+         ((i.i * d.stp + c.c * 11 + d.doc_id * 17) % 65536) - 32768 AS v
+  FROM d
+  JOIN generate_series(0, 100) i(i) ON i.i < d.n
+  JOIN generate_series(0, 1) c(c) ON c.c < d.channels),
+mono AS (
+  SELECT doc_id, rate, channels, n, f, (f * 8) // n AS wb, SUM(v) AS m
+  FROM s GROUP BY doc_id, rate, channels, n, f),
+en AS (
+  SELECT doc_id, rate, channels, n, wb, SUM(m * m) AS e
+  FROM mono GROUP BY doc_id, rate, channels, n, wb),
+bits AS (
+  SELECT doc_id, rate, channels, n, wb,
+         CASE WHEN e > LAG(e) OVER (PARTITION BY doc_id ORDER BY wb)
+              THEN 1 ELSE 0 END AS bit,
+         CASE WHEN e * 8 > SUM(e) OVER (PARTITION BY doc_id)
+              THEN 1 ELSE 0 END AS loud
+  FROM en),
+hashes AS (
+  SELECT doc_id, MIN(rate) AS rate, MIN(channels) AS channels, MIN(n) AS n,
+         CAST(SUM(CASE WHEN wb >= 1 THEN bit << (wb - 1) ELSE 0 END)
+              + SUM(loud << (wb + 7)) AS BIGINT) AS afp
+  FROM bits GROUP BY doc_id)
+SELECT doc_id, CAST(rate AS INT) AS rate, CAST(channels AS INT) AS channels,
+       CAST(n AS INT) AS n_frames, afp,
+       CAST(COUNT(*) OVER (PARTITION BY afp) AS BIGINT) AS group_size
+FROM hashes ORDER BY doc_id
+"""
+
+
+def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual video dedup by temporal fingerprint: real Y4M decode,
+    every 2nd frame's luma plane hashed with the 4×3 integer aHash, the
+    sampled-frame hashes packed positionally into one long
+    (operators/multimodal.py:video_fingerprint) — spatial layout AND
+    temporal evolution in one equi-groupBy key, completing the
+    image/audio/video perceptual-dedup triple.  The oracle recomputes
+    every fingerprint from the synthesis formula."""
+    from pyspark.sql import Window as W
+
+    from direct_spark_sql_spark.operators import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    fp = mm.video_fingerprint(mm.synthesize_videos(d))
+    return fp.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        "vfp",
+        F.count(F.lit(1))
+        .over(W.partitionBy("vfp"))
+        .cast("long")
+        .alias("group_size"),
+    ).orderBy("doc_id")
+
+
+VIDEO_DEDUP_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 4 + 2 * (doc_id % 5) AS w, 4 + 2 * (doc_id % 4) AS h,
+         3 + doc_id % 4 AS n
+  FROM documents WHERE doc_id < 100),
+fr AS (
+  SELECT d.doc_id, d.w, d.h, d.n, f.f
+  FROM d JOIN generate_series(0, 6) f(f) ON f.f < d.n AND f.f % 2 = 0),
+px AS (
+  SELECT fr.doc_id, fr.w, fr.h, fr.n, fr.f,
+         (X.x * 3 + Y.y * 7 + fr.f * 11 + fr.doc_id * 13) % 256 AS g,
+         (X.x * 4) // fr.w AS bx,
+         (Y.y * 3) // fr.h AS by
+  FROM fr
+  JOIN generate_series(0, 11) X(x) ON X.x < fr.w
+  JOIN generate_series(0, 9) Y(y) ON Y.y < fr.h),
+cells AS (
+  SELECT doc_id, w, h, n, f, by, bx, SUM(g) // COUNT(*) AS m
+  FROM px GROUP BY doc_id, w, h, n, f, by, bx),
+thr AS (SELECT doc_id, f, SUM(m) // 12 AS t FROM cells GROUP BY doc_id, f),
+fhash AS (
+  SELECT c.doc_id, c.w, c.h, c.n, c.f,
+         SUM(CASE WHEN c.m > thr.t THEN (1 << (c.by * 4 + c.bx)) ELSE 0 END)
+           AS ah
+  FROM cells c JOIN thr ON thr.doc_id = c.doc_id AND thr.f = c.f
+  GROUP BY c.doc_id, c.w, c.h, c.n, c.f),
+hashes AS (
+  SELECT doc_id, MIN(w) AS w, MIN(h) AS h, MIN(n) AS n,
+         CAST(SUM(ah << (12 * (f // 2))) AS BIGINT) AS vfp
+  FROM fhash GROUP BY doc_id)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(n AS INT) AS n_frames, vfp,
+       CAST(COUNT(*) OVER (PARTITION BY vfp) AS BIGINT) AS group_size
+FROM hashes ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-sequence packing
 # ---------------------------------------------------------------------------
@@ -2036,6 +2166,25 @@ QUERIES: list[Query] = [
         oracle=AUDIO_FEATURES_ORACLE,
         tags=("multimodal",),
         doc="real WAV encode→decode round-trip (RIFF chunk walk), amplitude-stat oracle",
+    ),
+    Query(
+        name="multimodal_video_dedup",
+        spark_fn=multimodal_video_dedup,
+        oracle=VIDEO_DEDUP_ORACLE,
+        tags=("multimodal", "dedup"),
+        doc="perceptual video dedup: real Y4M decode + per-sampled-frame "
+            "integer luma aHash packed positionally into one temporal "
+            "fingerprint; equal fingerprints = near-dup buckets",
+    ),
+    Query(
+        name="multimodal_audio_dedup",
+        spark_fn=multimodal_audio_dedup,
+        oracle=AUDIO_DEDUP_ORACLE,
+        tags=("multimodal", "dedup"),
+        doc="perceptual audio dedup: real decode + 7-bit integer "
+            "energy-contour fingerprint over 8 windows, equal "
+            "fingerprints = near-dup buckets (equi-groupBy); every "
+            "fingerprint oracle-recomputed from the sample formula",
     ),
     Query(
         name="pack_training_sequences",
