@@ -1239,7 +1239,9 @@ def _ivf_index_path(sf_dir: str) -> str:
     return warehouse_path("ivf_index", dataset_tag(sf_dir))
 
 
-def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_ivf_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
     """IVF-bucketed ANN: vec 0 is the query, vecs 1..IVF_K double as the
     (deterministic, zero-iteration) centroids, search probes IVF_NPROBE
     cells.  The oracle replays the identical assignment and probe, so the
@@ -1275,7 +1277,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # centroids passed lazily: steady-state requests (metadata cached)
     # skip even the load_table/DataFrame construction driver work.
     return sim.ivf_topk_vec(
-        spark, qvec, index_path, centroids=centroids, k=10, nprobe=IVF_NPROBE
+        spark, qvec, index_path, centroids=centroids, k=10, nprobe=nprobe
     )
 
 
@@ -1310,6 +1312,49 @@ SELECT CAST(10 AS BIGINT) AS k,
 FROM ({_IVF_ORACLE}) ivf
 JOIN ({EMBEDDING_TOPK_ORACLE}) exact ON ivf.vec_id = exact.vec_id
 """
+
+
+def embedding_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 as a function of probe width (nprobe = 1, 2, 4) — the
+    effort/recall tuning curve an ANN deployment reads before picking
+    its operating point: each row is one partition-pruned probe of the
+    SAME materialized index joined against the exact brute-force top-10.
+    Monotone non-decreasing by construction (wider probes scan a
+    superset of cells); the oracle recomputes every probe and overlap,
+    so the whole curve is differential-checked."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = sim.cosine_topk(
+        e.filter(F.col("vec_id") != 0), e.filter(F.col("vec_id") == 0), k=10
+    ).select("vec_id")
+    curves = []
+    for nprobe in (1, 2, 4):
+        ivf = embedding_ivf_topk(spark, sf_dir, nprobe=nprobe).select("vec_id")
+        curves.append(
+            ivf.join(exact, "vec_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .select(
+                F.lit(nprobe).cast("long").alias("nprobe"),
+                F.lit(10).cast("long").alias("k"),
+                "n_hits",
+                (F.col("n_hits").cast("double") / F.lit(10.0)).alias("recall_at_k"),
+            )
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("nprobe")
+
+
+def _ivf_recall_curve_oracle() -> str:
+    rows = []
+    for nprobe in (1, 2, 4):
+        rows.append(f"""
+SELECT CAST({nprobe} AS BIGINT) AS nprobe, CAST(10 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_k
+FROM ({_ivf_oracle_sql(nprobe)}) ivf
+JOIN ({EMBEDDING_TOPK_ORACLE}) exact ON ivf.vec_id = exact.vec_id""")
+    return " UNION ALL ".join(rows) + " ORDER BY nprobe"
 
 
 def embedding_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1363,7 +1408,10 @@ ORDER BY s.cluster_id, dim_i
 """
 
 
-_IVF_ORACLE = f"""
+def _ivf_oracle_sql(nprobe: int = IVF_NPROBE) -> str:
+    """The IVF top-k oracle, parameterized by probe width (shared by the
+    fixed-nprobe query and the recall-vs-nprobe curve)."""
+    return f"""
 WITH ex AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS a
@@ -1409,7 +1457,7 @@ probe AS (
     FROM qd
     JOIN nrm nq ON nq.vec_id = 0
     JOIN nrm nc ON nc.vec_id = qd.cell_id
-    ORDER BY cos DESC, qd.cell_id LIMIT {IVF_NPROBE}
+    ORDER BY cos DESC, qd.cell_id LIMIT {nprobe}
   )
 ),
 bd AS (
@@ -1427,6 +1475,9 @@ JOIN nrm nx ON nx.vec_id = bd.vec_id
 JOIN nrm nq ON nq.vec_id = 0
 ORDER BY cosine DESC, bd.vec_id LIMIT 10
 """
+
+
+_IVF_ORACLE = _ivf_oracle_sql()
 
 
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2177,6 +2228,11 @@ QUERIES = [
           ("similarity", "pipeline"),
           doc="recall@10 of the IVF index vs exact search, overlap "
               "differential-checked"),
+    Query("embedding_ivf_recall_curve", embedding_ivf_recall_curve,
+          _ivf_recall_curve_oracle(), ("similarity", "pipeline", "embedding"),
+          doc="recall@10 at nprobe = 1/2/4 over the same materialized "
+              "index — the effort/recall tuning curve, every probe and "
+              "overlap differential-checked"),
     Query("embedding_kmeans_refine", embedding_kmeans_refine, _KMEANS_ORACLE,
           ("similarity", "pipeline"),
           doc="spherical k-means Lloyd step (IVF centroid training), exact-decimal means"),
