@@ -870,6 +870,52 @@ def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml.logreg_train(feats, ["chars", "toks"])
 
 
+def quality_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the quality classifier: every document's
+    snapped probability lands in one of 10 deciles (integer-exact
+    ``p_units * 10 div 1e8``, clamped to bin 9), and each bin reports
+    count, positives, summed predicted units and the observed positive
+    rate — the calibration readout that decides whether a score
+    threshold means what it claims before it gates a corpus.  Inference
+    stays the map-only literal-weights expression; the bin rollup is one
+    10-group hash agg.  The oracle unrolls the identical training +
+    scoring + binning chain."""
+    feats = _lr_features(spark, sf_dir)
+    w, _ = ml.logreg_fit(feats, ["chars", "toks"])
+    xs = [F.lit(1.0), F.col("chars"), F.col("toks")]
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-ml.lr_dot(w, xs)))
+    units = F.floor(p * F.lit(1e8) + F.lit(0.5)).cast("long")
+    sc = feats.select(units.alias("p_units"), "y")
+    # integer decile: (p_units * 10) div 1e8 — DIV keeps it exact where a
+    # double divide could misbin an exactly-divisible boundary value
+    binned = sc.select(
+        F.least(F.expr("p_units * 10 DIV 100000000"), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        "y",
+        "p_units",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum("p_units").cast("long").alias("sum_p_units"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "sum_p_units",
+            (F.col("n_pos").cast("double") / F.col("n").cast("double"))
+            .alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
 def _lr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -899,12 +945,13 @@ def quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lr_oracle(for_scoring: bool = False) -> str:
+def _lr_oracle(for_scoring: bool = False, calibration: bool = False) -> str:
     """Unrolled 3-iteration GD in SQL: each g<k> CTE is the snapped exact
     gradient under the previous weights, each w<k> the IEEE update in the
     same textual order as the Python coordinator.  With ``for_scoring``
     the same CTE chain ends in per-document probability scoring instead
-    of the weights/loss row."""
+    of the weights/loss row; with ``calibration`` it ends in the decile
+    reliability bins."""
     lr = ml.LR_LEARNING_RATE
     U = "100000000.0"
 
@@ -950,6 +997,19 @@ def _lr_oracle(for_scoring: bool = False) -> str:
 {w_cte('w2', 'w1', 'g2')},
 {grad_cte('g3', zw.replace('wb', 'w2.wb').replace('wc', 'w2.wc').replace('wt', 'w2.wt'), ', w2')},
 {w_cte('w3', 'w2', 'g3')}"""
+    if calibration:
+        return f"""
+WITH {ctes},
+sc AS (SELECT f.y, CAST(FLOOR({p} * {U} + 0.5) AS BIGINT) AS p_units FROM f, w3),
+b AS (SELECT LEAST(p_units * 10 // 100000000, 9) AS bin, y, p_units FROM sc)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(p_units) AS BIGINT) AS sum_p_units,
+       CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS pos_rate
+FROM b GROUP BY bin ORDER BY bin
+"""
     if for_scoring:
         return f"""
 WITH {ctes}
@@ -1030,4 +1090,10 @@ QUERIES: list[Query] = [
           doc="train-then-serve: fitted weights broadcast as plan "
               "literals, map-only JVM scoring, snapped probabilities "
               "oracle-checked end to end through training AND inference"),
+    Query("quality_lr_calibration", quality_lr_calibration,
+          _lr_oracle(calibration=True), ("mlops", "pipeline", "quality"),
+          doc="reliability diagram of the quality classifier: integer-"
+              "exact probability deciles with count / positives / "
+              "observed rate per bin, oracle-checked through training, "
+              "inference AND binning"),
 ]
