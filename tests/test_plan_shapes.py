@@ -191,6 +191,8 @@ _NLJ_ALLOWED = {
                                    # single query vector)
     "embedding_ivf_pq_recall",     # composes embedding_ivf_pq_topk (above)
                                    # + cosine_topk (single query vector)
+    "embedding_ivf_recall_curve",  # composes cosine_topk (single query
+                                   # vector) + three pruned index probes
     "dedup_band_cap_audit",        # 1-row stats agg × 1-row affected-docs
                                    # agg cross (quality_constraint_audit
                                    # precedent)
