@@ -167,6 +167,30 @@ def test_band_cap_audit_zero_on_clean_corpus(spark):
     assert r["n_docs_affected"] == 0
 
 
+def test_sessionizer_windows_are_chunk_partitioned(spark):
+    """Plan pin for the skew guard itself: the big-table window must
+    partition by (user_id, chunk) — a refactor that silently reverts to
+    the lifetime-per-user single window reintroduces the 4.5x hot-key
+    straggler the two-phase shape exists to prevent."""
+    from direct_spark_sql_spark.plans.conformance import events_user_sessions
+
+    from tests.conftest import SF_DIR
+
+    plan = (
+        events_user_sessions(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert specs, "expected window operators in the sessionizer plan"
+    big_table = [s for s in specs if "chunk" in s]
+    assert big_table, (
+        "no (user_id, chunk)-partitioned window found - the two-phase "
+        "skew guard has been reverted to a per-user lifetime window"
+    )
+
+
 def test_dup_aware_sample_keeps_all_singletons(spark, tmp_path):
     """group_size = 1 means threshold = SAMPLE_BUCKETS, so a UNIQUE
     document can never be dropped — the invariant that makes
