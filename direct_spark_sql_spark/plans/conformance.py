@@ -775,6 +775,41 @@ def one_row_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
 ONE_ROW_ORACLE = "SELECT 1 AS m, 'a' AS n, CAST(2.5 AS DOUBLE) AS p"
 
 
+def sql_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with IDENTIFIER() indirection — the injection-
+    safe templating surface (table AND column supplied as named
+    parameters, a value parameter in the predicate) a multi-tenant SQL
+    service builds on; the reference's string-in/sqlDirectly posture
+    makes this its natural hardening.  The oracle is simply the resolved
+    query text."""
+    from direct_spark_sql_spark.plans.base import register_star_schema
+
+    register_star_schema(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:flagcol) AS flag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+               CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+        FROM IDENTIFIER(:tbl)
+        WHERE l_quantity >= :qmin
+        GROUP BY flag ORDER BY flag
+        """,
+        args={"flagcol": "l_returnflag", "tbl": "lineitem", "qmin": 30},
+    )
+
+
+PARAM_IDENTIFIER_ORACLE = """
+SELECT l_returnflag AS flag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+FROM lineitem
+WHERE l_quantity >= 30
+GROUP BY flag ORDER BY flag
+"""
+
+
 def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
@@ -1228,6 +1263,11 @@ QUERIES = [
     Query("explode_posexplode", explode_posexplode, POSEXPLODE_ORACLE, ("generate",)),
     Query("scalar_subquery", scalar_subquery, SCALAR_SUBQUERY_ORACLE, ("subquery",)),
     Query("one_row_relation", one_row_relation, ONE_ROW_ORACLE, ("misc",)),
+    Query("sql_parameterized_identifier", sql_parameterized_identifier,
+          PARAM_IDENTIFIER_ORACLE, ("misc", "sql"),
+          doc="parameterized SQL + IDENTIFIER() indirection: table and "
+              "column as named parameters, value parameter in the "
+              "predicate — the injection-safe templating surface"),
     Query("conditional_case", conditional_case, CONDITIONAL_ORACLE, ("expr",)),
     Query("string_functions", string_functions, STRING_FN_ORACLE, ("expr",)),
     Query("date_functions", date_functions, DATE_FN_ORACLE, ("expr",)),
