@@ -47,6 +47,26 @@ import signal
 import time
 
 
+def fold_skew_into_regression_count(out: dict) -> int | None:
+    """A skew-fragile query IS a regression: fold the skew probe's
+    ``skew_fragile`` (>4.0× vs unskewed) and ``skew_regressions``
+    (>2× its pinned ratio) hits into ``regression_count`` so a driver
+    round can never read green while a probed plan serializes on a hot
+    key (VERDICT r7 #8).  Keeps the None convention: None means "no
+    baseline existed AND the skew probe was clean/skipped"; 0 always
+    means "compared and clean"."""
+    probe = out.get("skew_probe", {})
+    hits = set(probe.get("skew_fragile") or []) | set(
+        probe.get("skew_regressions") or []
+    )
+    base = out.get("regression_count")
+    if base is None and not hits:
+        return None
+    combined = (base or 0) + len(hits)
+    out["regression_count"] = combined
+    return combined
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -171,9 +191,15 @@ def main() -> None:
         # sort by the parsed round number, not the filename: lexicographic
         # order breaks at r100 / an unpadded writer and would silently
         # read a stale round's debt
+        # Guard the regex miss: a stray glob hit with no digits after the
+        # 'r' (e.g. BENCH_results.json) must sort first, not crash the run
+        # (ADVICE r7).
+        def _round_no(p: str) -> int:
+            m = _re.search(r"r(\d+)", os.path.basename(p))
+            return int(m.group(1)) if m else -1
+
         bench_files = sorted(
-            glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
-            key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+            glob.glob(os.path.join(repo_dir, "BENCH_r*.json")), key=_round_no
         )
         if bench_files:
             try:
@@ -213,7 +239,7 @@ def main() -> None:
         out["summary"] = {
             "total_sec": out["value"],
             "comparable_ratio": out.get("comparable_ratio"),
-            "regression_count": out.get("regression_count"),
+            "regression_count": fold_skew_into_regression_count(out),
             # None (not 0) when no baseline existed to compare against —
             # 0 must always mean "compared and clean"
             "shuffle_regression_count": (

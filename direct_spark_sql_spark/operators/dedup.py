@@ -290,7 +290,18 @@ def _band_array(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
     same NUM_PERM permutations), shared by both band-table builders so
     the plain and signature-carrying variants can never drift apart.
     Defaults are the precision-tuned b=4/r=4; pass b=8/r=2 for the
-    recall-tuned curve the configuration note above describes."""
+    recall-tuned curve the configuration note above describes.
+
+    ``bands * rows`` must not exceed ``NUM_PERM`` — band b's rows read
+    signature columns ``m[b*rows] .. m[b*rows+rows-1]``, so an
+    oversubscribed scheme would reference nonexistent columns and die
+    with an opaque unresolved-column error deep in the plan (ADVICE r7).
+    """
+    if bands * rows > NUM_PERM:
+        raise ValueError(
+            f"banding scheme b={bands} r={rows} needs {bands * rows} "
+            f"signature columns but only NUM_PERM={NUM_PERM} exist"
+        )
     return F.array(
         *[
             F.struct(

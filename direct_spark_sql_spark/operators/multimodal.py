@@ -243,6 +243,10 @@ AHASH_SCHEMA = T.StructType(
 #: h >= 3) fills every cell, and real thumbnails would use 8 x 8 with
 #: the identical floor-bucket mapping.
 AHASH_GX, AHASH_GY = 4, 3
+#: video_fingerprint packs 12-bit frame hashes positionally; 5 slots =
+#: 60 bits is the most that fits a signed int64 without touching the
+#: sign bit — later sampled frames fold in by XOR instead (ADVICE r7).
+VFP_MAX_PACKED = 5
 
 
 def image_ahash(
@@ -589,8 +593,12 @@ def video_fingerprint(
     """REAL Y4M decode + temporal perceptual fingerprint: every k-th
     frame's LUMA plane gets the same all-integer 4×3 average hash as
     :func:`image_ahash`, and the sampled-frame hashes pack into one
-    long — ``vfp = Σ ahash(frame) << (12 · sample_pos)`` — so the
-    fingerprint captures both spatial layout and temporal evolution.
+    long — ``vfp = Σ ahash(frame) << (12 · sample_pos)`` for the first
+    ``VFP_MAX_PACKED`` (5) samples (60 bits, int64-sign-safe); any
+    further sampled frames fold in via a position-salted XOR so long
+    videos still contribute every frame without overflowing the Arrow
+    LongType boundary (ADVICE r7) — so the fingerprint captures both
+    spatial layout and temporal evolution.
     Equal fingerprints are the near-dup buckets (equi-groupBy), the
     video sibling of image/audio perceptual dedup; the oracle recomputes
     every fingerprint from the synthesis formula.  Arrow-batched
@@ -624,7 +632,12 @@ def video_fingerprint(
                         np.arange(AHASH_GY)[:, None] * AHASH_GX
                         + np.arange(AHASH_GX)[None, :]
                     )
-                    vfp += int((bits << bidx).sum()) << (12 * (idx // every_k))
+                    ahash = int((bits << bidx).sum())
+                    pos = idx // every_k
+                    if pos < VFP_MAX_PACKED:
+                        vfp += ahash << (12 * pos)
+                    else:  # beyond the 5 positional slots: sign-safe fold
+                        vfp ^= (ahash * (2 * pos + 1)) & ((1 << 60) - 1)
                 rows.append((int(doc_id), w, h, len(frames), vfp))
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FP_SCHEMA.fields])
 

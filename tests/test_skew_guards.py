@@ -226,3 +226,76 @@ def test_two_phase_sessionizer_matches_naive_on_corpus(spark):
     got = events_user_sessions(spark, SF_DIR).collect()
     want = _naive_sessions(spark, SF_DIR).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_skew_fragile_folds_into_regression_count():
+    """The bench gate: a skew_fragile or skew_regressions hit must bump
+    regression_count so a driver round can't read green while a probed
+    plan serializes on a hot key (VERDICT r7 #8)."""
+    from bench import fold_skew_into_regression_count
+
+    # clean run, baseline present: stays 0
+    out = {"regression_count": 0, "skew_probe": {"skew_fragile": []}}
+    assert fold_skew_into_regression_count(out) == 0
+    # fragile hit counts even at regression_count 0
+    out = {"regression_count": 0, "skew_probe": {"skew_fragile": ["dedup_minhash_lsh"]}}
+    assert fold_skew_into_regression_count(out) == 1
+    assert out["regression_count"] == 1
+    # pin-doubling hit counts too; overlapping names not double-counted
+    out = {
+        "regression_count": 2,
+        "skew_probe": {
+            "skew_fragile": ["a", "b"],
+            "skew_regressions": ["b", "c"],
+        },
+    }
+    assert fold_skew_into_regression_count(out) == 5
+    # no baseline AND clean probe: None is preserved (None != 0 contract)
+    out = {"regression_count": None, "skew_probe": {"skew_fragile": []}}
+    assert fold_skew_into_regression_count(out) is None
+    # no baseline but a fragile hit: still fails the gate
+    out = {"skew_probe": {"skew_fragile": ["x"]}}
+    assert fold_skew_into_regression_count(out) == 1
+
+
+def test_video_fingerprint_long_video_int64_safe(spark):
+    """>5 sampled frames must fold via XOR instead of overflowing the
+    12-bits-per-frame positional packing (ADVICE r7): a 14-frame video
+    at every_k=2 has 7 samples; the fingerprint must stay a valid
+    non-negative int64 AND still depend on the late (folded) frames."""
+    from direct_spark_sql_spark.operators import multimodal as mm
+    from direct_spark_sql_spark.operators.videocodec import encode_y4m
+
+    def frames(n, salt):
+        w, h, c = 4, 4, 4
+        return [
+            (
+                bytes((x * 7 + f * 11 + salt * (f // 10)) % 256 for x in range(w * h)),
+                bytes([128]) * c,
+                bytes([128]) * c,
+            )
+            for f in range(n)
+        ]
+
+    rows = [(1, encode_y4m(4, 4, frames(14, 0))), (2, encode_y4m(4, 4, frames(14, 97)))]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["doc_id"]: r for r in mm.video_fingerprint(df).collect()}
+    assert got[1]["n_frames"] == 14
+    for r in got.values():
+        assert 0 <= r["vfp"] < (1 << 63)
+    # the two videos differ only in frames >= 5 (the folded region):
+    # equal fingerprints would mean the fold dropped late frames
+    assert got[1]["vfp"] != got[2]["vfp"]
+
+
+def test_band_array_rejects_oversubscribed_scheme():
+    """bands*rows > NUM_PERM must fail fast with a clear message, not an
+    unresolved-column AnalysisException mid-plan (ADVICE r7)."""
+    import pytest
+
+    from direct_spark_sql_spark.operators import dedup as dd
+
+    with pytest.raises(ValueError, match="banding scheme"):
+        dd._band_array(bands=8, rows=4)
+    # the boundary case is legal
+    dd._band_array(bands=8, rows=2)
