@@ -670,7 +670,7 @@ def incremental_dedup(
         MD5 of raw text; pass ``fingerprint`` for a normalized variant,
         e.g. the content fingerprint from operators/text.py);
       - ``exact_batch``: byte-identical to an earlier (lower-id) batch
-        document that itself survives (keep-first window within batch);
+        document that itself survives (keep-min-id within batch);
       - ``near_corpus``: MinHash-LSH candidate against the corpus with
         signature-agreement est_jaccard >= threshold;
       - ``kept``: enters the corpus.
@@ -685,18 +685,22 @@ def incremental_dedup(
 
     Returns (id_col, status) — one row per new document.
     """
-    from pyspark.sql import Window
-
     fp = fingerprint if fingerprint is not None else F.md5(F.col(text_col))
     fp_new = new_df.select(F.col(id_col), fp.alias("__fp"))
     fp_corpus = corpus_df.select(fp.alias("__fp")).distinct()
 
     exact_corpus = fp_new.join(fp_corpus, "__fp", "semi").select(id_col)
     not_in_corpus = fp_new.join(fp_corpus, "__fp", "anti")
-    rn = F.row_number().over(Window.partitionBy("__fp").orderBy(id_col))
-    ranked = not_in_corpus.withColumn("__rn", rn)
-    exact_batch = ranked.filter(F.col("__rn") > 1).select(id_col)
-    survivors = ranked.filter(F.col("__rn") == 1).select(id_col)
+    # Keep-min-id via groupBy + (fp, id) join-back instead of a
+    # row_number window over __fp: partial (map-side) aggregation
+    # collapses a mass-duplicate hot fingerprint before the shuffle,
+    # where a window would serialize the whole hot key into one task's
+    # sort — the shape the r6 skew probe measured at 4.5× elsewhere
+    # (VERDICT r7 #1).  The join-back keys on (__fp, id) — unique per
+    # row — so no hot key survives into the join either.
+    keep = not_in_corpus.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    survivors = not_in_corpus.join(keep, ["__fp", id_col], "semi").select(id_col)
+    exact_batch = not_in_corpus.join(keep, ["__fp", id_col], "anti").select(id_col)
 
     sig_new = minhash_signatures(
         new_df.join(survivors, id_col, "semi"), id_col, text_col

@@ -317,10 +317,13 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality bar, canonical exact-dedup, then domain-weighted mixing —
     with per-source output stats.  Nothing materializes between stages:
     Catalyst sees the composed plan and optimizes across operator
-    boundaries (one window shuffle for the dedup, map-only everything
-    else).  This is the composability the operator library exists for."""
+    boundaries (one groupBy+semi-join shuffle pair for the dedup,
+    map-only everything else).  This is the composability the operator
+    library exists for.  Canonical selection is groupBy(fp).min +
+    (fp, id) semi-join, not a min window: map-side combine collapses a
+    mass-duplicate hot fingerprint and the join keys stay unique
+    (VERDICT r7 #1)."""
     from direct_spark_sql_spark.operators import text as tx
-    from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     feats = tx.quality_features(d)
@@ -329,11 +332,9 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.predicted_language("text").alias("plang"),
     )
     fp = tx.fingerprint(scored)
-    canon = fp.withColumn("keep_id", F.min("doc_id").over(W.partitionBy("fp_content")))
-    kept = canon.filter(
-        (F.col("plang") == "en")
-        & (F.col("quality_score") >= 0.5)
-        & (F.col("doc_id") == F.col("keep_id"))
+    keep = fp.groupBy("fp_content").agg(F.min("doc_id").alias("doc_id"))
+    kept = fp.join(keep, ["fp_content", "doc_id"], "semi").filter(
+        (F.col("plang") == "en") & (F.col("quality_score") >= 0.5)
     )
     mixed = sp.domain_weighted_sample(
         kept, key="doc_id", domain="source", weights=MIX_WEIGHTS,
@@ -1429,24 +1430,21 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints are the near-dup buckets, found by equi-groupBy — the
     audio sibling of multimodal_image_dedup.  The oracle recomputes
     every fingerprint from the synthesis formula, so a decode,
-    windowing, energy or bit-order bug breaks the match."""
-    from pyspark.sql import Window as W
-
+    windowing, energy or bit-order bug breaks the match.  Bucket sizes
+    come from groupBy(afp).count + join-back, not a count window — the
+    hot-fingerprint-safe shape (VERDICT r7 #1)."""
     from direct_spark_sql_spark.operators import multimodal as mm
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     fp = mm.audio_fingerprint(mm.synthesize_audio(d))
-    return fp.select(
-        "doc_id",
-        "rate",
-        "channels",
-        "n_frames",
-        "afp",
-        F.count(F.lit(1))
-        .over(W.partitionBy("afp"))
-        .cast("long")
-        .alias("group_size"),
-    ).orderBy("doc_id")
+    sizes = fp.groupBy("afp").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return (
+        fp.join(sizes, "afp")
+        .select("doc_id", "rate", "channels", "n_frames", "afp", "group_size")
+        .orderBy("doc_id")
+    )
 
 
 AUDIO_DEDUP_ORACLE = """
@@ -1495,24 +1493,21 @@ def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.py:video_fingerprint) — spatial layout AND
     temporal evolution in one equi-groupBy key, completing the
     image/audio/video perceptual-dedup triple.  The oracle recomputes
-    every fingerprint from the synthesis formula."""
-    from pyspark.sql import Window as W
-
+    every fingerprint from the synthesis formula.  Bucket sizes come
+    from groupBy(vfp).count + join-back, not a count window — the
+    hot-fingerprint-safe shape (VERDICT r7 #1)."""
     from direct_spark_sql_spark.operators import multimodal as mm
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     fp = mm.video_fingerprint(mm.synthesize_videos(d))
-    return fp.select(
-        "doc_id",
-        "width",
-        "height",
-        "n_frames",
-        "vfp",
-        F.count(F.lit(1))
-        .over(W.partitionBy("vfp"))
-        .cast("long")
-        .alias("group_size"),
-    ).orderBy("doc_id")
+    sizes = fp.groupBy("vfp").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return (
+        fp.join(sizes, "vfp")
+        .select("doc_id", "width", "height", "n_frames", "vfp", "group_size")
+        .orderBy("doc_id")
+    )
 
 
 VIDEO_DEDUP_ORACLE = """

@@ -308,16 +308,18 @@ def corpus_dup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitioning (no rng).  Groups come from the
     order/multiplicity-insensitive content fingerprint (the corpus'
     duplicates are token-reshuffled copies).  Shape: one fingerprint
-    projection, one window count over the fp key, one filter — no joins,
-    no collect."""
-    from pyspark.sql import Window as W
-
+    projection, a groupBy count over the fp key joined back, one filter —
+    no collect.  The count is a groupBy + join-back rather than a window
+    count over fp_content: partial aggregation collapses a mass-duplicate
+    hot fingerprint map-side, and AQE's skew-join split can spread the
+    hot probe key of the join-back, where a window would serialize the
+    whole hot key into one task (VERDICT r7 #1)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     fp = tx.fingerprint(d).select("doc_id", "fp_content")
-    g = fp.withColumn(
-        "group_size",
-        F.count(F.lit(1)).over(W.partitionBy("fp_content")).cast("long"),
+    sizes = fp.groupBy("fp_content").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
     )
+    g = fp.join(sizes, "fp_content")
     from direct_spark_sql_spark.operators.sampling import SAMPLE_BUCKETS, sample_bucket
 
     keep = sample_bucket(F.col("doc_id")) < (
@@ -1042,7 +1044,14 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation: keep documents that (1) classify as English,
     (2) clear a quality bar, (3) are the canonical (min-id) copy within
     their exact-content duplicate group.  The composed form of the text /
-    dedup operators — one pipeline, no collect."""
+    dedup operators — one pipeline, no collect.
+
+    Canonical selection is min-id-per-fingerprint via groupBy + a
+    (fp_content, doc_id) semi-join instead of a min window over
+    fp_content: map-side combine collapses a mass-duplicate hot
+    fingerprint before the shuffle, and the join-back keys on the
+    unique (fp, id) pair so no hot key reaches the join either
+    (VERDICT r7 #1)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     feats = tx.quality_features(d)
     scored = feats.select(
@@ -1050,17 +1059,10 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.predicted_language("text").alias("plang"),
     )
     fp = tx.fingerprint(scored)
-    from pyspark.sql import Window as W
-
-    canonical = fp.withColumn(
-        "keep_id", F.min("doc_id").over(W.partitionBy("fp_content"))
-    )
+    keep = fp.groupBy("fp_content").agg(F.min("doc_id").alias("doc_id"))
     return (
-        canonical.filter(
-            (F.col("plang") == "en")
-            & (F.col("quality_score") >= 0.5)
-            & (F.col("doc_id") == F.col("keep_id"))
-        )
+        fp.join(keep, ["fp_content", "doc_id"], "semi")
+        .filter((F.col("plang") == "en") & (F.col("quality_score") >= 0.5))
         .select("doc_id", "n_tokens", "quality_score")
         .orderBy("doc_id")
     )
@@ -1121,10 +1123,12 @@ def pipeline_stage_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     (raw → language → quality bar → canonical dedup) computed in ONE scan
     via conditional aggregation.  No multi-pass, no self-union: each
     stage is a cumulative boolean over the same row, so the whole funnel
-    costs exactly what corpus_curation costs (one fingerprint window
-    shuffle + one groupBy)."""
-    from pyspark.sql import Window as W
-
+    costs exactly what corpus_curation costs (one fingerprint groupBy +
+    join-back + one groupBy).  keep_id attaches via groupBy(fp).min +
+    join-back on fp_content, not a min window: the groupBy collapses a
+    mass-duplicate hot fingerprint map-side, and the join-back's hot
+    probe key is splittable by AQE's skew join, where a window partition
+    is not (VERDICT r7 #1)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     feats = tx.quality_features(d)
     scored = feats.select(
@@ -1132,9 +1136,8 @@ def pipeline_stage_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.predicted_language("text").alias("plang"),
     )
     fp = tx.fingerprint(scored)
-    canon = fp.withColumn(
-        "keep_id", F.min("doc_id").over(W.partitionBy("fp_content"))
-    )
+    mins = fp.groupBy("fp_content").agg(F.min("doc_id").alias("keep_id"))
+    canon = fp.join(mins, "fp_content")
     lang_ok = F.col("plang") == "en"
     qual_ok = lang_ok & (F.col("quality_score") >= 0.5)
     canon_ok = qual_ok & (F.col("doc_id") == F.col("keep_id"))
@@ -1717,22 +1720,22 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no pairwise compare, the image analogue of a MinHash band
     bucket.  The oracle recomputes every hash from the source pixel
     formula, so a decode, bucketing, thresholding or bit-order bug
-    breaks the match."""
-    from pyspark.sql import Window as W
+    breaks the match.
 
+    Bucket sizes come from groupBy(ahash).count + join-back, not a count
+    window over ahash: a boilerplate corpus makes one perceptual hash
+    hot, and the groupBy collapses it map-side while a window partition
+    would serialize it (VERDICT r7 #1)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     hashes = mm.image_ahash(mm.synthesize_images(d))
-    return hashes.select(
-        "doc_id",
-        "fmt",
-        "width",
-        "height",
-        "ahash",
-        F.count(F.lit(1))
-        .over(W.partitionBy("ahash"))
-        .cast("long")
-        .alias("group_size"),
-    ).orderBy("doc_id")
+    sizes = hashes.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return (
+        hashes.join(sizes, "ahash")
+        .select("doc_id", "fmt", "width", "height", "ahash", "group_size")
+        .orderBy("doc_id")
+    )
 
 
 _IMAGE_DEDUP_ORACLE = """

@@ -871,12 +871,15 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     Extends ``corpus_curation`` (canonical = min id within exact
     fingerprint groups) to transitive near-dup clusters with a
     quality-based winner — "keep the best copy", not "keep the first".
-    The per-cluster window is cheap: clusters are small cliques, so the
-    partition-by-component shuffle carries only cluster members."""
+    The argmax and the cluster size come from ONE groupBy(component)
+    aggregate — ``max(struct(quality_score, -doc_id))`` orders
+    lexicographically exactly like the old (quality DESC, doc_id ASC)
+    rank window but combines map-side, so a giant boilerplate cluster
+    can't serialize into a single window partition (VERDICT r7 #1),
+    and the count-window shuffle disappears entirely."""
     from direct_spark_sql_spark.operators import dedup as dd
     from direct_spark_sql_spark.operators import text as tx
     from direct_spark_sql_spark.operators.graph import connected_components
-    from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = dd.minhash_near_duplicates(d, min_est_jaccard=0.5)
@@ -885,23 +888,20 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = tx.quality_features(members).select(
         "component", "doc_id", "quality_score"
     )
-    w = Window.partitionBy("component").orderBy(
-        F.desc("quality_score"), F.asc("doc_id")
+    best = scored.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.col("quality_score"), (-F.col("doc_id")).alias("neg_id")
+            )
+        ).alias("b"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
     )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .withColumn(
-            "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("component"))
-        )
-        .filter(F.col("rk") == 1)
-        .select(
-            F.col("component").alias("cluster_id"),
-            F.col("doc_id").alias("canonical_id"),
-            F.col("cluster_size").cast("long").alias("cluster_size"),
-            F.col("quality_score"),
-        )
-        .orderBy("cluster_id")
-    )
+    return best.select(
+        F.col("component").alias("cluster_id"),
+        (-F.col("b.neg_id")).cast("long").alias("canonical_id"),
+        "cluster_size",
+        F.col("b.quality_score").alias("quality_score"),
+    ).orderBy("cluster_id")
 
 
 def _cluster_canonical_oracle() -> str:
