@@ -582,6 +582,19 @@ def main() -> None:
             # power-law gram df is exactly what map-side combine +
             # array_distinct-as-df must absorb
             "text_boilerplate_profile",
+            # --- fingerprint family under the mass-duplicate slice (10%
+            # of docs byte-identical → one hot fp_content; VERDICT r7 #1):
+            # keep-min-id via groupBy+semi-join (was a min window)
+            "corpus_curation",
+            # group_size via groupBy+join-back (was a count window)
+            "corpus_dup_aware_sample",
+            # collect_list over the hot exact-dup group: output is
+            # inherently O(group size), the agg must still combine
+            "dedup_exact_fingerprint",
+            # batch-vs-corpus keep-min-id groupBy+anti/semi join-back
+            "dedup_incremental",
+            # quality-argmax one-agg form (was rank+count windows)
+            "dedup_cluster_canonical",
         }
         skew_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),

@@ -140,6 +140,18 @@ _BOILERPLATE = (
     "purposes only and does not constitute professional advice"
 )
 
+#: Mass-duplicate body shared VERBATIM by ~10% of documents in the skewed
+#: variant — unlike the boilerplate *prefix* above (texts still differ),
+#: these documents are byte-identical, so one content fingerprint / one
+#: MinHash signature / one exact-dup group carries 10% of the corpus: the
+#: hot key the keep-min-id / group-size / banded-LSH plans must absorb
+#: (VERDICT r7 #1 — every real pretraining corpus has this shape).
+_MASS_DUP = (
+    "error 404 page not found the page you are looking for might have "
+    "been removed had its name changed or is temporarily unavailable "
+    "please return to the home page or use the search box below"
+)
+
 
 def ensure_skewed_dataset(
     spark: SparkSession, src_dir: str, dst_dir: str, hot_frac_mod: int = 10
@@ -155,7 +167,10 @@ def ensure_skewed_dataset(
       the AQE-skew-join / salted-join stress);
     - ``documents``: ~1/``hot_frac_mod`` of docs gain a shared
       boilerplate prefix (ubiquitous shingles — the MinHash stop-shingle
-      df-cap stress).
+      df-cap stress), and a DISJOINT ~1/``hot_frac_mod`` slice becomes
+      byte-identical mass duplicates (one hot ``fp_content`` carrying 10%
+      of the corpus — the keep-min-id / group-size / band-bucket stress,
+      VERDICT r7 #1).
 
     All other tables are copied unchanged so every registry query runs
     against the directory.  The bench's skew-probe tier runs the
@@ -163,7 +178,9 @@ def ensure_skewed_dataset(
     base tier.
     """
     marker = os.path.join(dst_dir, "_SKEWED_OK")
-    want = f"{os.path.abspath(src_dir)}\n{hot_frac_mod}\n"
+    # v2: mass-duplicate slice added — the version token forces stale
+    # pre-mass-dup datasets to regenerate
+    want = f"{os.path.abspath(src_dir)}\n{hot_frac_mod}\nv2-massdup\n"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read() == want:
@@ -194,7 +211,12 @@ def ensure_skewed_dataset(
                 F.when(
                     F.pmod("doc_id", F.lit(hot_frac_mod)) == 0,
                     F.concat(F.lit(_BOILERPLATE + " "), F.col("text")),
-                ).otherwise(F.col("text")),
+                )
+                .when(
+                    F.pmod("doc_id", F.lit(hot_frac_mod)) == 1,
+                    F.lit(_MASS_DUP),
+                )
+                .otherwise(F.col("text")),
             ).withColumn("n_chars", F.length("text").cast("long"))
         df.write.mode("overwrite").parquet(os.path.join(dst_dir, f"{t}.parquet"))
 

@@ -133,3 +133,25 @@ def test_skewed_documents_share_boilerplate(spark, skewed):
     # n_chars stays consistent with the rewritten text
     bad = d.filter(F.length("text") != F.col("n_chars")).count()
     assert bad == 0
+
+
+def test_skewed_documents_mass_duplicate_slice(spark, skewed):
+    """The v2 mass-duplicate slice: ~10% of documents byte-identical
+    (one hot fp_content), DISJOINT from the boilerplate-prefix slice, so
+    both pathologies stress the probe independently (VERDICT r7 #1)."""
+    from direct_spark_sql_spark.sources.scale import _BOILERPLATE, _MASS_DUP
+
+    d = load_table(spark, skewed, "documents")
+    n = d.count()
+    dup = d.filter(F.col("text") == _MASS_DUP).count()
+    assert abs(dup - n / 10) <= n / 10 * 0.5 + 2, f"mass-dup slice {dup}/{n}"
+    # disjoint from the boilerplate slice
+    both = d.filter(
+        (F.col("text") == _MASS_DUP) & F.col("text").startswith(_BOILERPLATE)
+    ).count()
+    assert both == 0
+    # the mass-dup group is the single largest exact-content group
+    top = (
+        d.groupBy("text").count().orderBy(F.desc("count")).limit(1).collect()[0]
+    )
+    assert top["text"] == _MASS_DUP
