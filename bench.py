@@ -595,6 +595,9 @@ def main() -> None:
             "dedup_incremental",
             # quality-argmax one-agg form (was rank+count windows)
             "dedup_cluster_canonical",
+            # broadcast-semi decontam: mass-dup slice makes one gram set
+            # hit 10% of the corpus at once; the per-doc groupBy absorbs
+            "dedup_benchmark_decontam",
         }
         skew_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),

@@ -844,3 +844,53 @@ def cdc_chunk_table(
     return df.select(id_col, text_col).mapInPandas(
         gen, f"{id_col} long, chunk_len long, chunk string"
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (corpus vs external eval-set table)
+# ---------------------------------------------------------------------------
+
+def benchmark_contamination(
+    corpus_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, the fraction
+    of its distinct word n-grams that appear ANYWHERE in an external
+    eval-set table — the check every real pretraining pipeline runs
+    before training so the model isn't graded on memorized eval items
+    (GPT-3-style n-gram collision decontamination).  Completes
+    dedup_split_leakage, which audits train/eval splits of the SAME
+    corpus; here the benchmark is a separate table.
+
+    Returns (id, n_shingles, n_hit, contamination) for corpus documents
+    with ``contamination = n_hit / n_shingles >= threshold``.
+
+    100 TB shape: eval sets are tiny (thousands of items), so their
+    distinct-gram set broadcasts and the corpus-side membership test is a
+    map-side broadcast semi-join — the corpus is scanned ONCE (size and
+    explode share one shingle projection), never shuffled on text, and
+    the only exchange is the per-document count groupBy on the unique
+    (id, n_shingles) key, which partial-aggregates map-side.  No hot key
+    exists even when the corpus is mass-duplicated: the groupBy key is
+    the document id.
+    """
+    grams = shingles(text_col, n)
+    bench_grams = bench_df.select(F.explode(grams).alias("__s")).distinct()
+    ex = corpus_df.select(F.col(id_col), grams.alias("__sh")).select(
+        id_col,
+        F.size("__sh").cast("long").alias("n_shingles"),
+        F.explode("__sh").alias("__s"),
+    )
+    return (
+        ex.join(F.broadcast(bench_grams), "__s", "semi")
+        .groupBy(id_col, "n_shingles")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        .withColumn(
+            "contamination", F.col("n_hit").cast("double") / F.col("n_shingles")
+        )
+        .filter(F.col("contamination") >= threshold)
+    )

@@ -2114,6 +2114,115 @@ ORDER BY train_id, eval_id
 """
 
 
+#: Contamination-score cutoff shared by the Spark plans and the DuckDB
+#: oracles below (interpolated into the SQL so the engines can't drift):
+#: common-trigram background measures ~0.025 median / 0.054 p90 on the
+#: corpus, genuine cross-slice copies ~0.97 — 0.08 sits in the gap.
+_DECONTAM_THRESHOLD = 0.08
+
+
+def dedup_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style benchmark decontamination against an EXTERNAL eval-set
+    table: per-document contamination score = fraction of the document's
+    distinct 3-gram shingles appearing anywhere in the benchmark, docs at
+    >= 0.2 flagged.  Completes decontamination_ngrams (pairwise overlap
+    within one corpus' split) and dedup_split_leakage (near-dup pairs
+    straddling a split): here the benchmark is a separate registered
+    table — the top-2% h64 slice of documents stands in for it — and the
+    output is the per-document score a curation pipeline filters on.
+    Threshold _DECONTAM_THRESHOLD separates genuine copies (the corpus'
+    planted duplicates score ~0.97) from the ~0.025 background of common
+    trigrams measured at sf0.01.
+
+    100 TB shape: the benchmark gram set broadcasts (eval sets are tiny);
+    the corpus is scanned once and never shuffled on text — see
+    operators/dedup.py:benchmark_contamination."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from direct_spark_sql_spark.operators.sampling import SAMPLE_BUCKETS, sample_bucket
+
+    is_bench = sample_bucket(F.col("doc_id")) >= SAMPLE_BUCKETS - 200
+    bench = d.filter(is_bench)
+    corpus = d.filter(~is_bench)
+    return (
+        dd.benchmark_contamination(corpus, bench, threshold=_DECONTAM_THRESHOLD)
+        .select("doc_id", "n_shingles", "n_hit", "contamination")
+        .orderBy("doc_id")
+    )
+
+
+_BENCH_DECONTAM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+          WHERE {h64_sql('doc_id')} % 10000 >= 9800),
+corpus AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s FROM sh
+           WHERE {h64_sql('doc_id')} % 10000 < 9800),
+hits AS (SELECT c.doc_id, c.n_shingles, COUNT(*) AS n_hit
+         FROM corpus c JOIN bench USING (s) GROUP BY 1, 2)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(n_hit AS DOUBLE) / n_shingles AS contamination
+FROM hits
+WHERE CAST(n_hit AS DOUBLE) / n_shingles >= {_DECONTAM_THRESHOLD}
+ORDER BY doc_id
+"""
+
+
+def decontam_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination observability: per-source corpus contamination
+    rate against the external benchmark — (docs, contaminated docs at
+    >= 0.2, rate, worst score).  The number a pipeline owner watches to
+    decide whether a source's crawl overlaps the eval suite.  Same
+    broadcast-semi-join shape as dedup_benchmark_decontam with the
+    per-doc scores folded straight into one groupBy(source) — corpus
+    rows at zero hits are counted via a left join against the flagged
+    set sized by source (no second text scan)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    from direct_spark_sql_spark.operators.sampling import SAMPLE_BUCKETS, sample_bucket
+
+    is_bench = sample_bucket(F.col("doc_id")) >= SAMPLE_BUCKETS - 200
+    bench = d.filter(is_bench)
+    corpus = d.filter(~is_bench)
+    scored = dd.benchmark_contamination(
+        corpus.select("doc_id", "text"), bench, threshold=_DECONTAM_THRESHOLD
+    ).select("doc_id", "contamination")
+    per_doc = corpus.select("doc_id", "source").join(scored, "doc_id", "left")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("contamination").cast("long").alias("n_contaminated"),
+            (
+                F.count("contamination").cast("double") / F.count(F.lit(1))
+            ).alias("contamination_rate"),
+            F.max("contamination").alias("worst_score"),
+        )
+        .orderBy("source")
+    )
+
+
+_DECONTAM_BY_SOURCE_ORACLE = f"""
+WITH t AS (SELECT doc_id, source, {TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id, source, {SHINGLES_SQL} AS sh FROM t),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+          WHERE {h64_sql('doc_id')} % 10000 >= 9800),
+corpus AS (SELECT doc_id, source, len(sh) AS n_shingles, unnest(sh) AS s
+           FROM sh WHERE {h64_sql('doc_id')} % 10000 < 9800),
+hits AS (SELECT c.doc_id, CAST(COUNT(*) AS DOUBLE) / c.n_shingles AS score
+         FROM corpus c JOIN bench USING (s)
+         GROUP BY c.doc_id, c.n_shingles
+         HAVING CAST(COUNT(*) AS DOUBLE) / c.n_shingles >= {_DECONTAM_THRESHOLD}),
+docs AS (SELECT DISTINCT doc_id, source FROM corpus)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(score) AS BIGINT) AS n_contaminated,
+       CAST(COUNT(score) AS DOUBLE) / COUNT(*) AS contamination_rate,
+       MAX(score) AS worst_score
+FROM docs LEFT JOIN hits USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = [
     Query("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_ORACLE,
           ("text", "pipeline")),
@@ -2151,6 +2260,16 @@ QUERIES = [
           doc="train/eval contamination audit: near-dup pairs straddling "
               "the 10% hash split, pair counts + worst Jaccard per split "
               "cell (blocked equi-join, split label is a pure hash expr)"),
+    Query("dedup_benchmark_decontam", dedup_benchmark_decontam,
+          _BENCH_DECONTAM_ORACLE, ("dedup", "sampling", "pipeline"),
+          doc="GPT-3-style decontamination vs an external eval-set table: "
+              "per-doc 3-gram contamination score via broadcast semi-join "
+              "against the benchmark gram set, docs >= 0.2 flagged"),
+    Query("decontam_rate_by_source", decontam_rate_by_source,
+          _DECONTAM_BY_SOURCE_ORACLE, ("dedup", "sampling", "pipeline"),
+          doc="per-source contamination rate + worst score vs the external "
+              "benchmark — the crawl-overlap dashboard number; zero-hit "
+              "docs counted via left join, no second text scan"),
     Query("dedup_minhash_quality", dedup_minhash_quality,
           _minhash_quality_oracle(), ("dedup", "pipeline"),
           doc="MinHash-LSH precision/recall vs exact Jaccard ground truth, "

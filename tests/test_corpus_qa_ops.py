@@ -151,3 +151,57 @@ def test_sq8_coarse_score_is_true_dot_estimate(spark):
             assert abs(approx - true_dot) <= bound, (vid, approx, true_dot)
     # the zero vector's guarded cosine is the sentinel
     assert out[4].cosine == -2.0
+
+
+def test_benchmark_contamination_planted(spark):
+    """A corpus doc that verbatim-contains a benchmark item must score
+    high; an unrelated doc must not be flagged; scores are exact
+    fractions of distinct 3-gram shingles."""
+    from direct_spark_sql_spark.operators.dedup import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim copy of the benchmark item -> every shingle hits
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            # half-contaminated: benchmark prefix + fresh tail
+            (2, "the quick brown fox jumps over something entirely new here"),
+            # clean
+            (3, "completely unrelated words about parquet shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in benchmark_contamination(corpus, bench, threshold=0.3).collect()
+    }
+    assert got[1]["contamination"] == 1.0
+    assert 0.3 <= got[2]["contamination"] < 1.0
+    assert 3 not in got
+    # n_hit counts DISTINCT shingles (shingles() dedups)
+    assert got[1]["n_hit"] == got[1]["n_shingles"]
+
+
+def test_benchmark_contamination_broadcasts_eval_side(spark):
+    """The eval-set gram join must be a broadcast semi-join (eval sets
+    are tiny; the corpus side must not shuffle on gram text)."""
+    from direct_spark_sql_spark.operators.dedup import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma something else entirely")],
+        "doc_id long, text string",
+    )
+    plan = (
+        benchmark_contamination(corpus, bench, threshold=0.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan
