@@ -198,3 +198,58 @@ def weighted_sample_without_replacement(
         .orderBy(F.desc("es_key_units"), key)
         .limit(k)
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    key: str,
+    domain: str,
+    token_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+) -> DataFrame:
+    """Absolute token-budget mixing — "take ~N tokens from each source",
+    the Chinchilla-style corpus-assembly step, where
+    :func:`domain_weighted_sample` takes fixed *rates*: each domain's
+    keep-rate is derived from its measured token volume,
+
+        ``rate_buckets = least(SAMPLE_BUCKETS,
+                               (budget * SAMPLE_BUCKETS) div total_tokens)``
+
+    so the expected kept token count per domain is ~min(budget, total).
+    All-integer arithmetic (exact in any engine); membership is the same
+    domain-salted deterministic hash draw as domain_weighted_sample, so
+    it is replayable and stable under repartitioning.
+
+    100 TB shape: one groupBy(domain) SUM (tiny — domains are few,
+    map-side combine absorbs any volume skew), the per-domain rates
+    broadcast back, and the keep filter is map-only.  The corpus is
+    never shuffled.
+    """
+    budget_col = None
+    for value, b in sorted(budgets.items()):
+        cond = F.col(domain) == value
+        lit = F.lit(int(b))
+        budget_col = F.when(cond, lit) if budget_col is None else budget_col.when(cond, lit)
+    budget_col = (
+        F.lit(int(default_budget))
+        if budget_col is None
+        else budget_col.otherwise(F.lit(int(default_budget)))
+    )
+    rates = (
+        df.groupBy(domain)
+        .agg(F.sum(F.col(token_col)).cast("long").alias("__tok_total"))
+        .withColumn("__budget", budget_col.cast("long"))
+        .selectExpr(
+            domain,
+            f"least(CAST({SAMPLE_BUCKETS} AS BIGINT), "
+            f"(__budget * {SAMPLE_BUCKETS}) DIV greatest(__tok_total, 1)) "
+            "AS __rate_buckets",
+        )
+    )
+    bucket = h64(F.concat_ws(":", F.col(domain), F.col(key))) % SAMPLE_BUCKETS
+    return (
+        df.join(F.broadcast(rates), domain)
+        .filter(bucket < F.col("__rate_buckets"))
+        .drop("__rate_buckets")
+    )

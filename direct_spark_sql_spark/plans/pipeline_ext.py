@@ -1625,7 +1625,79 @@ ORDER BY id_a, id_b, id_c
 """
 
 
+#: Per-source absolute token budgets for corpus_token_budget_mix —
+#: interpolated into BOTH the Spark CASE and the oracle SQL.  Values
+#: chosen so rates are fractional at the driver scales (sf0.01 sources
+#: hold ~1.1-1.6k tokens each) and clamp to keep-all at tiny scales,
+#: exercising both sides of the least().
+_TOKEN_BUDGETS = {"src1": 800, "src3": 500, "src7": 650}
+_TOKEN_BUDGET_DEFAULT = 300
+
+
+def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absolute token-budget corpus mixing — "take ~N tokens per source"
+    (the Chinchilla-style assembly step), via
+    operators/sampling.py:token_budget_sample: per-source keep-rates
+    derived from measured token volume with all-integer arithmetic, a
+    domain-salted deterministic hash draw, and a map-only keep filter
+    (the only shuffle is the tiny per-source token SUM, broadcast back).
+    Reports the realized per-source (docs, tokens) against the budget."""
+    from direct_spark_sql_spark.operators import sampling as sp
+    from direct_spark_sql_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = d.select(
+        "doc_id", "source", tx.token_count("text").alias("n_tokens")
+    )
+    kept = sp.token_budget_sample(
+        toks, key="doc_id", domain="source", token_col="n_tokens",
+        budgets=_TOKEN_BUDGETS, default_budget=_TOKEN_BUDGET_DEFAULT,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _token_budget_oracle() -> str:
+    from direct_spark_sql_spark.hashing import h64_sql
+    from direct_spark_sql_spark.operators.sampling import SAMPLE_BUCKETS
+
+    case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in sorted(_TOKEN_BUDGETS.items())
+    ) + f" ELSE {_TOKEN_BUDGET_DEFAULT} END"
+    bucket = h64_sql("source || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH t AS (SELECT doc_id, source, {TOKS_SQL} AS toks FROM documents),
+d AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+rates AS (
+  SELECT source,
+         LEAST({SAMPLE_BUCKETS},
+               (CAST({case} AS BIGINT) * {SAMPLE_BUCKETS})
+                 // GREATEST(SUM(n_tokens), 1)) AS rate_buckets
+  FROM d GROUP BY source
+),
+kept AS (
+  SELECT d.source, d.n_tokens
+  FROM d JOIN rates USING (source)
+  WHERE {bucket} % {SAMPLE_BUCKETS} < rate_buckets
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = [
+    Query("corpus_token_budget_mix", corpus_token_budget_mix,
+          _token_budget_oracle(), ("sampling", "pipeline"),
+          doc="absolute per-source token-budget mixing: integer-exact "
+              "rate = budget*buckets div measured token volume, broadcast "
+              "rates + map-only salted-hash keep filter"),
     Query("corpus_negative_pairs", corpus_negative_pairs,
           _negative_pairs_oracle(), ("sampling", "pipeline"),
           doc="deterministic hash-draw negative sampling for contrastive "

@@ -15,6 +15,10 @@ def generate() -> str:
     qs = sorted(all_queries(), key=lambda q: (q.spark_fn.__module__, q.name))
     last = _last_checked_round()
     n_checked = sum(1 for q in qs if last.get(q.name, 0) > 0)
+    # self-describing sweep horizon (VERDICT r7 #4): the driver count is
+    # exact *as of* the newest CORRECTNESS file present at generation
+    # time — queries added after that sweep show blank, not stale
+    max_round = int(max((abs(r) for r in last.values()), default=0))
     lines = [
         "# Operator / query inventory",
         "",
@@ -28,7 +32,8 @@ def generate() -> str:
         "the driver's 50-row-per-round sweep).",
         "",
         f"**{len(qs)} queries** · {sum(1 for q in qs if q.bench)} in the bench "
-        f"headline set · {n_checked} driver-verified so far",
+        f"headline set · {n_checked} driver-verified as of the round-{max_round} "
+        f"sweep (queries added since then are blank until the next rotation)",
         "",
     ]
     by_mod = collections.defaultdict(list)

@@ -48,6 +48,20 @@ PROBE_QUERIES = [
     # now run their skew-guarded round-7 plans (band-bucket cap,
     # two-phase sessionizer)
     "embedding_ivf_pq_topk",
+    # round-8 additions (VERDICT r7 #3): representatives of the three
+    # families the 100× tier never covered —
+    # text: df-capped (source, gram) agg + annotate-back join
+    "text_boilerplate_profile",
+    # graph: bounded-round iterative joins with localCheckpoint hygiene
+    "graph_pagerank",
+    # end-to-end curation (language + quality + keep-min-id canonical,
+    # now the de-skewed groupBy+semi-join plan)
+    "corpus_curation",
+    # the streaming LSH ingest's batch core: dedup_incremental runs the
+    # same batch-vs-accumulated-index band join each foreachBatch
+    # micro-batch executes (readStream itself can't be wall-ratio-probed
+    # on a static 100× directory — the fold shape can)
+    "dedup_incremental",
 ]
 
 FACTOR = 100

@@ -205,3 +205,33 @@ def test_benchmark_contamination_broadcasts_eval_side(spark):
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_token_budget_sample_rates_and_clamp(spark):
+    """Budget >= domain volume keeps everything (rate clamps); a
+    fractional budget keeps ~budget tokens; membership is deterministic
+    and the rates side broadcasts (corpus never shuffles)."""
+    from direct_spark_sql_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "big", 10) for i in range(400)] + [(1000 + i, "tiny", 10) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = token_budget_sample(
+        df, key="doc_id", domain="source", token_col="n_tokens",
+        budgets={"big": 1000}, default_budget=100,
+    )
+    got = {r["source"]: r for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok")).collect()}
+    # tiny: budget 100 >= volume 50 -> keep all 5
+    assert got["tiny"]["n"] == 5
+    # big: budget 1000 of 4000 -> rate 0.25, hash draw keeps ~100 of 400
+    assert 60 <= got["big"]["n"] <= 140, got["big"]["n"]
+    # deterministic replay
+    again = token_budget_sample(
+        df, key="doc_id", domain="source", token_col="n_tokens",
+        budgets={"big": 1000}, default_budget=100,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
