@@ -598,6 +598,10 @@ def main() -> None:
             # broadcast-semi decontam: mass-dup slice makes one gram set
             # hit 10% of the corpus at once; the per-doc groupBy absorbs
             "dedup_benchmark_decontam",
+            # as-of join forward-fill window keyed on user_id — the hot
+            # events user (10% of rows) lands in ONE ordered window
+            # partition; measured here so the family can't hide (r8)
+            "asof_event_order",
         }
         skew_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
