@@ -2223,6 +2223,68 @@ GROUP BY source ORDER BY source
 """
 
 
+def corpus_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full assembly answer — "what actually goes into the training
+    run": language filter + quality bar + canonical exact-dedup
+    (corpus_curation's de-skewed groupBy+semi-join form) COMPOSED with
+    benchmark decontamination (dedup_benchmark_decontam's broadcast
+    semi-join) and benchmark-row exclusion, reported as per-source
+    (docs, tokens).  One lazy DAG across three operator families —
+    Catalyst fuses the shared documents scan; nothing materializes
+    between stages.  Canonical ids are chosen over the FULL corpus
+    (same as corpus_curation) before the benchmark slice is excluded."""
+    from direct_spark_sql_spark.operators.sampling import SAMPLE_BUCKETS, sample_bucket
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    feats = tx.quality_features(d)
+    scored = feats.select(
+        "doc_id", "source", "text", "n_tokens", "quality_score",
+        tx.predicted_language("text").alias("plang"),
+    )
+    fp = tx.fingerprint(scored)
+    keep = fp.groupBy("fp_content").agg(F.min("doc_id").alias("doc_id"))
+    curated = fp.join(keep, ["fp_content", "doc_id"], "semi").filter(
+        (F.col("plang") == "en") & (F.col("quality_score") >= 0.5)
+    )
+    is_bench = sample_bucket(F.col("doc_id")) >= SAMPLE_BUCKETS - 200
+    flagged = dd.benchmark_contamination(
+        d.filter(~is_bench).select("doc_id", "text"),
+        d.filter(is_bench),
+        threshold=_DECONTAM_THRESHOLD,
+    ).select("doc_id")
+    ready = curated.filter(~is_bench).join(flagged, "doc_id", "anti")
+    return (
+        ready.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _training_ready_oracle() -> str:
+    return f"""{curation_canon_cte(", source")},
+sh2 AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh2
+          WHERE {h64_sql('doc_id')} % 10000 >= 9800),
+corpus AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s FROM sh2
+           WHERE {h64_sql('doc_id')} % 10000 < 9800),
+flagged AS (SELECT c.doc_id
+            FROM corpus c JOIN bench USING (s)
+            GROUP BY c.doc_id, c.n_shingles
+            HAVING CAST(COUNT(*) AS DOUBLE) / c.n_shingles
+                     >= {_DECONTAM_THRESHOLD})
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM canon
+WHERE plang = 'en' AND quality_score >= 0.5 AND doc_id = keep_id
+  AND {h64_sql('doc_id')} % 10000 < 9800
+  AND doc_id NOT IN (SELECT doc_id FROM flagged)
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = [
     Query("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_ORACLE,
           ("text", "pipeline")),
@@ -2262,6 +2324,7 @@ QUERIES = [
               "cell (blocked equi-join, split label is a pure hash expr)"),
     Query("dedup_benchmark_decontam", dedup_benchmark_decontam,
           _BENCH_DECONTAM_ORACLE, ("dedup", "sampling", "pipeline"),
+          bench=True,
           doc="GPT-3-style decontamination vs an external eval-set table: "
               "per-doc 3-gram contamination score via broadcast semi-join "
               "against the benchmark gram set, docs >= 0.2 flagged"),
@@ -2338,6 +2401,11 @@ QUERIES = [
     Query("corpus_curation", corpus_curation, _curation_oracle(),
           ("text", "dedup", "pipeline"), bench=True,
           doc="lang filter + quality bar + canonical-copy dedup, one pipeline"),
+    Query("corpus_training_ready", corpus_training_ready,
+          _training_ready_oracle(), ("text", "dedup", "sampling", "pipeline"),
+          doc="curation COMPOSED with benchmark decontamination + bench-row "
+              "exclusion in one lazy DAG: per-source (docs, tokens) of the "
+              "corpus that actually trains"),
     Query("pipeline_stage_yield", pipeline_stage_yield, _stage_yield_oracle(),
           ("text", "dedup", "pipeline"),
           doc="per-source stage-yield funnel (raw→lang→quality→dedup, docs "

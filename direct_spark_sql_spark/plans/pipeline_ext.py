@@ -1694,7 +1694,7 @@ FROM kept GROUP BY source ORDER BY source
 
 QUERIES = [
     Query("corpus_token_budget_mix", corpus_token_budget_mix,
-          _token_budget_oracle(), ("sampling", "pipeline"),
+          _token_budget_oracle(), ("sampling", "pipeline"), bench=True,
           doc="absolute per-source token-budget mixing: integer-exact "
               "rate = budget*buckets div measured token volume, broadcast "
               "rates + map-only salted-hash keep filter"),
