@@ -395,3 +395,43 @@ def test_basket_affinity_reuses_exchange_no_product(spark):
     assert "ReusedExchange" in plan or "ReusedSubquery" in plan, (
         "basket self-join recomputes the basket-item pipeline per consumer"
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "corpus_curation",
+        "corpus_dup_aware_sample",
+        "corpus_training_ready",
+        "pipeline_stage_yield",
+        "pipeline_pretraining_e2e",
+        "dedup_cluster_canonical",
+        "multimodal_image_dedup",
+        "multimodal_audio_dedup",
+        "multimodal_video_dedup",
+    ],
+)
+def test_no_window_over_content_fingerprints(name, spark):
+    """The round-8 de-skew contract: keep-min-id / group-size / argmax
+    over content-fingerprint keys must stay groupBy+join-back (map-side
+    combinable, AQE-splittable) — a window partitioned by
+    fp_content/ahash/afp/vfp/component serializes a mass-duplicate hot
+    key into one task and is the shape the skew probe measured at 4.5x
+    elsewhere (VERDICT r7 #1)."""
+    df = QUERIES[name].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for ln in plan.splitlines():
+        if "windowspecdefinition" not in ln:
+            continue
+        low = ln.lower()
+        assert not any(
+            k in low for k in ("fp_content", "__fp", "ahash", "afp", "vfp", "component")
+        ), f"{name}: content-key window crept back:\n{ln}"
+
+
+def test_dedup_incremental_keep_min_id_is_aggregate(spark):
+    """incremental_dedup's batch keep-first must be the groupBy(min) +
+    (fp, id) join-back, not a row_number window over __fp."""
+    df = QUERIES["dedup_incremental"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in plan.lower()
