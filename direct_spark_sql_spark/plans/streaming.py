@@ -326,6 +326,65 @@ SELECT id_a, id_b, est_jaccard FROM pairs ORDER BY id_a, id_b
 """
 
 
+def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming benchmark-decontamination admission gate: the non-bench
+    corpus arrives in 3 id-ranged micro-batches; each is contamination-
+    scored against the static benchmark slice (the same top-2% h64 slice
+    and threshold as dedup_benchmark_decontam) via
+    streaming/pipelines.py:run_stream_decontam_gate.  Contamination is a
+    per-document property, so the accumulated flagged set must be
+    chunking-independent and equal the batch operator — the oracle IS the
+    batch decontam SQL."""
+    from pyspark.sql import types as T
+
+    from direct_spark_sql_spark.operators.sampling import (
+        SAMPLE_BUCKETS,
+        sample_bucket,
+    )
+    from direct_spark_sql_spark.plans.pipeline import _DECONTAM_THRESHOLD
+    from direct_spark_sql_spark.sources.registry import (
+        dataset_tag,
+        load_table,
+        warehouse_path,
+    )
+    from direct_spark_sql_spark.streaming import run_stream_decontam_gate
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_bench = sample_bucket(F.col("doc_id")) >= SAMPLE_BUCKETS - 200
+    bench, corpus = d.filter(is_bench), d.filter(~is_bench)
+    root = warehouse_path("stream_decontam", dataset_tag(sf_dir))
+    hi = corpus.agg(F.max("doc_id")).collect()[0][0] or 0
+    bounds = [0, hi // 3 + 1, 2 * (hi // 3) + 1, hi + 1]
+    for i in range(3):
+        corpus.filter(
+            (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/chunk{i}")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/chunk*")
+    )
+    flagged = run_stream_decontam_gate(
+        stream, bench, threshold=_DECONTAM_THRESHOLD
+    )
+    return flagged.select(
+        "doc_id", "n_shingles", "n_hit", "contamination"
+    ).orderBy("doc_id")
+
+
+def _stream_decontam_oracle() -> str:
+    from direct_spark_sql_spark.plans.pipeline import _BENCH_DECONTAM_ORACLE
+
+    return _BENCH_DECONTAM_ORACLE
+
+
 def streaming_zonemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest with live data-skipping-index maintenance: events
     split into 3 chunk files arrive as separate micro-batches; each lands
@@ -564,4 +623,10 @@ QUERIES = [
               "rows join the accumulated index for cross-batch candidates "
               "then append to it; accumulated pairs equal the batch "
               "operator's uncapped pairs (oracle replay)"),
+    Query("streaming_decontam_gate", streaming_decontam_gate,
+          _stream_decontam_oracle(), ("streaming", "dedup", "sampling"),
+          doc="streaming admission gate: micro-batches contamination-scored "
+              "against a static cached benchmark gram set (broadcast "
+              "semi-join per batch, no cross-batch state); accumulated "
+              "flags equal the batch decontam operator"),
 ]

@@ -581,3 +581,57 @@ def run_foreach_batch_zonemap_ingest(
         .start()
     )
     query.awaitTermination()
+
+
+def run_stream_decontam_gate(
+    docs: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Streaming admission gate: every arriving micro-batch of corpus
+    documents is contamination-scored against a STATIC benchmark table
+    (operators/dedup.py:benchmark_contamination) before admission — the
+    online form of pre-training decontamination, where crawl shards are
+    screened as they land instead of in a corpus-wide offline pass.
+
+    The benchmark gram set is computed once and cached (eval sets are
+    tiny and fixed for a training run); each batch then pays only a
+    map-side broadcast semi-join + its own per-doc count — no
+    cross-batch state is needed because contamination is a per-document
+    property, so the accumulated flagged set equals the batch operator
+    over the closed input regardless of chunking (the replayable
+    contract the oracle checks).
+
+    Returns the accumulated flagged documents
+    (id, n_shingles, n_hit, contamination).
+    """
+    import tempfile
+
+    from direct_spark_sql_spark.operators.dedup import benchmark_contamination
+
+    state: dict[str, DataFrame | None] = {"flagged": None, "bench": None}
+
+    def score_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if state["bench"] is None:  # one-time static gram set, cached
+            state["bench"] = bench_df.cache()
+        found = benchmark_contamination(
+            batch_df, state["bench"], id_col=id_col, threshold=threshold
+        ).localCheckpoint(eager=True)
+        state["flagged"] = (
+            found
+            if state["flagged"] is None
+            else state["flagged"].unionByName(found).localCheckpoint(eager=True)
+        )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            docs.writeStream.foreachBatch(score_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if state["flagged"] is None:
+        raise RuntimeError("stream produced no batches")
+    return state["flagged"]
