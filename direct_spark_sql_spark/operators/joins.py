@@ -42,6 +42,16 @@ def asof_join(
     sort order wins; pre-deduplicate the right side if that order is not
     meaningful.  ``tolerance`` (e.g. ``"7 days"``) nulls out matches older
     than the window, like pandas ``merge_asof``.
+
+    Skew posture: this is a per-key ordered window, so a hot key's whole
+    timeline sorts in one task — inherent to as-of semantics (each fill
+    depends on the key's full history).  Measured, not assumed: the
+    bench skew probe runs ``asof_event_order`` on a 10%-hot-user events
+    table at ratio_vs_unskewed 0.99 (pinned in baselines/skew_pins.json;
+    a doubling re-flags).  If a corpus ever breaks that pin, the
+    two-phase chunk-and-stitch rewrite used by events_user_sessions
+    (plans/conformance.py) applies here unchanged: in-chunk forward fill
+    + per-chunk last-right summaries prefix-carried across chunks.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (key, right_ts)]
