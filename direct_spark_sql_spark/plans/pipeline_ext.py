@@ -408,6 +408,159 @@ HAVING COUNT(*) < {K_ANON_K}
 ORDER BY source, lang, len_bucket
 """
 
+#: l-diversity threshold: a QI class whose sensitive attribute takes
+#: fewer than L distinct values is a homogeneity-attack risk even when
+#: it is k-anonymous (Machanavajjhala et al.'s refinement of k-anonymity)
+L_DIVERSITY_L = 3
+
+
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion gate to privacy_k_anonymity: a
+    k-anonymous class is still unsafe if everyone in it shares the same
+    sensitive value (homogeneity attack).  QI here is (source, 256-char
+    length band); the sensitive attribute is ``lang``; every class with
+    fewer than L distinct sensitive values is reported with its size and
+    its diversity.
+
+    Scale shape: ONE hash aggregation on the QI tuple with a
+    count-distinct (Spark's two-phase distinct-aggregate expand — still
+    partial-combinable per (QI, lang) before the final count), bounded
+    output, no window, no self-join."""
+    d = load_table(spark, sf_dir, "documents")
+    qi = d.select(
+        "source",
+        "lang",
+        (F.floor(F.col("n_chars") / K_ANON_BUCKET) * K_ANON_BUCKET)
+        .cast("long")
+        .alias("len_bucket"),
+    )
+    return (
+        qi.groupBy("source", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("class_size"),
+            F.countDistinct("lang").cast("long").alias("l_diversity"),
+        )
+        .filter(F.col("l_diversity") < L_DIVERSITY_L)
+        .orderBy("source", "len_bucket")
+    )
+
+
+_L_DIVERSITY_ORACLE = f"""
+WITH qi AS (
+  SELECT source, lang,
+         CAST(FLOOR(n_chars / {K_ANON_BUCKET}) * {K_ANON_BUCKET} AS BIGINT)
+           AS len_bucket
+  FROM documents
+)
+SELECT source, len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS l_diversity
+FROM qi GROUP BY source, len_bucket
+HAVING COUNT(DISTINCT lang) < {L_DIVERSITY_L}
+ORDER BY source, len_bucket
+"""
+
+#: t-closeness threshold as a rational t = NUM/DEN (0.4): a QI class
+#: whose sensitive-value distribution sits farther than t (total
+#: variation) from the corpus-wide distribution leaks information even
+#: when k-anonymous and l-diverse (Li et al.'s refinement).
+T_CLOSE_NUM, T_CLOSE_DEN = 2, 5
+
+
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third privacy gate after k-anonymity and
+    l-diversity: per QI class (source, 256-char length band), the total
+    variation distance between the class's ``lang`` distribution and the
+    corpus-wide one; classes beyond t are flagged with the distance.
+
+    Exactness: TV = 0.5 * Σ_v |cnt_v/size - CNT_v/N| is computed in
+    INTEGER units — ``tv_units = Σ_v |cnt_v * N - CNT_v * size|``
+    (= TV * 2*size*N) — so the sum is order-independent and the flag
+    compares integers (``tv_units * DEN > NUM * 2 * size * N``); the
+    reported double is one exact division at the end.  Values of v
+    absent from a class contribute their full global mass and are
+    covered by summing over the GLOBAL value set via a right-side
+    join of class counts onto per-value global counts.
+
+    Scale shape: one (QI, lang) hash agg, one tiny per-lang global agg
+    broadcast back, one per-QI re-agg — no window, no self-join; the
+    sensitive-value domain is small (languages), so the fan-out of the
+    global-values join is |QI classes| x |langs|, metadata-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    qi = d.select(
+        "source",
+        "lang",
+        (F.floor(F.col("n_chars") / K_ANON_BUCKET) * K_ANON_BUCKET)
+        .cast("long")
+        .alias("len_bucket"),
+    )
+    cls_lang = qi.groupBy("source", "len_bucket", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cls = qi.groupBy("source", "len_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    glob = qi.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("gcnt"))
+    n_total = qi.count()  # bounded coordinator read: one scalar
+    # every (class x global lang) cell: absent langs count as cnt=0
+    cells = (
+        cls.crossJoin(F.broadcast(glob))
+        .join(cls_lang, ["source", "len_bucket", "lang"], "left")
+        .na.fill({"cnt": 0})
+    )
+    units = F.abs(
+        F.col("cnt") * F.lit(int(n_total)) - F.col("gcnt") * F.col("class_size")
+    )
+    agg = cells.groupBy("source", "len_bucket", "class_size").agg(
+        F.sum(units).cast("long").alias("tv_units")
+    )
+    flagged = agg.filter(
+        F.col("tv_units") * F.lit(T_CLOSE_DEN)
+        > F.lit(2 * T_CLOSE_NUM * int(n_total)) * F.col("class_size")
+    )
+    tv = F.col("tv_units").cast("double") / (
+        F.lit(2.0 * n_total) * F.col("class_size").cast("double")
+    )
+    return flagged.select(
+        "source", "len_bucket", "class_size", tv.alias("tv_distance")
+    ).orderBy("source", "len_bucket")
+
+
+def _t_closeness_oracle() -> str:
+    return f"""
+WITH qi AS (
+  SELECT source, lang,
+         CAST(FLOOR(n_chars / {K_ANON_BUCKET}) * {K_ANON_BUCKET} AS BIGINT)
+           AS len_bucket
+  FROM documents
+),
+cl AS (SELECT source, len_bucket, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM qi GROUP BY 1, 2, 3),
+cs AS (SELECT source, len_bucket, CAST(COUNT(*) AS BIGINT) AS class_size
+       FROM qi GROUP BY 1, 2),
+g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS gcnt FROM qi GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM qi),
+cells AS (
+  SELECT cs.source, cs.len_bucket, cs.class_size, g.gcnt,
+         COALESCE(cl.cnt, 0) AS cnt, n.n_total
+  FROM cs CROSS JOIN g CROSS JOIN n
+  LEFT JOIN cl ON cl.source = cs.source AND cl.len_bucket = cs.len_bucket
+             AND cl.lang = g.lang
+),
+agg AS (
+  SELECT source, len_bucket, class_size, n_total,
+         CAST(SUM(ABS(cnt * n_total - gcnt * class_size)) AS BIGINT)
+           AS tv_units
+  FROM cells GROUP BY 1, 2, 3, 4
+)
+SELECT source, len_bucket, class_size,
+       CAST(tv_units AS DOUBLE) / (2.0 * n_total * CAST(class_size AS DOUBLE))
+         AS tv_distance
+FROM agg
+WHERE tv_units * {T_CLOSE_DEN} > 2 * {T_CLOSE_NUM} * n_total * class_size
+ORDER BY source, len_bucket
+"""
+
 
 def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, changes = _orders_base_and_changes(spark, sf_dir)
@@ -1776,6 +1929,16 @@ QUERIES = [
           doc="k-anonymity release audit: sub-k equivalence classes over "
               "(source, lang, 256-char length band) — one QI hash agg, "
               "no window/self-join"),
+    Query("privacy_l_diversity", privacy_l_diversity, _L_DIVERSITY_ORACLE,
+          ("privacy", "pipeline"),
+          doc="l-diversity homogeneity-attack audit: QI classes whose "
+              "sensitive attribute (lang) takes < L distinct values — one "
+              "distinct-aggregate hash agg, bounded output"),
+    Query("privacy_t_closeness", privacy_t_closeness, _t_closeness_oracle(),
+          ("privacy", "pipeline"),
+          doc="t-closeness audit: per-QI-class total-variation distance "
+              "from the corpus lang distribution in exact integer units "
+              "(order-independent), classes beyond t=0.4 flagged"),
     Query("privacy_delete_propagation", privacy_delete_propagation,
           PRIVACY_DELETE_ORACLE, ("merge", "pipeline", "privacy"),
           doc="right-to-be-forgotten: deletion requests anti-join down "
