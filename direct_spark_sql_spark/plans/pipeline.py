@@ -2285,6 +2285,87 @@ GROUP BY source ORDER BY source
 """
 
 
+def embedding_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination review queue: the 25 corpus vectors most
+    similar (exact decimal cosine) to ANY benchmark vector, each with its
+    best-matching benchmark id — the embedding-space complement of
+    dedup_benchmark_decontam that catches *paraphrased* eval leakage
+    n-gram overlap can't see.  Ranked output (not a fixed threshold) so
+    the screen yields a review queue at any corpus scale; the same top-2%
+    h64 slice stands in for the external benchmark table.
+
+    100 TB shape: the benchmark embeddings broadcast (eval sets are
+    tiny); every partition scores map-side against all of them; ONE
+    groupBy(vec_id) max(struct) picks each vector's best match
+    (partial-combinable — no per-corpus-row window), and the final
+    top-25 is a bounded TakeOrderedAndProject."""
+    from direct_spark_sql_spark.operators import similarity as sim
+    from direct_spark_sql_spark.operators.sampling import SAMPLE_BUCKETS, sample_bucket
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_bench = sample_bucket(F.col("vec_id")) >= SAMPLE_BUCKETS - 200
+    bench = e.filter(is_bench).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("__q")
+    )
+    corpus = e.filter(~is_bench)
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        "q_id",
+        sim.cosine_dec(sim._dec_vec("embedding"), sim._dec_vec("__q")).alias(
+            "cosine"
+        ),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cosine"), (-F.col("q_id")).alias("nq"))).alias("b")
+    )
+    return (
+        best.select(
+            "vec_id",
+            (-F.col("b.nq")).cast("long").alias("bench_id"),
+            F.col("b.cosine").alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(25)
+    )
+
+
+_SEMANTIC_DECONTAM_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS a
+  FROM embeddings
+),
+nrm AS (
+  SELECT vec_id, sqrt(CAST(CAST(ROUND(SUM(a * a), 6) AS DECIMAL(24,6)) AS DOUBLE)) AS nn
+  FROM ex GROUP BY vec_id
+),
+dots AS (
+  SELECT x.vec_id, q.vec_id AS q_id,
+         CAST(CAST(ROUND(SUM(x.a * q.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot
+  FROM ex x JOIN ex q ON q.i = x.i
+  WHERE {h64_sql('x.vec_id')} % 10000 < 9800
+    AND {h64_sql('q.vec_id')} % 10000 >= 9800
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.vec_id, d.q_id,
+         CASE WHEN nx.nn > 0 AND nq.nn > 0
+              THEN d.dot / (nx.nn * nq.nn) ELSE -2.0 END AS cosine
+  FROM dots d JOIN nrm nx ON nx.vec_id = d.vec_id
+              JOIN nrm nq ON nq.vec_id = d.q_id
+),
+best AS (
+  SELECT vec_id, q_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, q_id) AS rk
+  FROM scored
+)
+SELECT vec_id, CAST(q_id AS BIGINT) AS bench_id, cosine
+FROM best WHERE rk = 1
+ORDER BY cosine DESC, vec_id LIMIT 25
+"""
+
+
 QUERIES = [
     Query("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_ORACLE,
           ("text", "pipeline")),
@@ -2322,6 +2403,11 @@ QUERIES = [
           doc="train/eval contamination audit: near-dup pairs straddling "
               "the 10% hash split, pair counts + worst Jaccard per split "
               "cell (blocked equi-join, split label is a pure hash expr)"),
+    Query("embedding_semantic_decontam", embedding_semantic_decontam,
+          _SEMANTIC_DECONTAM_ORACLE, ("similarity", "dedup", "pipeline"),
+          doc="semantic decontamination review queue: top-25 corpus vectors "
+              "by exact cosine vs the broadcast benchmark embeddings, "
+              "best match per vector via one max(struct) agg"),
     Query("dedup_benchmark_decontam", dedup_benchmark_decontam,
           _BENCH_DECONTAM_ORACLE, ("dedup", "sampling", "pipeline"),
           bench=True,

@@ -196,6 +196,9 @@ _NLJ_ALLOWED = {
     "dedup_band_cap_audit",        # 1-row stats agg × 1-row affected-docs
                                    # agg cross (quality_constraint_audit
                                    # precedent)
+    "embedding_semantic_decontam",  # broadcast benchmark embedding slice —
+                                    # bounded by the eval-set size (the
+                                    # embedding_batch_topk precedent)
     "privacy_t_closeness",         # broadcast per-lang global counts —
                                    # bounded by the sensitive-value domain
                                    # (languages); QI-class × lang cells are
