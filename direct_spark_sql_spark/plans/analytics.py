@@ -1576,6 +1576,78 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Candidate training-sequence lengths for the packing-efficiency report
+PACK_EFF_LENGTHS = (256, 512, 1024)
+
+
+def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency planning report: for each source and candidate
+    sequence length, the padding overhead of naive one-doc-per-sequence
+    training (every doc padded up to ceil(n/L)·L) vs concat-then-chunk
+    packing (pad only the final partial sequence) — the number that
+    justifies running pack_training_sequences at all, and the input to
+    choosing L.
+
+    All-integer padding arithmetic (ceil via (n + L - 1) div L), one
+    corpus scan, ONE groupBy(source) computing all lengths at once, then
+    a ``stack`` generator to long format — no joins, no windows, bounded
+    output (sources × lengths)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens("text")).cast("long").alias("n")
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens")]
+    for L in PACK_EFF_LENGTHS:
+        ceil_l = (F.col("n") + F.lit(L - 1)) - F.pmod(F.col("n") + F.lit(L - 1), F.lit(L))
+        aggs.append(F.sum(ceil_l).cast("long").alias(f"naive_{L}"))
+    g = d.groupBy("source").agg(*aggs)
+    cols = []
+    for L in PACK_EFF_LENGTHS:
+        packed = (
+            F.col("total_tokens") + F.lit(L - 1)
+        ) - F.pmod(F.col("total_tokens") + F.lit(L - 1), F.lit(L))
+        g = g.withColumn(f"np_{L}", F.col(f"naive_{L}") - F.col("total_tokens"))
+        g = g.withColumn(f"pp_{L}", packed - F.col("total_tokens"))
+        cols.append(f"{L}, np_{L}, pp_{L}")
+    stacked = g.selectExpr(
+        "source", "n_docs", "total_tokens",
+        f"stack({len(PACK_EFF_LENGTHS)}, {', '.join(cols)}) "
+        "AS (seq_len, naive_pad, packed_pad)",
+    )
+    return stacked.select(
+        "source",
+        F.col("seq_len").cast("long").alias("seq_len"),
+        "n_docs",
+        "total_tokens",
+        F.col("naive_pad").cast("long").alias("naive_pad"),
+        F.col("packed_pad").cast("long").alias("packed_pad"),
+        (
+            F.col("naive_pad").cast("double")
+            / (F.col("total_tokens") + F.col("naive_pad")).cast("double")
+        ).alias("naive_pad_frac"),
+    ).orderBy("source", "seq_len")
+
+
+def _pack_eff_oracle() -> str:
+    rows = []
+    for L in PACK_EFF_LENGTHS:
+        rows.append(f"""
+SELECT source, CAST({L} AS BIGINT) AS seq_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(((n + {L - 1}) // {L}) * {L}) - SUM(n) AS BIGINT) AS naive_pad,
+       CAST(((SUM(n) + {L - 1}) // {L}) * {L} - SUM(n) AS BIGINT) AS packed_pad,
+       CAST(SUM(((n + {L - 1}) // {L}) * {L}) - SUM(n) AS DOUBLE)
+         / CAST(SUM(((n + {L - 1}) // {L}) * {L}) AS DOUBLE) AS naive_pad_frac
+FROM t GROUP BY source""")
+    body = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH t AS (SELECT source, CAST(len({TOKS_SQL}) AS BIGINT) AS n FROM documents)
+{body}
+ORDER BY source, seq_len
+"""
+
+
 PACK_SEQUENCES_ORACLE = f"""
 WITH t AS (SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n FROM documents),
 c AS (SELECT doc_id, n,
@@ -2187,6 +2259,16 @@ QUERIES: list[Query] = [
         oracle=PACK_SEQUENCES_ORACLE,
         tags=("text", "packing"),
         doc="concat-then-chunk 512-token sequence packing via distributed prefix sum",
+    ),
+    Query(
+        name="corpus_packing_efficiency",
+        spark_fn=corpus_packing_efficiency,
+        oracle=_pack_eff_oracle(),
+        tags=("text", "packing", "pipeline"),
+        doc="padding-overhead planning report (naive one-doc-per-sequence vs "
+            "concat packing) per source at 3 candidate sequence lengths — "
+            "all-integer ceil arithmetic, one scan, one groupBy, stack to "
+            "long format, no joins",
     ),
     Query(
         name="corpus_shuffle_shards",
