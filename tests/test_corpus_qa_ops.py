@@ -235,3 +235,57 @@ def test_token_budget_sample_rates_and_clamp(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_t_closeness_flags_homogeneous_class(spark, tmp_path):
+    """A QI class whose sensitive distribution diverges hard from the
+    corpus must be flagged with the exact integer-unit TV distance; a
+    class matching the global mix must not."""
+    from direct_spark_sql_spark.plans.pipeline_ext import privacy_t_closeness
+
+    rows = []
+    # global mix: half 'en', half 'de' across two balanced sources...
+    for i in range(40):
+        rows.append((i, "balanced", "en" if i % 2 == 0 else "de", 10))
+    # ...plus one all-'en' source: TV vs global = |1 - p_en_global|
+    for i in range(100, 140):
+        rows.append((i, "homog", "en", 10))
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r["source"]: r for r in privacy_t_closeness(spark, str(tmp_path)).collect()}
+    # global: 60 en / 20 de of 80. homog class: 40/40 en.
+    # TV = 0.5*(|1 - 60/80| + |0 - 20/80|) = 0.25 < t=0.4 -> NOT flagged...
+    # balanced class: 20/40 en vs 60/80 -> TV = 0.5*(0.25+0.25)=0.25 -> not flagged
+    assert got == {}
+    # sharpen the divergence: make the corpus 'en'-dominant via a third source
+    rows += [(200 + i, "endom", "en", 10) for i in range(320)]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r["source"]: r for r in privacy_t_closeness(spark, str(tmp_path)).collect()}
+    # global now 420 en / 20 de of 440 (p_de = 1/22). balanced class:
+    # TV = 0.5*(|0.5 - 21/22| + |0.5 - 1/22|) = 5/11 - 1/22... = 0.4545 > 0.4
+    assert "balanced" in got and got["balanced"]["tv_distance"] > 0.4
+    assert "homog" not in got and "endom" not in got
+
+
+def test_packing_efficiency_invariants(spark):
+    """packed_pad < naive_pad whenever docs don't align to L; padding
+    arithmetic is exact: naive_pad + total = sum of per-doc ceil."""
+    from direct_spark_sql_spark.plans.analytics import (
+        PACK_EFF_LENGTHS,
+        corpus_packing_efficiency,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = corpus_packing_efficiency(spark, SF_DIR).collect()
+    assert len(rows) > 0 and {r["seq_len"] for r in rows} == set(PACK_EFF_LENGTHS)
+    for r in rows:
+        assert 0 <= r["packed_pad"] < r["seq_len"]  # only the tail pads
+        assert r["packed_pad"] <= r["naive_pad"]
+        assert 0.0 <= r["naive_pad_frac"] < 1.0
+        # naive never needs fewer sequences than docs
+        assert r["naive_pad"] + r["total_tokens"] >= r["n_docs"] * min(
+            r["seq_len"], 1
+        )
