@@ -62,6 +62,12 @@ def fold_skew_into_regression_count(out: dict) -> int | None:
     base = out.get("regression_count")
     if base is None and not hits:
         return None
+    # Idempotent: _summarize runs twice when the driver's SIGTERM lands
+    # after the normal summary but before the handler is reset — a second
+    # fold must not double-count the skew hits (review r8 #3).
+    if out.get("_skew_folded"):
+        return out["regression_count"]
+    out["_skew_folded"] = True
     combined = (base or 0) + len(hits)
     out["regression_count"] = combined
     return combined

@@ -158,6 +158,34 @@ def duplicated_spans(
 # Exact / fingerprint dedup
 # ---------------------------------------------------------------------------
 
+def keep_min_id(
+    df: DataFrame, key_col: str, id_col: str = "doc_id", keep: bool = True
+) -> DataFrame:
+    """Keep-min-id canonical selection, the de-skew-critical shape shared
+    by the whole curation family: ``groupBy(key).min(id)`` + a
+    (key, id) join-back instead of a ``row_number``/``min`` window over
+    the content key — partial aggregation collapses a mass-duplicate hot
+    key map-side, and the join-back keys on the unique (key, id) pair so
+    no hot key survives into the join either (VERDICT r7 #1).
+
+    The key comparison is NULL-SAFE (``<=>``): a NULL fingerprint (e.g.
+    ``md5(NULL)`` for null text) forms ONE canonical group, exactly like
+    the SQL GROUP BY / window semantics the DuckDB oracles use — a plain
+    null-unsafe join would silently drop every null-key row from the
+    survivors (review r8 #1).
+
+    ``keep=True`` returns the canonical (min-id-per-key) rows of ``df``;
+    ``keep=False`` returns the non-canonical rows (the duplicates).
+    """
+    mins = df.groupBy(key_col).agg(F.min(id_col).alias("__keep_id")).select(
+        F.col(key_col).alias("__keep_key"), "__keep_id"
+    )
+    cond = F.col(key_col).eqNullSafe(F.col("__keep_key")) & (
+        F.col(id_col) == F.col("__keep_id")
+    )
+    return df.join(mins, cond, "semi" if keep else "anti")
+
+
 def exact_duplicate_groups(
     df: DataFrame, key: Column | str, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -691,16 +719,13 @@ def incremental_dedup(
 
     exact_corpus = fp_new.join(fp_corpus, "__fp", "semi").select(id_col)
     not_in_corpus = fp_new.join(fp_corpus, "__fp", "anti")
-    # Keep-min-id via groupBy + (fp, id) join-back instead of a
-    # row_number window over __fp: partial (map-side) aggregation
-    # collapses a mass-duplicate hot fingerprint before the shuffle,
-    # where a window would serialize the whole hot key into one task's
-    # sort — the shape the r6 skew probe measured at 4.5× elsewhere
-    # (VERDICT r7 #1).  The join-back keys on (__fp, id) — unique per
-    # row — so no hot key survives into the join either.
-    keep = not_in_corpus.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    survivors = not_in_corpus.join(keep, ["__fp", id_col], "semi").select(id_col)
-    exact_batch = not_in_corpus.join(keep, ["__fp", id_col], "anti").select(id_col)
+    # Keep-min-id via the shared null-safe groupBy + (fp, id) join-back
+    # (see keep_min_id) — map-side combine collapses a mass-duplicate
+    # hot fingerprint, unlike the row_number window this replaced.
+    survivors = keep_min_id(not_in_corpus, "__fp", id_col).select(id_col)
+    exact_batch = keep_min_id(not_in_corpus, "__fp", id_col, keep=False).select(
+        id_col
+    )
 
     sig_new = minhash_signatures(
         new_df.join(survivors, id_col, "semi"), id_col, text_col
@@ -850,6 +875,17 @@ def cdc_chunk_table(
 # Benchmark decontamination (corpus vs external eval-set table)
 # ---------------------------------------------------------------------------
 
+def benchmark_gram_set(
+    bench_df: DataFrame, text_col: str = "text", n: int = SHINGLE_N
+) -> DataFrame:
+    """The benchmark's distinct n-gram set (one column ``__s``) — the
+    state :func:`benchmark_contamination` probes.  Exposed separately so
+    a caller screening MANY batches against one fixed benchmark (the
+    streaming admission gate) can compute and cache it ONCE instead of
+    re-running the explode+distinct shuffle per batch."""
+    return bench_df.select(F.explode(shingles(text_col, n)).alias("__s")).distinct()
+
+
 def benchmark_contamination(
     corpus_df: DataFrame,
     bench_df: DataFrame,
@@ -857,6 +893,7 @@ def benchmark_contamination(
     text_col: str = "text",
     n: int = SHINGLE_N,
     threshold: float = 0.2,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: for every corpus document, the fraction
     of its distinct word n-grams that appear ANYWHERE in an external
@@ -879,7 +916,8 @@ def benchmark_contamination(
     the document id.
     """
     grams = shingles(text_col, n)
-    bench_grams = bench_df.select(F.explode(grams).alias("__s")).distinct()
+    if bench_grams is None:
+        bench_grams = benchmark_gram_set(bench_df, text_col, n)
     ex = corpus_df.select(F.col(id_col), grams.alias("__sh")).select(
         id_col,
         F.size("__sh").cast("long").alias("n_shingles"),

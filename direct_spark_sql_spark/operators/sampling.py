@@ -19,6 +19,15 @@ from direct_spark_sql_spark.operators.text import tokens
 #: hash-bucket space for sampling rates (1e4 → 0.01% rate granularity)
 SAMPLE_BUCKETS = 10_000
 
+#: Width of the stand-in external-benchmark slice used by the whole
+#: decontamination family (top 2% of the h64 bucket space): ONE constant
+#: ties the five Spark predicates and every oracle literal together so
+#: the slice can never drift between engines or queries (review r8 #7).
+BENCH_SLICE_BUCKETS = 200
+#: First bucket of the benchmark slice — `bucket >= BENCH_SLICE_START`
+#: is the membership predicate; oracles interpolate the same number.
+BENCH_SLICE_START = SAMPLE_BUCKETS - BENCH_SLICE_BUCKETS
+
 
 def sample_bucket(key: Column | str) -> Column:
     """Stable bucket in [0, SAMPLE_BUCKETS) from the row key."""

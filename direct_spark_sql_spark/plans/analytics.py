@@ -331,9 +331,10 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text", "n_tokens", "quality_score",
         tx.predicted_language("text").alias("plang"),
     )
+    from direct_spark_sql_spark.operators import dedup as dd
+
     fp = tx.fingerprint(scored)
-    keep = fp.groupBy("fp_content").agg(F.min("doc_id").alias("doc_id"))
-    kept = fp.join(keep, ["fp_content", "doc_id"], "semi").filter(
+    kept = dd.keep_min_id(fp, "fp_content", "doc_id").filter(
         (F.col("plang") == "en") & (F.col("quality_score") >= 0.5)
     )
     mixed = sp.domain_weighted_sample(

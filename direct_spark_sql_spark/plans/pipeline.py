@@ -318,9 +318,13 @@ def corpus_dup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = tx.fingerprint(d).select("doc_id", "fp_content")
     sizes = fp.groupBy("fp_content").agg(
         F.count(F.lit(1)).cast("long").alias("group_size")
+    ).select(F.col("fp_content").alias("__k"), "group_size")
+    g = fp.join(sizes, F.col("fp_content").eqNullSafe(F.col("__k"))).drop("__k")
+    from direct_spark_sql_spark.operators.sampling import (
+        BENCH_SLICE_START,
+        SAMPLE_BUCKETS,
+        sample_bucket,
     )
-    g = fp.join(sizes, "fp_content")
-    from direct_spark_sql_spark.operators.sampling import SAMPLE_BUCKETS, sample_bucket
 
     keep = sample_bucket(F.col("doc_id")) < (
         F.lit(SAMPLE_BUCKETS) / F.col("group_size")
@@ -1059,9 +1063,8 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.predicted_language("text").alias("plang"),
     )
     fp = tx.fingerprint(scored)
-    keep = fp.groupBy("fp_content").agg(F.min("doc_id").alias("doc_id"))
     return (
-        fp.join(keep, ["fp_content", "doc_id"], "semi")
+        dd.keep_min_id(fp, "fp_content", "doc_id")
         .filter((F.col("plang") == "en") & (F.col("quality_score") >= 0.5))
         .select("doc_id", "n_tokens", "quality_score")
         .orderBy("doc_id")
@@ -1136,8 +1139,12 @@ def pipeline_stage_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.predicted_language("text").alias("plang"),
     )
     fp = tx.fingerprint(scored)
-    mins = fp.groupBy("fp_content").agg(F.min("doc_id").alias("keep_id"))
-    canon = fp.join(mins, "fp_content")
+    mins = fp.groupBy("fp_content").agg(F.min("doc_id").alias("keep_id")).select(
+        F.col("fp_content").alias("__k"), "keep_id"
+    )
+    canon = fp.join(
+        mins, F.col("fp_content").eqNullSafe(F.col("__k"))
+    ).drop("__k")
     lang_ok = F.col("plang") == "en"
     qual_ok = lang_ok & (F.col("quality_score") >= 0.5)
     canon_ok = qual_ok & (F.col("doc_id") == F.col("keep_id"))
@@ -2120,12 +2127,14 @@ ORDER BY train_id, eval_id
 #: corpus, genuine cross-slice copies ~0.97 — 0.08 sits in the gap.
 _DECONTAM_THRESHOLD = 0.08
 
+from direct_spark_sql_spark.operators.sampling import BENCH_SLICE_START as _BSS  # noqa: E402
+
 
 def dedup_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3-style benchmark decontamination against an EXTERNAL eval-set
     table: per-document contamination score = fraction of the document's
     distinct 3-gram shingles appearing anywhere in the benchmark, docs at
-    >= 0.2 flagged.  Completes decontamination_ngrams (pairwise overlap
+    >= _DECONTAM_THRESHOLD flagged.  Completes decontamination_ngrams (pairwise overlap
     within one corpus' split) and dedup_split_leakage (near-dup pairs
     straddling a split): here the benchmark is a separate registered
     table — the top-2% h64 slice of documents stands in for it — and the
@@ -2138,9 +2147,13 @@ def dedup_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is scanned once and never shuffled on text — see
     operators/dedup.py:benchmark_contamination."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    from direct_spark_sql_spark.operators.sampling import SAMPLE_BUCKETS, sample_bucket
+    from direct_spark_sql_spark.operators.sampling import (
+        BENCH_SLICE_START,
+        SAMPLE_BUCKETS,
+        sample_bucket,
+    )
 
-    is_bench = sample_bucket(F.col("doc_id")) >= SAMPLE_BUCKETS - 200
+    is_bench = sample_bucket(F.col("doc_id")) >= BENCH_SLICE_START
     bench = d.filter(is_bench)
     corpus = d.filter(~is_bench)
     return (
@@ -2154,9 +2167,9 @@ _BENCH_DECONTAM_ORACLE = f"""
 WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
 sh AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t),
 bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh
-          WHERE {h64_sql('doc_id')} % 10000 >= 9800),
+          WHERE {h64_sql('doc_id')} % 10000 >= {_BSS}),
 corpus AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s FROM sh
-           WHERE {h64_sql('doc_id')} % 10000 < 9800),
+           WHERE {h64_sql('doc_id')} % 10000 < {_BSS}),
 hits AS (SELECT c.doc_id, c.n_shingles, COUNT(*) AS n_hit
          FROM corpus c JOIN bench USING (s) GROUP BY 1, 2)
 SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
@@ -2171,16 +2184,20 @@ ORDER BY doc_id
 def decontam_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination observability: per-source corpus contamination
     rate against the external benchmark — (docs, contaminated docs at
-    >= 0.2, rate, worst score).  The number a pipeline owner watches to
+    >= _DECONTAM_THRESHOLD, rate, worst score).  The number a pipeline owner watches to
     decide whether a source's crawl overlaps the eval suite.  Same
     broadcast-semi-join shape as dedup_benchmark_decontam with the
     per-doc scores folded straight into one groupBy(source) — corpus
     rows at zero hits are counted via a left join against the flagged
     set sized by source (no second text scan)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    from direct_spark_sql_spark.operators.sampling import SAMPLE_BUCKETS, sample_bucket
+    from direct_spark_sql_spark.operators.sampling import (
+        BENCH_SLICE_START,
+        SAMPLE_BUCKETS,
+        sample_bucket,
+    )
 
-    is_bench = sample_bucket(F.col("doc_id")) >= SAMPLE_BUCKETS - 200
+    is_bench = sample_bucket(F.col("doc_id")) >= BENCH_SLICE_START
     bench = d.filter(is_bench)
     corpus = d.filter(~is_bench)
     scored = dd.benchmark_contamination(
@@ -2205,9 +2222,9 @@ _DECONTAM_BY_SOURCE_ORACLE = f"""
 WITH t AS (SELECT doc_id, source, {TOKS_SQL} AS toks FROM documents),
 sh AS (SELECT doc_id, source, {SHINGLES_SQL} AS sh FROM t),
 bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh
-          WHERE {h64_sql('doc_id')} % 10000 >= 9800),
+          WHERE {h64_sql('doc_id')} % 10000 >= {_BSS}),
 corpus AS (SELECT doc_id, source, len(sh) AS n_shingles, unnest(sh) AS s
-           FROM sh WHERE {h64_sql('doc_id')} % 10000 < 9800),
+           FROM sh WHERE {h64_sql('doc_id')} % 10000 < {_BSS}),
 hits AS (SELECT c.doc_id, CAST(COUNT(*) AS DOUBLE) / c.n_shingles AS score
          FROM corpus c JOIN bench USING (s)
          GROUP BY c.doc_id, c.n_shingles
@@ -2233,7 +2250,11 @@ def corpus_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst fuses the shared documents scan; nothing materializes
     between stages.  Canonical ids are chosen over the FULL corpus
     (same as corpus_curation) before the benchmark slice is excluded."""
-    from direct_spark_sql_spark.operators.sampling import SAMPLE_BUCKETS, sample_bucket
+    from direct_spark_sql_spark.operators.sampling import (
+        BENCH_SLICE_START,
+        SAMPLE_BUCKETS,
+        sample_bucket,
+    )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     feats = tx.quality_features(d)
@@ -2242,11 +2263,10 @@ def corpus_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.predicted_language("text").alias("plang"),
     )
     fp = tx.fingerprint(scored)
-    keep = fp.groupBy("fp_content").agg(F.min("doc_id").alias("doc_id"))
-    curated = fp.join(keep, ["fp_content", "doc_id"], "semi").filter(
+    curated = dd.keep_min_id(fp, "fp_content", "doc_id").filter(
         (F.col("plang") == "en") & (F.col("quality_score") >= 0.5)
     )
-    is_bench = sample_bucket(F.col("doc_id")) >= SAMPLE_BUCKETS - 200
+    is_bench = sample_bucket(F.col("doc_id")) >= BENCH_SLICE_START
     flagged = dd.benchmark_contamination(
         d.filter(~is_bench).select("doc_id", "text"),
         d.filter(is_bench),
@@ -2267,9 +2287,9 @@ def _training_ready_oracle() -> str:
     return f"""{curation_canon_cte(", source")},
 sh2 AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t),
 bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh2
-          WHERE {h64_sql('doc_id')} % 10000 >= 9800),
+          WHERE {h64_sql('doc_id')} % 10000 >= {_BSS}),
 corpus AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s FROM sh2
-           WHERE {h64_sql('doc_id')} % 10000 < 9800),
+           WHERE {h64_sql('doc_id')} % 10000 < {_BSS}),
 flagged AS (SELECT c.doc_id
             FROM corpus c JOIN bench USING (s)
             GROUP BY c.doc_id, c.n_shingles
@@ -2279,7 +2299,7 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
 FROM canon
 WHERE plang = 'en' AND quality_score >= 0.5 AND doc_id = keep_id
-  AND {h64_sql('doc_id')} % 10000 < 9800
+  AND {h64_sql('doc_id')} % 10000 < {_BSS}
   AND doc_id NOT IN (SELECT doc_id FROM flagged)
 GROUP BY source ORDER BY source
 """
@@ -2300,10 +2320,14 @@ def embedding_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial-combinable — no per-corpus-row window), and the final
     top-25 is a bounded TakeOrderedAndProject."""
     from direct_spark_sql_spark.operators import similarity as sim
-    from direct_spark_sql_spark.operators.sampling import SAMPLE_BUCKETS, sample_bucket
+    from direct_spark_sql_spark.operators.sampling import (
+        BENCH_SLICE_START,
+        SAMPLE_BUCKETS,
+        sample_bucket,
+    )
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    is_bench = sample_bucket(F.col("vec_id")) >= SAMPLE_BUCKETS - 200
+    is_bench = sample_bucket(F.col("vec_id")) >= BENCH_SLICE_START
     bench = e.filter(is_bench).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("__q")
     )
@@ -2343,8 +2367,8 @@ dots AS (
   SELECT x.vec_id, q.vec_id AS q_id,
          CAST(CAST(ROUND(SUM(x.a * q.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot
   FROM ex x JOIN ex q ON q.i = x.i
-  WHERE {h64_sql('x.vec_id')} % 10000 < 9800
-    AND {h64_sql('q.vec_id')} % 10000 >= 9800
+  WHERE {h64_sql('x.vec_id')} % 10000 < {_BSS}
+    AND {h64_sql('q.vec_id')} % 10000 >= {_BSS}
   GROUP BY 1, 2
 ),
 scored AS (
@@ -2413,7 +2437,8 @@ QUERIES = [
           bench=True,
           doc="GPT-3-style decontamination vs an external eval-set table: "
               "per-doc 3-gram contamination score via broadcast semi-join "
-              "against the benchmark gram set, docs >= 0.2 flagged"),
+              "against the benchmark gram set, docs at the shared "
+              "_DECONTAM_THRESHOLD (0.08) flagged"),
     Query("decontam_rate_by_source", decontam_rate_by_source,
           _DECONTAM_BY_SOURCE_ORACLE, ("dedup", "sampling", "pipeline"),
           doc="per-source contamination rate + worst score vs the external "

@@ -474,18 +474,18 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide one; classes beyond t are flagged with the distance.
 
     Exactness: TV = 0.5 * Σ_v |cnt_v/size - CNT_v/N| is computed in
-    INTEGER units — ``tv_units = Σ_v |cnt_v * N - CNT_v * size|``
-    (= TV * 2*size*N) — so the sum is order-independent and the flag
-    compares integers (``tv_units * DEN > NUM * 2 * size * N``); the
-    reported double is one exact division at the end.  Values of v
-    absent from a class contribute their full global mass and are
-    covered by summing over the GLOBAL value set via a right-side
-    join of class counts onto per-value global counts.
+    EXACT units — ``tv_units = Σ_v |cnt_v * N - CNT_v * size|``
+    (= TV * 2*size*N) — so the sum is order-independent, and the
+    arithmetic runs in DECIMAL(38,0) (DuckDB HUGEINT) because cnt*N is
+    O(N²) and would wrap int64 past ~3e9 rows — the 100 TB regime this
+    operator targets (review r8 #2); the reported double is one exact
+    division at the end.  Values of v absent from a class contribute
+    their full global mass via the class × global-value cell join.
 
-    Scale shape: one (QI, lang) hash agg, one tiny per-lang global agg
-    broadcast back, one per-QI re-agg — no window, no self-join; the
-    sensitive-value domain is small (languages), so the fan-out of the
-    global-values join is |QI classes| x |langs|, metadata-sized."""
+    Scale shape: ONE (QI, lang) hash agg scans the corpus; class sizes,
+    the global distribution, and the 1-row total are all tiny re-aggs
+    OF THAT RESULT (no second corpus scan, review r8 #4), broadcast
+    back; the per-QI re-agg output is bounded by |classes| x |langs|."""
     d = load_table(spark, sf_dir, "documents")
     qi = d.select(
         "source",
@@ -497,29 +497,36 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     cls_lang = qi.groupBy("source", "len_bucket", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    cls = qi.groupBy("source", "len_bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("class_size")
+    cls = cls_lang.groupBy("source", "len_bucket").agg(
+        F.sum("cnt").cast("long").alias("class_size")
     )
-    glob = qi.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("gcnt"))
-    n_total = qi.count()  # bounded coordinator read: one scalar
+    glob = cls_lang.groupBy("lang").agg(F.sum("cnt").cast("long").alias("gcnt"))
+    ntot = glob.agg(F.sum("gcnt").cast("long").alias("n_total"))  # 1 row, lazy
     # every (class x global lang) cell: absent langs count as cnt=0
     cells = (
         cls.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(ntot))
         .join(cls_lang, ["source", "len_bucket", "lang"], "left")
         .na.fill({"cnt": 0})
     )
+    dec = "decimal(38,0)"
     units = F.abs(
-        F.col("cnt") * F.lit(int(n_total)) - F.col("gcnt") * F.col("class_size")
+        F.col("cnt").cast(dec) * F.col("n_total").cast(dec)
+        - F.col("gcnt").cast(dec) * F.col("class_size").cast(dec)
     )
-    agg = cells.groupBy("source", "len_bucket", "class_size").agg(
-        F.sum(units).cast("long").alias("tv_units")
+    agg = cells.groupBy("source", "len_bucket", "class_size", "n_total").agg(
+        F.sum(units).cast(dec).alias("tv_units")
     )
     flagged = agg.filter(
-        F.col("tv_units") * F.lit(T_CLOSE_DEN)
-        > F.lit(2 * T_CLOSE_NUM * int(n_total)) * F.col("class_size")
+        F.col("tv_units") * F.lit(T_CLOSE_DEN).cast(dec)
+        > F.lit(2 * T_CLOSE_NUM).cast(dec)
+        * F.col("n_total").cast(dec)
+        * F.col("class_size").cast(dec)
     )
     tv = F.col("tv_units").cast("double") / (
-        F.lit(2.0 * n_total) * F.col("class_size").cast("double")
+        F.lit(2.0)
+        * F.col("n_total").cast("double")
+        * F.col("class_size").cast("double")
     )
     return flagged.select(
         "source", "len_bucket", "class_size", tv.alias("tv_distance")
@@ -548,16 +555,20 @@ cells AS (
              AND cl.lang = g.lang
 ),
 agg AS (
+  -- HUGEINT: cnt*n_total is O(N^2) and wraps int64 past ~3e9 rows,
+  -- mirroring the Spark side's DECIMAL(38,0) (review r8 #2)
   SELECT source, len_bucket, class_size, n_total,
-         CAST(SUM(ABS(cnt * n_total - gcnt * class_size)) AS BIGINT)
+         SUM(ABS(CAST(cnt AS HUGEINT) * CAST(n_total AS HUGEINT)
+                 - CAST(gcnt AS HUGEINT) * CAST(class_size AS HUGEINT)))
            AS tv_units
   FROM cells GROUP BY 1, 2, 3, 4
 )
 SELECT source, len_bucket, class_size,
-       CAST(tv_units AS DOUBLE) / (2.0 * n_total * CAST(class_size AS DOUBLE))
-         AS tv_distance
+       CAST(tv_units AS DOUBLE)
+         / (2.0 * n_total * CAST(class_size AS DOUBLE)) AS tv_distance
 FROM agg
-WHERE tv_units * {T_CLOSE_DEN} > 2 * {T_CLOSE_NUM} * n_total * class_size
+WHERE tv_units * {T_CLOSE_DEN}
+        > 2 * {T_CLOSE_NUM} * CAST(n_total AS HUGEINT) * class_size
 ORDER BY source, len_bucket
 """
 

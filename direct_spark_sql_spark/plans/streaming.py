@@ -338,7 +338,7 @@ def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     from direct_spark_sql_spark.operators.sampling import (
-        SAMPLE_BUCKETS,
+        BENCH_SLICE_START,
         sample_bucket,
     )
     from direct_spark_sql_spark.plans.pipeline import _DECONTAM_THRESHOLD
@@ -350,7 +350,7 @@ def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from direct_spark_sql_spark.streaming import run_stream_decontam_gate
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    is_bench = sample_bucket(F.col("doc_id")) >= SAMPLE_BUCKETS - 200
+    is_bench = sample_bucket(F.col("doc_id")) >= BENCH_SLICE_START
     bench, corpus = d.filter(is_bench), d.filter(~is_bench)
     root = warehouse_path("stream_decontam", dataset_tag(sf_dir))
     hi = corpus.agg(F.max("doc_id")).collect()[0][0] or 0

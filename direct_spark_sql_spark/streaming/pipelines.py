@@ -608,15 +608,22 @@ def run_stream_decontam_gate(
     """
     import tempfile
 
-    from direct_spark_sql_spark.operators.dedup import benchmark_contamination
+    from direct_spark_sql_spark.operators.dedup import (
+        benchmark_contamination,
+        benchmark_gram_set,
+    )
 
-    state: dict[str, DataFrame | None] = {"flagged": None, "bench": None}
+    # The static state is the GRAM SET, not the raw benchmark docs: cache
+    # it once so the explode+distinct shuffle runs a single time instead
+    # of once per micro-batch (review r8 #5); unpersisted on exit so
+    # repeated bench invocations don't accumulate cached tables.
+    grams = benchmark_gram_set(bench_df).cache()
+    state: dict[str, DataFrame | None] = {"flagged": None}
 
     def score_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        if state["bench"] is None:  # one-time static gram set, cached
-            state["bench"] = bench_df.cache()
         found = benchmark_contamination(
-            batch_df, state["bench"], id_col=id_col, threshold=threshold
+            batch_df, bench_df, id_col=id_col, threshold=threshold,
+            bench_grams=grams,
         ).localCheckpoint(eager=True)
         state["flagged"] = (
             found
@@ -624,14 +631,17 @@ def run_stream_decontam_gate(
             else state["flagged"].unionByName(found).localCheckpoint(eager=True)
         )
 
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            docs.writeStream.foreachBatch(score_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                docs.writeStream.foreachBatch(score_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        grams.unpersist()
     if state["flagged"] is None:
         raise RuntimeError("stream produced no batches")
     return state["flagged"]

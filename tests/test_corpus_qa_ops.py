@@ -285,7 +285,40 @@ def test_packing_efficiency_invariants(spark):
         assert 0 <= r["packed_pad"] < r["seq_len"]  # only the tail pads
         assert r["packed_pad"] <= r["naive_pad"]
         assert 0.0 <= r["naive_pad_frac"] < 1.0
-        # naive never needs fewer sequences than docs
-        assert r["naive_pad"] + r["total_tokens"] >= r["n_docs"] * min(
-            r["seq_len"], 1
-        )
+        # sums of per-doc ceil(n/L)*L and the packed total are exact
+        # multiples of L (review r8 #10 - the old form was vacuous)
+        assert (r["naive_pad"] + r["total_tokens"]) % r["seq_len"] == 0
+        assert (r["packed_pad"] + r["total_tokens"]) % r["seq_len"] == 0
+
+
+def test_keep_min_id_null_keys_form_one_group(spark):
+    """NULL fingerprints (e.g. md5(NULL) for null text) must form ONE
+    canonical group — SQL GROUP BY / window semantics, and what the
+    DuckDB oracles compute.  A null-unsafe join would drop every
+    null-key row from the survivors (review r8 #1)."""
+    from direct_spark_sql_spark.operators.dedup import keep_min_id
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None), (5, "b")],
+        "doc_id long, fp string",
+    )
+    kept = sorted(r["doc_id"] for r in keep_min_id(df, "fp").collect())
+    assert kept == [1, 3, 5]  # min id per group, null group included
+    dups = sorted(r["doc_id"] for r in keep_min_id(df, "fp", keep=False).collect())
+    assert dups == [2, 4]
+
+
+def test_incremental_dedup_null_text_keep_first(spark):
+    """End-to-end: two null-text batch docs -> the min-id one is 'kept',
+    the other 'exact_batch' (pre-r8 window semantics preserved)."""
+    from direct_spark_sql_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame([(1, "existing corpus doc")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, None), (11, None), (12, "fresh new content")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in incremental_dedup(batch, corpus).collect()}
+    assert got[10] == "kept"
+    assert got[11] == "exact_batch"
+    assert got[12] == "kept"

@@ -145,11 +145,14 @@ def test_skewed_documents_mass_duplicate_slice(spark, skewed):
     n = d.count()
     dup = d.filter(F.col("text") == _MASS_DUP).count()
     assert abs(dup - n / 10) <= n / 10 * 0.5 + 2, f"mass-dup slice {dup}/{n}"
-    # disjoint from the boilerplate slice
-    both = d.filter(
-        (F.col("text") == _MASS_DUP) & F.col("text").startswith(_BOILERPLATE)
-    ).count()
-    assert both == 0
+    # disjointness is a property of the doc_id PREDICATES, not the text
+    # shapes (text conditions are mutually exclusive by construction and
+    # would pass even if the slices overlapped - review r8 #9): the
+    # boilerplate slice is pmod(doc_id,10)==0, the mass-dup slice ==1
+    bp = d.filter(F.col("text").startswith(_BOILERPLATE))
+    md = d.filter(F.col("text") == _MASS_DUP)
+    assert bp.filter(F.pmod("doc_id", F.lit(10)) != 0).count() == 0
+    assert md.filter(F.pmod("doc_id", F.lit(10)) != 1).count() == 0
     # the mass-dup group is the single largest exact-content group
     top = (
         d.groupBy("text").count().orderBy(F.desc("count")).limit(1).collect()[0]
