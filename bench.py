@@ -50,9 +50,16 @@ import time
 def fold_skew_into_regression_count(out: dict) -> int | None:
     """A skew-fragile query IS a regression: fold the skew probe's
     ``skew_fragile`` (>4.0× vs unskewed) and ``skew_regressions``
-    (>2× its pinned ratio) hits into ``regression_count`` so a driver
-    round can never read green while a probed plan serializes on a hot
-    key (VERDICT r7 #8).  Keeps the None convention: None means "no
+    (>2× its pinned ratio) hits into the SUMMARY's ``regression_count``
+    so a driver round can never read green while a probed plan
+    serializes on a hot key (VERDICT r7 #8).
+
+    PURE — does not mutate ``out`` (ADVICE r8): the top-level
+    ``out["regression_count"]`` keeps meaning time-only regressions for
+    every consumer of serialized BENCH files, the folded value lives
+    only in ``summary.regression_count``, and purity makes the
+    double-_summarize SIGTERM path idempotent with no bookkeeping key
+    leaking into the JSON.  Keeps the None convention: None means "no
     baseline existed AND the skew probe was clean/skipped"; 0 always
     means "compared and clean"."""
     probe = out.get("skew_probe", {})
@@ -62,15 +69,7 @@ def fold_skew_into_regression_count(out: dict) -> int | None:
     base = out.get("regression_count")
     if base is None and not hits:
         return None
-    # Idempotent: _summarize runs twice when the driver's SIGTERM lands
-    # after the normal summary but before the handler is reset — a second
-    # fold must not double-count the skew hits (review r8 #3).
-    if out.get("_skew_folded"):
-        return out["regression_count"]
-    out["_skew_folded"] = True
-    combined = (base or 0) + len(hits)
-    out["regression_count"] = combined
-    return combined
+    return (base or 0) + len(hits)
 
 
 def main() -> None:

@@ -723,9 +723,10 @@ def incremental_dedup(
     # (see keep_min_id) — map-side combine collapses a mass-duplicate
     # hot fingerprint, unlike the row_number window this replaced.
     survivors = keep_min_id(not_in_corpus, "__fp", id_col).select(id_col)
-    exact_batch = keep_min_id(not_in_corpus, "__fp", id_col, keep=False).select(
-        id_col
-    )
+    # Complement via one anti-join on the unique id — NOT a second
+    # keep_min_id(keep=False) call, which would plan and execute the
+    # groupBy(fp).min aggregate subtree twice (ADVICE r8).
+    exact_batch = not_in_corpus.join(survivors, id_col, "anti").select(id_col)
 
     sig_new = minhash_signatures(
         new_df.join(survivors, id_col, "semi"), id_col, text_col

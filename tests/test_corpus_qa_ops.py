@@ -185,6 +185,45 @@ def test_benchmark_contamination_planted(spark):
     assert got[1]["n_hit"] == got[1]["n_shingles"]
 
 
+def test_benchmark_contamination_production_width(spark):
+    """The GPT-3-style operating point (DECONTAM_PROD_N=8, any-collision
+    flags): a doc sharing one verbatim 8-token span with a benchmark
+    item is flagged; a doc sharing only shorter overlaps (which trigram
+    decontam WOULD flag) is not — the width is the whole point."""
+    from direct_spark_sql_spark.operators.dedup import benchmark_contamination
+    from direct_spark_sql_spark.plans.pipeline import DECONTAM_PROD_N
+
+    bench = spark.createDataFrame(
+        [(1000, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the 8-token span "one ... eight" verbatim
+            (1, "prefix words one two three four five six seven eight suffix"),
+            # shares several 3-grams ("one two three", "two three four")
+            # but no 8-token span — clean at production width
+            (2, "one two three four banana five six seven eight apple"),
+            (3, "completely unrelated words about parquet shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in benchmark_contamination(
+            corpus, bench, n=DECONTAM_PROD_N, threshold=0.0
+        ).collect()
+    }
+    assert 1 in got and got[1]["n_hit"] >= 1
+    assert 2 not in got and 3 not in got
+    # ...while the fixture-regime 3-gram point DOES flag doc 2
+    tri = {
+        r["doc_id"]
+        for r in benchmark_contamination(corpus, bench, threshold=0.2).collect()
+    }
+    assert 2 in tri
+
+
 def test_benchmark_contamination_broadcasts_eval_side(spark):
     """The eval-set gram join must be a broadcast semi-join (eval sets
     are tiny; the corpus side must not shuffle on gram text)."""

@@ -240,7 +240,13 @@ def test_skew_fragile_folds_into_regression_count():
     # fragile hit counts even at regression_count 0
     out = {"regression_count": 0, "skew_probe": {"skew_fragile": ["dedup_minhash_lsh"]}}
     assert fold_skew_into_regression_count(out) == 1
-    assert out["regression_count"] == 1
+    # PURE (ADVICE r8): the top-level field keeps meaning time-only
+    # regressions; the folded value lives only in summary.regression_count
+    assert out["regression_count"] == 0
+    assert "_skew_folded" not in out
+    # idempotent by purity: the SIGTERM double-_summarize path can't
+    # double-count
+    assert fold_skew_into_regression_count(out) == 1
     # pin-doubling hit counts too; overlapping names not double-counted
     out = {
         "regression_count": 2,
