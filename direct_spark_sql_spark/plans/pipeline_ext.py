@@ -573,6 +573,138 @@ ORDER BY source, len_bucket
 """
 
 
+# --- differentially-private release (completes detect -> release for the
+# privacy toolchain the way corpus_training_ready completed decontam;
+# VERDICT r8 #4) -----------------------------------------------------------
+
+#: DP budget for the released histogram.  Sensitivity is 1 (adding or
+#: removing one document changes exactly one QI class count by 1), so the
+#: two-sided-geometric mechanism with alpha = exp(-DP_EPSILON) is
+#: epsilon-DP (Ghosh-Roughgarden-Sundararajan, "Universally utility-
+#: maximizing privacy mechanisms", STOC'09 — the discrete analogue of
+#: Laplace, and exactly integer-valued, which keeps the release
+#: bit-exact across engines).
+DP_EPSILON = 1.0
+
+#: Noise support is truncated to [-DP_NOISE_BOUND, DP_NOISE_BOUND]; the
+#: tails collapse onto the endpoints.  alpha^17 / (1 + alpha) ~ 3e-8 of
+#: mass sits past +/-16 at epsilon = 1, so the truncation is practically
+#: unobservable while keeping the inverse-CDF a fixed 32-term threshold
+#: scan with literal breakpoints (no log() at runtime — both engines
+#: only COMPARE doubles against identical literals, which is the whole
+#: bit-exactness argument: ln/exp may differ in the last ulp between
+#: libm implementations, a >= against the same literal cannot).
+DP_NOISE_BOUND = 16
+
+#: Release seed.  A production release would draw this fresh per release
+#: from a secure source and publish it with the release metadata (seeded
+#: counter-based noise is standard reproducible-DP practice); the fixed
+#: value here makes the mechanism replayable by the DuckDB oracle.
+DP_SEED = 90210
+
+
+def _dp_cdf_breakpoints() -> list[float]:
+    """CDF breakpoints C(z) of the two-sided geometric distribution for
+    z in [-B, B): noise(u) = -B + #{z : u >= C(z)}.  u below C(-B) lands
+    at -B and u above C(B-1) at +B (tail collapse).  Pure python floats,
+    interpolated as literals into BOTH engines' expressions."""
+    import math
+
+    a = math.exp(-DP_EPSILON)
+    out = []
+    for z in range(-DP_NOISE_BOUND, DP_NOISE_BOUND):
+        if z < 0:
+            out.append(a ** (-z) / (1.0 + a))
+        else:
+            out.append(1.0 - a ** (z + 1) / (1.0 + a))
+    return out
+
+
+#: 2^52: the uniform draw is (h64 % 2^52) / 2^52 — both the modulus
+#: result and the quotient are exactly representable doubles, so u is
+#: bit-identical in any engine.
+_DP_U_DEN = 1 << 52
+
+
+def privacy_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release over the k-anonymity QI
+    classes (source, 256-char length band): true class counts plus
+    integer two-sided-geometric noise at epsilon = DP_EPSILON, clamped
+    at zero (post-processing preserves DP).  The detect side of the
+    toolchain (k-anonymity / l-diversity / t-closeness) says which
+    aggregates are risky to publish raw; this is the release mechanism
+    that publishes them anyway, safely.
+
+    Determinism: the noise for a class is a pure function of
+    (source, len_bucket, DP_SEED) — u = (h64(key) % 2^52) / 2^52 mapped
+    through the literal CDF breakpoints of _dp_cdf_breakpoints(), so the
+    DuckDB oracle replays the identical noise (the planted-data test
+    pins exact noise values).  Per-class noise is what the DP guarantee
+    requires — NOT a per-row perturbation.
+
+    Scale shape: ONE (QI) hash aggregation over the corpus (map-side
+    combinable); the noise map is a literal-threshold scan on the
+    bounded class table — no joins, no windows, no second scan.  The
+    released histogram never exposes a class below the noise floor
+    as an exact zero-vs-one signal."""
+    from direct_spark_sql_spark.hashing import h64
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            "source",
+            (F.floor(F.col("n_chars") / K_ANON_BUCKET) * K_ANON_BUCKET)
+            .cast("long")
+            .alias("len_bucket"),
+        )
+        .groupBy("source", "len_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    )
+    key = F.concat_ws(
+        ":", F.col("source"), F.col("len_bucket"), F.lit(str(DP_SEED))
+    )
+    u = (h64(key) % F.lit(_DP_U_DEN)).cast("double") / F.lit(float(_DP_U_DEN))
+    noise = F.lit(-DP_NOISE_BOUND)
+    for c in _dp_cdf_breakpoints():
+        noise = noise + F.when(u >= F.lit(c), 1).otherwise(0)
+    return counts.select(
+        "source",
+        "len_bucket",
+        F.greatest(F.lit(0), (F.col("__cnt") + noise)).cast("long").alias(
+            "noisy_count"
+        ),
+    ).orderBy("source", "len_bucket")
+
+
+def _dp_release_oracle() -> str:
+    from direct_spark_sql_spark.hashing import h64_sql
+
+    key = f"source || ':' || len_bucket || ':' || '{DP_SEED}'"
+    u = f"(CAST({h64_sql(key)} % {_DP_U_DEN} AS DOUBLE) / {float(_DP_U_DEN)!r})"
+    terms = " + ".join(
+        f"(CASE WHEN u >= {c!r} THEN 1 ELSE 0 END)"
+        for c in _dp_cdf_breakpoints()
+    )
+    return f"""
+WITH qi AS (
+  SELECT source,
+         CAST(FLOOR(n_chars / {K_ANON_BUCKET}) * {K_ANON_BUCKET} AS BIGINT)
+           AS len_bucket
+  FROM documents
+),
+counts AS (
+  SELECT source, len_bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM qi GROUP BY 1, 2
+),
+withu AS (SELECT source, len_bucket, cnt, {u} AS u FROM counts)
+SELECT source, len_bucket,
+       CAST(GREATEST(0, cnt + (-{DP_NOISE_BOUND} + {terms})) AS BIGINT)
+         AS noisy_count
+FROM withu
+ORDER BY source, len_bucket
+"""
+
+
 def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, changes = _orders_base_and_changes(spark, sf_dir)
     return mg.apply_cdc(base, changes, ["o_orderkey"]).orderBy("o_orderkey")
@@ -1950,6 +2082,12 @@ QUERIES = [
           doc="t-closeness audit: per-QI-class total-variation distance "
               "from the corpus lang distribution in exact integer units "
               "(order-independent), classes beyond t=0.4 flagged"),
+    Query("privacy_dp_release", privacy_dp_release, _dp_release_oracle(),
+          ("privacy", "pipeline"),
+          doc="differentially-private histogram release over the QI "
+              "classes: seeded integer two-sided-geometric noise at "
+              "epsilon=1 via literal CDF-breakpoint thresholds (bit-exact "
+              "replayable), zero-clamped; completes detect -> release"),
     Query("privacy_delete_propagation", privacy_delete_propagation,
           PRIVACY_DELETE_ORACLE, ("merge", "pipeline", "privacy"),
           doc="right-to-be-forgotten: deletion requests anti-join down "
