@@ -72,6 +72,27 @@ def fold_skew_into_regression_count(out: dict) -> int | None:
     return (base or 0) + len(hits)
 
 
+def pick_scale_cohort(
+    queries: list, prev_dropped: set, probe_hist: dict, cap: int
+) -> tuple[list, list]:
+    """Per-round 10× scale-tier cohort (VERDICT r8 #3): probing every
+    headline query at 10× each round starved the other tiers out of the
+    wall budget, so the tier rotates a capped cohort instead —
+    (1) queries the previous run dropped on budget, (2) never probed at
+    10× (absent from the history), (3) least-recently probed; stable
+    within a bucket.  Returns (cohort, rotated_out_names) — rotated-out
+    queries are REPORTED, not silently capped, and come back within ~2
+    rounds as the history advances."""
+    ordered = sorted(
+        queries,
+        key=lambda q: (q.name not in prev_dropped, probe_hist.get(q.name, 0.0)),
+    )
+    cohort = ordered[:cap]
+    names = {q.name for q in cohort}
+    rotated = sorted(q.name for q in queries if q.name not in names)
+    return cohort, rotated
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -459,9 +480,32 @@ def main() -> None:
             "spark-warehouse", "scaledata", f"sf{sf}x{factor}",
         )
         ensure_scaled_dataset(spark, sf_dir, scale_dir, factor=factor)
+        # Rotation (VERDICT r8 #3): with 44+ headline queries, probing
+        # the WHOLE set at 10× every round is what starved the other
+        # tiers out of the 530 s budget.  Instead the tier probes a
+        # capped cohort per round, prioritized exactly like the
+        # correctness sweep's rotation: (1) queries the last run dropped
+        # on budget, (2) queries never probed at 10×, (3) least-recently
+        # probed.  Per-round history lives in
+        # baselines/scale_probe_history.json; queries rotated out this
+        # round are listed in `rotated_out` (no silent caps) and come
+        # back within ~2 rounds.
+        cap = int(os.environ.get("SPARK_GRAFT_SCALE_TIER_CAP", "22"))
+        hist_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "baselines", "scale_probe_history.json",
+        )
+        try:
+            with open(hist_path) as f:
+                probe_hist: dict[str, float] = json.load(f)
+        except (OSError, ValueError):
+            probe_hist = {}
+        cohort, rotated_out = pick_scale_cohort(
+            bench_queries, prev_dropped, probe_hist, cap
+        )
         s_timings: dict[str, float] = {}
         s_dropped: list[str] = []
-        for q in bench_queries:
+        for q in cohort:
             # deadline check per query: a slow host truncates the tail of
             # the tier (recorded in `dropped`), never the whole output
             if remaining() < 60:
@@ -473,6 +517,14 @@ def main() -> None:
             # pause, page-cache miss — to false-flag superlinear, while a
             # third run buys little and costs ~1/3 of the tier's wall)
             s_timings[q.name] = round(measure(q, 2, scale_dir), 4)
+        now = time.time()
+        for name in s_timings:
+            probe_hist[name] = now
+        try:
+            with open(hist_path, "w") as f:
+                json.dump(probe_hist, f, indent=1)
+        except OSError:
+            pass
         ratios = {
             name: round(s_timings[name] / timings[name], 2)
             for name in s_timings
@@ -487,6 +539,8 @@ def main() -> None:
                 n for n, r in ratios.items() if r > factor * 1.25
             ),
         }
+        if rotated_out:
+            out["scale_probe"]["rotated_out"] = rotated_out
         if s_dropped:
             out["scale_probe"]["dropped_on_budget"] = s_dropped
 
@@ -603,6 +657,10 @@ def main() -> None:
             # broadcast-semi decontam: mass-dup slice makes one gram set
             # hit 10% of the corpus at once; the per-doc groupBy absorbs
             "dedup_benchmark_decontam",
+            # production-width (8-gram) variant: same broadcast shape,
+            # wider grams — probed so the operating point real pipelines
+            # run carries its own skew evidence (VERDICT r8 #1)
+            "dedup_benchmark_decontam_8gram",
             # as-of join forward-fill window keyed on user_id — the hot
             # events user (10% of rows) lands in ONE ordered window
             # partition; measured here so the family can't hide (r8)

@@ -62,6 +62,11 @@ PROBE_QUERIES = [
     # micro-batch executes (readStream itself can't be wall-ratio-probed
     # on a static 100× directory — the fold shape can)
     "dedup_incremental",
+    # round-9 addition (VERDICT r8 #5): the mapInPandas codec family was
+    # the only major family absent from every probe tier — real decode +
+    # integer aHash + fingerprint-equality buckets, Arrow batch shape
+    # under 100× input is the thing being measured
+    "multimodal_image_dedup",
 ]
 
 FACTOR = 100
@@ -125,6 +130,23 @@ def main() -> None:
         "ratio_vs_base": ratios,
         "superlinear": sorted(n for n, r in ratios.items() if r > FACTOR * 1.25),
     }
+
+    # 10× pass for probe picks OUTSIDE the bench headline set: those
+    # never appear in bench.py's rotating 10× tier, so this tool is
+    # their only 10× datapoint (VERDICT r8 #5 — the codec family)
+    ten_x = [n for n in PROBE_QUERIES if not QUERIES[n].bench]
+    if ten_x:
+        dir10 = os.path.join(repo, "spark-warehouse", "scaledata", f"sf{sf}x10")
+        ensure_scaled_dataset(spark, sf_dir, dir10, factor=10)
+        t10 = {n: measure(QUERIES[n], dir10) for n in ten_x}
+        r10 = {n: round(t10[n] / base[n], 2) for n in ten_x}
+        out["probe_10x"] = {
+            "factor": 10,
+            "queries": t10,
+            "ratio_vs_base": r10,
+            "superlinear": sorted(n for n, r in r10.items() if r > 10 * 1.25),
+        }
+
     print(json.dumps(out))
     spark.stop()
 

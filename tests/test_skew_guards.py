@@ -264,6 +264,30 @@ def test_skew_fragile_folds_into_regression_count():
     assert fold_skew_into_regression_count(out) == 1
 
 
+def test_scale_cohort_rotation_priority():
+    """The 10× scale tier's per-round cohort: last-run-dropped queries
+    first, then never-probed, then least-recently probed; everything
+    rotated out is reported by name (no silent caps)."""
+    from types import SimpleNamespace
+
+    from bench import pick_scale_cohort
+
+    qs = [SimpleNamespace(name=n) for n in ["a", "b", "c", "d", "e"]]
+    hist = {"a": 100.0, "b": 50.0, "d": 10.0}  # c, e never probed
+    cohort, rotated = pick_scale_cohort(qs, {"b"}, hist, cap=3)
+    # b was dropped last run -> first; c and e never probed -> next
+    # (stable module order within the bucket)
+    assert [q.name for q in cohort] == ["b", "c", "e"]
+    assert rotated == ["a", "d"]
+    # no drops, no history: plain prefix, remainder reported
+    cohort, rotated = pick_scale_cohort(qs, set(), {}, cap=2)
+    assert [q.name for q in cohort] == ["a", "b"]
+    assert rotated == ["c", "d", "e"]
+    # cap >= len: everything probed, nothing rotated out
+    cohort, rotated = pick_scale_cohort(qs, set(), hist, cap=10)
+    assert len(cohort) == 5 and rotated == []
+
+
 def test_video_fingerprint_long_video_int64_safe(spark):
     """>5 sampled frames must fold via XOR instead of overflowing the
     12-bits-per-frame positional packing (ADVICE r7): a 14-frame video
