@@ -131,6 +131,53 @@ def main() -> None:
         "superlinear": sorted(n for n, r in ratios.items() if r > FACTOR * 1.25),
     }
 
+    # The registered multimodal queries all bound their input
+    # (doc_id < 100 — the pixel-exact oracles recompute every hash, so
+    # the REGISTRY form keeps oracle cost bounded), which makes their
+    # wall time scale-invariant by construction.  The honest codec-scale
+    # measurement is therefore the same operator pipeline UNBOUNDED —
+    # synthesize -> real decode -> integer aHash -> fingerprint-equality
+    # buckets over the FULL documents table — measured here under its
+    # own name so the probe record says exactly what was run.
+    def _image_dedup_full(spark_, data_dir):
+        from pyspark.sql import functions as F
+
+        from direct_spark_sql_spark.operators import multimodal as mm
+        from direct_spark_sql_spark.sources.registry import load_table
+
+        d = load_table(spark_, data_dir, "documents").select("doc_id")
+        hashes = mm.image_ahash(mm.synthesize_images(d))
+        sizes = hashes.groupBy("ahash").agg(
+            F.count(F.lit(1)).cast("long").alias("group_size")
+        )
+        return hashes.join(sizes, "ahash").select(
+            "doc_id", "ahash", "group_size"
+        )
+
+    class _FullCodecProbe:
+        name = "multimodal_image_dedup_full"
+        bench = False
+
+        @staticmethod
+        def spark_fn(spark_, data_dir):
+            return _image_dedup_full(spark_, data_dir)
+
+    full_codec = _FullCodecProbe()
+    base_full = measure(full_codec, sf_dir)
+    scaled_full = measure(full_codec, scale_dir)
+    out["base_sec"][full_codec.name] = base_full
+    out["scaled_sec"][full_codec.name] = scaled_full
+    out["ratio_vs_base"][full_codec.name] = round(scaled_full / base_full, 2)
+    out["superlinear"] = sorted(
+        n for n, r in out["ratio_vs_base"].items() if r > FACTOR * 1.25
+    )
+    out["codec_probe_note"] = (
+        "multimodal_image_dedup_full = the registered query's operator "
+        "pipeline WITHOUT its doc_id < 100 oracle bound (full documents "
+        "table); the bounded registry form is scale-invariant by "
+        "construction and its ratio is reported only for completeness"
+    )
+
     # 10× pass for probe picks OUTSIDE the bench headline set: those
     # never appear in bench.py's rotating 10× tier, so this tool is
     # their only 10× datapoint (VERDICT r8 #5 — the codec family)
@@ -139,7 +186,10 @@ def main() -> None:
         dir10 = os.path.join(repo, "spark-warehouse", "scaledata", f"sf{sf}x10")
         ensure_scaled_dataset(spark, sf_dir, dir10, factor=10)
         t10 = {n: measure(QUERIES[n], dir10) for n in ten_x}
-        r10 = {n: round(t10[n] / base[n], 2) for n in ten_x}
+        base10 = dict(base)
+        t10[full_codec.name] = measure(full_codec, dir10)
+        base10[full_codec.name] = base_full
+        r10 = {n: round(t10[n] / base10[n], 2) for n in t10}
         out["probe_10x"] = {
             "factor": 10,
             "queries": t10,
