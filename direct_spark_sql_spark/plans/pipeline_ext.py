@@ -679,7 +679,10 @@ def privacy_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dp_release_oracle() -> str:
     from direct_spark_sql_spark.hashing import h64_sql
 
-    key = f"source || ':' || len_bucket || ':' || '{DP_SEED}'"
+    # concat_ws in BOTH engines (not ||): both skip NULL arguments
+    # identically, so a NULL source draws the same noise in each engine
+    # instead of || propagating NULL into the hash on one side only
+    key = f"concat_ws(':', source, len_bucket, '{DP_SEED}')"
     u = f"(CAST({h64_sql(key)} % {_DP_U_DEN} AS DOUBLE) / {float(_DP_U_DEN)!r})"
     terms = " + ".join(
         f"(CASE WHEN u >= {c!r} THEN 1 ELSE 0 END)"

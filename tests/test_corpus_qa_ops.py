@@ -399,6 +399,37 @@ def test_dp_release_pins_exact_noise(spark, tmp_path):
                     got[("code", 0)], got[("news", 0)]], [50, 30, 20, 1]))
 
 
+def test_dp_release_null_source_matches_oracle(spark, tmp_path):
+    """NULL-source rows form one QI class whose noise key is built with
+    concat_ws in BOTH engines (both skip NULL args identically — '||'
+    would propagate NULL into the hash on the oracle side only).  Full
+    differential on a fixture containing a NULL source."""
+    import duckdb
+
+    from direct_spark_sql_spark.plans.pipeline_ext import (
+        _dp_release_oracle,
+        privacy_dp_release,
+    )
+    from tests.conftest import normalize
+
+    rows = [(i, "web", "en", 10) for i in range(30)]
+    rows += [(100 + i, None, "en", 10) for i in range(12)]  # NULL source
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = normalize(privacy_dp_release(spark, str(tmp_path)).toPandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = normalize(con.execute(_dp_release_oracle()).df())
+    assert len(got) == 2  # the NULL class is released too
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_exact=True, check_like=True)
+
+
 def test_dp_release_noise_distribution_centered():
     """Mechanism sanity over many keys: the two-sided-geometric draw is
     centered (|mean| small), bounded by DP_NOISE_BOUND, and has the
