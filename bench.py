@@ -674,9 +674,12 @@ def main() -> None:
         k_timings: dict[str, float] = {}
         k_base: dict[str, float] = {}
         k_dropped: list[str] = []
-        for q in all_queries():
-            if q.name not in skew_names:
-                continue
+        # debt-first within the tier (same rule as the deep tier's picks):
+        # queries this tier dropped on budget LAST run probe first, so a
+        # slow host can't starve the same skew evidence twice running
+        picks = [q for q in all_queries() if q.name in skew_names]
+        picks.sort(key=lambda q: (q.name not in prev_dropped, q.name))
+        for q in picks:
             if remaining() < 45:
                 k_dropped.append(q.name)
                 continue
@@ -751,10 +754,16 @@ def main() -> None:
         # name -> (skip_env, min_budget_s, fn).  Budgets: facade is two
         # tiny register_tables + ~210 sub-30ms calls; scale/deep pay a
         # dataset materialization + the probe runs; skew's dataset is 1×.
+        # scale/deep admission lowered 150 -> 110 in round 9: their probe
+        # datasets are disk-cached after the first generation, so a tier
+        # that starts with ~110 s measures a useful debt-first prefix and
+        # reports honest per-query drops — strictly better than skipping
+        # the whole tier (on a cold cache the generation cost just means
+        # fewer measured queries, still reported)
         "facade_latency": ("SPARK_GRAFT_SKIP_FACADE", 60, tier_facade),
-        "scale_probe": ("SPARK_GRAFT_SKIP_SCALE", 150, tier_scale),
-        "deep_scale_probe": ("SPARK_GRAFT_SKIP_DEEP_SCALE", 150, tier_deep_scale),
-        "skew_probe": ("SPARK_GRAFT_SKIP_SKEW", 120, tier_skew),
+        "scale_probe": ("SPARK_GRAFT_SKIP_SCALE", 110, tier_scale),
+        "deep_scale_probe": ("SPARK_GRAFT_SKIP_DEEP_SCALE", 110, tier_deep_scale),
+        "skew_probe": ("SPARK_GRAFT_SKIP_SKEW", 90, tier_skew),
     }
     order = [t for t in tiers if t in prev_skipped] + [
         t for t in tiers if t not in prev_skipped

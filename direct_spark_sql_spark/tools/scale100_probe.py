@@ -67,6 +67,10 @@ PROBE_QUERIES = [
     # integer aHash + fingerprint-equality buckets, Arrow batch shape
     # under 100× input is the thing being measured
     "multimodal_image_dedup",
+    # round-9: the flagship composed DAG (curation + repetition gate +
+    # decontamination + bench exclusion in one plan) — the end-to-end
+    # shape a real assembly run executes, not just its pieces
+    "corpus_training_ready",
 ]
 
 FACTOR = 100
