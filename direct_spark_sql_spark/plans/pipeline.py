@@ -2260,6 +2260,88 @@ ORDER BY doc_id
 """
 
 
+#: Widths swept by the decontamination width curve: the fixture point
+#: (3), an intermediate (5), and the production point (8).
+DECONTAM_CURVE_WIDTHS = (3, 5, DECONTAM_PROD_N)
+
+
+def decontam_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n-gram-width tuning curve for benchmark decontamination: per
+    width in DECONTAM_CURVE_WIDTHS, how many corpus documents share ANY
+    n-gram with the eval set — the number that justifies the two
+    registered operating points with data instead of citation.  Measured
+    on this corpus at sf0.01: width 3 "flags" 51% of all documents (the
+    miniature of trigram overlap flagging half the internet), widths 5
+    and 8 flag exactly the planted genuine copy.  The dedup_banding_
+    tradeoff precedent: a parameter-sweep observability query.
+
+    100 TB shape: one broadcast-semi-join pass per width — each pass is
+    exactly dedup_benchmark_decontam's shape (eval gram set broadcasts,
+    corpus scanned once per width, per-doc groupBy on the id).  A
+    production run sweeps only the widths it is choosing between, and
+    each extra width costs one more map-side pass, never a shuffle of
+    the corpus.  The final rate join is a 3-row × 1-row broadcast."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from direct_spark_sql_spark.operators.sampling import (
+        BENCH_SLICE_START,
+        sample_bucket,
+    )
+
+    is_bench = sample_bucket(F.col("doc_id")) >= BENCH_SLICE_START
+    bench = d.filter(is_bench)
+    corpus = d.filter(~is_bench)
+    total = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    parts = []
+    for n in DECONTAM_CURVE_WIDTHS:
+        flagged = dd.benchmark_contamination(corpus, bench, n=n, threshold=0.0)
+        parts.append(
+            flagged.agg(F.count(F.lit(1)).cast("long").alias("n_flagged"))
+            .select(F.lit(n).cast("long").alias("n"), "n_flagged")
+        )
+    curve = parts[0]
+    for p in parts[1:]:
+        curve = curve.unionAll(p)
+    return (
+        curve.crossJoin(F.broadcast(total))
+        .select(
+            "n",
+            "n_flagged",
+            "n_corpus",
+            (F.col("n_flagged").cast("double") / F.col("n_corpus")).alias(
+                "collision_rate"
+            ),
+        )
+        .orderBy("n")
+    )
+
+
+def _decontam_width_curve_oracle() -> str:
+    blocks = []
+    for n in DECONTAM_CURVE_WIDTHS:
+        sh_n = _shingles_sql(n)
+        blocks.append(f"""
+SELECT CAST({n} AS BIGINT) AS n,
+       CAST((SELECT COUNT(DISTINCT c.doc_id)
+             FROM (SELECT doc_id, unnest(sh) AS g
+                   FROM (SELECT doc_id, {sh_n} AS sh FROM t)
+                   WHERE {h64_sql('doc_id')} % 10000 < {_BSS}) c
+             JOIN (SELECT DISTINCT unnest(sh) AS g
+                   FROM (SELECT doc_id, {sh_n} AS sh FROM t)
+                   WHERE {h64_sql('doc_id')} % 10000 >= {_BSS}) b
+               ON b.g = c.g) AS BIGINT) AS n_flagged""")
+    body = " UNION ALL ".join(blocks)
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM documents
+        WHERE {h64_sql('doc_id')} % 10000 < {_BSS}),
+curve AS ({body})
+SELECT n, n_flagged, tot.n_corpus,
+       CAST(n_flagged AS DOUBLE) / tot.n_corpus AS collision_rate
+FROM curve CROSS JOIN tot
+ORDER BY n
+"""
+
+
 def decontam_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination observability: per-source corpus contamination
     rate against the external benchmark — (docs, contaminated docs at
@@ -2538,6 +2620,12 @@ QUERIES = [
               "shingles, ANY collision flags — the operating point real "
               "pretraining pipelines run; same broadcast-semi-join shape "
               "as the 3-gram fixture-regime variant"),
+    Query("decontam_width_curve", decontam_width_curve,
+          _decontam_width_curve_oracle(), ("dedup", "sampling", "pipeline"),
+          doc="n-gram-width tuning curve for decontamination: any-"
+              "collision document counts at widths 3/5/8 — width 3 flags "
+              "51% of this corpus, widths 5/8 only the genuine copy; one "
+              "broadcast-semi-join pass per width"),
     Query("decontam_rate_by_source", decontam_rate_by_source,
           _DECONTAM_BY_SOURCE_ORACLE, ("dedup", "sampling", "pipeline"),
           doc="per-source contamination rate + worst score vs the external "

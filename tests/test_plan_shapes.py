@@ -203,6 +203,8 @@ _NLJ_ALLOWED = {
                                    # bounded by the sensitive-value domain
                                    # (languages); QI-class × lang cells are
                                    # metadata-sized
+    "decontam_width_curve",        # 3-row width curve × broadcast 1-row
+                                   # corpus total (bm25_search precedent)
 }
 
 
