@@ -21,7 +21,7 @@ the identical pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from direct_spark_sql_spark.hashing import MERSENNE_P, h64, minhash_coeffs
 from direct_spark_sql_spark.operators.text import tokens
@@ -932,4 +932,73 @@ def benchmark_contamination(
             "contamination", F.col("n_hit").cast("double") / F.col("n_shingles")
         )
         .filter(F.col("contamination") >= threshold)
+    )
+
+
+def contamination_spans(
+    corpus_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+    bench_grams: DataFrame | None = None,
+) -> DataFrame:
+    """Span-level benchmark contamination: for every corpus document,
+    the token-offset spans covered by n-gram collisions with the eval
+    set — the surgical-removal form.  :func:`benchmark_contamination`
+    says WHICH documents are contaminated; at the production 8-gram
+    operating point a whole-document drop discards every clean
+    paragraph around one leaked eval item, so real pipelines
+    (PaLM-style) excise the contaminated *span* and keep the rest.
+
+    Window positions come from :func:`token_windows` (ALL stride-1
+    w-grams, emitted in order by the anchored-lookahead regex), so
+    ``posexplode`` yields pos = the window's start token offset
+    directly.  A hit at offset p contaminates tokens [p, p+n-1];
+    overlapping or back-to-back hit ranges (gap <= n between starts)
+    merge into one span via the classic lag/running-sum islands pass.
+
+    Returns (id, span_start, span_end, n_hits) — inclusive token
+    offsets into the document's whitespace token stream, one row per
+    maximal span, ordered.  Spans are defined for documents with at
+    least n tokens; shorter documents (whole-text single-shingle
+    semantics) are already whole-doc decisions and are out of scope
+    here — benchmark_contamination flags them.
+
+    100 TB shape: the same broadcast-semi-join as
+    benchmark_contamination (eval gram set broadcasts, corpus scanned
+    once, never shuffled on text); the islands window partitions by the
+    document id, so its partitions hold only that document's HIT
+    offsets — bounded by document length, hot-key-free under mass
+    duplication (duplicated docs carry distinct ids)."""
+    if bench_grams is None:
+        bench_grams = benchmark_gram_set(bench_df, text_col, n)
+    wins = corpus_df.filter(F.size(tokens(text_col)) >= n).select(
+        F.col(id_col),
+        F.posexplode(token_windows(text_col, n)).alias("p", "__s"),
+    )
+    hits = wins.join(F.broadcast(bench_grams), "__s", "semi").select(
+        id_col, F.col("p").cast("long").alias("p")
+    )
+    w = Window.partitionBy(id_col).orderBy("p")
+    brk = (
+        F.when(F.col("p") - F.lag("p").over(w) <= n, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("brk")
+    )
+    isl = hits.select(id_col, "p", brk).select(
+        id_col,
+        "p",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(n - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+        .select(id_col, "span_start", "span_end", "n_hits")
     )

@@ -41,6 +41,33 @@ def token_count(col: Column | str = "text") -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+#: ASCII case-fold tables for :func:`normalize_for_matching` — translate()
+#: is codepoint-exact and engine-identical (DuckDB has the same 3-arg
+#: translate), unlike lower(), whose Unicode special cases (dotted/dotless
+#: I, final sigma) are locale/library-dependent and could diverge between
+#: the JVM and DuckDB in the last codepoint.
+MATCH_NORM_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+MATCH_NORM_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def normalize_for_matching(col: Column | str = "text") -> Column:
+    """GPT-3-appendix-C-style text normalization for n-gram collision
+    matching: ASCII lowercase (translate, see MATCH_NORM_UPPER) and every
+    codepoint outside ``[a-z0-9 ]`` replaced by a space — punctuation,
+    symbols, and non-ASCII letters all become token separators, so
+    ``"The Answer."`` and ``"the answer"`` produce identical token
+    streams.  Production decontamination (GPT-3 appendix C, PaLM, Llama)
+    normalizes before building collision grams precisely because cased /
+    punctuated variants of an eval item would otherwise evade the check.
+
+    Downstream tokenization is unchanged: :func:`tokens` drops the empty
+    strings the multi-space runs produce.  Pure map-side column — no
+    shuffle, stays inside whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.translate(c, MATCH_NORM_UPPER, MATCH_NORM_LOWER)
+    return F.regexp_replace(low, "[^a-z0-9 ]", " ")
+
+
 def regex_token_count(col: Column | str = "text") -> Column:
     """BPE-ish token counting: runs of word characters or single
     non-word-non-space characters, the usual pre-tokenizer shape."""

@@ -44,6 +44,17 @@ def _shingles_sql(n: int) -> str:
 #: the default SHINGLE_N = 3 width used by the dedup family
 SHINGLES_SQL = _shingles_sql(3)
 
+#: DuckDB twin of operators/text.py:normalize_for_matching — ASCII
+#: case-fold by translate (codepoint-exact in both engines, unlike
+#: lower()'s locale-dependent Unicode special cases) and every codepoint
+#: outside [a-z0-9 ] replaced by a space ('g' = all occurrences, matching
+#: Spark's replace-all default).
+NORM_TEXT_SQL = (
+    "regexp_replace(translate(text, "
+    "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), "
+    "'[^a-z0-9 ]', ' ', 'g')"
+)
+
 P = MERSENNE_P
 
 
@@ -1791,6 +1802,39 @@ FROM hashes ORDER BY doc_id
 """
 
 
+def multimodal_image_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNBOUNDED perceptual image-dedup pipeline (VERDICT r9 #3):
+    identical to multimodal_image_dedup but over EVERY document — the
+    form whose 100× scale evidence lives in baselines/scale100_probe.json
+    (4.4× wall at 100× data), now with its own oracle row instead of
+    probe-only status.  The bounded variant existed because the oracle
+    recomputes every pixel; the synthesized dimensions are globally
+    bounded (w = 4 + id % 13 <= 16, h = 3 + id % 11 <= 13), so the
+    oracle's pixel grid is <= 208 rows per document at ANY corpus size
+    and the closed-form replay stays tractable unbounded (500 docs ->
+    ~100k pixel rows at sf0.01).
+
+    Plan shape is the bounded variant's: map-only encode+decode+hash
+    (Arrow-batched mapInPandas), groupBy(ahash).count + join-back for
+    bucket sizes (no count window — a boilerplate corpus makes one
+    perceptual hash hot; the groupBy collapses it map-side)."""
+    d = load_table(spark, sf_dir, "documents")
+    hashes = mm.image_ahash(mm.synthesize_images(d))
+    sizes = hashes.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return (
+        hashes.join(sizes, "ahash")
+        .select("doc_id", "fmt", "width", "height", "ahash", "group_size")
+        .orderBy("doc_id")
+    )
+
+
+_IMAGE_DEDUP_FULL_ORACLE = _IMAGE_DEDUP_ORACLE.replace(
+    "FROM documents WHERE doc_id < 100", "FROM documents"
+)
+
+
 def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline-JPEG encode -> sniff-decode -> tolerance audit, executor-side.
 
@@ -2260,6 +2304,128 @@ ORDER BY doc_id
 """
 
 
+def dedup_benchmark_decontam_8gram_norm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Normalized production-width benchmark decontamination: the
+    dedup_benchmark_decontam_8gram operating point (8-gram, ANY
+    collision flags) over text normalized with operators/text.py:
+    normalize_for_matching — ASCII lowercase + every non-[a-z0-9 ]
+    codepoint replaced by a space — applied identically to the corpus
+    and the benchmark side BEFORE shingling.  GPT-3 appendix C (and
+    PaLM / Llama after it) normalize before building collision grams:
+    a cased or re-punctuated copy of an eval item ("The Answer." vs
+    "the answer") shares zero raw 8-grams with it and evades the raw
+    operating point entirely; after normalization both sides produce
+    identical token streams and the collision fires (the planted
+    case-variant test in tests/test_pipeline_ops.py pins exactly this
+    miss/catch pair).
+
+    100 TB shape: identical to the raw variant — normalization is one
+    map-side translate + regexp_replace inside the same scan (no extra
+    pass, no shuffle), the normalized eval gram set broadcasts, and the
+    per-doc groupBy keys on the id."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.normalize_for_matching("text").alias("text")
+    )
+    from direct_spark_sql_spark.operators.sampling import (
+        BENCH_SLICE_START,
+        sample_bucket,
+    )
+
+    is_bench = sample_bucket(F.col("doc_id")) >= BENCH_SLICE_START
+    bench = d.filter(is_bench)
+    corpus = d.filter(~is_bench)
+    return (
+        dd.benchmark_contamination(
+            corpus, bench, n=DECONTAM_PROD_N, threshold=0.0
+        )
+        .select("doc_id", "n_shingles", "n_hit", "contamination")
+        .orderBy("doc_id")
+    )
+
+
+_BENCH_DECONTAM_8GRAM_NORM_ORACLE = f"""
+WITH nd AS (SELECT doc_id, {NORM_TEXT_SQL} AS text FROM documents),
+t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM nd),
+sh AS (SELECT doc_id, {_PROD_SHINGLES_SQL} AS sh FROM t),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh
+          WHERE {h64_sql('doc_id')} % 10000 >= {_BSS}),
+corpus AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s FROM sh
+           WHERE {h64_sql('doc_id')} % 10000 < {_BSS}),
+hits AS (SELECT c.doc_id, c.n_shingles, COUNT(*) AS n_hit
+         FROM corpus c JOIN bench USING (s) GROUP BY 1, 2)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(n_hit AS DOUBLE) / n_shingles AS contamination
+FROM hits
+ORDER BY doc_id
+"""
+
+
+def decontam_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level contamination report at the production operating point
+    (DECONTAM_PROD_N-gram, any collision): for each corpus document the
+    maximal token-offset spans covered by 8-gram collisions with the
+    benchmark slice — the surgical-removal form (PaLM-style) that excises
+    the leaked eval item and keeps the rest of the document, instead of
+    the whole-doc drop dedup_benchmark_decontam_8gram implies.  A doc
+    with one contaminated paragraph yields one span covering exactly
+    that paragraph's token range (pinned by the planted-paragraph test).
+
+    Offsets are into the RAW whitespace token stream (the same stream a
+    downstream excision slices); the normalized operating point
+    (dedup_benchmark_decontam_8gram_norm) would additionally need a
+    normalized-to-raw offset map, since normalization can split or
+    delete tokens — documented limitation, not attempted here.
+
+    100 TB shape: see operators/dedup.py:contamination_spans — the same
+    broadcast-semi-join as the flag-level queries plus an islands window
+    partitioned on the doc id (per-partition rows = that doc's hit
+    offsets only)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from direct_spark_sql_spark.operators.sampling import (
+        BENCH_SLICE_START,
+        sample_bucket,
+    )
+
+    is_bench = sample_bucket(F.col("doc_id")) >= BENCH_SLICE_START
+    bench = d.filter(is_bench)
+    corpus = d.filter(~is_bench)
+    return dd.contamination_spans(corpus, bench, n=DECONTAM_PROD_N).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+def _decontam_span_oracle() -> str:
+    n = DECONTAM_PROD_N
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+bench AS (SELECT DISTINCT unnest(sh) AS s
+          FROM (SELECT doc_id, {_PROD_SHINGLES_SQL} AS sh FROM t)
+          WHERE {h64_sql('doc_id')} % 10000 >= {_BSS}),
+c AS (SELECT doc_id, toks FROM t
+      WHERE {h64_sql('doc_id')} % 10000 < {_BSS} AND len(toks) >= {n}),
+g AS (SELECT doc_id, i - 1 AS p, array_to_string(toks[i:i+{n - 1}], ' ') AS s
+      FROM c, unnest(generate_series(1, len(toks) - {n - 1})) AS u(i)),
+hits AS (SELECT g.doc_id, g.p FROM g JOIN bench USING (s)),
+w AS (SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                       <= {n} THEN 0 ELSE 1 END AS brk
+      FROM hits),
+isl AS (SELECT doc_id, p,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+        FROM w)
+SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+       CAST(MAX(p) + {n - 1} AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
 #: Widths swept by the decontamination width curve: the fixture point
 #: (3), an intermediate (5), and the production point (8).
 DECONTAM_CURVE_WIDTHS = (3, 5, DECONTAM_PROD_N)
@@ -2620,6 +2786,21 @@ QUERIES = [
               "shingles, ANY collision flags — the operating point real "
               "pretraining pipelines run; same broadcast-semi-join shape "
               "as the 3-gram fixture-regime variant"),
+    Query("dedup_benchmark_decontam_8gram_norm",
+          dedup_benchmark_decontam_8gram_norm,
+          _BENCH_DECONTAM_8GRAM_NORM_ORACLE, ("dedup", "sampling", "pipeline"),
+          doc="normalized production-width decontamination: GPT-3-appendix-"
+              "C-style lowercase+punctuation-strip normalization (identical "
+              "translate+regexp_replace in both engines) applied before "
+              "8-gram any-collision matching, so cased/re-punctuated "
+              "variants of eval items no longer evade the check"),
+    Query("decontam_span_report", decontam_span_report,
+          _decontam_span_oracle(), ("dedup", "sampling", "pipeline"),
+          doc="span-level contamination at the 8-gram operating point: "
+              "maximal token-offset spans of benchmark collisions per doc "
+              "(posexplode windows -> broadcast semi-join -> islands merge) "
+              "— the PaLM-style surgical-excision form instead of "
+              "whole-doc drops"),
     Query("decontam_width_curve", decontam_width_curve,
           _decontam_width_curve_oracle(), ("dedup", "sampling", "pipeline"),
           doc="n-gram-width tuning curve for decontamination: any-"
@@ -2744,6 +2925,13 @@ QUERIES = [
               "average hash, equal hashes = near-dup buckets "
               "(equi-groupBy, no pairwise compare); every hash "
               "oracle-recomputed from the pixel formula"),
+    Query("multimodal_image_dedup_full", multimodal_image_dedup_full,
+          _IMAGE_DEDUP_FULL_ORACLE, ("multimodal", "dedup", "pipeline"),
+          doc="UNBOUNDED perceptual image dedup (the scale100-probe form, "
+              "4.4x at 100x, now oracle-checked): every document's image "
+              "encoded, real-decoded, aHashed and bucket-sized; oracle "
+              "recomputes every hash from the pixel formula — tractable "
+              "unbounded because synthesized dims are globally <= 16x13"),
     Query("multimodal_jpeg_roundtrip", multimodal_jpeg_roundtrip,
           _MULTIMODAL_JPEG_ORACLE, ("multimodal", "pipeline"), bench=True,
           doc="baseline JPEG (444+420) encode→decode with in-pass tolerance audit"),

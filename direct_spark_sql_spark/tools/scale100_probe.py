@@ -143,28 +143,20 @@ def main() -> None:
     # synthesize -> real decode -> integer aHash -> fingerprint-equality
     # buckets over the FULL documents table — measured here under its
     # own name so the probe record says exactly what was run.
-    def _image_dedup_full(spark_, data_dir):
-        from pyspark.sql import functions as F
-
-        from direct_spark_sql_spark.operators import multimodal as mm
-        from direct_spark_sql_spark.sources.registry import load_table
-
-        d = load_table(spark_, data_dir, "documents").select("doc_id")
-        hashes = mm.image_ahash(mm.synthesize_images(d))
-        sizes = hashes.groupBy("ahash").agg(
-            F.count(F.lit(1)).cast("long").alias("group_size")
-        )
-        return hashes.join(sizes, "ahash").select(
-            "doc_id", "ahash", "group_size"
-        )
-
+    # Since round 10 the unbounded form is a first-class REGISTERED,
+    # oracle-checked query (plans/pipeline.py:multimodal_image_dedup_full)
+    # — the probe imports it instead of keeping a drifting inline copy.
     class _FullCodecProbe:
         name = "multimodal_image_dedup_full"
         bench = False
 
         @staticmethod
         def spark_fn(spark_, data_dir):
-            return _image_dedup_full(spark_, data_dir)
+            from direct_spark_sql_spark.plans.pipeline import (
+                multimodal_image_dedup_full,
+            )
+
+            return multimodal_image_dedup_full(spark_, data_dir)
 
     full_codec = _FullCodecProbe()
     base_full = measure(full_codec, sf_dir)
@@ -176,10 +168,10 @@ def main() -> None:
         n for n, r in out["ratio_vs_base"].items() if r > FACTOR * 1.25
     )
     out["codec_probe_note"] = (
-        "multimodal_image_dedup_full = the registered query's operator "
-        "pipeline WITHOUT its doc_id < 100 oracle bound (full documents "
-        "table); the bounded registry form is scale-invariant by "
-        "construction and its ratio is reported only for completeness"
+        "multimodal_image_dedup_full = the REGISTERED unbounded codec "
+        "query (oracle-checked since round 10); the doc_id<100-bounded "
+        "multimodal_image_dedup form is scale-invariant by construction "
+        "and its ratio is reported only for completeness"
     )
 
     # 10× pass for probe picks OUTSIDE the bench headline set: those

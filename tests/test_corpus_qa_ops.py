@@ -224,6 +224,68 @@ def test_benchmark_contamination_production_width(spark):
     assert 2 in tri
 
 
+def test_decontam_normalization_catches_case_variant(spark, tmp_path):
+    """VERDICT r9 #1 pin: a cased/re-punctuated copy of a benchmark item
+    shares ZERO raw 8-grams with it (raw operating point misses it) but
+    identical normalized token streams (normalized operating point flags
+    it) — exercised through the REGISTERED queries on a planted corpus,
+    so the bench-slice predicate, normalization column and gram join all
+    participate.  doc_id 1 hashes into the bench slice (h64(1)%10000 =
+    9848 >= 9800); 2 and 3 land in the corpus side."""
+    from direct_spark_sql_spark.plans.pipeline import (
+        dedup_benchmark_decontam_8gram,
+        dedup_benchmark_decontam_8gram_norm,
+    )
+
+    item = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    variant = "Alpha Bravo, Charlie Delta: Echo Foxtrot Golf Hotel India Juliett!"
+    rows = [
+        (1, "bench", "en", item, len(item)),       # bench slice
+        (2, "web", "en", variant, len(variant)),   # case/punct variant
+        (3, "web", "en",
+         "unrelated kilo lima mike november oscar papa quebec romeo sierra",
+         60),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    raw = {r["doc_id"] for r in
+           dedup_benchmark_decontam_8gram(spark, str(tmp_path)).collect()}
+    norm = {r["doc_id"] for r in
+            dedup_benchmark_decontam_8gram_norm(spark, str(tmp_path)).collect()}
+    assert 2 not in raw          # cased/punctuated variant evades raw grams
+    assert 2 in norm             # ...and is caught after normalization
+    assert 3 not in raw and 3 not in norm
+
+
+def test_decontam_span_covers_contaminated_paragraph_only(spark, tmp_path):
+    """VERDICT r9 #2 pin: a doc with ONE contaminated paragraph yields
+    one span covering exactly that paragraph's token range — the
+    surrounding clean text is NOT inside the span (the whole point of
+    span-level excision vs whole-doc drops).  Also pins the islands
+    merge: two hits closer than the gram width collapse into one span."""
+    from direct_spark_sql_spark.plans.pipeline import decontam_span_report
+
+    para = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    # 5 clean tokens | 10 contaminated tokens | 5 clean tokens
+    doc = "clean one two three four " + para + " five six seven eight nine"
+    rows = [
+        (1, "bench", "en", para, len(para)),   # h64(1)%10000=9848: bench slice
+        (2, "web", "en", doc, len(doc)),       # corpus side
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    spans = decontam_span_report(spark, str(tmp_path)).collect()
+    assert [(r["doc_id"], r["span_start"], r["span_end"], r["n_hits"])
+            for r in spans] == [(2, 5, 14, 3)]
+    # tokens 0-4 and 15-19 (the clean flanks) are outside the span;
+    # 3 hits = the 10-token paragraph's three 8-gram windows, merged
+    # into ONE island because consecutive starts differ by 1 (< n)
+
+
 def test_benchmark_contamination_broadcasts_eval_side(spark):
     """The eval-set gram join must be a broadcast semi-join (eval sets
     are tiny; the corpus side must not shuffle on gram text)."""
