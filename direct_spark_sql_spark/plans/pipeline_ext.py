@@ -596,11 +596,30 @@ DP_EPSILON = 1.0
 #: libm implementations, a >= against the same literal cannot).
 DP_NOISE_BOUND = 16
 
-#: Release seed.  A production release would draw this fresh per release
-#: from a secure source and publish it with the release metadata (seeded
-#: counter-based noise is standard reproducible-DP practice); the fixed
-#: value here makes the mechanism replayable by the DuckDB oracle.
+#: Release seed.  The noise is a pure function of (class key, DP_SEED),
+#: so the seed is part of the SECRET state of the mechanism: publishing
+#: it would let any consumer recompute and subtract the noise, recovering
+#: exact counts and voiding the DP guarantee (ADVICE r9).  A production
+#: release draws it fresh per release from a secure source and retains it
+#: privately; only the epsilon / mechanism parameters are publishable.
+#: The fixed value here exists so the DuckDB oracle — which plays the
+#: role of the release pipeline's internal replica, not of a consumer —
+#: can replay the identical draws for the differential check.
 DP_SEED = 90210
+
+#: Declared release domain — fixed BEFORE looking at the data, which is
+#: what makes the histogram release epsilon-DP including row PRESENCE:
+#: a release over only the observed classes emits a row exactly when a
+#: class is non-empty, so neighboring datasets differing in a singleton
+#: class's sole document are distinguished with certainty (ADVICE r9).
+#: Releasing a noisy count for EVERY declared cell (empty ones included)
+#: removes that signal; rows outside the declared domain contribute to
+#: no released cell, so adding/removing one costs zero privacy.  The
+#: testdata generator's source vocabulary is the fixed src0..src19 set
+#: at every scale factor, and n_chars tops out at 577 across sf0.001-0.1
+#: — the 0..768 bucket grid covers it with one bucket of headroom.
+DP_DOMAIN_SOURCES: tuple[str, ...] = tuple(f"src{i}" for i in range(20))
+DP_DOMAIN_LEN_BUCKETS: tuple[int, ...] = (0, 256, 512, 768)
 
 
 def _dp_cdf_breakpoints() -> list[float]:
@@ -626,27 +645,48 @@ def _dp_cdf_breakpoints() -> list[float]:
 _DP_U_DEN = 1 << 52
 
 
-def privacy_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+def privacy_dp_release(
+    spark: SparkSession,
+    sf_dir: str,
+    domain_sources: tuple[str, ...] = DP_DOMAIN_SOURCES,
+    domain_len_buckets: tuple[int, ...] = DP_DOMAIN_LEN_BUCKETS,
+) -> DataFrame:
     """Differentially-private histogram release over the k-anonymity QI
-    classes (source, 256-char length band): true class counts plus
+    classes (source, 256-char length band), released over the FIXED,
+    data-independent domain ``domain_sources x domain_len_buckets``:
+    every declared cell — empty ones included — gets true count plus
     integer two-sided-geometric noise at epsilon = DP_EPSILON, clamped
     at zero (post-processing preserves DP).  The detect side of the
     toolchain (k-anonymity / l-diversity / t-closeness) says which
     aggregates are risky to publish raw; this is the release mechanism
     that publishes them anyway, safely.
 
-    Determinism: the noise for a class is a pure function of
+    Why the fixed domain (ADVICE r9): a release over only the OBSERVED
+    classes emits a row exactly when a class is non-empty, so
+    neighboring datasets differing in a singleton class's sole document
+    are distinguished with certainty — row presence itself leaks.  Here
+    the released row set is a constant of the declared domain, an empty
+    cell is indistinguishable from a singleton up to the same noise as
+    any other count, and rows whose QI falls outside the declared
+    domain contribute to no released cell (adding or removing one is
+    privacy-free).  Per-cell epsilon-DP composes in PARALLEL across the
+    disjoint cells, so the whole histogram costs DP_EPSILON per release
+    (see privacy_dp_epsilon_ledger for the cumulative spend).
+
+    Determinism: the noise for a cell is a pure function of
     (source, len_bucket, DP_SEED) — u = (h64(key) % 2^52) / 2^52 mapped
     through the literal CDF breakpoints of _dp_cdf_breakpoints(), so the
     DuckDB oracle replays the identical noise (the planted-data test
     pins exact noise values).  Per-class noise is what the DP guarantee
-    requires — NOT a per-row perturbation.
+    requires — NOT a per-row perturbation.  DP_SEED stays secret (see
+    its note); domain keys are literals so the noise key is never NULL,
+    and concat_ws keeps the NULL behavior engine-identical regardless.
 
     Scale shape: ONE (QI) hash aggregation over the corpus (map-side
-    combinable); the noise map is a literal-threshold scan on the
-    bounded class table — no joins, no windows, no second scan.  The
-    released histogram never exposes a class below the noise floor
-    as an exact zero-vs-one signal."""
+    combinable), its bounded output broadcast to a left join against
+    the literal domain grid (|domain| rows, a LocalTableScan), then the
+    map-only literal-threshold noise projection — no shuffle joins, no
+    windows, no second scan of the corpus."""
     from direct_spark_sql_spark.hashing import h64
 
     d = load_table(spark, sf_dir, "documents")
@@ -660,6 +700,15 @@ def privacy_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "len_bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
     )
+    domain = spark.createDataFrame(
+        [(s, b) for s in domain_sources for b in domain_len_buckets],
+        "source string, len_bucket long",
+    )
+    cells = domain.join(
+        F.broadcast(counts), ["source", "len_bucket"], "left"
+    ).select(
+        "source", "len_bucket", F.coalesce("__cnt", F.lit(0)).alias("__cnt")
+    )
     key = F.concat_ws(
         ":", F.col("source"), F.col("len_bucket"), F.lit(str(DP_SEED))
     )
@@ -667,7 +716,7 @@ def privacy_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise = F.lit(-DP_NOISE_BOUND)
     for c in _dp_cdf_breakpoints():
         noise = noise + F.when(u >= F.lit(c), 1).otherwise(0)
-    return counts.select(
+    return cells.select(
         "source",
         "len_bucket",
         F.greatest(F.lit(0), (F.col("__cnt") + noise)).cast("long").alias(
@@ -676,12 +725,28 @@ def privacy_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "len_bucket")
 
 
-def _dp_release_oracle() -> str:
+def _dp_domain_sql(
+    domain_sources: tuple[str, ...] = DP_DOMAIN_SOURCES,
+    domain_len_buckets: tuple[int, ...] = DP_DOMAIN_LEN_BUCKETS,
+) -> str:
+    """VALUES grid of the declared release domain (literal, data-free)."""
+    srcs = ", ".join(f"('{s}')" for s in domain_sources)
+    bkts = ", ".join(f"(CAST({b} AS BIGINT))" for b in domain_len_buckets)
+    return (
+        f"SELECT s.source, b.len_bucket FROM (VALUES {srcs}) s(source) "
+        f"CROSS JOIN (VALUES {bkts}) b(len_bucket)"
+    )
+
+
+def _dp_release_oracle(
+    domain_sources: tuple[str, ...] = DP_DOMAIN_SOURCES,
+    domain_len_buckets: tuple[int, ...] = DP_DOMAIN_LEN_BUCKETS,
+) -> str:
     from direct_spark_sql_spark.hashing import h64_sql
 
     # concat_ws in BOTH engines (not ||): both skip NULL arguments
-    # identically, so a NULL source draws the same noise in each engine
-    # instead of || propagating NULL into the hash on one side only
+    # identically.  Domain keys are literals (never NULL), so this is
+    # belt-and-braces parity rather than a live hazard now.
     key = f"concat_ws(':', source, len_bucket, '{DP_SEED}')"
     u = f"(CAST({h64_sql(key)} % {_DP_U_DEN} AS DOUBLE) / {float(_DP_U_DEN)!r})"
     terms = " + ".join(
@@ -689,7 +754,8 @@ def _dp_release_oracle() -> str:
         for c in _dp_cdf_breakpoints()
     )
     return f"""
-WITH qi AS (
+WITH dom AS ({_dp_domain_sql(domain_sources, domain_len_buckets)}),
+qi AS (
   SELECT source,
          CAST(FLOOR(n_chars / {K_ANON_BUCKET}) * {K_ANON_BUCKET} AS BIGINT)
            AS len_bucket
@@ -699,12 +765,114 @@ counts AS (
   SELECT source, len_bucket, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM qi GROUP BY 1, 2
 ),
-withu AS (SELECT source, len_bucket, cnt, {u} AS u FROM counts)
+cells AS (
+  SELECT dom.source, dom.len_bucket, COALESCE(counts.cnt, 0) AS cnt
+  FROM dom LEFT JOIN counts USING (source, len_bucket)
+),
+withu AS (SELECT source, len_bucket, cnt, {u} AS u FROM cells)
 SELECT source, len_bucket,
        CAST(GREATEST(0, cnt + (-{DP_NOISE_BOUND} + {terms})) AS BIGINT)
          AS noisy_count
 FROM withu
 ORDER BY source, len_bucket
+"""
+
+
+#: Release log the epsilon ledger aggregates — one row per registered
+#: release of the documents QI histogram: (release_id, domain_kind,
+#: epsilon).  domain_kind 'observed' = the round-9 release over only the
+#: observed classes (kept on the books: its budget was genuinely spent
+#: against this data even though the mechanism was superseded);
+#: 'declared' = the fixed-domain release above.  An 'observed' release
+#: touched a cell iff the cell was non-empty; a 'declared' release
+#: touches every declared cell.
+DP_RELEASE_LOG: tuple[tuple[str, str, float], ...] = (
+    ("qi_histogram_r9", "observed", DP_EPSILON),
+    ("qi_histogram_r10", "declared", DP_EPSILON),
+)
+
+_DP_EPS_DECLARED = sum(e for _, kind, e in DP_RELEASE_LOG if kind == "declared")
+_DP_EPS_OBSERVED = sum(e for _, kind, e in DP_RELEASE_LOG if kind == "observed")
+_DP_N_DECLARED = sum(1 for _, kind, _e in DP_RELEASE_LOG if kind == "declared")
+_DP_N_OBSERVED = sum(1 for _, kind, _e in DP_RELEASE_LOG if kind == "observed")
+
+
+def privacy_dp_epsilon_ledger(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cumulative differential-privacy budget per QI class across the
+    releases in DP_RELEASE_LOG (VERDICT r9 #5) — pure bookkeeping, no
+    new mechanism.
+
+    Composition rule: WITHIN one histogram release the per-cell
+    mechanisms act on disjoint row sets, so they compose in PARALLEL —
+    the release costs its epsilon once per cell, not |cells| * epsilon.
+    ACROSS releases the same rows are touched again, so budgets add by
+    SEQUENTIAL composition (Dwork & Roth, Thm 3.14/3.20): a cell's
+    cumulative spend is the sum of epsilon over the releases whose
+    domain included it.  An 'observed'-domain release included a cell
+    iff it was non-empty at release time; a 'declared'-domain release
+    includes every declared cell.
+
+    Scale shape: the same single QI hash aggregation as the release
+    itself (only an EXISTS bit is needed, so count >= 1 stands in),
+    broadcast-left-joined to the literal domain grid; map-only literal
+    arithmetic after that."""
+    d = load_table(spark, sf_dir, "documents")
+    observed = (
+        d.select(
+            "source",
+            (F.floor(F.col("n_chars") / K_ANON_BUCKET) * K_ANON_BUCKET)
+            .cast("long")
+            .alias("len_bucket"),
+        )
+        .groupBy("source", "len_bucket")
+        .agg(F.lit(1).alias("__obs"))
+    )
+    domain = spark.createDataFrame(
+        [(s, b) for s in DP_DOMAIN_SOURCES for b in DP_DOMAIN_LEN_BUCKETS],
+        "source string, len_bucket long",
+    )
+    obs = F.col("__obs").isNotNull()
+    return (
+        domain.join(F.broadcast(observed), ["source", "len_bucket"], "left")
+        .select(
+            "source",
+            "len_bucket",
+            obs.cast("long").alias("observed"),
+            (
+                F.lit(_DP_N_DECLARED)
+                + F.when(obs, F.lit(_DP_N_OBSERVED)).otherwise(F.lit(0))
+            ).cast("long").alias("n_releases"),
+            (
+                F.lit(float(_DP_EPS_DECLARED))
+                + F.when(obs, F.lit(float(_DP_EPS_OBSERVED))).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("epsilon_total"),
+        )
+        .orderBy("source", "len_bucket")
+    )
+
+
+def _dp_epsilon_ledger_oracle() -> str:
+    return f"""
+WITH dom AS ({_dp_domain_sql()}),
+qi AS (
+  SELECT source,
+         CAST(FLOOR(n_chars / {K_ANON_BUCKET}) * {K_ANON_BUCKET} AS BIGINT)
+           AS len_bucket
+  FROM documents
+),
+observed AS (SELECT source, len_bucket, 1 AS obs FROM qi GROUP BY 1, 2)
+SELECT dom.source, dom.len_bucket,
+       CAST(CASE WHEN obs IS NULL THEN 0 ELSE 1 END AS BIGINT) AS observed,
+       CAST({_DP_N_DECLARED} + CASE WHEN obs IS NULL THEN 0
+            ELSE {_DP_N_OBSERVED} END AS BIGINT) AS n_releases,
+       CAST({float(_DP_EPS_DECLARED)!r} + CASE WHEN obs IS NULL THEN 0.0
+            ELSE {float(_DP_EPS_OBSERVED)!r} END AS DOUBLE) AS epsilon_total
+FROM dom LEFT JOIN observed USING (source, len_bucket)
+ORDER BY dom.source, dom.len_bucket
 """
 
 
@@ -2087,10 +2255,18 @@ QUERIES = [
               "(order-independent), classes beyond t=0.4 flagged"),
     Query("privacy_dp_release", privacy_dp_release, _dp_release_oracle(),
           ("privacy", "pipeline"),
-          doc="differentially-private histogram release over the QI "
-              "classes: seeded integer two-sided-geometric noise at "
-              "epsilon=1 via literal CDF-breakpoint thresholds (bit-exact "
-              "replayable), zero-clamped; completes detect -> release"),
+          doc="differentially-private histogram release over the FIXED "
+              "declared QI domain (empty cells released too — row "
+              "presence no longer leaks; ADVICE r9): seeded integer "
+              "two-sided-geometric noise at epsilon=1 via literal "
+              "CDF-breakpoint thresholds (bit-exact replayable), "
+              "zero-clamped; completes detect -> release"),
+    Query("privacy_dp_epsilon_ledger", privacy_dp_epsilon_ledger,
+          _dp_epsilon_ledger_oracle(), ("privacy", "pipeline"),
+          doc="cumulative DP budget per QI class across DP_RELEASE_LOG: "
+              "parallel composition within a release, sequential across "
+              "releases (epsilon adds); observed-domain releases touched "
+              "only non-empty cells, declared-domain ones every cell"),
     Query("privacy_delete_propagation", privacy_delete_propagation,
           PRIVACY_DELETE_ORACLE, ("merge", "pipeline", "privacy"),
           doc="right-to-be-forgotten: deletion requests anti-join down "

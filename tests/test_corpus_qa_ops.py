@@ -435,22 +435,51 @@ def test_dp_release_pins_exact_noise(spark, tmp_path):
     spark.createDataFrame(
         rows, "doc_id long, source string, lang string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    dom_sources = ("web", "wiki", "code", "news")
+    dom_buckets = (0, 256)
     got = {
         (r["source"], r["len_bucket"]): r["noisy_count"]
-        for r in privacy_dp_release(spark, str(tmp_path)).collect()
+        for r in privacy_dp_release(
+            spark, str(tmp_path), dom_sources, dom_buckets
+        ).collect()
     }
-    # pinned noise draws at DP_SEED=90210: web:0 -> +0, wiki:256 -> +1,
-    # code:0 -> -1, news:0 -> +1
-    assert got == {
-        ("web", 0): 50,
-        ("wiki", 256): 31,
-        ("code", 0): 19,
-        ("news", 0): 2,
-    }
+    # the released row set is EXACTLY the declared grid — fixed-domain
+    # DP: empty cells are released too (noise-only, zero-clamped), so
+    # row presence no longer signals class non-emptiness (ADVICE r9)
+    assert set(got) == {(s, b) for s in dom_sources for b in dom_buckets}
+    # pinned noise draws at DP_SEED=90210 for the observed cells:
+    # web:0 -> +0, wiki:256 -> +1, code:0 -> -1, news:0 -> +1
+    assert got[("web", 0)] == 50
+    assert got[("wiki", 256)] == 31
+    assert got[("code", 0)] == 19
+    assert got[("news", 0)] == 2
+    # empty declared cells release max(0, 0 + noise) with the SAME
+    # per-cell draw formula — replay it with the pure-python twin
+    import hashlib
+
+    from direct_spark_sql_spark.plans.pipeline_ext import (
+        DP_SEED,
+        _dp_cdf_breakpoints,
+        _DP_U_DEN,
+    )
+
+    cs = _dp_cdf_breakpoints()
+
+    def draw(key: str) -> int:
+        h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+        u = (h % _DP_U_DEN) / _DP_U_DEN
+        return -DP_NOISE_BOUND + sum(1 for c in cs if u >= c)
+
+    for cell, true_cnt in [(("web", 256), 0), (("wiki", 0), 0),
+                           (("code", 256), 0), (("news", 256), 0)]:
+        want = max(0, true_cnt + draw(f"{cell[0]}:{cell[1]}:{DP_SEED}"))
+        assert got[cell] == want, (cell, got[cell], want)
     # determinism: a second run draws the identical noise
     again = {
         (r["source"], r["len_bucket"]): r["noisy_count"]
-        for r in privacy_dp_release(spark, str(tmp_path)).collect()
+        for r in privacy_dp_release(
+            spark, str(tmp_path), dom_sources, dom_buckets
+        ).collect()
     }
     assert again == got
     # zero-clamp: tiny true counts can never release negative
@@ -461,12 +490,15 @@ def test_dp_release_pins_exact_noise(spark, tmp_path):
                     got[("code", 0)], got[("news", 0)]], [50, 30, 20, 1]))
 
 
-def test_dp_release_null_source_matches_oracle(spark, tmp_path):
-    """NULL-source rows form one QI class whose noise key is built with
-    concat_ws in BOTH engines (both skip NULL args identically — '||'
-    would propagate NULL into the hash on the oracle side only).  Full
-    differential on a fixture containing a NULL source."""
+def test_dp_release_out_of_domain_rows_are_privacy_free(spark, tmp_path):
+    """Fixed-domain semantics: rows whose QI falls OUTSIDE the declared
+    domain (an undeclared source, incl. NULL) contribute to no released
+    cell and removing them leaves the release bit-identical — the
+    declared-domain rule that makes their presence privacy-free.  Full
+    differential against the parameterized oracle on the same fixture
+    (the noise key still uses concat_ws in both engines for parity)."""
     import duckdb
+    import pandas as pd
 
     from direct_spark_sql_spark.plans.pipeline_ext import (
         _dp_release_oracle,
@@ -474,22 +506,42 @@ def test_dp_release_null_source_matches_oracle(spark, tmp_path):
     )
     from tests.conftest import normalize
 
+    dom_sources = ("web", "blog")
+    dom_buckets = (0,)
     rows = [(i, "web", "en", 10) for i in range(30)]
-    rows += [(100 + i, None, "en", 10) for i in range(12)]  # NULL source
+    rows += [(100 + i, None, "en", 10) for i in range(12)]   # NULL source
+    rows += [(200 + i, "forum", "en", 10) for i in range(7)]  # undeclared
     spark.createDataFrame(
         rows, "doc_id long, source string, lang string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
-    got = normalize(privacy_dp_release(spark, str(tmp_path)).toPandas())
+    got = normalize(
+        privacy_dp_release(
+            spark, str(tmp_path), dom_sources, dom_buckets
+        ).toPandas()
+    )
+    # exactly the declared cells: web (observed) + blog (empty)
+    assert sorted(got["source"]) == ["blog", "web"]
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
     )
-    want = normalize(con.execute(_dp_release_oracle()).df())
-    assert len(got) == 2  # the NULL class is released too
-    import pandas as pd
-
+    want = normalize(
+        con.execute(_dp_release_oracle(dom_sources, dom_buckets)).df()
+    )
     pd.testing.assert_frame_equal(got, want, check_exact=True, check_like=True)
+
+    # neighbor dataset WITHOUT the out-of-domain rows -> identical release
+    spark.createDataFrame(
+        [(i, "web", "en", 10) for i in range(30)],
+        "doc_id long, source string, lang string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got2 = normalize(
+        privacy_dp_release(
+            spark, str(tmp_path), dom_sources, dom_buckets
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, got2, check_exact=True, check_like=True)
 
 
 def test_dp_release_noise_distribution_centered():

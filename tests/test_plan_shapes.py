@@ -382,24 +382,37 @@ def test_hll_union_is_object_hash_aggregate(spark):
     assert "ObjectHashAggregate" in plan, plan[:1200]
 
 
-def test_dp_release_is_one_aggregate_no_joins(spark):
-    """The DP release's 100 TB contract: ONE hash aggregation over the
-    corpus (the QI groupBy, map-side combinable) and a map-only
-    literal-threshold noise projection on the bounded class table — no
-    join, no window, no second scan, and the 32-term CASE chain stays
-    JVM-side (no BatchEvalPython)."""
+def test_dp_release_is_one_aggregate_one_broadcast(spark):
+    """The fixed-domain DP release's 100 TB contract: ONE hash
+    aggregation over the corpus (the QI groupBy, map-side combinable),
+    its bounded output BROADCAST to a left join against the literal
+    domain grid (a LocalTableScan — no corpus participation), then the
+    map-only literal-threshold noise projection — no shuffle join, no
+    window, no second scan of the corpus, and the 32-term CASE chain
+    stays JVM-side (no BatchEvalPython)."""
     from direct_spark_sql_spark.plans.pipeline_ext import privacy_dp_release
 
     df = privacy_dp_release(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan, plan[:1200]
-    for forbidden in ("Join", "Window", "BatchEvalPython", "CartesianProduct"):
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    for forbidden in (
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "Window",
+        "BatchEvalPython",
+        "CartesianProduct",
+    ):
         assert forbidden not in plan, plan[:1200]
     # exactly one shuffle: the QI-key exchange (plus the output sort's
     # range exchange) — a second hash exchange would mean a second scan
-    # or a join-back crept in
+    # or a shuffle join crept in
     n_hash_exchanges = plan.count("Exchange hashpartitioning")
     assert n_hash_exchanges == 1, plan[:1500]
+    # the domain grid side is a local literal relation (createDataFrame
+    # renders as Scan ExistingRDD; a parquet/file scan here would mean
+    # the domain somehow came from data)
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan[:1500]
 
 
 def test_cross_source_matrix_reuses_exchange(spark):
