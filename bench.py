@@ -34,10 +34,14 @@ whole process being SIGKILLed with no output.
 
 Tier scheduling is DEBT-AWARE: the full result of every run is persisted
 to baselines/bench_last_run.json, and the next run reads that record and
-runs any previously skipped tiers (and, within the deep probe, previously
-dropped queries) FIRST — so a slow host can degrade a given tier at most
-one round in a row instead of starving the same tier repeatedly (round 5
-lost the skew tier to exactly that)."""
+runs any previously skipped tiers (and, within each probe tier,
+previously dropped queries) FIRST — so a slow host can degrade a given
+tier at most one round in a row instead of starving the same tier
+repeatedly (round 5 lost the skew tier to exactly that).  Drop debt is
+tracked PER TIER (summary.scale_dropped / deep_dropped / skew_dropped,
+since round 10): a query dropped only by the deep tier no longer jumps
+the 10× scale cohort (ADVICE r9); the union key dropped_on_budget stays
+for reporting and as the fallback when reading pre-round-10 records."""
 
 from __future__ import annotations
 
@@ -201,11 +205,25 @@ def main() -> None:
         # recent local run (bench_last_run.json): a local dev run that
         # happened to fit every tier must not erase a driver round's
         # skipped-tier debt before the next DRIVER run repays it.
-        merged: dict[str, set] = {"skipped_tiers": set(), "dropped_on_budget": set()}
+        # per-tier drop keys (scale/deep/skew_dropped) exist since round
+        # 10 (ADVICE r9: the union key made a deep-tier drop jump the 10×
+        # scale cohort); `found` tracks which keys ANY source actually
+        # carried so callers can distinguish "no per-tier record yet"
+        # (fall back to the union) from "recorded and empty".
+        merged: dict[str, set] = {
+            "skipped_tiers": set(),
+            "dropped_on_budget": set(),
+            "scale_dropped": set(),
+            "deep_dropped": set(),
+            "skew_dropped": set(),
+        }
+        found: set[str] = set()
         try:
             with open(last_run_path) as f:
                 local = json.load(f).get("summary", {}) or {}
             for key in merged:
+                if key in local:
+                    found.add(key)
                 merged[key] |= set(local.get(key) or [])
         except (OSError, ValueError):
             pass
@@ -234,14 +252,33 @@ def main() -> None:
                 for key in merged:
                     hits = _re.findall(rf'"{key}": (\[[^\]]*\])', tail)
                     if hits:  # last occurrence = the summary-level one
+                        found.add(key)
                         merged[key] |= set(json.loads(hits[-1]))
             except (OSError, ValueError):
                 pass
-        return {k: sorted(v) for k, v in merged.items()}
+        out_prev = {k: sorted(v) for k, v in merged.items()}
+        # per-tier keys: absent (not []) when no source recorded them, so
+        # callers can fall back to the union for pre-round-10 records
+        for key in ("scale_dropped", "deep_dropped", "skew_dropped"):
+            if key not in found:
+                del out_prev[key]
+        return out_prev
 
     prev_summary = _load_prev_summary()
     prev_skipped = set(prev_summary.get("skipped_tiers") or [])
     prev_dropped = set(prev_summary.get("dropped_on_budget") or [])
+
+    def _tier_debt(key: str) -> set:
+        """This TIER's drop debt (ADVICE r9): a query dropped only by the
+        deep/skew tier must not jump another tier's cohort.  Falls back
+        to the cross-tier union only when no source carried the per-tier
+        key yet (records older than round 10)."""
+        v = prev_summary.get(key)
+        return set(v) if v is not None else prev_dropped
+
+    prev_scale_dropped = _tier_debt("scale_dropped")
+    prev_deep_dropped = _tier_debt("deep_dropped")
+    prev_skew_dropped = _tier_debt("skew_dropped")
     base_q: dict[str, float] = {}
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
@@ -301,6 +338,27 @@ def main() -> None:
                     )
                     for n in out.get(tier, {}).get("dropped_on_budget", [])
                 }
+            ),
+            # per-tier drop debt (ADVICE r9): each tier's next-run
+            # debt-first ordering reads ITS OWN drops, not the union,
+            # so a deep-tier drop can't jump the 10× scale cohort.
+            # A tier that didn't run at all this time carries its
+            # PREVIOUS debt forward (a skipping run must not launder
+            # the within-tier ordering debt into "recorded and empty").
+            "scale_dropped": sorted(
+                out["scale_probe"].get("dropped_on_budget", [])
+                if "scale_probe" in out
+                else prev_scale_dropped
+            ),
+            "deep_dropped": sorted(
+                out["deep_scale_probe"].get("dropped_on_budget", [])
+                if "deep_scale_probe" in out
+                else prev_deep_dropped
+            ),
+            "skew_dropped": sorted(
+                out["skew_probe"].get("dropped_on_budget", [])
+                if "skew_probe" in out
+                else prev_skew_dropped
             ),
             # True only when the external timeout's SIGTERM pre-empted the
             # internal budget guard (e.g. a cold page cache doubling the
@@ -501,7 +559,7 @@ def main() -> None:
         except (OSError, ValueError):
             probe_hist = {}
         cohort, rotated_out = pick_scale_cohort(
-            bench_queries, prev_dropped, probe_hist, cap
+            bench_queries, prev_scale_dropped, probe_hist, cap
         )
         s_timings: dict[str, float] = {}
         s_dropped: list[str] = []
@@ -585,7 +643,7 @@ def main() -> None:
         # dropped LAST run go first so a slow host can't starve the same
         # probe evidence twice running
         picks = [q for q in all_queries() if q.name in deep_names]
-        picks.sort(key=lambda q: (q.name not in prev_dropped, q.name))
+        picks.sort(key=lambda q: (q.name not in prev_deep_dropped, q.name))
         for q in picks:
             if remaining() < 60:
                 d_dropped.append(q.name)
@@ -678,7 +736,7 @@ def main() -> None:
         # queries this tier dropped on budget LAST run probe first, so a
         # slow host can't starve the same skew evidence twice running
         picks = [q for q in all_queries() if q.name in skew_names]
-        picks.sort(key=lambda q: (q.name not in prev_dropped, q.name))
+        picks.sort(key=lambda q: (q.name not in prev_skew_dropped, q.name))
         for q in picks:
             if remaining() < 45:
                 k_dropped.append(q.name)

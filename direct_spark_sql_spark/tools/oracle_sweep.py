@@ -102,7 +102,9 @@ def run_sweep(sf_dir: str, names: list[str] | None = None) -> dict:
         "sf_dir": sf_dir,
         "total": len(queries),
         "ok": len(ok),
-        "bad": bad if bad else [],
+        # always the dict — {} means clean; emitting [] when clean gave
+        # downstream diff consumers an inconsistent type (ADVICE r9)
+        "bad": bad,
         "rows_only": sorted(rows_only),
         "rows_only_counts": rows_only,
         "wall_s": round(time.perf_counter() - t0, 1),
