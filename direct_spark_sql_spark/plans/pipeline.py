@@ -2397,7 +2397,11 @@ def decontam_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decontam_span_oracle() -> str:
+def _span_ctes() -> str:
+    """Shared CTE prefix ending in ``spans`` (doc_id, span_start,
+    span_end, n_hits) — the DuckDB twin of contamination_spans at the
+    production width; reused by decontam_span_report and the excision
+    economics oracle."""
     n = DECONTAM_PROD_N
     return f"""
 WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
@@ -2417,13 +2421,93 @@ isl AS (SELECT doc_id, p,
                SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS island
-        FROM w)
-SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
-       CAST(MAX(p) + {n - 1} AS BIGINT) AS span_end,
-       CAST(COUNT(*) AS BIGINT) AS n_hits
-FROM isl GROUP BY doc_id, island
+        FROM w),
+spans AS (SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+                 CAST(MAX(p) + {n - 1} AS BIGINT) AS span_end,
+                 CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM isl GROUP BY doc_id, island)"""
+
+
+def _decontam_span_oracle() -> str:
+    return (
+        _span_ctes()
+        + """
+SELECT doc_id, span_start, span_end, n_hits
+FROM spans
 ORDER BY doc_id, span_start
 """
+    )
+
+
+def decontam_excision_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number that motivates span-level decontamination at 100 TB:
+    per source, how many tokens whole-document drops would discard vs
+    how many the span policy actually excises — the difference is clean
+    training data RECOVERED by surgical removal.  Covers exactly the
+    documents decontam_span_report spans (>= DECONTAM_PROD_N tokens;
+    shorter docs are whole-doc decisions by construction, flagged by
+    dedup_benchmark_decontam_8gram).
+
+    Output per source: n_flagged_docs, tokens_whole_doc_drop (the
+    whole-doc policy's loss), tokens_span_excised (the span policy's
+    loss), tokens_recovered (their difference).  All-integer arithmetic.
+
+    100 TB shape: contamination_spans' broadcast-semi-join + tiny
+    islands window, its per-doc rollup broadcast back to one map-side
+    join against the (doc_id, source, n_tokens) projection — the corpus
+    text is never shuffled; the final groupBy is on the bounded source
+    key."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    from direct_spark_sql_spark.operators.sampling import (
+        BENCH_SLICE_START,
+        sample_bucket,
+    )
+
+    is_bench = sample_bucket(F.col("doc_id")) >= BENCH_SLICE_START
+    bench = d.filter(is_bench)
+    corpus = d.filter(~is_bench)
+    spans = dd.contamination_spans(corpus, bench, n=DECONTAM_PROD_N)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("excised")
+    )
+    docs = corpus.select(
+        "doc_id", "source", tx.token_count("text").alias("n_tokens")
+    )
+    return (
+        docs.join(F.broadcast(per_doc), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_flagged_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_whole_doc_drop"),
+            F.sum("excised").cast("long").alias("tokens_span_excised"),
+            F.sum(F.col("n_tokens") - F.col("excised"))
+            .cast("long")
+            .alias("tokens_recovered"),
+        )
+        .orderBy("source")
+    )
+
+
+def _decontam_excision_oracle() -> str:
+    return (
+        _span_ctes()
+        + f""",
+per_doc AS (SELECT doc_id, SUM(span_end - span_start + 1) AS excised
+            FROM spans GROUP BY doc_id),
+docs AS (SELECT d.doc_id, d.source, len({TOKS_SQL}) AS n_tokens
+         FROM documents d)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_flagged_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_whole_doc_drop,
+       CAST(SUM(excised) AS BIGINT) AS tokens_span_excised,
+       CAST(SUM(n_tokens - excised) AS BIGINT) AS tokens_recovered
+FROM docs JOIN per_doc USING (doc_id)
+GROUP BY source
+ORDER BY source
+"""
+    )
 
 
 #: Widths swept by the decontamination width curve: the fixture point
@@ -2801,6 +2885,12 @@ QUERIES = [
               "(posexplode windows -> broadcast semi-join -> islands merge) "
               "— the PaLM-style surgical-excision form instead of "
               "whole-doc drops"),
+    Query("decontam_excision_economics", decontam_excision_economics,
+          _decontam_excision_oracle(), ("dedup", "sampling", "pipeline"),
+          doc="span-excision economics per source: tokens a whole-doc "
+              "drop policy discards vs tokens the span policy excises — "
+              "tokens_recovered is the clean data surgical removal saves "
+              "at the production 8-gram operating point"),
     Query("decontam_width_curve", decontam_width_curve,
           _decontam_width_curve_oracle(), ("dedup", "sampling", "pipeline"),
           doc="n-gram-width tuning curve for decontamination: any-"

@@ -285,6 +285,17 @@ def test_decontam_span_covers_contaminated_paragraph_only(spark, tmp_path):
     # 3 hits = the 10-token paragraph's three 8-gram windows, merged
     # into ONE island because consecutive starts differ by 1 (< n)
 
+    # ...and the excision economics agree: whole-doc policy loses all
+    # 20 tokens, the span policy excises 10, recovering the 10 clean
+    from direct_spark_sql_spark.plans.pipeline import (
+        decontam_excision_economics,
+    )
+
+    econ = decontam_excision_economics(spark, str(tmp_path)).collect()
+    assert [(r["source"], r["n_flagged_docs"], r["tokens_whole_doc_drop"],
+             r["tokens_span_excised"], r["tokens_recovered"])
+            for r in econ] == [("web", 1, 20, 10, 10)]
+
 
 def test_benchmark_contamination_broadcasts_eval_side(spark):
     """The eval-set gram join must be a broadcast semi-join (eval sets
