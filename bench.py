@@ -723,6 +723,12 @@ def main() -> None:
             # events user (10% of rows) lands in ONE ordered window
             # partition; measured here so the family can't hide (r8)
             "asof_event_order",
+            # C4-style chunk-frequency dedup: the mass-duplicate slice
+            # makes a handful of chunks appear in 10% of all docs — the
+            # aggregate-before-join shape (collapse to (chunk, source)
+            # grain before any join; corpus df via a ≤|sources|-row
+            # window) is exactly what this probe validates (r10)
+            "dedup_chunk_frequency",
         }
         skew_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),

@@ -1002,3 +1002,252 @@ def contamination_spans(
         )
         .select(id_col, "span_start", "span_end", "n_hits")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document frequency dedup (C4/CCNet-style) and n-gram novelty
+# ---------------------------------------------------------------------------
+
+#: Fixed chunk width (tokens) for sub-document frequency dedup.  C4
+#: operates on lines and three-sentence spans; this corpus is a single
+#: unpunctuated token stream, so the honest analogue is a fixed-width
+#: non-overlapping token chunk.
+CHUNK_W = 10
+
+#: A chunk appearing in at least this many DISTINCT documents is
+#: boilerplate: every occurrence is removed (CCNet-style strip).  The
+#: keep-one-copy variant (C4 proper) would keep the occurrence in the
+#: minimum doc id — same plan shape plus one min(doc_id) per chunk.
+CHUNK_DUP_DOCS = 3
+
+
+def chunk_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = CHUNK_W,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Non-overlapping fixed-width token chunks of every document, in
+    order: chunk i covers tokens [i*w, i*w + w); the trailing partial
+    chunk is kept (its real token count is reported in ``chunk_toks``).
+    Empty documents contribute no rows.
+
+    One map-side pass: tokenize, slice, posexplode — no shuffle.  The
+    slice runs as an interpreted higher-order function; unlike the
+    stride-1 :func:`token_windows` hot path there is no regex
+    formulation for CONSUMING non-overlapping windows that also keeps
+    the trailing partial, and the chunk pass is one row per w tokens
+    (10x fewer rows than a stride-1 window pass), so the interpreted
+    transform is not the bottleneck."""
+    toks = tokens(text_col)
+    keep = [F.col(id_col), *(F.col(c) for c in extra_cols)]
+    d = df.select(*keep, toks.alias("__toks")).filter(F.size("__toks") > 0)
+    chunks = F.expr(
+        f"transform(sequence(0, int((size(__toks) + {w - 1}) div {w}) - 1), "
+        f"i -> array_join(slice(__toks, i * {w} + 1, {w}), ' '))"
+    )
+    return d.select(
+        *keep, F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).withColumn(
+        "chunk_toks", F.size(F.split("chunk", " ")).cast("long")
+    )
+
+
+def chunk_frequency_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    w: int = CHUNK_W,
+    dup_docs: int = CHUNK_DUP_DOCS,
+) -> DataFrame:
+    """C4/CCNet-style sub-document frequency dedup report: chunk every
+    document into fixed ``w``-token windows, count corpus-wide DISTINCT
+    document frequency per chunk, and report per source what a
+    remove-all-occurrences boilerplate strip (chunks in >= ``dup_docs``
+    docs) would delete.  This is self-frequency dedup — the repeated
+    cookie banner / navigation footer killer — distinct from eval-set
+    decontamination (:func:`benchmark_contamination`, which matches
+    against an EXTERNAL gram set) and from document-level dedup
+    (exact/minhash, which drops whole documents).
+
+    Only FULL-width chunks are dedup candidates: a trailing partial
+    chunk (as short as one token) is trivially duplicated across
+    documents and carries no boilerplate signal, so — like C4's
+    minimum-span guard — partial chunks are always kept, while still
+    counted in n_chunks / tokens_total.
+
+    Returns one row per source: n_docs, n_chunks, n_dup_chunks,
+    tokens_total, tokens_removed (all BIGINT) and removal_rate (one
+    IEEE division of identical integer-derived doubles — deterministic
+    across engines).
+
+    100 TB shape — aggregate-before-join, no occurrence-level join: the
+    naive plan (chunk explode ⋈ per-chunk frequency on the chunk key)
+    funnels every occurrence of a mass-duplicated chunk into one
+    reducer.  Instead the occurrence stream collapses FIRST to the
+    (chunk, source) grain (map-side-combinable counts; the embedded
+    distinct-doc count exchanges on (chunk, source, doc) — hot chunks
+    spread across docs); a document belongs to exactly one source, so
+    the corpus document frequency is the SUM of per-source counts via a
+    window partitioned on the chunk, whose partitions hold at most
+    |sources| rows even for a chunk duplicated a million times.  The
+    per-source doc tally joins in at the bounded source grain, and the
+    final rollup groups on source."""
+    ch = chunk_table(df, id_col, text_col, w=w, extra_cols=(source_col,))
+    cs = ch.groupBy("chunk", source_col).agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.sum("chunk_toks").alias("toks"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+        F.max("chunk_toks").alias("chunk_toks"),
+    )
+    dfreq = F.sum("nd").over(Window.partitionBy("chunk"))
+    cs = cs.withColumn("dfreq", dfreq)
+    dup = (F.col("dfreq") >= dup_docs) & (F.col("chunk_toks") == w)
+    per_source = cs.groupBy(source_col).agg(
+        F.sum("n_occ").cast("long").alias("n_chunks"),
+        F.sum(F.when(dup, F.col("n_occ")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_dup_chunks"),
+        F.sum("toks").cast("long").alias("tokens_total"),
+        F.sum(F.when(dup, F.col("toks")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tokens_removed"),
+    )
+    toks = tokens(text_col)
+    n_docs = (
+        df.filter(F.size(toks) > 0)
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return (
+        per_source.join(n_docs, source_col)
+        .withColumn(
+            "removal_rate",
+            F.col("tokens_removed").cast("double")
+            / F.col("tokens_total").cast("double"),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "n_chunks",
+            "n_dup_chunks",
+            "tokens_total",
+            "tokens_removed",
+            "removal_rate",
+        )
+    )
+
+
+#: Shingle width for the novelty statistic: wide enough that a shared
+#: gram means shared phrasing, not shared vocabulary.
+NOVELTY_N = 5
+
+
+def ngram_novelty_by_source(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = NOVELTY_N,
+) -> DataFrame:
+    """Per-source n-gram novelty profile: for each document, the
+    fraction of its DISTINCT n-grams that appear in NO other document
+    (corpus document frequency == 1) — the inverse of the duplication
+    signals, a "how much genuinely new text does this source add"
+    curation statistic.  Sources full of templated or copied text score
+    near 0; sources of original text score near 1.
+
+    Aggregation is micro-averaged per source (total novel grams /
+    total grams — two integer sums and one IEEE division, exactly
+    reproducible) plus the min and max per-document fraction (each
+    per-document fraction is itself one IEEE division of identical
+    operands in any engine, and min/max are order-independent).
+
+    100 TB shape: same skeleton as :func:`chunk_frequency_report` —
+    gram-frequency hash agg (map-side combinable, one level since
+    shingles are already distinct per doc) and a hash equi-join back on
+    the same gram key (AQE broadcasts the frequency side at small
+    scale; a shuffle equi-join on the gram key otherwise), per-doc
+    rollup on the id, final rollup on the bounded source key.
+    :func:`shingles` dedups within the document, so the gram count per
+    doc is bounded by its token count and the per-gram count equals
+    document frequency with a plain COUNT(*), no count_distinct."""
+    sh = df.select(
+        F.col(id_col), F.col(source_col), F.explode(shingles(text_col, n)).alias("s")
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("dfreq"))
+    per_doc = (
+        sh.join(dfreq, "s")
+        .groupBy(id_col, source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("dfreq") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "doc_novelty",
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )
+    return (
+        per_doc.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+            F.min("doc_novelty").alias("min_doc_novelty"),
+            F.max("doc_novelty").alias("max_doc_novelty"),
+        )
+        .withColumn(
+            "novelty_micro",
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )
+
+
+def chunk_excise(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = CHUNK_W,
+    dup_docs: int = CHUNK_DUP_DOCS,
+) -> DataFrame:
+    """The executable companion of :func:`chunk_frequency_report`:
+    actually RECONSTRUCT each document with its boilerplate chunks
+    excised — kept chunks re-joined in original order — instead of just
+    costing the removal.  A document whose every chunk is boilerplate
+    disappears (no kept chunks, no output row), matching a drop.
+
+    Returns (id, n_chunks_kept, n_tokens_clean, clean_text).
+
+    100 TB shape: the boilerplate set (full-width chunks in >=
+    ``dup_docs`` docs) comes from the same map-side-combinable hash agg
+    as the report; occurrences drop via a LEFT ANTI equi-join on the
+    chunk key (AQE broadcasts the small boilerplate set; at web scale
+    it degrades to a shuffle anti-join and AQE's skew split handles a
+    mass-duplicated hot chunk).  Reconstruction is one groupBy on the
+    doc id — per-group state is that document's own kept chunks,
+    bounded by document length, hot-key-free under mass duplication
+    (duplicated docs carry distinct ids)."""
+    ch = chunk_table(df, id_col, text_col, w=w)
+    boiler = (
+        ch.groupBy("chunk")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("dfreq"),
+            F.max("chunk_toks").alias("__ct"),
+        )
+        .filter((F.col("dfreq") >= dup_docs) & (F.col("__ct") == w))
+        .select("chunk")
+    )
+    kept = ch.join(boiler, "chunk", "left_anti")
+    ordered = F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk")))
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks_kept"),
+        F.sum("chunk_toks").cast("long").alias("n_tokens_clean"),
+        F.array_join(
+            F.transform(ordered, lambda x: x["chunk"]), " "
+        ).alias("clean_text"),
+    )

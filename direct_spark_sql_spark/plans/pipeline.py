@@ -1580,7 +1580,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(e, centroids, threshold=0.35).orderBy("vec_id")
 
 
-_SEMANTIC_DEDUP_ORACLE = f"""
+#: Shared CTE prefix (ex→nrm→cc→cosc→assign→pair→dots→cosp→agg) — the
+#: DuckDB twin of operators/similarity.py:semantic_dedup's per-vector
+#: max-cosine-to-a-lower-cluster-member state; reused by the SemDeDup
+#: query and its threshold curve so a formula fix never chases copies.
+_SEMANTIC_CTES = f"""
 WITH ex AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS a
@@ -1634,7 +1638,11 @@ agg AS (
   SELECT id_a, CAST(COUNT(*) AS BIGINT) AS n_lower_members,
          MAX(cos) AS max_cos_lower
   FROM cosp GROUP BY id_a
-)
+)"""
+
+_SEMANTIC_DEDUP_ORACLE = (
+    _SEMANTIC_CTES
+    + """
 SELECT s.vec_id,
        CAST(s.cluster_id AS BIGINT) AS cluster_id,
        CAST(COALESCE(g.n_lower_members, 0) AS BIGINT) AS n_lower_members,
@@ -1644,6 +1652,83 @@ FROM assign s
 LEFT JOIN agg g ON g.id_a = s.vec_id
 ORDER BY vec_id
 """
+)
+
+
+#: Cosine thresholds swept by the SemDeDup tuning curve: around the
+#: registered operating point (0.35) where this corpus' pair-cosine mass
+#: lives, plus 0.5 as the conservative upper bound (prunes nothing here).
+SEMDEDUP_CURVE_THRESHOLDS = (0.25, 0.3, 0.35, 0.5)
+
+
+def dedup_semantic_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup threshold tuning curve: vectors pruned and corpus
+    retention at each cosine threshold in SEMDEDUP_CURVE_THRESHOLDS —
+    the measured data behind choosing the registered 0.35 operating
+    point (Abbas et al. sweep retention against downstream quality the
+    same way).  The expensive state (per-vector max cosine to a
+    lower-id member of its own IVF cluster) is computed ONCE by
+    operators/similarity.py:semantic_dedup; the curve is one global
+    aggregation of literal-threshold conditional sums stacked to long
+    format — map-only after the pair join, no per-threshold rescan.
+
+    Bit-exactness: pair cosines are exact-decimal doubles compared
+    against identical literals in both engines (the decontam width
+    curve / DP release argument); counts and the retention division are
+    integer-derived."""
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K))
+    sd = sim.semantic_dedup(e, centroids, threshold=0.35).select("max_cos_lower")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_vectors")]
+    for i, t in enumerate(SEMDEDUP_CURVE_THRESHOLDS):
+        aggs.append(
+            F.sum(F.when(F.col("max_cos_lower") >= t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__p{i}")
+        )
+    one = sd.agg(*aggs)
+    stack = (
+        f"stack({len(SEMDEDUP_CURVE_THRESHOLDS)}, "
+        + ", ".join(
+            f"CAST({t} AS DOUBLE), __p{i}"
+            for i, t in enumerate(SEMDEDUP_CURVE_THRESHOLDS)
+        )
+        + ") AS (threshold, n_pruned)"
+    )
+    return (
+        one.select(F.expr(stack), "n_vectors")
+        .select(
+            "threshold",
+            "n_vectors",
+            "n_pruned",
+            (
+                (F.col("n_vectors") - F.col("n_pruned")).cast("double")
+                / F.col("n_vectors").cast("double")
+            ).alias("retention"),
+        )
+        .orderBy("threshold")
+    )
+
+
+_SEMDEDUP_CURVE_ORACLE = (
+    _SEMANTIC_CTES
+    + f""",
+per AS (
+  SELECT s.vec_id, g.max_cos_lower
+  FROM assign s LEFT JOIN agg g ON g.id_a = s.vec_id
+)
+SELECT t.threshold,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN max_cos_lower >= t.threshold THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pruned,
+       CAST(COUNT(*) - SUM(CASE WHEN max_cos_lower >= t.threshold
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS retention
+FROM per, (VALUES {", ".join(f"(CAST({t} AS DOUBLE))" for t in SEMDEDUP_CURVE_THRESHOLDS)}) t(threshold)
+GROUP BY t.threshold
+ORDER BY threshold
+"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -2815,6 +2900,128 @@ ORDER BY cosine DESC, vec_id LIMIT 25
 """
 
 
+def dedup_chunk_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style SUB-document frequency dedup report: every document
+    is cut into fixed CHUNK_W-token non-overlapping chunks (the honest
+    analogue of C4's line dedup for this unpunctuated corpus), corpus-wide
+    distinct-document frequency is counted per chunk, and chunks present
+    in >= CHUNK_DUP_DOCS documents — boilerplate: banners, footers,
+    templated spans — are costed as removed (all occurrences).  Per
+    source: docs, chunks, duplicate chunks, total vs removed tokens, and
+    the removal rate.  Self-frequency dedup, distinct from eval-set
+    decontamination (external gram set) and whole-document dedup.
+
+    100 TB shape: operators/dedup.py:chunk_frequency_report — one chunk
+    explode (map-side, 1 row per CHUNK_W tokens), hash aggs and an
+    equi-join back all keyed on the chunk, final rollup on the bounded
+    source key.  No broadcast assumption: web-scale boilerplate sets
+    are themselves large."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return dd.chunk_frequency_report(d).orderBy("source")
+
+
+_W, _K = dd.CHUNK_W, dd.CHUNK_DUP_DOCS
+_CHUNK_FREQ_ORACLE = f"""
+WITH t AS (SELECT doc_id, source, {TOKS_SQL} AS toks FROM documents),
+nz AS (SELECT * FROM t WHERE len(toks) > 0),
+ch AS (SELECT doc_id, source,
+              array_to_string(toks[(i - 1) * {_W} + 1:i * {_W}], ' ') AS chunk,
+              len(toks[(i - 1) * {_W} + 1:i * {_W}]) AS chunk_toks
+       FROM nz, unnest(generate_series(1, (len(toks) + {_W - 1}) // {_W})) AS u(i)),
+dfr AS (SELECT chunk, COUNT(DISTINCT doc_id) AS dfreq FROM ch GROUP BY chunk)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN dfreq >= {_K} AND chunk_toks = {_W} THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(SUM(chunk_toks) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN dfreq >= {_K} AND chunk_toks = {_W} THEN chunk_toks ELSE 0 END) AS BIGINT)
+         AS tokens_removed,
+       CAST(SUM(CASE WHEN dfreq >= {_K} AND chunk_toks = {_W} THEN chunk_toks ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(chunk_toks) AS DOUBLE) AS removal_rate
+FROM ch JOIN dfr USING (chunk)
+GROUP BY source
+ORDER BY source
+"""
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty profile: micro-averaged fraction of each
+    source's distinct NOVELTY_N-grams that appear in no other document
+    (corpus df == 1), plus the min/max per-document fraction — the "how
+    much genuinely new text does this source add" curation statistic,
+    the inverse of the duplication family.
+
+    100 TB shape: operators/dedup.py:ngram_novelty_by_source — gram
+    frequency hash agg (map-side combinable) and an equi-join back,
+    both keyed on the gram, per-doc rollup on the id, final rollup on
+    the bounded source key."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return dd.ngram_novelty_by_source(d).orderBy("source")
+
+
+_NOV_N = dd.NOVELTY_N
+_NGRAM_NOVELTY_ORACLE = f"""
+WITH t AS (SELECT doc_id, source, {TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id, source, unnest({_shingles_sql(_NOV_N)}) AS s FROM t),
+dfr AS (SELECT s, COUNT(*) AS dfreq FROM sh GROUP BY s),
+per_doc AS (
+  SELECT doc_id, source,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) AS n_novel,
+         CAST(SUM(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS doc_novelty
+  FROM sh JOIN dfr USING (s)
+  GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+       CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+       MIN(doc_novelty) AS min_doc_novelty,
+       MAX(doc_novelty) AS max_doc_novelty,
+       CAST(SUM(n_novel) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE) AS novelty_micro
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+def dedup_chunk_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executable boilerplate strip: reconstruct every document with
+    its duplicated full-width chunks excised (kept chunks re-joined in
+    original order) — the transform dedup_chunk_frequency only costs.
+    Documents reduced to nothing disappear, matching a drop.
+
+    100 TB shape: operators/dedup.py:chunk_excise — boilerplate set from
+    the same chunk-keyed hash agg, occurrences dropped via a LEFT ANTI
+    equi-join on the chunk, reconstruction one groupBy on the doc id
+    (per-group state = that doc's own chunks)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.chunk_excise(d).orderBy("doc_id")
+
+
+_CHUNK_EXCISE_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+nz AS (SELECT * FROM t WHERE len(toks) > 0),
+ch AS (SELECT doc_id, i - 1 AS chunk_idx,
+              array_to_string(toks[(i - 1) * {_W} + 1:i * {_W}], ' ') AS chunk,
+              len(toks[(i - 1) * {_W} + 1:i * {_W}]) AS chunk_toks
+       FROM nz, unnest(generate_series(1, (len(toks) + {_W - 1}) // {_W})) AS u(i)),
+dfr AS (SELECT chunk, COUNT(DISTINCT doc_id) AS dfreq, MAX(chunk_toks) AS ct
+        FROM ch GROUP BY chunk),
+bad AS (SELECT chunk FROM dfr WHERE dfreq >= {_K} AND ct = {_W}),
+kept AS (SELECT c.* FROM ch c WHERE NOT EXISTS
+         (SELECT 1 FROM bad b WHERE b.chunk = c.chunk))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks_kept,
+       CAST(SUM(chunk_toks) AS BIGINT) AS n_tokens_clean,
+       string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+FROM kept
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_ORACLE,
           ("text", "pipeline")),
@@ -2847,6 +3054,25 @@ QUERIES = [
               "self-equi-join — crawl-provenance / mirror detection"),
     Query("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE,
           ("dedup", "pipeline")),
+    Query("dedup_chunk_frequency", dedup_chunk_frequency, _CHUNK_FREQ_ORACLE,
+          ("dedup", "text", "pipeline"), bench=True,
+          doc="C4/CCNet-style sub-document frequency dedup: fixed 10-token "
+              "chunks, corpus-wide distinct-doc frequency, full-width "
+              "chunks in >=3 docs costed as removed boilerplate — "
+              "per-source tokens kept/removed; all shuffles keyed on the "
+              "chunk (hash aggs + equi-join back)"),
+    Query("dedup_chunk_excise", dedup_chunk_excise, _CHUNK_EXCISE_ORACLE,
+          ("dedup", "text", "pipeline"),
+          doc="executable boilerplate strip: documents reconstructed with "
+              "duplicated full-width chunks excised, kept chunks re-joined "
+              "in order (anti-join on the chunk key + one groupBy on the "
+              "doc id) — the transform dedup_chunk_frequency costs"),
+    Query("text_ngram_novelty", text_ngram_novelty, _NGRAM_NOVELTY_ORACLE,
+          ("text", "dedup", "pipeline"),
+          doc="per-source 5-gram novelty: micro-averaged fraction of "
+              "distinct grams unique to one document plus min/max "
+              "per-doc fraction — the 'genuinely new text' curation "
+              "statistic; gram-keyed hash agg + equi-join back"),
     Query("dedup_split_leakage", dedup_split_leakage, SPLIT_LEAKAGE_ORACLE,
           ("dedup", "sampling", "pipeline"),
           doc="train/eval contamination audit: near-dup pairs straddling "
@@ -3002,6 +3228,13 @@ QUERIES = [
           ("dedup", "similarity", "pipeline"),
           doc="SemDeDup: IVF cluster + within-cluster cosine prune, "
               "keep-lowest-id canonical (arXiv:2303.09540)"),
+    Query("dedup_semantic_threshold_curve", dedup_semantic_threshold_curve,
+          _SEMDEDUP_CURVE_ORACLE, ("dedup", "similarity", "pipeline"),
+          doc="SemDeDup threshold tuning curve: pruned count + retention "
+              "at cosine 0.25/0.3/0.35/0.5 from ONE pair-join pass "
+              "(literal-threshold conditional sums stacked to long "
+              "format) — the measured data behind the 0.35 operating "
+              "point"),
     Query("multimodal_feature_extract", multimodal_feature_extract,
           _MULTIMODAL_FEATURES_ORACLE, ("multimodal", "pipeline"),
           doc="real PPM/BMP/PNG/GIF encode→decode round-trip, pixel-stat oracle"),

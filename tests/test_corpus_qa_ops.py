@@ -638,3 +638,77 @@ def test_incremental_dedup_null_text_keep_first(spark):
     assert got[10] == "kept"
     assert got[11] == "exact_batch"
     assert got[12] == "kept"
+
+
+def test_chunk_frequency_removes_planted_boilerplate(spark):
+    """A full-width 10-token chunk planted in 3 docs is boilerplate
+    (df >= CHUNK_DUP_DOCS) and costed as removed from all three; a chunk
+    shared by only 2 docs is kept; trailing partial chunks are never
+    dedup candidates even when duplicated corpus-wide."""
+    from direct_spark_sql_spark.operators.dedup import (
+        CHUNK_W,
+        chunk_frequency_report,
+    )
+
+    banner = " ".join(f"banner{i}" for i in range(CHUNK_W))  # 10 tokens
+    pair = " ".join(f"pair{i}" for i in range(CHUNK_W))
+    tail = "sharedtail"  # 1-token trailing partial in every doc
+    rows = [
+        (1, "s1", f"{banner} {tail}"),
+        (2, "s1", f"{banner} {tail}"),
+        (3, "s2", f"{banner} {tail}"),
+        (4, "s2", f"{pair} {tail}"),
+        (5, "s3", f"{pair} {tail}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in chunk_frequency_report(df).collect()}
+    # banner (df=3) removed wherever it occurs; pair (df=2) kept;
+    # sharedtail (df=5 but partial-width) kept
+    assert got["s1"]["n_dup_chunks"] == 2 and got["s1"]["tokens_removed"] == 2 * CHUNK_W
+    assert got["s2"]["n_dup_chunks"] == 1 and got["s2"]["tokens_removed"] == CHUNK_W
+    assert got["s3"]["n_dup_chunks"] == 0 and got["s3"]["tokens_removed"] == 0
+    # totals count every chunk including the partials
+    assert got["s1"]["tokens_total"] == 2 * (CHUNK_W + 1)
+    assert got["s3"]["n_chunks"] == 2  # pair + partial tail
+
+
+def test_ngram_novelty_planted_extremes(spark):
+    """Two verbatim-duplicate docs score novelty 0 (every gram has
+    df=2); a doc sharing no 5-gram with anything scores 1; the source
+    micro-average is exact integer arithmetic."""
+    from direct_spark_sql_spark.operators.dedup import ngram_novelty_by_source
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, "dupsrc", dup),
+        (2, "dupsrc", dup),
+        (3, "freshsrc", "one two three four five six seven eight nine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in ngram_novelty_by_source(df).collect()}
+    assert got["dupsrc"]["n_novel"] == 0
+    assert got["dupsrc"]["novelty_micro"] == 0.0
+    assert got["dupsrc"]["min_doc_novelty"] == 0.0 == got["dupsrc"]["max_doc_novelty"]
+    assert got["freshsrc"]["novelty_micro"] == 1.0
+    assert got["freshsrc"]["n_grams"] == got["freshsrc"]["n_novel"] == 5
+
+
+def test_chunk_excise_reconstructs_in_order(spark):
+    """The planted banner chunk (df=3) is excised from every doc while
+    the surrounding text survives in original token order; a doc that
+    is pure boilerplate disappears."""
+    from direct_spark_sql_spark.operators.dedup import CHUNK_W, chunk_excise
+
+    banner = " ".join(f"banner{i}" for i in range(CHUNK_W))
+    rows = [
+        # banner occupies chunk 0; unique tail is chunk 1
+        (1, f"{banner} unique tail one"),
+        (2, f"{banner} other tail two"),
+        (3, banner),  # pure boilerplate -> dropped entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in chunk_excise(df).collect()}
+    assert got[1]["clean_text"] == "unique tail one"
+    assert got[2]["clean_text"] == "other tail two"
+    assert got[1]["n_tokens_clean"] == 3 and got[1]["n_chunks_kept"] == 1
+    assert 3 not in got
