@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from direct_spark_sql_spark.hashing import MERSENNE_P, h64_sql
+from direct_spark_sql_spark.hashing import MERSENNE_P, h64, h64_sql
 from direct_spark_sql_spark.operators import dedup as dd
 from direct_spark_sql_spark.operators import multimodal as mm
 from direct_spark_sql_spark.operators import similarity as sim
@@ -3022,6 +3022,131 @@ ORDER BY doc_id
 """
 
 
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source corpus DATASHEET — the one-page summary a data
+    card / "datasheets for datasets" release ships: volume (docs,
+    tokens, chars), lexical breadth (vocabulary), exact duplication
+    (docs in a content-fingerprint group of size > 1), boilerplate
+    exposure (tokens the chunk-frequency strip would remove), and
+    phrasal novelty (5-gram micro-average).  Every rate is an IEEE
+    division of integer-derived values, so the sheet is bit-replayable.
+
+    100 TB shape: five independent bounded per-source aggregates —
+    token/char sums (one scan), vocabulary (distinct-token agg),
+    fingerprint group sizes (hash agg + join-back, the
+    corpus_dup_aware_sample shape the skew probe covers), the chunk
+    report, and the novelty rollup — joined on the ~|sources|-row
+    source key (broadcast-sized by construction)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    toks = tx.tokens("text")
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    vocab = (
+        d.select("source", F.explode(F.array_distinct(toks)).alias("tok"))
+        .groupBy("source")
+        .agg(F.count_distinct("tok").cast("long").alias("vocab"))
+    )
+    fp = d.select(
+        "source",
+        h64(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+            "fp_content"
+        ),
+    )
+    gs = fp.groupBy("fp_content").agg(F.count(F.lit(1)).alias("gsize"))
+    dup = (
+        fp.join(gs, "fp_content")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("gsize") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_docs")
+        )
+    )
+    boiler = dd.chunk_frequency_report(
+        d.select("doc_id", "source", "text")
+    ).select("source", F.col("tokens_removed").alias("boiler_tokens_removed"))
+    nov = dd.ngram_novelty_by_source(d.select("doc_id", "source", "text")).select(
+        "source", "n_grams", "n_novel"
+    )
+    out = (
+        base.join(vocab, "source")
+        .join(dup, "source")
+        .join(boiler, "source")
+        .join(nov, "source")
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "vocab",
+        "dup_docs",
+        (F.col("dup_docs").cast("double") / F.col("n_docs").cast("double")).alias(
+            "dup_rate"
+        ),
+        "boiler_tokens_removed",
+        (
+            F.col("boiler_tokens_removed").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("boiler_removal_rate"),
+        (F.col("n_novel").cast("double") / F.col("n_grams").cast("double")).alias(
+            "novelty_micro"
+        ),
+    ).orderBy("source")
+
+
+_DATASHEET_ORACLE = f"""
+WITH t AS (SELECT doc_id, source, n_chars, {TOKS_SQL} AS toks FROM documents),
+base AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+                CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         FROM t GROUP BY source),
+vocab AS (SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab
+          FROM (SELECT source, unnest(list_distinct(toks)) AS tok FROM t)
+          GROUP BY source),
+fp AS (SELECT source,
+        {h64_sql("array_to_string(list_sort(list_distinct(toks)), ' ')")} AS fp_content
+       FROM t),
+gs AS (SELECT fp_content, COUNT(*) AS gsize FROM fp GROUP BY fp_content),
+dup AS (SELECT source,
+               CAST(SUM(CASE WHEN gsize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+        FROM fp JOIN gs USING (fp_content) GROUP BY source),
+nz AS (SELECT * FROM t WHERE len(toks) > 0),
+ch AS (SELECT doc_id, source,
+              array_to_string(toks[(i - 1) * {_W} + 1:i * {_W}], ' ') AS chunk,
+              len(toks[(i - 1) * {_W} + 1:i * {_W}]) AS chunk_toks
+       FROM nz, unnest(generate_series(1, (len(toks) + {_W - 1}) // {_W})) AS u(i)),
+dfr AS (SELECT chunk, COUNT(DISTINCT doc_id) AS dfreq FROM ch GROUP BY chunk),
+boiler AS (SELECT source,
+                  CAST(SUM(CASE WHEN dfreq >= {_K} AND chunk_toks = {_W}
+                           THEN chunk_toks ELSE 0 END) AS BIGINT)
+                    AS boiler_tokens_removed
+           FROM ch JOIN dfr USING (chunk) GROUP BY source),
+sh AS (SELECT doc_id, source, unnest({_shingles_sql(_NOV_N)}) AS s FROM t),
+gdf AS (SELECT s, COUNT(*) AS sdf FROM sh GROUP BY s),
+nov AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN sdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM sh JOIN gdf USING (s) GROUP BY source)
+SELECT b.source, b.n_docs, b.n_tokens, b.n_chars, v.vocab, d.dup_docs,
+       CAST(d.dup_docs AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS dup_rate,
+       bo.boiler_tokens_removed,
+       CAST(bo.boiler_tokens_removed AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+         AS boiler_removal_rate,
+       CAST(n.n_novel AS DOUBLE) / CAST(n.n_grams AS DOUBLE) AS novelty_micro
+FROM base b
+JOIN vocab v USING (source)
+JOIN dup d USING (source)
+JOIN boiler bo USING (source)
+JOIN nov n USING (source)
+ORDER BY source
+"""
+
+
 QUERIES = [
     Query("text_token_stats", text_token_stats, TEXT_TOKEN_STATS_ORACLE,
           ("text", "pipeline")),
@@ -3061,6 +3186,13 @@ QUERIES = [
               "chunks in >=3 docs costed as removed boilerplate — "
               "per-source tokens kept/removed; all shuffles keyed on the "
               "chunk (hash aggs + equi-join back)"),
+    Query("corpus_datasheet", corpus_datasheet, _DATASHEET_ORACLE,
+          ("text", "dedup", "pipeline"),
+          doc="per-source data-card sheet: volume (docs/tokens/chars), "
+              "vocabulary, exact-dup docs + rate, boilerplate-strip token "
+              "exposure, 5-gram novelty — five bounded per-source "
+              "aggregates joined on the ~|sources|-row key, every rate "
+              "integer-derived"),
     Query("dedup_chunk_excise", dedup_chunk_excise, _CHUNK_EXCISE_ORACLE,
           ("dedup", "text", "pipeline"),
           doc="executable boilerplate strip: documents reconstructed with "

@@ -71,6 +71,16 @@ PROBE_QUERIES = [
     # decontamination + bench exclusion in one plan) — the end-to-end
     # shape a real assembly run executes, not just its pieces
     "corpus_training_ready",
+    # round-10: the C4-style sub-document family's aggregate-before-join
+    # shape — chunk explode collapsing to (chunk, source) grain before
+    # any join; the chunk-frequency table grows with corpus volume, so
+    # this is the family's genuine scale axis (the excise variant shares
+    # the plan prefix)
+    "dedup_chunk_frequency",
+    # round-10: the datasheet capstone — five independent per-source
+    # aggregates (incl. distinct-vocab and fingerprint join-back) in one
+    # DAG; probes that composing bounded rollups stays additive
+    "corpus_datasheet",
 ]
 
 FACTOR = 100
