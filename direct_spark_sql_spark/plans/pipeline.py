@@ -2740,19 +2740,12 @@ GROUP BY source ORDER BY source
 """
 
 
-def corpus_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full assembly answer — "what actually goes into the training
-    run": language filter + quality bar + Gopher-style intra-document
-    repetition removal (dup-3-gram fraction < REP_DUP3_GATE, a MAP-ONLY
-    column so the gate adds zero shuffle; see operators/text.py for the
-    fixture-vs-production operating points) + canonical exact-dedup
-    (corpus_curation's de-skewed groupBy+semi-join form) COMPOSED with
-    benchmark decontamination (dedup_benchmark_decontam's broadcast
-    semi-join) and benchmark-row exclusion, reported as per-source
-    (docs, tokens).  One lazy DAG across four operator families —
-    Catalyst fuses the shared documents scan; nothing materializes
-    between stages.  Canonical ids are chosen over the FULL corpus
-    (same as corpus_curation) before the benchmark slice is excluded."""
+def _training_ready_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-ready document set (doc_id, source, text, n_tokens):
+    language filter + quality bar + Gopher repetition gate + canonical
+    exact-dedup + benchmark decontamination + benchmark-row exclusion —
+    the shared core of corpus_training_ready (which rolls it up) and
+    corpus_assembly_tokens (which boilerplate-strips it)."""
     from direct_spark_sql_spark.operators.sampling import (
         BENCH_SLICE_START,
         sample_bucket,
@@ -2776,7 +2769,23 @@ def corpus_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(is_bench),
         threshold=_DECONTAM_THRESHOLD,
     ).select("doc_id")
-    ready = curated.filter(~is_bench).join(flagged, "doc_id", "anti")
+    return curated.filter(~is_bench).join(flagged, "doc_id", "anti")
+
+
+def corpus_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full assembly answer — "what actually goes into the training
+    run": language filter + quality bar + Gopher-style intra-document
+    repetition removal (dup-3-gram fraction < REP_DUP3_GATE, a MAP-ONLY
+    column so the gate adds zero shuffle; see operators/text.py for the
+    fixture-vs-production operating points) + canonical exact-dedup
+    (corpus_curation's de-skewed groupBy+semi-join form) COMPOSED with
+    benchmark decontamination (dedup_benchmark_decontam's broadcast
+    semi-join) and benchmark-row exclusion, reported as per-source
+    (docs, tokens).  One lazy DAG across four operator families —
+    Catalyst fuses the shared documents scan; nothing materializes
+    between stages.  Canonical ids are chosen over the FULL corpus
+    (same as corpus_curation) before the benchmark slice is excluded."""
+    ready = _training_ready_docs(spark, sf_dir)
     return (
         ready.groupBy("source")
         .agg(
@@ -2787,7 +2796,10 @@ def corpus_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _training_ready_oracle() -> str:
+def _training_ready_ctes() -> str:
+    """Shared CTE prefix ending in ``ready`` (doc_id, source, n_tokens) —
+    the DuckDB twin of _training_ready_docs; reused by the training-ready
+    rollup and the assembly-tokens boilerplate strip."""
     return f"""{curation_canon_cte(", source")},
 -- Gopher-style intra-document repetition gate (map-only on the Spark
 -- side): dup-3-gram instance fraction, dropped at >= REP_DUP3_GATE
@@ -2804,16 +2816,99 @@ flagged AS (SELECT c.doc_id
             FROM corpus c JOIN bench USING (s)
             GROUP BY c.doc_id, c.n_shingles
             HAVING CAST(COUNT(*) AS DOUBLE) / c.n_shingles
-                     >= {_DECONTAM_THRESHOLD})
+                     >= {_DECONTAM_THRESHOLD}),
+ready AS (SELECT doc_id, source, n_tokens
+          FROM canon
+          WHERE plang = 'en' AND quality_score >= 0.5 AND doc_id = keep_id
+            AND doc_id IN (SELECT doc_id FROM rep WHERE dup3 < {tx.REP_DUP3_GATE})
+            AND {h64_sql('doc_id')} % 10000 < {_BSS}
+            AND doc_id NOT IN (SELECT doc_id FROM flagged))"""
+
+
+def _training_ready_oracle() -> str:
+    return (
+        _training_ready_ctes()
+        + """
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-FROM canon
-WHERE plang = 'en' AND quality_score >= 0.5 AND doc_id = keep_id
-  AND doc_id IN (SELECT doc_id FROM rep WHERE dup3 < {tx.REP_DUP3_GATE})
-  AND {h64_sql('doc_id')} % 10000 < {_BSS}
-  AND doc_id NOT IN (SELECT doc_id FROM flagged)
+FROM ready
 GROUP BY source ORDER BY source
 """
+    )
+
+
+def corpus_assembly_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST stage of corpus assembly: take the training-ready set
+    (language + quality + repetition + canonical dedup + decontam +
+    bench exclusion — _training_ready_docs) and apply the C4-style
+    boilerplate strip to it, with chunk frequency computed over the
+    READY corpus — exact dedup has already collapsed whole-document
+    copies, so any full-width chunk still shared by >= CHUNK_DUP_DOCS
+    surviving documents is genuine cross-document boilerplate.  Reports
+    per source what a training run actually ingests: ready docs, docs
+    surviving the strip (a fully-boilerplate doc drops), ready tokens,
+    final tokens, and the tokens the strip removed.  All integers.
+
+    100 TB shape: the ready set is one lazy DAG (corpus_training_ready's
+    plan), the strip is chunk_excise's chunk-keyed agg + anti-join, and
+    the attribution join back to (doc_id, source) is an equi-join on the
+    unique doc id — no new skew surface beyond the probed pieces."""
+    ready = _training_ready_docs(spark, sf_dir).select(
+        "doc_id", "source", "text", "n_tokens"
+    )
+    ex = dd.chunk_excise(ready.select("doc_id", "text")).select(
+        "doc_id", "n_tokens_clean"
+    )
+    j = ready.select("doc_id", "source", "n_tokens").join(ex, "doc_id", "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_tokens_clean").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_final"),
+            F.sum("n_tokens").cast("long").alias("tokens_ready"),
+            F.sum(F.coalesce(F.col("n_tokens_clean"), F.lit(0)))
+            .cast("long")
+            .alias("tokens_final"),
+        )
+        .withColumn(
+            "boiler_tokens_removed",
+            (F.col("tokens_ready") - F.col("tokens_final")).cast("long"),
+        )
+        .orderBy("source")
+    )
+
+
+def _assembly_tokens_oracle() -> str:
+    return (
+        _training_ready_ctes()
+        + f""",
+rt AS (SELECT r.doc_id, r.source, r.n_tokens, t.toks
+       FROM ready r JOIN t USING (doc_id)),
+rch AS (SELECT doc_id,
+               array_to_string(toks[(i - 1) * {_W} + 1:i * {_W}], ' ') AS chunk,
+               len(toks[(i - 1) * {_W} + 1:i * {_W}]) AS chunk_toks
+        FROM rt, unnest(generate_series(1, (len(toks) + {_W - 1}) // {_W})) AS u(i)
+        WHERE len(toks) > 0),
+rdfr AS (SELECT chunk, COUNT(DISTINCT doc_id) AS dfreq, MAX(chunk_toks) AS ct
+         FROM rch GROUP BY chunk),
+rbad AS (SELECT chunk FROM rdfr WHERE dfreq >= {_K} AND ct = {_W}),
+rkept AS (SELECT c.* FROM rch c WHERE NOT EXISTS
+          (SELECT 1 FROM rbad b WHERE b.chunk = c.chunk)),
+rclean AS (SELECT doc_id, SUM(chunk_toks) AS ctoks FROM rkept GROUP BY doc_id)
+SELECT r.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c.ctoks IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_final,
+       CAST(SUM(r.n_tokens) AS BIGINT) AS tokens_ready,
+       CAST(SUM(COALESCE(c.ctoks, 0)) AS BIGINT) AS tokens_final,
+       CAST(SUM(r.n_tokens) - SUM(COALESCE(c.ctoks, 0)) AS BIGINT)
+         AS boiler_tokens_removed
+FROM ready r LEFT JOIN rclean c USING (doc_id)
+GROUP BY r.source ORDER BY r.source
+"""
+    )
 
 
 def embedding_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3334,6 +3429,12 @@ QUERIES = [
               "decontamination + bench-row exclusion in one lazy DAG: "
               "per-source (docs, tokens) of the corpus that actually "
               "trains"),
+    Query("corpus_assembly_tokens", corpus_assembly_tokens,
+          _assembly_tokens_oracle(), ("text", "dedup", "sampling", "pipeline"),
+          doc="the final assembly stage: C4-style boilerplate strip over "
+              "the training-ready set (chunk frequency computed over the "
+              "post-dedup survivors) — per-source ready vs final docs and "
+              "tokens, the number a training run actually ingests"),
     Query("pipeline_stage_yield", pipeline_stage_yield, _stage_yield_oracle(),
           ("text", "dedup", "pipeline"),
           doc="per-source stage-yield funnel (raw→lang→quality→dedup, docs "
