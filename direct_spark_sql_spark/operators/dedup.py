@@ -1251,3 +1251,41 @@ def chunk_excise(
             F.transform(ordered, lambda x: x["chunk"]), " "
         ).alias("clean_text"),
     )
+
+
+def chunk_frequency_totals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = CHUNK_W,
+    dup_docs: int = CHUNK_DUP_DOCS,
+) -> DataFrame:
+    """Corpus-wide totals for the chunk-frequency strip at one width —
+    the single-row building block of the width tuning curve.  Same
+    aggregate-before-join discipline as :func:`chunk_frequency_report`,
+    simpler because no source attribution is needed: one hash agg to the
+    chunk grain (occurrences, tokens, distinct docs — all map-side
+    combinable), then one global conditional rollup.  No join at all."""
+    ch = chunk_table(df, id_col, text_col, w=w)
+    per_chunk = ch.groupBy("chunk").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.sum("chunk_toks").alias("toks"),
+        F.count_distinct(F.col(id_col)).alias("dfreq"),
+        F.max("chunk_toks").alias("ct"),
+    )
+    dup = (F.col("dfreq") >= dup_docs) & (F.col("ct") == w)
+    return per_chunk.agg(
+        F.lit(w).cast("long").alias("width"),
+        F.sum("n_occ").cast("long").alias("n_chunks"),
+        F.sum(F.when(dup, F.col("n_occ")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_dup_chunks"),
+        F.sum("toks").cast("long").alias("tokens_total"),
+        F.sum(F.when(dup, F.col("toks")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tokens_removed"),
+    ).withColumn(
+        "removal_rate",
+        F.col("tokens_removed").cast("double")
+        / F.col("tokens_total").cast("double"),
+    )

@@ -3117,6 +3117,59 @@ ORDER BY doc_id
 """
 
 
+#: Widths swept by the chunk-dedup width curve: half, the registered
+#: CHUNK_W operating point, and double.
+CHUNK_CURVE_WIDTHS = (5, 10, 20)
+
+
+def dedup_chunk_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk-width tuning curve for sub-document frequency dedup:
+    corpus-wide chunks / duplicate chunks / tokens removed at each width
+    in CHUNK_CURVE_WIDTHS — the measured data behind the CHUNK_W = 10
+    operating point, the same justification pattern as
+    decontam_width_curve and dedup_semantic_threshold_curve.  Narrow
+    chunks over-trigger (short spans repeat by chance in a small
+    vocabulary); wide chunks under-trigger (boilerplate shorter than the
+    window never fills a full-width chunk).  One corpus pass per width,
+    each a single chunk-grain hash agg with NO join
+    (operators/dedup.py:chunk_frequency_totals), unioned by name."""
+    from functools import reduce
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    parts = [
+        dd.chunk_frequency_totals(d, w=w) for w in CHUNK_CURVE_WIDTHS
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("width")
+
+
+def _chunk_width_curve_oracle() -> str:
+    blocks = []
+    for w in CHUNK_CURVE_WIDTHS:
+        blocks.append(f"""
+SELECT CAST({w} AS BIGINT) AS width,
+       CAST(SUM(n_occ) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN dfreq >= {_K} AND ct = {w} THEN n_occ ELSE 0 END)
+            AS BIGINT) AS n_dup_chunks,
+       CAST(SUM(toks) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN dfreq >= {_K} AND ct = {w} THEN toks ELSE 0 END)
+            AS BIGINT) AS tokens_removed,
+       CAST(SUM(CASE WHEN dfreq >= {_K} AND ct = {w} THEN toks ELSE 0 END)
+            AS DOUBLE) / CAST(SUM(toks) AS DOUBLE) AS removal_rate
+FROM (
+  SELECT chunk, COUNT(*) AS n_occ, SUM(chunk_toks) AS toks,
+         COUNT(DISTINCT doc_id) AS dfreq, MAX(chunk_toks) AS ct
+  FROM (
+    SELECT doc_id,
+           array_to_string(toks[(i - 1) * {w} + 1:i * {w}], ' ') AS chunk,
+           len(toks[(i - 1) * {w} + 1:i * {w}]) AS chunk_toks
+    FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+         unnest(generate_series(1, (len(toks) + {w - 1}) // {w})) AS u(i)
+    WHERE len(toks) > 0
+  ) GROUP BY chunk
+)""")
+    return "\nUNION ALL\n".join(blocks) + "\nORDER BY width\n"
+
+
 def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-source corpus DATASHEET — the one-page summary a data
     card / "datasheets for datasets" release ships: volume (docs,
@@ -3281,6 +3334,12 @@ QUERIES = [
               "chunks in >=3 docs costed as removed boilerplate — "
               "per-source tokens kept/removed; all shuffles keyed on the "
               "chunk (hash aggs + equi-join back)"),
+    Query("dedup_chunk_width_curve", dedup_chunk_width_curve,
+          _chunk_width_curve_oracle(), ("dedup", "text", "pipeline"),
+          doc="chunk-width tuning curve for sub-document dedup: corpus "
+              "totals + removal rate at widths 5/10/20 — the measured "
+              "data behind the CHUNK_W=10 operating point; one no-join "
+              "chunk-grain hash agg per width"),
     Query("corpus_datasheet", corpus_datasheet, _DATASHEET_ORACLE,
           ("text", "dedup", "pipeline"),
           doc="per-source data-card sheet: volume (docs/tokens/chars), "

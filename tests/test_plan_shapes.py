@@ -161,6 +161,10 @@ _NLJ_ALLOWED = {
     "rag_chunk_search",        # same 1-row stats cross (BM25 over chunks)
     "embedding_kmeans_refine",  # ivf_assign: broadcast 1-row centroid array
     "dedup_semantic",           # ivf_assign: broadcast 1-row centroid array
+    "dedup_semantic_threshold_curve",  # same ivf_assign broadcast 1-row
+                                       # centroid array (dedup_semantic's
+                                       # plan prefix); the curve itself
+                                       # adds only a global agg + stack
     "embedding_centroid_classify",  # ivf_assign: broadcast 1-row array of
                                     # L label centroids (L = #labels)
     "quality_constraint_audit",  # fk check: 1-row agg × 1-row agg cross
