@@ -1214,6 +1214,7 @@ def chunk_excise(
     text_col: str = "text",
     w: int = CHUNK_W,
     dup_docs: int = CHUNK_DUP_DOCS,
+    keep_first: bool = False,
 ) -> DataFrame:
     """The executable companion of :func:`chunk_frequency_report`:
     actually RECONSTRUCT each document with its boilerplate chunks
@@ -1221,28 +1222,54 @@ def chunk_excise(
     costing the removal.  A document whose every chunk is boilerplate
     disappears (no kept chunks, no output row), matching a drop.
 
+    Two policies:
+
+    - ``keep_first=False`` (default): CCNet-style strip — EVERY
+      occurrence of a boilerplate chunk is removed.
+    - ``keep_first=True``: C4-proper — exactly ONE occurrence of each
+      boilerplate chunk survives corpus-wide, the lexicographically
+      first (min doc id, then min chunk offset within it); "discard all
+      but one" from the C4 paper, made deterministic by the id order.
+
     Returns (id, n_chunks_kept, n_tokens_clean, clean_text).
 
     100 TB shape: the boilerplate set (full-width chunks in >=
     ``dup_docs`` docs) comes from the same map-side-combinable hash agg
-    as the report; occurrences drop via a LEFT ANTI equi-join on the
-    chunk key (AQE broadcasts the small boilerplate set; at web scale
-    it degrades to a shuffle anti-join and AQE's skew split handles a
-    mass-duplicated hot chunk).  Reconstruction is one groupBy on the
-    doc id — per-group state is that document's own kept chunks,
-    bounded by document length, hot-key-free under mass duplication
-    (duplicated docs carry distinct ids)."""
+    as the report — keep_first adds only a min(struct(doc, offset))
+    column to that agg, no extra pass; occurrences drop via a LEFT ANTI
+    (or keeper-compare LEFT) equi-join on the chunk key (AQE broadcasts
+    the small boilerplate set; at web scale it degrades to a shuffle
+    join and AQE's skew split handles a mass-duplicated hot chunk).
+    Reconstruction is one groupBy on the doc id — per-group state is
+    that document's own kept chunks, bounded by document length,
+    hot-key-free under mass duplication (duplicated docs carry distinct
+    ids)."""
     ch = chunk_table(df, id_col, text_col, w=w)
     boiler = (
         ch.groupBy("chunk")
         .agg(
             F.count_distinct(F.col(id_col)).alias("dfreq"),
             F.max("chunk_toks").alias("__ct"),
+            F.min(F.struct(F.col(id_col).alias("kd"), F.col("chunk_idx").alias("ki")))
+            .alias("__keeper"),
         )
         .filter((F.col("dfreq") >= dup_docs) & (F.col("__ct") == w))
-        .select("chunk")
+        .select("chunk", "__keeper")
     )
-    kept = ch.join(boiler, "chunk", "left_anti")
+    if keep_first:
+        kept = (
+            ch.join(boiler, "chunk", "left")
+            .filter(
+                F.col("__keeper").isNull()
+                | (
+                    (F.col(id_col) == F.col("__keeper.kd"))
+                    & (F.col("chunk_idx") == F.col("__keeper.ki"))
+                )
+            )
+            .drop("__keeper")
+        )
+    else:
+        kept = ch.join(boiler.select("chunk"), "chunk", "left_anti")
     ordered = F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk")))
     return kept.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_chunks_kept"),

@@ -3095,7 +3095,9 @@ def dedup_chunk_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.chunk_excise(d).orderBy("doc_id")
 
 
-_CHUNK_EXCISE_ORACLE = f"""
+#: Shared CTE prefix (t→nz→ch→dfr→bad) for the chunk-excise oracles —
+#: the DuckDB twin of chunk_table + the boilerplate-set agg.
+_CHUNK_EXCISE_CTES = f"""
 WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
 nz AS (SELECT * FROM t WHERE len(toks) > 0),
 ch AS (SELECT doc_id, i - 1 AS chunk_idx,
@@ -3104,9 +3106,10 @@ ch AS (SELECT doc_id, i - 1 AS chunk_idx,
        FROM nz, unnest(generate_series(1, (len(toks) + {_W - 1}) // {_W})) AS u(i)),
 dfr AS (SELECT chunk, COUNT(DISTINCT doc_id) AS dfreq, MAX(chunk_toks) AS ct
         FROM ch GROUP BY chunk),
-bad AS (SELECT chunk FROM dfr WHERE dfreq >= {_K} AND ct = {_W}),
-kept AS (SELECT c.* FROM ch c WHERE NOT EXISTS
-         (SELECT 1 FROM bad b WHERE b.chunk = c.chunk))
+bad AS (SELECT chunk FROM dfr WHERE dfreq >= {_K} AND ct = {_W})"""
+
+#: shared reconstruction tail over a ``kept`` CTE
+_CHUNK_EXCISE_TAIL = """
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_chunks_kept,
        CAST(SUM(chunk_toks) AS BIGINT) AS n_tokens_clean,
@@ -3115,6 +3118,42 @@ FROM kept
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+_CHUNK_EXCISE_ORACLE = (
+    _CHUNK_EXCISE_CTES
+    + """,
+kept AS (SELECT c.* FROM ch c WHERE NOT EXISTS
+         (SELECT 1 FROM bad b WHERE b.chunk = c.chunk))"""
+    + _CHUNK_EXCISE_TAIL
+)
+
+
+def dedup_chunk_excise_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-proper boilerplate strip: exactly ONE occurrence of each
+    boilerplate chunk survives corpus-wide — the lexicographically first
+    (min doc id, then min chunk offset) — and every other occurrence is
+    excised; "discard all but one" from the C4 paper made deterministic.
+    Compare dedup_chunk_excise (CCNet-style remove-all).
+
+    100 TB shape: operators/dedup.py:chunk_excise(keep_first=True) — the
+    keeper is one extra min(struct) column on the same chunk-keyed hash
+    agg; the drop is a keeper-compare LEFT equi-join on the chunk."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.chunk_excise(d, keep_first=True).orderBy("doc_id")
+
+
+_CHUNK_EXCISE_KEEP_FIRST_ORACLE = (
+    _CHUNK_EXCISE_CTES
+    + """,
+kd AS (SELECT c.chunk, MIN(c.doc_id) AS kd
+       FROM ch c JOIN bad USING (chunk) GROUP BY c.chunk),
+ki AS (SELECT c.chunk, k.kd, MIN(c.chunk_idx) AS ki
+       FROM ch c JOIN kd k ON c.chunk = k.chunk AND c.doc_id = k.kd
+       GROUP BY c.chunk, k.kd),
+kept AS (SELECT c.* FROM ch c LEFT JOIN ki ON c.chunk = ki.chunk
+         WHERE ki.chunk IS NULL OR (c.doc_id = ki.kd AND c.chunk_idx = ki.ki))"""
+    + _CHUNK_EXCISE_TAIL
+)
 
 
 #: Widths swept by the chunk-dedup width curve: half, the registered
@@ -3353,6 +3392,12 @@ QUERIES = [
               "duplicated full-width chunks excised, kept chunks re-joined "
               "in order (anti-join on the chunk key + one groupBy on the "
               "doc id) — the transform dedup_chunk_frequency costs"),
+    Query("dedup_chunk_excise_keep_first", dedup_chunk_excise_keep_first,
+          _CHUNK_EXCISE_KEEP_FIRST_ORACLE, ("dedup", "text", "pipeline"),
+          doc="C4-proper strip: exactly one occurrence of each boilerplate "
+              "chunk survives corpus-wide (min doc id, then min offset — "
+              "'discard all but one' made deterministic); keeper is one "
+              "min(struct) column on the same chunk-keyed agg"),
     Query("text_ngram_novelty", text_ngram_novelty, _NGRAM_NOVELTY_ORACLE,
           ("text", "dedup", "pipeline"),
           doc="per-source 5-gram novelty: micro-averaged fraction of "

@@ -712,3 +712,28 @@ def test_chunk_excise_reconstructs_in_order(spark):
     assert got[2]["clean_text"] == "other tail two"
     assert got[1]["n_tokens_clean"] == 3 and got[1]["n_chunks_kept"] == 1
     assert 3 not in got
+
+
+def test_chunk_excise_keep_first_retains_one_copy(spark):
+    """C4-proper policy: the banner (df=3) survives ONLY in doc 1 (min
+    doc id) at its first offset; docs 2 and 3 lose it; non-boilerplate
+    text is untouched.  A doc whose banner copy is the kept one AND has
+    a second in-doc occurrence keeps only the first."""
+    from direct_spark_sql_spark.operators.dedup import CHUNK_W, chunk_excise
+
+    banner = " ".join(f"banner{i}" for i in range(CHUNK_W))
+    rows = [
+        # two banner occurrences in the keeper doc: offsets 0 and 1
+        (1, f"{banner} {banner} tail one"),
+        (2, f"{banner} tail two"),
+        (3, f"{banner} tail three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in chunk_excise(df, keep_first=True).collect()}
+    assert got[1]["clean_text"] == f"{banner} tail one"
+    assert got[2]["clean_text"] == "tail two"
+    assert got[3]["clean_text"] == "tail three"
+    assert got[1]["n_tokens_clean"] == CHUNK_W + 2
+    # remove-all policy strips it everywhere including doc 1
+    all_gone = {r["doc_id"]: r for r in chunk_excise(df).collect()}
+    assert all_gone[1]["clean_text"] == "tail one"
