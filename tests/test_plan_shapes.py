@@ -481,3 +481,26 @@ def test_dedup_incremental_keep_min_id_is_aggregate(spark):
     df = QUERIES["dedup_incremental"].spark_fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "row_number" not in plan.lower()
+
+
+def test_chunk_frequency_has_no_occurrence_level_join(spark):
+    """dedup_chunk_frequency's skew contract (round 10): the corpus
+    document frequency comes from a window over the (chunk, source)
+    grain — at most |sources| rows per chunk partition — NOT from
+    joining the raw chunk-occurrence stream against a per-chunk
+    frequency table, which would funnel every occurrence of a
+    mass-duplicated chunk into one reducer.  So the plan must contain a
+    Window, and every join's keys must be the bounded source column,
+    never the chunk."""
+    import re
+
+    plan = _plan(spark, "dedup_chunk_frequency")
+    assert "Window" in plan, plan[:1500]
+    # every equi-join key list in the plan must not mention the chunk
+    for m in re.finditer(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\s*(\[[^\]]*\]),\s*(\[[^\]]*\])",
+        plan,
+    ):
+        keys = m.group(1) + m.group(2)
+        assert "chunk" not in keys, f"join keyed on chunk: {m.group(0)[:200]}"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
