@@ -1316,3 +1316,95 @@ def chunk_frequency_totals(
         F.col("tokens_removed").cast("double")
         / F.col("tokens_total").cast("double"),
     )
+
+
+def contamination_spans_normalized(
+    corpus_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Span-level benchmark contamination at the NORMALIZED operating
+    point, with spans mapped back to RAW token offsets — the combination
+    :func:`contamination_spans` documents as its limitation: the
+    normalized match (GPT-3-appendix-C lowercase + punctuation-strip)
+    catches cased/re-punctuated eval copies, but a downstream excision
+    slices the RAW token stream, and normalization can split one raw
+    token into several normalized tokens (``"end.Start"`` → ``end``,
+    ``start``) or delete it outright (pure punctuation), so normalized
+    gram offsets are NOT raw offsets.
+
+    The offset map: normalizing the whole text equals normalizing each
+    raw token independently and concatenating (space maps to space and
+    nothing merges across one), so every normalized token carries the
+    index ``p`` of the raw token it came from.  Grams are built
+    positionally over the provenance-labeled normalized stream (n-1
+    ``lead()`` calls per doc), each collision contributing the raw span
+    [p(first), p(last)]; overlapping or back-to-back raw spans merge via
+    a running-max interval merge.  Raw tokens that normalize to nothing
+    never anchor a span boundary but are covered when they fall inside
+    one.
+
+    Returns (id, span_start, span_end, n_hits) — inclusive RAW token
+    offsets, one row per maximal span.
+
+    100 TB shape: the eval gram set broadcasts exactly as in
+    :func:`contamination_spans`; the per-token explode triples the
+    corpus row count transiently but stays map-side until the per-doc
+    position/lead/merge windows, all partitioned on the doc id —
+    bounded by document length, hot-key-free under mass duplication."""
+    from direct_spark_sql_spark.operators.text import normalize_for_matching
+
+    bench_norm = bench_df.select(
+        normalize_for_matching(text_col).alias("__nt")
+    )
+    bench_grams = (
+        bench_norm.select(F.explode(shingles("__nt", n)).alias("__s")).distinct()
+    )
+    rt = corpus_df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("p", "tok")
+    )
+    nsub = rt.select(
+        id_col,
+        "p",
+        F.posexplode(tokens(normalize_for_matching("tok"))).alias("si", "ntok"),
+    )
+    wq = Window.partitionBy(id_col).orderBy("p", "si")
+    leads = [F.lead("ntok", i).over(wq) for i in range(1, n)]
+    cand = nsub.select(
+        id_col,
+        F.col("p").cast("long").alias("raw_start"),
+        F.concat_ws(" ", F.col("ntok"), *leads).alias("__s"),
+        F.lead("p", n - 1).over(wq).cast("long").alias("raw_end"),
+        F.lead("ntok", n - 1).over(wq).alias("__last"),
+    ).filter(F.col("__last").isNotNull())
+    hits = cand.join(F.broadcast(bench_grams), "__s", "semi").select(
+        id_col, "raw_start", "raw_end"
+    )
+    wo = Window.partitionBy(id_col).orderBy("raw_start", "raw_end")
+    pmax = F.max("raw_end").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = (
+        F.when(pmax.isNull() | (F.col("raw_start") > pmax + 1), 1)
+        .otherwise(0)
+        .alias("brk")
+    )
+    isl = hits.select(id_col, "raw_start", "raw_end", brk).select(
+        id_col,
+        "raw_start",
+        "raw_end",
+        F.sum("brk")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("raw_start").alias("span_start"),
+            F.max("raw_end").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+        .select(id_col, "span_start", "span_end", "n_hits")
+    )

@@ -49,11 +49,17 @@ SHINGLES_SQL = _shingles_sql(3)
 #: lower()'s locale-dependent Unicode special cases) and every codepoint
 #: outside [a-z0-9 ] replaced by a space ('g' = all occurrences, matching
 #: Spark's replace-all default).
-NORM_TEXT_SQL = (
-    "regexp_replace(translate(text, "
-    "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), "
-    "'[^a-z0-9 ]', ' ', 'g')"
-)
+def _norm_sql(col: str) -> str:
+    """DuckDB twin of operators/text.py:normalize_for_matching applied to
+    an arbitrary column expression (see NORM_TEXT_SQL's rationale)."""
+    return (
+        f"regexp_replace(translate({col}, "
+        "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), "
+        "'[^a-z0-9 ]', ' ', 'g')"
+    )
+
+
+NORM_TEXT_SQL = _norm_sql("text")
 
 P = MERSENNE_P
 
@@ -2459,10 +2465,10 @@ def decontam_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     that paragraph's token range (pinned by the planted-paragraph test).
 
     Offsets are into the RAW whitespace token stream (the same stream a
-    downstream excision slices); the normalized operating point
-    (dedup_benchmark_decontam_8gram_norm) would additionally need a
+    downstream excision slices); the normalized operating point needs a
     normalized-to-raw offset map, since normalization can split or
-    delete tokens — documented limitation, not attempted here.
+    delete tokens — decontam_span_report_norm provides exactly that
+    (per-raw-token provenance through the normalization).
 
     100 TB shape: see operators/dedup.py:contamination_spans — the same
     broadcast-semi-join as the flag-level queries plus an islands window
@@ -2480,6 +2486,84 @@ def decontam_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.contamination_spans(corpus, bench, n=DECONTAM_PROD_N).orderBy(
         "doc_id", "span_start"
     )
+
+
+def decontam_span_report_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level contamination at the NORMALIZED production operating
+    point with spans mapped back to RAW token offsets — closing
+    decontam_span_report's documented limitation: the normalized match
+    catches cased/re-punctuated eval copies, but excision slices the raw
+    stream, and normalization can split or delete raw tokens.  Each
+    normalized token carries the index of the raw token it came from
+    (normalizing the whole text equals normalizing per raw token and
+    concatenating — space maps to space and nothing merges across one),
+    so every 8-gram collision yields a raw-offset interval and
+    overlapping intervals merge via a running-max pass.
+
+    100 TB shape: operators/dedup.py:contamination_spans_normalized —
+    broadcast eval gram set, per-doc provenance/lead/merge windows (all
+    partitioned on the doc id, bounded by document length)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from direct_spark_sql_spark.operators.sampling import (
+        BENCH_SLICE_START,
+        sample_bucket,
+    )
+
+    is_bench = sample_bucket(F.col("doc_id")) >= BENCH_SLICE_START
+    return dd.contamination_spans_normalized(
+        d.filter(~is_bench), d.filter(is_bench), n=DECONTAM_PROD_N
+    ).orderBy("doc_id", "span_start")
+
+
+def _decontam_span_norm_oracle() -> str:
+    n = DECONTAM_PROD_N
+    norm_tok_list = (
+        f"list_filter(string_split({_norm_sql('tok')}, ' '), t2 -> length(t2) > 0)"
+    )
+    lead_cols = ", ".join(f"lead(ntok, {i}) OVER w8" for i in range(1, n))
+    return f"""
+WITH nd AS (SELECT doc_id, {NORM_TEXT_SQL} AS text FROM documents),
+bt AS (SELECT doc_id, {TOKS_SQL} AS toks FROM nd),
+bsh AS (SELECT doc_id, {_PROD_SHINGLES_SQL} AS sh FROM bt),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM bsh
+          WHERE {h64_sql('doc_id')} % 10000 >= {_BSS}),
+c AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+      WHERE {h64_sql('doc_id')} % 10000 < {_BSS}),
+rt AS (SELECT doc_id, i - 1 AS p, toks[i] AS tok
+       FROM c, unnest(generate_series(1, len(toks))) AS u(i)),
+nt AS (SELECT doc_id, p, {norm_tok_list} AS ntoks FROM rt),
+ns AS (SELECT doc_id, p, j, ntoks[j] AS ntok
+       FROM nt, unnest(generate_series(1, len(ntoks))) AS v(j)),
+g AS (SELECT doc_id, p, concat_ws(' ', ntok, {lead_cols}) AS s,
+             lead(p, {n - 1}) OVER w8 AS pe,
+             lead(ntok, {n - 1}) OVER w8 AS l8
+      FROM ns WINDOW w8 AS (PARTITION BY doc_id ORDER BY p, j)),
+cand AS (SELECT doc_id, CAST(p AS BIGINT) AS raw_start,
+                CAST(pe AS BIGINT) AS raw_end, s
+         FROM g WHERE l8 IS NOT NULL),
+hits AS (SELECT c2.doc_id, c2.raw_start, c2.raw_end
+         FROM cand c2 JOIN bench USING (s)),
+m AS (SELECT doc_id, raw_start, raw_end,
+             MAX(raw_end) OVER (PARTITION BY doc_id
+                                ORDER BY raw_start, raw_end
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pmax
+      FROM hits),
+w AS (SELECT doc_id, raw_start, raw_end,
+             CASE WHEN pmax IS NULL OR raw_start > pmax + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM m),
+isl AS (SELECT doc_id, raw_start, raw_end,
+               SUM(brk) OVER (PARTITION BY doc_id
+                              ORDER BY raw_start, raw_end
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+        FROM w)
+SELECT doc_id, MIN(raw_start) AS span_start, MAX(raw_end) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
 
 
 def _span_ctes() -> str:
@@ -3442,6 +3526,14 @@ QUERIES = [
               "(posexplode windows -> broadcast semi-join -> islands merge) "
               "— the PaLM-style surgical-excision form instead of "
               "whole-doc drops"),
+    Query("decontam_span_report_norm", decontam_span_report_norm,
+          _decontam_span_norm_oracle(), ("dedup", "sampling", "pipeline"),
+          doc="normalized-operating-point span report with RAW-offset "
+              "excision spans: per-raw-token provenance through the "
+              "normalization (split/deleted tokens handled), positional "
+              "8-gram leads, broadcast semi-join, running-max interval "
+              "merge — closes decontam_span_report's documented "
+              "normalized-to-raw offset-map limitation"),
     Query("decontam_excision_economics", decontam_excision_economics,
           _decontam_excision_oracle(), ("dedup", "sampling", "pipeline"),
           doc="span-excision economics per source: tokens a whole-doc "

@@ -737,3 +737,41 @@ def test_chunk_excise_keep_first_retains_one_copy(spark):
     # remove-all policy strips it everywhere including doc 1
     all_gone = {r["doc_id"]: r for r in chunk_excise(df).collect()}
     assert all_gone[1]["clean_text"] == "tail one"
+
+
+def test_normalized_spans_map_to_raw_offsets(spark):
+    """decontam_span_report_norm's core contract: a cased/re-punctuated
+    copy of a bench item (zero RAW 8-gram collisions) is caught at the
+    normalized operating point, and the span comes back in RAW token
+    offsets — including when one raw token ('six.seven') splits into two
+    normalized tokens."""
+    from direct_spark_sql_spark.operators.dedup import (
+        contamination_spans,
+        contamination_spans_normalized,
+    )
+
+    bench = spark.createDataFrame(
+        [(1000, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # cased + punctuated: raw tokens 3..10 hold the copy
+            (1, "intro words here One two THREE four five. six seven EIGHT! closing remark"),
+            # raw token 7 = 'six.seven' splits into two normalized tokens;
+            # the copy covers raw tokens 2..8
+            (2, "alpha beta one two three four five six.seven eight tail"),
+            (3, "completely unrelated clean text about joins and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    # raw 8-gram spans: nothing matches (case/punctuation divergence)
+    raw = contamination_spans(corpus, bench, n=8).collect()
+    assert raw == []
+    got = {
+        r["doc_id"]: r
+        for r in contamination_spans_normalized(corpus, bench, n=8).collect()
+    }
+    assert got[1]["span_start"] == 3 and got[1]["span_end"] == 10
+    assert got[2]["span_start"] == 2 and got[2]["span_end"] == 8
+    assert 3 not in got
