@@ -2515,7 +2515,11 @@ def decontam_span_report_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "span_start")
 
 
-def _decontam_span_norm_oracle() -> str:
+def _span_norm_ctes() -> str:
+    """Shared CTE prefix ending in ``spans`` (doc_id, span_start,
+    span_end, n_hits in RAW token offsets) — the DuckDB twin of
+    contamination_spans_normalized at the production width; reused by
+    decontam_span_report_norm and the normalized excision economics."""
     n = DECONTAM_PROD_N
     norm_tok_list = (
         f"list_filter(string_split({_norm_sql('tok')}, ' '), t2 -> length(t2) > 0)"
@@ -2558,12 +2562,22 @@ isl AS (SELECT doc_id, raw_start, raw_end,
                               ORDER BY raw_start, raw_end
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS island
-        FROM w)
-SELECT doc_id, MIN(raw_start) AS span_start, MAX(raw_end) AS span_end,
-       CAST(COUNT(*) AS BIGINT) AS n_hits
-FROM isl GROUP BY doc_id, island
+        FROM w),
+spans AS (SELECT doc_id, MIN(raw_start) AS span_start,
+                 MAX(raw_end) AS span_end,
+                 CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM isl GROUP BY doc_id, island)"""
+
+
+def _decontam_span_norm_oracle() -> str:
+    return (
+        _span_norm_ctes()
+        + """
+SELECT doc_id, span_start, span_end, n_hits
+FROM spans
 ORDER BY doc_id, span_start
 """
+    )
 
 
 def _span_ctes() -> str:
@@ -2662,6 +2676,72 @@ def decontam_excision_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _decontam_excision_oracle() -> str:
     return (
         _span_ctes()
+        + f""",
+per_doc AS (SELECT doc_id, SUM(span_end - span_start + 1) AS excised
+            FROM spans GROUP BY doc_id),
+docs AS (SELECT d.doc_id, d.source, len({TOKS_SQL}) AS n_tokens
+         FROM documents d)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_flagged_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_whole_doc_drop,
+       CAST(SUM(excised) AS BIGINT) AS tokens_span_excised,
+       CAST(SUM(n_tokens - excised) AS BIGINT) AS tokens_recovered
+FROM docs JOIN per_doc USING (doc_id)
+GROUP BY source
+ORDER BY source
+"""
+    )
+
+
+def decontam_excision_economics_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-excision economics at the NORMALIZED operating point — the
+    production-operative number, since the normalized match is the one
+    real pipelines run and it catches the cased/re-punctuated copies the
+    raw grams miss: per source, tokens a whole-document drop policy
+    would discard vs tokens the normalized-span policy excises (raw
+    token units on both sides — spans are already mapped to raw
+    offsets), tokens_recovered their difference.
+
+    100 TB shape: contamination_spans_normalized's broadcast-semi-join +
+    per-doc windows, its bounded per-doc rollup broadcast back onto a
+    map-side (doc_id, source, n_tokens) projection — identical to the
+    raw-point economics."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    from direct_spark_sql_spark.operators.sampling import (
+        BENCH_SLICE_START,
+        sample_bucket,
+    )
+
+    is_bench = sample_bucket(F.col("doc_id")) >= BENCH_SLICE_START
+    bench = d.filter(is_bench)
+    corpus = d.filter(~is_bench)
+    spans = dd.contamination_spans_normalized(corpus, bench, n=DECONTAM_PROD_N)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("excised")
+    )
+    docs = corpus.select(
+        "doc_id", "source", tx.token_count("text").alias("n_tokens")
+    )
+    return (
+        docs.join(F.broadcast(per_doc), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_flagged_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_whole_doc_drop"),
+            F.sum("excised").cast("long").alias("tokens_span_excised"),
+            F.sum(F.col("n_tokens") - F.col("excised"))
+            .cast("long")
+            .alias("tokens_recovered"),
+        )
+        .orderBy("source")
+    )
+
+
+def _decontam_excision_norm_oracle() -> str:
+    return (
+        _span_norm_ctes()
         + f""",
 per_doc AS (SELECT doc_id, SUM(span_end - span_start + 1) AS excised
             FROM spans GROUP BY doc_id),
@@ -3534,6 +3614,12 @@ QUERIES = [
               "8-gram leads, broadcast semi-join, running-max interval "
               "merge — closes decontam_span_report's documented "
               "normalized-to-raw offset-map limitation"),
+    Query("decontam_excision_economics_norm", decontam_excision_economics_norm,
+          _decontam_excision_norm_oracle(), ("dedup", "sampling", "pipeline"),
+          doc="excision economics at the normalized operating point (the "
+              "one production pipelines run): whole-doc-drop tokens vs "
+              "normalized-span excised tokens per source, spans already "
+              "in raw offsets so both sides count raw tokens"),
     Query("decontam_excision_economics", decontam_excision_economics,
           _decontam_excision_oracle(), ("dedup", "sampling", "pipeline"),
           doc="span-excision economics per source: tokens a whole-doc "

@@ -775,3 +775,35 @@ def test_normalized_spans_map_to_raw_offsets(spark):
     assert got[1]["span_start"] == 3 and got[1]["span_end"] == 10
     assert got[2]["span_start"] == 2 and got[2]["span_end"] == 8
     assert 3 not in got
+
+
+def test_norm_excision_economics_planted(spark, tmp_path):
+    """Normalized excision economics through the REGISTERED query: a
+    cased/punctuated contaminated paragraph that the raw economics does
+    NOT see (zero raw collisions) is costed at the normalized point —
+    whole-doc drop loses the full document, the span policy excises only
+    the paragraph's raw token range, and tokens_recovered is the
+    difference.  doc_id 1 is in the bench slice; doc 2 in the corpus."""
+    from direct_spark_sql_spark.plans.pipeline import (
+        decontam_excision_economics,
+        decontam_excision_economics_norm,
+    )
+
+    item = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    variant = "Alpha Bravo, Charlie Delta: Echo Foxtrot Golf Hotel India Juliett!"
+    # 5 clean + 10 contaminated (cased/punct) + 5 clean = 20 raw tokens
+    doc = "clean one two three four " + variant + " five six seven eight nine"
+    rows = [
+        (1, "bench", "en", item, len(item)),
+        (2, "web", "en", doc, len(doc)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    assert decontam_excision_economics(spark, str(tmp_path)).collect() == []
+    got = {r["source"]: r
+           for r in decontam_excision_economics_norm(spark, str(tmp_path)).collect()}
+    assert got["web"]["tokens_whole_doc_drop"] == 20
+    assert got["web"]["tokens_span_excised"] == 10
+    assert got["web"]["tokens_recovered"] == 10
