@@ -1408,3 +1408,69 @@ def contamination_spans_normalized(
         )
         .select(id_col, "span_start", "span_end", "n_hits")
     )
+
+
+def duplicated_span_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+) -> DataFrame:
+    """ExactSubstr-style SELF-dedup spans (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    the maximal token-offset spans covered by w-gram windows that occur
+    at least twice ANYWHERE in the corpus — across documents or repeated
+    within one (ExactSubstr removes both).  The excisable-span form of
+    :func:`duplicated_spans` (which reports the top-k repeated grams,
+    not where they sit), and the self-frequency counterpart of
+    :func:`contamination_spans` (which matches an external eval set).
+    Spans are defined for documents with at least w tokens; shorter
+    documents are whole-document decisions for the exact-dedup family.
+
+    Returns (id, span_start, span_end, n_hits) — inclusive raw token
+    offsets, one row per maximal span (hits whose starts are within w
+    merge, the islands rule shared with contamination_spans).
+
+    100 TB shape: one hash agg on the window text (map-side combinable
+    counts — the duplicated_spans shape) and an occurrence semi-join
+    back on the gram key; unlike decontamination there is no tiny
+    external side to broadcast — the duplicated-gram set grows with
+    real duplication — so the semi-join shuffles on the gram and relies
+    on AQE's skew split for a mass-duplicated hot gram (the islands
+    window partitions on the doc id and stays bounded by document
+    length)."""
+    wins = df.filter(F.size(tokens(text_col)) >= w).select(
+        F.col(id_col),
+        F.posexplode(token_windows(text_col, w)).alias("p", "__g"),
+    )
+    dup_grams = (
+        wins.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("__g")
+    )
+    hits = wins.join(dup_grams, "__g", "semi").select(
+        id_col, F.col("p").cast("long").alias("p")
+    )
+    win = Window.partitionBy(id_col).orderBy("p")
+    brk = (
+        F.when(F.col("p") - F.lag("p").over(win) <= w, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("brk")
+    )
+    isl = hits.select(id_col, "p", brk).select(
+        id_col,
+        "p",
+        F.sum("brk")
+        .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(w - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+        .select(id_col, "span_start", "span_end", "n_hits")
+    )

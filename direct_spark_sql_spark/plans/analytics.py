@@ -102,6 +102,44 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicated_spans(d, window=SPAN_W, min_docs=2, top_k=20)
 
 
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr self-dedup SPANS (Lee et al.): per document, the
+    maximal token-offset spans covered by SPAN_W-gram windows occurring
+    at least twice anywhere in the corpus — the excisable-span form of
+    dedup_exact_substring's top-k gram report, completing the span
+    family (external eval set: decontam_span_report[_norm]; corpus
+    self-frequency: this).  See operators/dedup.py:duplicated_span_report
+    for the 100 TB posture (gram-keyed hash agg + semi-join, AQE skew
+    split on a mass-duplicated hot gram, doc-partitioned islands)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.duplicated_span_report(d, w=SPAN_W).orderBy("doc_id", "span_start")
+
+
+EXACT_SUBSTRING_SPANS_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= {SPAN_W}),
+w AS (SELECT doc_id, s AS p, array_to_string(toks[s + 1 : s + {SPAN_W}], ' ') AS gram
+      FROM d, UNNEST(generate_series(0, n - {SPAN_W})) AS u(s)),
+gc AS (SELECT gram, COUNT(*) AS n_occ FROM w GROUP BY gram),
+hits AS (SELECT w.doc_id, CAST(w.p AS BIGINT) AS p
+         FROM w JOIN gc USING (gram) WHERE n_occ >= 2),
+b AS (SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                       <= {SPAN_W} THEN 0 ELSE 1 END AS brk
+      FROM hits),
+isl AS (SELECT doc_id, p,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+        FROM b)
+SELECT doc_id, MIN(p) AS span_start,
+       CAST(MAX(p) + {SPAN_W - 1} AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
 EXACT_SUBSTRING_ORACLE = f"""
 WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
 w AS (
@@ -2058,6 +2096,16 @@ QUERIES: list[Query] = [
         oracle=EXACT_SUBSTRING_ORACLE,
         tags=("dedup", "text"),
         doc="cross-document duplicated token spans via rolling w-gram windows",
+    ),
+    Query(
+        name="dedup_exact_substring_spans",
+        spark_fn=dedup_exact_substring_spans,
+        oracle=EXACT_SUBSTRING_SPANS_ORACLE,
+        tags=("dedup", "text"),
+        doc="ExactSubstr self-dedup spans (Lee et al.): per-doc maximal "
+            "token-offset spans of 8-gram windows occurring >=2x anywhere "
+            "in the corpus — the excisable-span form; gram-keyed hash agg "
+            "+ semi-join, doc-partitioned islands merge",
     ),
     Query(
         name="tfidf_cosine_pairs",

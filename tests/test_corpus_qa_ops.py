@@ -807,3 +807,29 @@ def test_norm_excision_economics_planted(spark, tmp_path):
     assert got["web"]["tokens_whole_doc_drop"] == 20
     assert got["web"]["tokens_span_excised"] == 10
     assert got["web"]["tokens_recovered"] == 10
+
+
+def test_exact_substring_spans_planted(spark):
+    """ExactSubstr span semantics: an 8-token span shared by two docs is
+    reported in BOTH at its own raw offsets; a span repeated twice
+    WITHIN one doc is also flagged (corpus-wide occurrence count, not
+    distinct-doc count); a unique doc yields nothing."""
+    from direct_spark_sql_spark.operators.dedup import duplicated_span_report
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        (1, f"one two {shared} tail"),              # span at raw 2..9
+        (2, f"{shared} closing words here"),        # span at raw 0..7
+        (3, f"{shared} middle filler words {shared}"),  # twice in one doc
+        (4, "completely unique text about nothing shared with others x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in duplicated_span_report(df, w=8).collect():
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    assert got[1] == [(2, 9)]
+    assert got[2] == [(0, 7)]
+    # doc 3: 'middle filler words' = 3 clean tokens, so the second copy
+    # starts at raw 11; island starts 0 and 11 differ by > w=8 -> two spans
+    assert got[3] == [(0, 7), (11, 18)]
+    assert 4 not in got
