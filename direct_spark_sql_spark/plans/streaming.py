@@ -385,6 +385,74 @@ def _stream_decontam_oracle() -> str:
     return _BENCH_DECONTAM_ORACLE
 
 
+def streaming_decontam_gate_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming admission gate at the PRODUCTION operating point:
+    GPT-3-style normalization (lowercase + punctuation-strip) applied to
+    both the arriving micro-batches and the static benchmark slice, then
+    8-gram any-collision scoring (threshold 0.0) — the online form of
+    dedup_benchmark_decontam_8gram_norm, so cased/re-punctuated eval
+    copies are caught as crawl shards land.  Normalization is a pure
+    map-side column on each side; the cached gram set and per-batch
+    broadcast semi-join are unchanged (run_stream_decontam_gate with
+    n=DECONTAM_PROD_N).  Accumulated flags must equal the batch
+    operator — the oracle IS the batch normalized-decontam SQL."""
+    from pyspark.sql import types as T
+
+    from direct_spark_sql_spark.operators.sampling import (
+        BENCH_SLICE_START,
+        sample_bucket,
+    )
+    from direct_spark_sql_spark.operators.text import normalize_for_matching
+    from direct_spark_sql_spark.plans.pipeline import DECONTAM_PROD_N
+    from direct_spark_sql_spark.sources.registry import (
+        dataset_tag,
+        load_table,
+        warehouse_path,
+    )
+    from direct_spark_sql_spark.streaming import run_stream_decontam_gate
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_bench = sample_bucket(F.col("doc_id")) >= BENCH_SLICE_START
+    bench = d.filter(is_bench).select(
+        "doc_id", normalize_for_matching("text").alias("text")
+    )
+    corpus = d.filter(~is_bench)
+    root = warehouse_path("stream_decontam_norm", dataset_tag(sf_dir))
+    hi = corpus.agg(F.max("doc_id")).collect()[0][0] or 0
+    bounds = [0, hi // 3 + 1, 2 * (hi // 3) + 1, hi + 1]
+    for i in range(3):
+        corpus.filter(
+            (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/chunk{i}")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/chunk*")
+        .select("doc_id", normalize_for_matching("text").alias("text"))
+    )
+    flagged = run_stream_decontam_gate(
+        stream, bench, threshold=0.0, n=DECONTAM_PROD_N
+    )
+    return flagged.select(
+        "doc_id", "n_shingles", "n_hit", "contamination"
+    ).orderBy("doc_id")
+
+
+def _stream_decontam_norm_oracle() -> str:
+    from direct_spark_sql_spark.plans.pipeline import (
+        _BENCH_DECONTAM_8GRAM_NORM_ORACLE,
+    )
+
+    return _BENCH_DECONTAM_8GRAM_NORM_ORACLE
+
+
 def streaming_zonemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest with live data-skipping-index maintenance: events
     split into 3 chunk files arrive as separate micro-batches; each lands
@@ -629,4 +697,10 @@ QUERIES = [
               "against a static cached benchmark gram set (broadcast "
               "semi-join per batch, no cross-batch state); accumulated "
               "flags equal the batch decontam operator"),
+    Query("streaming_decontam_gate_norm", streaming_decontam_gate_norm,
+          _stream_decontam_norm_oracle(), ("streaming", "dedup", "sampling"),
+          doc="streaming gate at the production operating point: normalized "
+              "(lowercase+punct-strip) 8-gram any-collision scoring of each "
+              "arriving micro-batch; accumulated flags equal the batch "
+              "normalized-decontam operator"),
 ]

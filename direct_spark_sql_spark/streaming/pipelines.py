@@ -588,6 +588,7 @@ def run_stream_decontam_gate(
     bench_df: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.2,
+    n: int | None = None,
 ) -> DataFrame:
     """Streaming admission gate: every arriving micro-batch of corpus
     documents is contamination-scored against a STATIC benchmark table
@@ -609,20 +610,24 @@ def run_stream_decontam_gate(
     import tempfile
 
     from direct_spark_sql_spark.operators.dedup import (
+        SHINGLE_N,
         benchmark_contamination,
         benchmark_gram_set,
     )
+
+    if n is None:
+        n = SHINGLE_N
 
     # The static state is the GRAM SET, not the raw benchmark docs: cache
     # it once so the explode+distinct shuffle runs a single time instead
     # of once per micro-batch (review r8 #5); unpersisted on exit so
     # repeated bench invocations don't accumulate cached tables.
-    grams = benchmark_gram_set(bench_df).cache()
+    grams = benchmark_gram_set(bench_df, n=n).cache()
     state: dict[str, DataFrame | None] = {"flagged": None}
 
     def score_batch(batch_df: DataFrame, _batch_id: int) -> None:
         found = benchmark_contamination(
-            batch_df, bench_df, id_col=id_col, threshold=threshold,
+            batch_df, bench_df, id_col=id_col, n=n, threshold=threshold,
             bench_grams=grams,
         ).localCheckpoint(eager=True)
         state["flagged"] = (
