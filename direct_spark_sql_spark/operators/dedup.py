@@ -935,6 +935,39 @@ def benchmark_contamination(
     )
 
 
+def _merge_start_islands(
+    hits: DataFrame, id_col: str, w: int
+) -> DataFrame:
+    """Shared islands merge for fixed-width window hits: given (id, p)
+    start offsets of width-``w`` matches, merge hits whose starts are
+    within ``w`` of the previous (overlapping or back-to-back coverage)
+    into maximal spans — ONE merge-rule source for contamination_spans
+    and duplicated_span_report (review r10).  Returns
+    (id, span_start, span_end, n_hits) with span_end = last start + w-1."""
+    win = Window.partitionBy(id_col).orderBy("p")
+    brk = (
+        F.when(F.col("p") - F.lag("p").over(win) <= w, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("brk")
+    )
+    isl = hits.select(id_col, "p", brk).select(
+        id_col,
+        "p",
+        F.sum("brk")
+        .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(w - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+        .select(id_col, "span_start", "span_end", "n_hits")
+    )
+
+
 def contamination_spans(
     corpus_df: DataFrame,
     bench_df: DataFrame,
@@ -980,28 +1013,7 @@ def contamination_spans(
     hits = wins.join(F.broadcast(bench_grams), "__s", "semi").select(
         id_col, F.col("p").cast("long").alias("p")
     )
-    w = Window.partitionBy(id_col).orderBy("p")
-    brk = (
-        F.when(F.col("p") - F.lag("p").over(w) <= n, F.lit(0))
-        .otherwise(F.lit(1))
-        .alias("brk")
-    )
-    isl = hits.select(id_col, "p", brk).select(
-        id_col,
-        "p",
-        F.sum("brk")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("island"),
-    )
-    return (
-        isl.groupBy(id_col, "island")
-        .agg(
-            F.min("p").alias("span_start"),
-            (F.max("p") + F.lit(n - 1)).cast("long").alias("span_end"),
-            F.count(F.lit(1)).cast("long").alias("n_hits"),
-        )
-        .select(id_col, "span_start", "span_end", "n_hits")
-    )
+    return _merge_start_islands(hits, id_col, n)
 
 
 # ---------------------------------------------------------------------------
@@ -1171,10 +1183,16 @@ def ngram_novelty_by_source(
     the same gram key (AQE broadcasts the frequency side at small
     scale; a shuffle equi-join on the gram key otherwise), per-doc
     rollup on the id, final rollup on the bounded source key.
+    Documents shorter than ``n`` tokens are EXCLUDED: the statistic is
+    defined on width-``n`` phrasal grams, and :func:`shingles`' short-doc
+    whole-text fallback would otherwise let two 2-token (or even empty)
+    duplicates drag a source's "5-gram novelty" to 0 on grams that are
+    not 5-grams (review r10).  ``n_docs`` therefore counts SCORED docs.
+
     :func:`shingles` dedups within the document, so the gram count per
     doc is bounded by its token count and the per-gram count equals
     document frequency with a plain COUNT(*), no count_distinct."""
-    sh = df.select(
+    sh = df.filter(F.size(tokens(text_col)) >= n).select(
         F.col(id_col), F.col(source_col), F.explode(shingles(text_col, n)).alias("s")
     )
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("dfreq"))
@@ -1324,6 +1342,7 @@ def contamination_spans_normalized(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Span-level benchmark contamination at the NORMALIZED operating
     point, with spans mapped back to RAW token offsets — the combination
@@ -1356,12 +1375,11 @@ def contamination_spans_normalized(
     bounded by document length, hot-key-free under mass duplication."""
     from direct_spark_sql_spark.operators.text import normalize_for_matching
 
-    bench_norm = bench_df.select(
-        normalize_for_matching(text_col).alias("__nt")
-    )
-    bench_grams = (
-        bench_norm.select(F.explode(shingles("__nt", n)).alias("__s")).distinct()
-    )
+    if bench_grams is None:
+        bench_norm = bench_df.select(
+            normalize_for_matching(text_col).alias("__nt")
+        )
+        bench_grams = benchmark_gram_set(bench_norm, "__nt", n)
     rt = corpus_df.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("p", "tok")
     )
@@ -1452,25 +1470,4 @@ def duplicated_span_report(
     hits = wins.join(dup_grams, "__g", "semi").select(
         id_col, F.col("p").cast("long").alias("p")
     )
-    win = Window.partitionBy(id_col).orderBy("p")
-    brk = (
-        F.when(F.col("p") - F.lag("p").over(win) <= w, F.lit(0))
-        .otherwise(F.lit(1))
-        .alias("brk")
-    )
-    isl = hits.select(id_col, "p", brk).select(
-        id_col,
-        "p",
-        F.sum("brk")
-        .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("island"),
-    )
-    return (
-        isl.groupBy(id_col, "island")
-        .agg(
-            F.min("p").alias("span_start"),
-            (F.max("p") + F.lit(w - 1)).cast("long").alias("span_end"),
-            F.count(F.lit(1)).cast("long").alias("n_hits"),
-        )
-        .select(id_col, "span_start", "span_end", "n_hits")
-    )
+    return _merge_start_islands(hits, id_col, w)

@@ -152,6 +152,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def content_fingerprint(col: Column | str = "text") -> Column:
+    """The order/multiplicity-insensitive content fingerprint expression:
+    60-bit hash of the sorted distinct token list — ONE formula source
+    for :func:`fingerprint` and every query that measures "exact"
+    duplication (corpus_datasheet), so the duplication notion can never
+    silently fork (review r10)."""
+    toks = tokens(col)
+    return h64(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints:
 
@@ -163,7 +173,6 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
       hashes mod 2^31-1 (order-insensitive but multiplicity-sensitive)
     """
     toks = tokens(text_col)
-    sorted_uniq = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
     rolling = F.aggregate(
         F.transform(toks, lambda t: h64(t) % MERSENNE_P),
         F.lit(0).cast("long"),
@@ -172,7 +181,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "*",
         F.md5(F.col(text_col)).alias("fp_md5"),
-        h64(sorted_uniq).alias("fp_content"),
+        content_fingerprint(text_col).alias("fp_content"),
         rolling.alias("fp_rolling"),
     )
 

@@ -3220,7 +3220,8 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NOV_N = dd.NOVELTY_N
 _NGRAM_NOVELTY_ORACLE = f"""
-WITH t AS (SELECT doc_id, source, {TOKS_SQL} AS toks FROM documents),
+WITH t AS (SELECT doc_id, source, {TOKS_SQL} AS toks FROM documents
+           WHERE len({TOKS_SQL}) >= {_NOV_N}),
 sh AS (SELECT doc_id, source, unnest({_shingles_sql(_NOV_N)}) AS s FROM t),
 dfr AS (SELECT s, COUNT(*) AS dfreq FROM sh GROUP BY s),
 per_doc AS (
@@ -3402,12 +3403,7 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count_distinct("tok").cast("long").alias("vocab"))
     )
-    fp = d.select(
-        "source",
-        h64(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
-            "fp_content"
-        ),
-    )
+    fp = d.select("source", tx.content_fingerprint("text").alias("fp_content"))
     gs = fp.groupBy("fp_content").agg(F.count(F.lit(1)).alias("gsize"))
     dup = (
         fp.join(gs, "fp_content")
@@ -3424,30 +3420,37 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     nov = dd.ngram_novelty_by_source(d.select("doc_id", "source", "text")).select(
         "source", "n_grams", "n_novel"
     )
+    # LEFT joins from base so a source whose every document tokenizes to
+    # empty (or is shorter than the novelty width) still appears on the
+    # sheet with zeroed counts and NULL rates, instead of silently
+    # vanishing from its own datasheet (review r10); rates guard their
+    # denominators for the same degenerate sources.
     out = (
-        base.join(vocab, "source")
-        .join(dup, "source")
-        .join(boiler, "source")
-        .join(nov, "source")
+        base.join(vocab, "source", "left")
+        .join(dup, "source", "left")
+        .join(boiler, "source", "left")
+        .join(nov, "source", "left")
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+    rate = lambda num, den: F.when(
+        F.col(den) > 0,
+        F.coalesce(F.col(num), F.lit(0)).cast("double")
+        / F.col(den).cast("double"),
     )
     return out.select(
         "source",
         "n_docs",
         "n_tokens",
         "n_chars",
-        "vocab",
-        "dup_docs",
-        (F.col("dup_docs").cast("double") / F.col("n_docs").cast("double")).alias(
-            "dup_rate"
-        ),
-        "boiler_tokens_removed",
-        (
-            F.col("boiler_tokens_removed").cast("double")
-            / F.col("n_tokens").cast("double")
-        ).alias("boiler_removal_rate"),
-        (F.col("n_novel").cast("double") / F.col("n_grams").cast("double")).alias(
-            "novelty_micro"
-        ),
+        z("vocab"),
+        z("dup_docs"),
+        rate("dup_docs", "n_docs").alias("dup_rate"),
+        z("boiler_tokens_removed"),
+        rate("boiler_tokens_removed", "n_tokens").alias("boiler_removal_rate"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+        ).alias("novelty_micro"),
     ).orderBy("source")
 
 
@@ -3478,22 +3481,32 @@ boiler AS (SELECT source,
                            THEN chunk_toks ELSE 0 END) AS BIGINT)
                     AS boiler_tokens_removed
            FROM ch JOIN dfr USING (chunk) GROUP BY source),
-sh AS (SELECT doc_id, source, unnest({_shingles_sql(_NOV_N)}) AS s FROM t),
+sh AS (SELECT doc_id, source, unnest({_shingles_sql(_NOV_N)}) AS s
+       FROM t WHERE len(toks) >= {_NOV_N}),
 gdf AS (SELECT s, COUNT(*) AS sdf FROM sh GROUP BY s),
 nov AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams,
                CAST(SUM(CASE WHEN sdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
         FROM sh JOIN gdf USING (s) GROUP BY source)
-SELECT b.source, b.n_docs, b.n_tokens, b.n_chars, v.vocab, d.dup_docs,
-       CAST(d.dup_docs AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS dup_rate,
-       bo.boiler_tokens_removed,
-       CAST(bo.boiler_tokens_removed AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
-         AS boiler_removal_rate,
-       CAST(n.n_novel AS DOUBLE) / CAST(n.n_grams AS DOUBLE) AS novelty_micro
+SELECT b.source, b.n_docs, b.n_tokens, b.n_chars,
+       CAST(COALESCE(v.vocab, 0) AS BIGINT) AS vocab,
+       CAST(COALESCE(d.dup_docs, 0) AS BIGINT) AS dup_docs,
+       CASE WHEN b.n_docs > 0 THEN
+         CAST(COALESCE(d.dup_docs, 0) AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
+       END AS dup_rate,
+       CAST(COALESCE(bo.boiler_tokens_removed, 0) AS BIGINT)
+         AS boiler_tokens_removed,
+       CASE WHEN b.n_tokens > 0 THEN
+         CAST(COALESCE(bo.boiler_tokens_removed, 0) AS DOUBLE)
+           / CAST(b.n_tokens AS DOUBLE)
+       END AS boiler_removal_rate,
+       CASE WHEN n.n_grams > 0 THEN
+         CAST(n.n_novel AS DOUBLE) / CAST(n.n_grams AS DOUBLE)
+       END AS novelty_micro
 FROM base b
-JOIN vocab v USING (source)
-JOIN dup d USING (source)
-JOIN boiler bo USING (source)
-JOIN nov n USING (source)
+LEFT JOIN vocab v USING (source)
+LEFT JOIN dup d USING (source)
+LEFT JOIN boiler bo USING (source)
+LEFT JOIN nov n USING (source)
 ORDER BY source
 """
 

@@ -326,6 +326,32 @@ SELECT id_a, id_b, est_jaccard FROM pairs ORDER BY id_a, id_b
 """
 
 
+def _doc_chunk_stream(spark: SparkSession, corpus: DataFrame, root: str) -> DataFrame:
+    """Shared scaffolding for the decontam gates: split the (doc_id,
+    text) corpus into 3 id-ranged chunk files under ``root`` and return
+    a one-file-per-trigger readStream over them — one copy of the
+    bounds/write/schema logic for both operating points (review r10)."""
+    from pyspark.sql import types as T
+
+    hi = corpus.agg(F.max("doc_id")).collect()[0][0] or 0
+    bounds = [0, hi // 3 + 1, 2 * (hi // 3) + 1, hi + 1]
+    for i in range(3):
+        corpus.filter(
+            (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/chunk{i}")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/chunk*")
+    )
+
+
 def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming benchmark-decontamination admission gate: the non-bench
     corpus arrives in 3 id-ranged micro-batches; each is contamination-
@@ -335,8 +361,6 @@ def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document property, so the accumulated flagged set must be
     chunking-independent and equal the batch operator — the oracle IS the
     batch decontam SQL."""
-    from pyspark.sql import types as T
-
     from direct_spark_sql_spark.operators.sampling import (
         BENCH_SLICE_START,
         sample_bucket,
@@ -353,24 +377,7 @@ def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_bench = sample_bucket(F.col("doc_id")) >= BENCH_SLICE_START
     bench, corpus = d.filter(is_bench), d.filter(~is_bench)
     root = warehouse_path("stream_decontam", dataset_tag(sf_dir))
-    hi = corpus.agg(F.max("doc_id")).collect()[0][0] or 0
-    bounds = [0, hi // 3 + 1, 2 * (hi // 3) + 1, hi + 1]
-    for i in range(3):
-        corpus.filter(
-            (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
-        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/chunk{i}")
-
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{root}/chunk*")
-    )
+    stream = _doc_chunk_stream(spark, corpus, root)
     flagged = run_stream_decontam_gate(
         stream, bench, threshold=_DECONTAM_THRESHOLD
     )
@@ -396,8 +403,6 @@ def streaming_decontam_gate_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast semi-join are unchanged (run_stream_decontam_gate with
     n=DECONTAM_PROD_N).  Accumulated flags must equal the batch
     operator — the oracle IS the batch normalized-decontam SQL."""
-    from pyspark.sql import types as T
-
     from direct_spark_sql_spark.operators.sampling import (
         BENCH_SLICE_START,
         sample_bucket,
@@ -418,24 +423,8 @@ def streaming_decontam_gate_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.filter(~is_bench)
     root = warehouse_path("stream_decontam_norm", dataset_tag(sf_dir))
-    hi = corpus.agg(F.max("doc_id")).collect()[0][0] or 0
-    bounds = [0, hi // 3 + 1, 2 * (hi // 3) + 1, hi + 1]
-    for i in range(3):
-        corpus.filter(
-            (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
-        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/chunk{i}")
-
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{root}/chunk*")
-        .select("doc_id", normalize_for_matching("text").alias("text"))
+    stream = _doc_chunk_stream(spark, corpus, root).select(
+        "doc_id", normalize_for_matching("text").alias("text")
     )
     flagged = run_stream_decontam_gate(
         stream, bench, threshold=0.0, n=DECONTAM_PROD_N

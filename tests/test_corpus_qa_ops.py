@@ -833,3 +833,45 @@ def test_exact_substring_spans_planted(spark):
     # starts at raw 11; island starts 0 and 11 differ by > w=8 -> two spans
     assert got[3] == [(0, 7), (11, 18)]
     assert 4 not in got
+
+
+def test_datasheet_keeps_degenerate_source_and_novelty_excludes_short_docs(
+    spark, tmp_path
+):
+    """Review r10 pins: (1) a source whose every document tokenizes to
+    empty still appears on the datasheet (zeroed counts, NULL rates)
+    instead of vanishing through an inner join; (2) sub-width documents
+    are excluded from the 5-gram novelty statistic, so two identical
+    2-token docs can no longer drag a source's 'phrasal novelty' to 0."""
+    from direct_spark_sql_spark.operators.dedup import ngram_novelty_by_source
+    from direct_spark_sql_spark.plans.pipeline import corpus_datasheet
+
+    rows = [
+        (1, "empty", "en", "   ", 3),        # whitespace-only source
+        (2, "short", "en", "tiny doc", 8),   # 2 tokens: below NOVELTY_N
+        (3, "short", "en", "tiny doc", 8),   # identical 2-token duplicate
+        (4, "real", "en",
+         "genuine alpha bravo charlie delta echo foxtrot golf hotel", 57),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    sheet = {r["source"]: r for r in corpus_datasheet(spark, str(tmp_path)).collect()}
+    assert "empty" in sheet                      # the inner join would drop it
+    assert sheet["empty"]["n_docs"] == 1
+    assert sheet["empty"]["vocab"] == 0
+    assert sheet["empty"]["boiler_removal_rate"] is None  # 0-token denominator
+    assert sheet["empty"]["novelty_micro"] is None
+    # short source: its 2-token duplicates contribute NO novelty grams
+    assert sheet["short"]["novelty_micro"] is None
+    assert sheet["real"]["novelty_micro"] == 1.0
+
+    nov = {r["source"]: r for r in ngram_novelty_by_source(
+        spark.createDataFrame(
+            [(r[0], r[1], r[3]) for r in rows],
+            "doc_id long, source string, text string",
+        )
+    ).collect()}
+    assert "short" not in nov and "empty" not in nov
+    assert nov["real"]["n_docs"] == 1
