@@ -115,7 +115,10 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicated_span_report(d, w=SPAN_W).orderBy("doc_id", "span_start")
 
 
-EXACT_SUBSTRING_SPANS_ORACLE = f"""
+#: Shared CTE prefix ending in ``spans`` (doc_id, span_start, span_end,
+#: n_hits) — the DuckDB twin of duplicated_span_report at SPAN_W; reused
+#: by the span report and the self-dedup economics rollup.
+EXACT_SUBSTRING_SPANS_CTES = f"""
 WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
 d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= {SPAN_W}),
 w AS (SELECT doc_id, s AS p, array_to_string(toks[s + 1 : s + {SPAN_W}], ' ') AS gram
@@ -131,12 +134,80 @@ isl AS (SELECT doc_id, p,
                SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS island
-        FROM b)
-SELECT doc_id, MIN(p) AS span_start,
-       CAST(MAX(p) + {SPAN_W - 1} AS BIGINT) AS span_end,
-       CAST(COUNT(*) AS BIGINT) AS n_hits
-FROM isl GROUP BY doc_id, island
+        FROM b),
+spans AS (SELECT doc_id, MIN(p) AS span_start,
+                 CAST(MAX(p) + {SPAN_W - 1} AS BIGINT) AS span_end,
+                 CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM isl GROUP BY doc_id, island)"""
+
+EXACT_SUBSTRING_SPANS_ORACLE = EXACT_SUBSTRING_SPANS_CTES + """
+SELECT doc_id, span_start, span_end, n_hits
+FROM spans
 ORDER BY doc_id, span_start
+"""
+
+
+def dedup_exact_substring_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplication economics — the number the paper itself
+    reports (several percent of C4 sits inside duplicated substrings):
+    per source, how many documents carry duplicated spans, their total
+    tokens, the tokens inside those spans, and the duplicated-token
+    fraction — the sizing input for deciding whether span-level
+    self-dedup is worth a corpus's pipeline stage.  All-integer sums;
+    the fraction guards its denominator.
+
+    100 TB shape: duplicated_span_report's gram-keyed agg + semi-join,
+    its bounded per-doc rollup broadcast onto a map-side (doc_id,
+    source, n_tokens) projection, final groupBy on the bounded source
+    key — the decontam_excision_economics shape with the corpus itself
+    as the reference set."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    spans = dd.duplicated_span_report(
+        d.select("doc_id", "text"), w=SPAN_W
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("dup_toks")
+    )
+    docs = d.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        docs.join(F.broadcast(per_doc), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_with_dups"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum("dup_toks").cast("long").alias("tokens_in_dup_spans"),
+        )
+        .withColumn(
+            "dup_token_frac",
+            F.when(
+                F.col("tokens_total") > 0,
+                F.col("tokens_in_dup_spans").cast("double")
+                / F.col("tokens_total").cast("double"),
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+EXACT_SUBSTRING_ECONOMICS_ORACLE = EXACT_SUBSTRING_SPANS_CTES + f"""
+, per_doc AS (SELECT doc_id, SUM(span_end - span_start + 1) AS dup_toks
+              FROM spans GROUP BY doc_id),
+docs AS (SELECT d2.doc_id, d2.source, len({TOKS_SQL}) AS n_tokens
+         FROM documents d2)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_with_dups,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(SUM(dup_toks) AS BIGINT) AS tokens_in_dup_spans,
+       CASE WHEN SUM(n_tokens) > 0 THEN
+         CAST(SUM(dup_toks) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+       END AS dup_token_frac
+FROM docs JOIN per_doc USING (doc_id)
+GROUP BY source
+ORDER BY source
 """
 
 
@@ -2096,6 +2167,16 @@ QUERIES: list[Query] = [
         oracle=EXACT_SUBSTRING_ORACLE,
         tags=("dedup", "text"),
         doc="cross-document duplicated token spans via rolling w-gram windows",
+    ),
+    Query(
+        name="dedup_exact_substring_economics",
+        spark_fn=dedup_exact_substring_economics,
+        oracle=EXACT_SUBSTRING_ECONOMICS_ORACLE,
+        tags=("dedup", "text"),
+        doc="ExactSubstr duplication economics per source: docs with "
+            "duplicated spans, tokens inside them, duplicated-token "
+            "fraction — the pipeline-stage sizing number the paper "
+            "reports; spans rollup broadcast onto a map-side projection",
     ),
     Query(
         name="dedup_exact_substring_spans",

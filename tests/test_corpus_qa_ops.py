@@ -875,3 +875,33 @@ def test_datasheet_keeps_degenerate_source_and_novelty_excludes_short_docs(
     ).collect()}
     assert "short" not in nov and "empty" not in nov
     assert nov["real"]["n_docs"] == 1
+
+
+def test_exact_substring_economics_planted(spark, tmp_path):
+    """Economics arithmetic through the REGISTERED query: doc 1 (10
+    tokens, 8 inside the shared span) and doc 2 (11 tokens, 8 in-span)
+    in one source -> 2 docs, 21 total tokens, 16 duplicated, 16/21
+    fraction; the clean doc's source reports nothing (inner join on
+    flagged docs)."""
+    from direct_spark_sql_spark.plans.analytics import (
+        dedup_exact_substring_economics,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        (1, "dup", "en", f"one two {shared}", 10),
+        (2, "dup", "en", f"{shared} closing words here", 11),
+        (3, "clean", "en",
+         "nothing here repeats anywhere in this corpus at all today", 58),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["source"]: r
+           for r in dedup_exact_substring_economics(spark, str(tmp_path)).collect()}
+    assert got["dup"]["n_docs_with_dups"] == 2
+    assert got["dup"]["tokens_total"] == 21
+    assert got["dup"]["tokens_in_dup_spans"] == 16
+    assert got["dup"]["dup_token_frac"] == 16.0 / 21.0
+    assert "clean" not in got
