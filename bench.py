@@ -76,6 +76,34 @@ def fold_skew_into_regression_count(out: dict) -> int | None:
     return (base or 0) + len(hits)
 
 
+def pick_deep_cohort(
+    static_names: set, current_ratios: dict, scale_factor: int
+) -> tuple[set, list]:
+    """Deep-tier (30×) cohort: the static watch list plus the top-3 worst
+    10× ratios from THIS run's scale tier — but an auto-promotion whose
+    10× ratio already blew past ``2 × scale_factor`` is recorded as
+    ``deep_skipped_unsafe`` instead of run (VERDICT r10 #6): a query that
+    pathological at 10× would eat the tier's wall budget (or crash — the
+    round-10 bench died exactly this way, RECURSION_ROW_LIMIT_EXCEEDED at
+    30×) and its 10× ratio is already conclusive evidence of the problem.
+    Static watch-list names are NOT gated — they carry rounds of history
+    and are the tier's whole purpose.  Returns (names, skipped_unsafe)."""
+    unsafe_bound = 2.0 * scale_factor
+    promoted = [
+        n
+        for n, _ in sorted(
+            current_ratios.items(), key=lambda kv: kv[1], reverse=True
+        )[:3]
+    ]
+    skipped = sorted(
+        n
+        for n in promoted
+        if current_ratios[n] > unsafe_bound and n not in static_names
+    )
+    names = set(static_names) | {n for n in promoted if n not in skipped}
+    return names, skipped
+
+
 def pick_scale_cohort(
     queries: list, prev_dropped: set, probe_hist: dict, cap: int
 ) -> tuple[list, list]:
@@ -187,9 +215,32 @@ def main() -> None:
                 pass
         return best
 
+    # Per-query fault isolation (VERDICT r10 #1): round 10's entire perf
+    # record was destroyed because ONE query raised
+    # (RECURSION_ROW_LIMIT_EXCEEDED in the 30× deep tier) with no
+    # try/except anywhere in the tier loops — rc=1, zero JSON.  Every
+    # warmup/measure call now runs through this guard: a raising query
+    # costs the round only its own number, recorded under
+    # ``errors["tier:name"]`` (full message) and
+    # ``summary.query_errors`` (names — the summary is tail-truncation-
+    # proof), and the JSON line ALWAYS emits.
+    query_errors: dict[str, str] = {}
+
+    def guarded(tier: str, name: str, fn):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — isolation is the point
+            query_errors[f"{tier}:{name}"] = f"{type(e).__name__}: {e}"[:400]
+            return None
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    baseline_path = os.path.join(repo_dir, "baselines", f"bench_sf{sf}.json")
+    # All mutable bench state (pins, last-run record, probe histories)
+    # resolves under this dir; overriding it lets the fault-injection
+    # test (tests/test_skew_guards.py) run main() in-process without
+    # clobbering the repo's pinned baselines.
+    state_dir = os.environ.get("SPARK_GRAFT_BENCH_STATE_DIR") or repo_dir
+    baseline_path = os.path.join(state_dir, "baselines", f"bench_sf{sf}.json")
 
     # ---- probe-tier debt ---------------------------------------------------
     # Read the previous run's record: tiers it skipped (and deep-probe
@@ -197,7 +248,7 @@ def main() -> None:
     # degradation never starves the same evidence two rounds running.
     # (Defined before the SIGTERM handler installs: the handler persists
     # to last_run_path even when the signal lands mid-base-tier.)
-    last_run_path = os.path.join(repo_dir, "baselines", "bench_last_run.json")
+    last_run_path = os.path.join(state_dir, "baselines", "bench_last_run.json")
 
     def _load_prev_summary() -> dict:
         # Debt is the UNION of the most recent driver-recorded round
@@ -291,6 +342,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,  # same object: fills as the base tier runs
         "plan_metrics": {},  # snapshotted right after the base tier
+        "errors": query_errors,  # same object: "tier:name" -> message
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -360,6 +412,10 @@ def main() -> None:
                 if "skew_probe" in out
                 else prev_skew_dropped
             ),
+            # per-query failures (VERDICT r10 #1): names only here (the
+            # summary survives tail truncation), full messages in
+            # out["errors"]; empty list = every attempted query ran clean
+            "query_errors": sorted(query_errors),
             # True only when the external timeout's SIGTERM pre-empted the
             # internal budget guard (e.g. a cold page cache doubling the
             # probe datasets' read time): the line holds everything
@@ -394,8 +450,16 @@ def main() -> None:
             base_dropped.append(q.name)
             continue
         # uniform policy: 1 warmup + best-of-3 measured, for every query
-        materialize(q.spark_fn(spark, sf_dir))
-        timings[q.name] = round(measure(q, 3), 4)
+        t = guarded(
+            "base",
+            q.name,
+            lambda q=q: (
+                materialize(q.spark_fn(spark, sf_dir)),
+                measure(q, 3),
+            )[1],
+        )
+        if t is not None:
+            timings[q.name] = round(t, 4)
     if base_dropped:
         out["base_dropped_on_budget"] = base_dropped
 
@@ -534,8 +598,7 @@ def main() -> None:
 
         factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
         scale_dir = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "spark-warehouse", "scaledata", f"sf{sf}x{factor}",
+            state_dir, "spark-warehouse", "scaledata", f"sf{sf}x{factor}",
         )
         ensure_scaled_dataset(spark, sf_dir, scale_dir, factor=factor)
         # Rotation (VERDICT r8 #3): with 44+ headline queries, probing
@@ -550,8 +613,7 @@ def main() -> None:
         # back within ~2 rounds.
         cap = int(os.environ.get("SPARK_GRAFT_SCALE_TIER_CAP", "22"))
         hist_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "baselines", "scale_probe_history.json",
+            state_dir, "baselines", "scale_probe_history.json",
         )
         try:
             with open(hist_path) as f:
@@ -569,12 +631,20 @@ def main() -> None:
             if remaining() < 60:
                 s_dropped.append(q.name)
                 continue
-            materialize(q.spark_fn(spark, scale_dir))  # warmup
             # warmup + best-of-2 (uniform sampling on BOTH sides of every
             # ratio within the tier; a single run is noisy enough — GC
             # pause, page-cache miss — to false-flag superlinear, while a
             # third run buys little and costs ~1/3 of the tier's wall)
-            s_timings[q.name] = round(measure(q, 2, scale_dir), 4)
+            t = guarded(
+                "scale",
+                q.name,
+                lambda q=q: (
+                    materialize(q.spark_fn(spark, scale_dir)),
+                    measure(q, 2, scale_dir),
+                )[1],
+            )
+            if t is not None:
+                s_timings[q.name] = round(t, 4)
         now = time.time()
         for name in s_timings:
             probe_hist[name] = now
@@ -626,15 +696,12 @@ def main() -> None:
             "dedup_cross_source_matrix",
         }
         current_ratios = out.get("scale_probe", {}).get("ratio_vs_base", {})
-        deep_names |= {
-            n
-            for n, _ in sorted(
-                current_ratios.items(), key=lambda kv: kv[1], reverse=True
-            )[:3]
-        }
+        scale_factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+        deep_names, deep_skipped_unsafe = pick_deep_cohort(
+            deep_names, current_ratios, scale_factor
+        )
         deep_dir = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "spark-warehouse", "scaledata", f"sf{sf}x{deep_factor}",
+            state_dir, "spark-warehouse", "scaledata", f"sf{sf}x{deep_factor}",
         )
         ensure_scaled_dataset(spark, sf_dir, deep_dir, factor=deep_factor)
         d_timings: dict[str, float] = {}
@@ -648,8 +715,16 @@ def main() -> None:
             if remaining() < 60:
                 d_dropped.append(q.name)
                 continue
-            materialize(q.spark_fn(spark, deep_dir))  # warmup
-            d_timings[q.name] = round(measure(q, 2, deep_dir), 4)
+            t = guarded(
+                "deep",
+                q.name,
+                lambda q=q: (
+                    materialize(q.spark_fn(spark, deep_dir)),
+                    measure(q, 2, deep_dir),
+                )[1],
+            )
+            if t is not None:
+                d_timings[q.name] = round(t, 4)
         d_ratios = {
             name: round(d_timings[name] / timings[name], 2)
             for name in d_timings
@@ -665,6 +740,8 @@ def main() -> None:
         }
         if d_dropped:
             out["deep_scale_probe"]["dropped_on_budget"] = d_dropped
+        if deep_skipped_unsafe:
+            out["deep_scale_probe"]["skipped_unsafe"] = deep_skipped_unsafe
 
     def tier_skew() -> None:
         # Skew probe: zipf-hot variant of the base dataset (one events
@@ -731,8 +808,7 @@ def main() -> None:
             "dedup_chunk_frequency",
         }
         skew_dir = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "spark-warehouse", "skewdata", f"sf{sf}skew",
+            state_dir, "spark-warehouse", "skewdata", f"sf{sf}skew",
         )
         ensure_skewed_dataset(spark, sf_dir, skew_dir)
         k_timings: dict[str, float] = {}
@@ -750,10 +826,27 @@ def main() -> None:
             if q.name in timings:
                 k_base[q.name] = timings[q.name]
             else:  # not in the headline set: time the unskewed base here
-                materialize(q.spark_fn(spark, sf_dir))
-                k_base[q.name] = round(measure(q, 2), 4)
-            materialize(q.spark_fn(spark, skew_dir))  # warmup
-            k_timings[q.name] = round(measure(q, 2, skew_dir), 4)
+                t = guarded(
+                    "skew_base",
+                    q.name,
+                    lambda q=q: (
+                        materialize(q.spark_fn(spark, sf_dir)),
+                        measure(q, 2),
+                    )[1],
+                )
+                if t is None:
+                    continue
+                k_base[q.name] = round(t, 4)
+            t = guarded(
+                "skew",
+                q.name,
+                lambda q=q: (
+                    materialize(q.spark_fn(spark, skew_dir)),
+                    measure(q, 2, skew_dir),
+                )[1],
+            )
+            if t is not None:
+                k_timings[q.name] = round(t, 4)
         k_ratios = {
             name: round(k_timings[name] / k_base[name], 2)
             for name in k_timings
@@ -765,9 +858,7 @@ def main() -> None:
         # the absolute 4.0 bar — the round-6 dedup_minhash_lsh /
         # events_user_sessions regressions started exactly this way.
         skew_pins: dict[str, float] = {}
-        pins_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "baselines", "skew_pins.json"
-        )
+        pins_path = os.path.join(state_dir, "baselines", "skew_pins.json")
         try:
             with open(pins_path) as f:
                 skew_pins = json.load(f)
@@ -790,8 +881,7 @@ def main() -> None:
         # probe is the round's most valuable scale signal and should not
         # live only in the truncated BENCH tail (VERDICT r6 #8).
         hist_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "baselines", "skew_history.json",
+            state_dir, "baselines", "skew_history.json",
         )
         try:
             try:
@@ -841,7 +931,10 @@ def main() -> None:
         if remaining() < min_budget:
             skipped_tiers.append(name)
             continue
-        fn()
+        # tier-level guard on top of the per-query one: a failure in a
+        # tier's own scaffolding (dataset generation, history IO) costs
+        # that tier alone, and the summary line still prints
+        guarded("tier", name, fn)
 
     _summarize(False)
     print(json.dumps(out))

@@ -156,11 +156,21 @@ def dedup_exact_substring_economics(spark: SparkSession, sf_dir: str) -> DataFra
     self-dedup is worth a corpus's pipeline stage.  All-integer sums;
     the fraction guards its denominator.
 
+    The paper's fraction is duplicated tokens over ALL corpus tokens,
+    so the rollup LEFT-joins the span totals onto every document of
+    every source (ADVICE r10): a clean source reports n_docs_with_dups
+    0 / tokens_in_dup_spans 0 / fraction 0 instead of vanishing from
+    its own report, and tokens_total is the source's full token mass,
+    not just its flagged documents'.
+
     100 TB shape: duplicated_span_report's gram-keyed agg + semi-join,
-    its bounded per-doc rollup broadcast onto a map-side (doc_id,
-    source, n_tokens) projection, final groupBy on the bounded source
-    key — the decontam_excision_economics shape with the corpus itself
-    as the reference set."""
+    then a plain equi-join on doc_id between the (doc_id, source,
+    n_tokens) projection and the per-doc span rollup.  The rollup has
+    one row per document carrying ANY duplicated span — for real web
+    corpora that is a corpus-proportional fraction of all documents
+    (the paper's point), NOT a bounded side, so no broadcast hint: AQE
+    broadcasts when the flagged set is actually small and shuffles
+    otherwise (ADVICE r10).  Final groupBy on the bounded source key."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     spans = dd.duplicated_span_report(
         d.select("doc_id", "text"), w=SPAN_W
@@ -174,12 +184,14 @@ def dedup_exact_substring_economics(spark: SparkSession, sf_dir: str) -> DataFra
         "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
     )
     return (
-        docs.join(F.broadcast(per_doc), "doc_id")
+        docs.join(per_doc, "doc_id", "left")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs_with_dups"),
+            F.count("dup_toks").cast("long").alias("n_docs_with_dups"),
             F.sum("n_tokens").cast("long").alias("tokens_total"),
-            F.sum("dup_toks").cast("long").alias("tokens_in_dup_spans"),
+            F.coalesce(F.sum("dup_toks"), F.lit(0))
+            .cast("long")
+            .alias("tokens_in_dup_spans"),
         )
         .withColumn(
             "dup_token_frac",
@@ -199,13 +211,14 @@ EXACT_SUBSTRING_ECONOMICS_ORACLE = EXACT_SUBSTRING_SPANS_CTES + f"""
 docs AS (SELECT d2.doc_id, d2.source, len({TOKS_SQL}) AS n_tokens
          FROM documents d2)
 SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_docs_with_dups,
+       CAST(COUNT(dup_toks) AS BIGINT) AS n_docs_with_dups,
        CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
-       CAST(SUM(dup_toks) AS BIGINT) AS tokens_in_dup_spans,
+       CAST(COALESCE(SUM(dup_toks), 0) AS BIGINT) AS tokens_in_dup_spans,
        CASE WHEN SUM(n_tokens) > 0 THEN
-         CAST(SUM(dup_toks) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+         CAST(COALESCE(SUM(dup_toks), 0) AS DOUBLE)
+           / CAST(SUM(n_tokens) AS DOUBLE)
        END AS dup_token_frac
-FROM docs JOIN per_doc USING (doc_id)
+FROM docs LEFT JOIN per_doc USING (doc_id)
 GROUP BY source
 ORDER BY source
 """

@@ -2636,10 +2636,14 @@ def decontam_excision_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
     loss), tokens_recovered (their difference).  All-integer arithmetic.
 
     100 TB shape: contamination_spans' broadcast-semi-join + tiny
-    islands window, its per-doc rollup broadcast back to one map-side
-    join against the (doc_id, source, n_tokens) projection — the corpus
-    text is never shuffled; the final groupBy is on the bounded source
-    key."""
+    islands window, then an UNHINTED equi-join on doc_id between the
+    per-doc rollup and the (doc_id, source, n_tokens) projection
+    (ADVICE r10): the rollup is small only while few corpus docs
+    collide with the eval set — a heavily contaminated crawl shard
+    breaks that assumption, and a hard broadcast hint would remove
+    Spark's shuffle-join fallback exactly when it's needed.  AQE
+    broadcasts it when it measures small.  The corpus text is never
+    shuffled; the final groupBy is on the bounded source key."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     from direct_spark_sql_spark.operators.sampling import (
         BENCH_SLICE_START,
@@ -2659,7 +2663,7 @@ def decontam_excision_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", tx.token_count("text").alias("n_tokens")
     )
     return (
-        docs.join(F.broadcast(per_doc), "doc_id")
+        docs.join(per_doc, "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_flagged_docs"),
@@ -2703,9 +2707,10 @@ def decontam_excision_economics_norm(spark: SparkSession, sf_dir: str) -> DataFr
     offsets), tokens_recovered their difference.
 
     100 TB shape: contamination_spans_normalized's broadcast-semi-join +
-    per-doc windows, its bounded per-doc rollup broadcast back onto a
-    map-side (doc_id, source, n_tokens) projection — identical to the
-    raw-point economics."""
+    per-doc windows, then an unhinted equi-join of the per-doc rollup
+    onto the (doc_id, source, n_tokens) projection — identical to the
+    raw-point economics, including the ADVICE-r10 no-forced-broadcast
+    rule (AQE decides from the rollup's measured size)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     from direct_spark_sql_spark.operators.sampling import (
         BENCH_SLICE_START,
@@ -2725,7 +2730,7 @@ def decontam_excision_economics_norm(spark: SparkSession, sf_dir: str) -> DataFr
         "doc_id", "source", tx.token_count("text").alias("n_tokens")
     )
     return (
-        docs.join(F.broadcast(per_doc), "doc_id")
+        docs.join(per_doc, "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_flagged_docs"),

@@ -881,8 +881,9 @@ def test_exact_substring_economics_planted(spark, tmp_path):
     """Economics arithmetic through the REGISTERED query: doc 1 (10
     tokens, 8 inside the shared span) and doc 2 (11 tokens, 8 in-span)
     in one source -> 2 docs, 21 total tokens, 16 duplicated, 16/21
-    fraction; the clean doc's source reports nothing (inner join on
-    flagged docs)."""
+    fraction; the clean doc's source reports ZEROS — the paper's
+    fraction is over ALL corpus tokens, so a zero-duplication source
+    must appear in its own report, not vanish (ADVICE r10)."""
     from direct_spark_sql_spark.plans.analytics import (
         dedup_exact_substring_economics,
     )
@@ -904,4 +905,7 @@ def test_exact_substring_economics_planted(spark, tmp_path):
     assert got["dup"]["tokens_total"] == 21
     assert got["dup"]["tokens_in_dup_spans"] == 16
     assert got["dup"]["dup_token_frac"] == 16.0 / 21.0
-    assert "clean" not in got
+    assert got["clean"]["n_docs_with_dups"] == 0
+    assert got["clean"]["tokens_total"] == 10
+    assert got["clean"]["tokens_in_dup_spans"] == 0
+    assert got["clean"]["dup_token_frac"] == 0.0

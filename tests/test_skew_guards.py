@@ -329,3 +329,84 @@ def test_band_array_rejects_oversubscribed_scheme():
         dd._band_array(bands=8, rows=4)
     # the boundary case is legal
     dd._band_array(bands=8, rows=2)
+
+
+def test_pick_deep_cohort_unsafe_gate():
+    """VERDICT r10 #6: the deep tier's top-3-worst auto-promotion must
+    not send a query whose 10× ratio already blew past 2× the scale
+    factor to 30× — that entrant is recorded as skipped_unsafe instead
+    (the round-10 bench crashed exactly this way).  Static watch-list
+    names are never gated: they carry rounds of history."""
+    from bench import pick_deep_cohort
+
+    static = {"pca", "asof"}
+    # normal case: top-3 worst promoted, none unsafe
+    names, skipped = pick_deep_cohort(
+        static, {"a": 9.0, "b": 7.0, "c": 5.0, "d": 2.0}, 10
+    )
+    assert names == {"pca", "asof", "a", "b", "c"} and skipped == []
+    # a pathological 10× ratio (>= 2×factor) is gated out and reported
+    names, skipped = pick_deep_cohort(
+        static, {"a": 31.0, "b": 7.0, "c": 5.0}, 10
+    )
+    assert "a" not in names and skipped == ["a"]
+    assert names == {"pca", "asof", "b", "c"}
+    # a static name is promoted even when its ratio is pathological
+    names, skipped = pick_deep_cohort(static, {"pca": 40.0, "b": 3.0}, 10)
+    assert "pca" in names and skipped == []
+    # empty ratios (scale tier skipped): static set passes through
+    names, skipped = pick_deep_cohort(static, {}, 10)
+    assert names == static and skipped == []
+
+
+def test_bench_emits_json_when_a_query_raises(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """VERDICT r10 #1 regression test: round 10's perf evidence was
+    destroyed because one raising query exited bench.py with rc=1 and
+    zero output.  Inject a raising query into the headline set and
+    assert the JSON summary line STILL emits, with the good query's
+    number recorded and the failure named in errors/summary.query_errors."""
+    import json
+    from types import SimpleNamespace
+
+    import bench
+    from direct_spark_sql_spark.plans import registry
+
+    def ok_fn(spark, sf_dir):
+        return spark.range(10).toDF("x")
+
+    def boom_fn(spark, sf_dir):
+        raise RuntimeError("injected failure")
+
+    fakes = [
+        SimpleNamespace(name="ok_q", bench=True, spark_fn=ok_fn),
+        SimpleNamespace(name="boom_q", bench=True, spark_fn=boom_fn),
+    ]
+    monkeypatch.setattr(registry, "all_queries", lambda: fakes)
+    # probe tiers off: this test pins the base tier's isolation contract
+    for var in ("FACADE", "SCALE", "DEEP_SCALE", "SKEW"):
+        monkeypatch.setenv(f"SPARK_GRAFT_SKIP_{var}", "1")
+    (tmp_path / "baselines").mkdir()
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_STATE_DIR", str(tmp_path))
+    from tests.conftest import SF_DIR
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", SF_DIR)
+    # main() ends with spark.stop(); the session is shared by the whole
+    # test run, so neuter stop() for the duration of this test
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert "ok_q" in out["queries"] and out["queries"]["ok_q"] > 0
+    assert "boom_q" not in out["queries"]
+    assert "injected failure" in out["errors"]["base:boom_q"]
+    assert out["summary"]["query_errors"] == ["base:boom_q"]
+    assert out["summary"]["truncated"] is False
+    # the record also persisted for the next run's tier scheduler
+    persisted = json.loads(
+        (tmp_path / "baselines" / "bench_last_run.json").read_text()
+    )
+    assert persisted["summary"]["query_errors"] == ["base:boom_q"]
