@@ -76,6 +76,23 @@ def fold_skew_into_regression_count(out: dict) -> int | None:
     return (base or 0) + len(hits)
 
 
+#: Deep-scale (30×) static watch list: historical worst 10× ratios
+#: through round 5 (PCA 2.5×@10×, as-of 2.05×, basket 2.14×, IVF 2.02×)
+#: plus the two heaviest round-6 pins.  Shared with
+#: tools/scale_full_pass.py so the pre-seal gate probes the same names
+#: the per-round tier does.
+DEEP_WATCH_NAMES = frozenset(
+    {
+        "embedding_pca_covariance",
+        "asof_event_order",
+        "basket_brand_affinity",
+        "embedding_ivf_topk",
+        "embedding_centroid_classify",
+        "dedup_cross_source_matrix",
+    }
+)
+
+
 def pick_deep_cohort(
     static_names: set, current_ratios: dict, scale_factor: int
 ) -> tuple[set, list]:
@@ -681,20 +698,11 @@ def main() -> None:
         from direct_spark_sql_spark.sources.scale import ensure_scaled_dataset
 
         deep_factor = int(os.environ.get("SPARK_GRAFT_DEEP_SCALE_FACTOR", "30"))
-        # historical watch items (worst 10x/30x ratios through round 5:
-        # PCA 2.5×@10×, as-of 2.05×, basket 2.14×, IVF 2.02× — IVF was
-        # budget-dropped in round 5, so it's also in the debt-first order
-        # below) PLUS whatever ran worst in THIS round's 10x tier — so a
-        # new expensive entrant can't dodge the harder factor
-        deep_names = {
-            "embedding_pca_covariance",
-            "asof_event_order",
-            "basket_brand_affinity",
-            "embedding_ivf_topk",
-            # round-6 entrants (VERDICT r6 #4): the two heaviest new pins
-            "embedding_centroid_classify",
-            "dedup_cross_source_matrix",
-        }
+        # the static watch list (module constant, shared with the
+        # pre-seal gate tool) PLUS whatever ran worst in THIS round's
+        # 10x tier — so a new expensive entrant can't dodge the harder
+        # factor (gated by pick_deep_cohort's unsafe bound)
+        deep_names = set(DEEP_WATCH_NAMES)
         current_ratios = out.get("scale_probe", {}).get("ratio_vs_base", {})
         scale_factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
         deep_names, deep_skipped_unsafe = pick_deep_cohort(
@@ -800,6 +808,13 @@ def main() -> None:
             # events user (10% of rows) lands in ONE ordered window
             # partition; measured here so the family can't hide (r8)
             "asof_event_order",
+            # ExactSubstr span family under the mass-duplicate slice
+            # (VERDICT r10 #4): the uncapped report's gram semi-join
+            # relies on AQE skew split for the hot boilerplate grams;
+            # the capped variant must hold ~1 by construction (stop
+            # grams excised map-side before the shuffle)
+            "dedup_exact_substring_spans",
+            "dedup_exact_substring_spans_capped",
             # C4-style chunk-frequency dedup: the mass-duplicate slice
             # makes a handful of chunks appear in 10% of all docs — the
             # aggregate-before-join shape (collapse to (chunk, source)

@@ -115,17 +115,26 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicated_span_report(d, w=SPAN_W).orderBy("doc_id", "span_start")
 
 
-#: Shared CTE prefix ending in ``spans`` (doc_id, span_start, span_end,
-#: n_hits) — the DuckDB twin of duplicated_span_report at SPAN_W; reused
-#: by the span report and the self-dedup economics rollup.
-EXACT_SUBSTRING_SPANS_CTES = f"""
+def _exact_substring_spans_ctes(max_gram_df: int | None = None) -> str:
+    """DuckDB CTE prefix ending in ``spans`` (doc_id, span_start,
+    span_end, n_hits) — the twin of duplicated_span_report at SPAN_W,
+    shared by the span report, the capped variant, and the self-dedup
+    economics rollup (one merge-rule source).  ``max_gram_df`` mirrors
+    the operator's stop-gram frequency band exactly: occurrences kept
+    iff 2 <= n_occ <= cap."""
+    band = (
+        f"n_occ BETWEEN 2 AND {max_gram_df}"
+        if max_gram_df is not None
+        else "n_occ >= 2"
+    )
+    return f"""
 WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
 d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= {SPAN_W}),
 w AS (SELECT doc_id, s AS p, array_to_string(toks[s + 1 : s + {SPAN_W}], ' ') AS gram
       FROM d, UNNEST(generate_series(0, n - {SPAN_W})) AS u(s)),
 gc AS (SELECT gram, COUNT(*) AS n_occ FROM w GROUP BY gram),
 hits AS (SELECT w.doc_id, CAST(w.p AS BIGINT) AS p
-         FROM w JOIN gc USING (gram) WHERE n_occ >= 2),
+         FROM w JOIN gc USING (gram) WHERE {band}),
 b AS (SELECT doc_id, p,
              CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
                        <= {SPAN_W} THEN 0 ELSE 1 END AS brk
@@ -140,7 +149,45 @@ spans AS (SELECT doc_id, MIN(p) AS span_start,
                  CAST(COUNT(*) AS BIGINT) AS n_hits
           FROM isl GROUP BY doc_id, island)"""
 
+
+#: Uncapped prefix, kept as the shared name the economics oracle builds on.
+EXACT_SUBSTRING_SPANS_CTES = _exact_substring_spans_ctes(None)
+
 EXACT_SUBSTRING_SPANS_ORACLE = EXACT_SUBSTRING_SPANS_CTES + """
+SELECT doc_id, span_start, span_end, n_hits
+FROM spans
+ORDER BY doc_id, span_start
+"""
+
+#: Stop-gram df cap for the registered capped span query.  Production
+#: ExactSubstr pipelines run this around 1e4; the registered operating
+#: point is deliberately the smallest value that BINDS at the sf0.01
+#: driver gate (max corpus 8-gram occurrence there is 3), so the
+#: differential oracle actually exercises the frequency band, not just
+#: the pass-through path.
+EXACT_SUBSTR_STOP_GRAM_DF = 2
+
+
+def dedup_exact_substring_spans_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_exact_substring_spans with the stop-gram df cap applied
+    (VERDICT r10 #4): grams above EXACT_SUBSTR_STOP_GRAM_DF corpus
+    occurrences are excluded map-side via a bounded broadcast anti-join
+    BEFORE the gram shuffle, so every shuffled gram key carries at most
+    `cap` rows — the provably-unskewed form of the span report that a
+    100 TB run would use (the uncapped variant relies on AQE skew
+    split for a mass-duplicated hot gram).  See
+    operators/dedup.py:duplicated_span_report."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.duplicated_span_report(
+        d, w=SPAN_W, max_gram_df=EXACT_SUBSTR_STOP_GRAM_DF
+    ).orderBy("doc_id", "span_start")
+
+
+EXACT_SUBSTRING_SPANS_CAPPED_ORACLE = _exact_substring_spans_ctes(
+    EXACT_SUBSTR_STOP_GRAM_DF
+) + """
 SELECT doc_id, span_start, span_end, n_hits
 FROM spans
 ORDER BY doc_id, span_start
@@ -2188,8 +2235,9 @@ QUERIES: list[Query] = [
         tags=("dedup", "text"),
         doc="ExactSubstr duplication economics per source: docs with "
             "duplicated spans, tokens inside them, duplicated-token "
-            "fraction — the pipeline-stage sizing number the paper "
-            "reports; spans rollup broadcast onto a map-side projection",
+            "fraction over ALL source tokens (paper definition; clean "
+            "sources report zeros) — unhinted doc_id equi-join, AQE "
+            "decides the strategy from the rollup's measured size",
     ),
     Query(
         name="dedup_exact_substring_spans",
@@ -2200,6 +2248,16 @@ QUERIES: list[Query] = [
             "token-offset spans of 8-gram windows occurring >=2x anywhere "
             "in the corpus — the excisable-span form; gram-keyed hash agg "
             "+ semi-join, doc-partitioned islands merge",
+    ),
+    Query(
+        name="dedup_exact_substring_spans_capped",
+        spark_fn=dedup_exact_substring_spans_capped,
+        oracle=EXACT_SUBSTRING_SPANS_CAPPED_ORACLE,
+        tags=("dedup", "text", "skew"),
+        doc="span report with the stop-gram df cap (frequency band "
+            "2..cap): hot grams broadcast-anti-joined map-side before "
+            "the shuffle, so no gram key exceeds cap rows — the "
+            "provably-unskewed 100 TB form of the span family",
     ),
     Query(
         name="tfidf_cosine_pairs",

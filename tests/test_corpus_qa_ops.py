@@ -909,3 +909,42 @@ def test_exact_substring_economics_planted(spark, tmp_path):
     assert got["clean"]["tokens_total"] == 10
     assert got["clean"]["tokens_in_dup_spans"] == 0
     assert got["clean"]["dup_token_frac"] == 0.0
+
+
+def test_exact_substring_spans_stop_gram_cap(spark, tmp_path):
+    """VERDICT r10 #4: the stop-gram df cap.  A gram occurring in MORE
+    than max_gram_df windows corpus-wide is a stop gram — excluded from
+    span construction map-side (broadcast anti-join BEFORE the gram
+    shuffle), so no shuffled key can exceed `cap` rows.  Grams inside
+    the 2..cap band still span; the uncapped report keeps flagging
+    everything."""
+    from direct_spark_sql_spark.operators.dedup import duplicated_span_report
+    from direct_spark_sql_spark.plans.analytics import (
+        EXACT_SUBSTR_STOP_GRAM_DF,
+        dedup_exact_substring_spans_capped,
+    )
+
+    hot = "alpha bravo charlie delta echo foxtrot golf hotel"     # 3 occurrences
+    pair = "india juliet kilo lima mike november oscar papa"      # 2 occurrences
+    rows = [
+        (1, "web", "en", hot, 1), (2, "web", "en", hot, 1),
+        (3, "web", "en", hot, 1),
+        (4, "web", "en", pair, 1), (5, "web", "en", pair, 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    assert EXACT_SUBSTR_STOP_GRAM_DF == 2  # the planted df counts assume it
+    capped = {r["doc_id"]: (r["span_start"], r["span_end"])
+              for r in dedup_exact_substring_spans_capped(spark, str(tmp_path)).collect()}
+    assert capped == {4: (0, 7), 5: (0, 7)}  # hot gram (3 > cap) excised
+    # uncapped keeps the hot gram's spans
+    d = spark.read.parquet(str(tmp_path / "documents.parquet")).select("doc_id", "text")
+    uncapped = {r["doc_id"] for r in duplicated_span_report(d, w=8).collect()}
+    assert uncapped == {1, 2, 3, 4, 5}
+    # plan shape: the stop-gram exclusion is a BROADCAST anti-join (the
+    # map-side guard), not a shuffled one
+    plan = dedup_exact_substring_spans_capped(spark, str(tmp_path))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
