@@ -11,7 +11,7 @@ All operators are single-pass, map-only or one-aggregation shapes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from direct_spark_sql_spark.hashing import h64
 from direct_spark_sql_spark.operators.text import tokens
@@ -261,4 +261,210 @@ def token_budget_sample(
         df.join(F.broadcast(rates), domain)
         .filter(bucket < F.col("__rate_buckets"))
         .drop("__rate_buckets")
+    )
+
+
+#: 1e-8 fixed-point snap for per-bucket DSIR log-ratios (the BM25 /
+#: bigram-LM discipline: floor(x*1e8 + 0.5) of identical IEEE doubles is
+#: deterministic cross-engine, making every per-document rollup an
+#: order-independent BIGINT sum).
+DSIR_LOG_UNITS = 100_000_000.0
+
+
+def dsir_log_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every corpus
+    document by how much more likely its hashed n-gram features are
+    under the TARGET domain's feature distribution than under the raw
+    corpus' own — log w(doc) = Σ_f c_doc(f) · ln(p_target(f)/q_raw(f)),
+    features = unigrams ∪ bigrams hashed into ``n_buckets`` buckets,
+    both distributions add-1 smoothed over the bucket space.  High
+    weights mark documents that read like the target domain; DSIR then
+    resamples proportionally (here: rank/threshold on the weight).
+
+    Returns (id, n_feats, logw_units, log_weight) — logw_units is the
+    exact BIGINT fixed-point sum (the cross-engine comparison key),
+    log_weight = logw_units / 1e8.
+
+    100 TB shape: feature hashing is map-side; BOTH distribution aggs
+    group on the bucket key, whose cardinality is capped at
+    ``n_buckets`` — partial aggregation collapses them map-side and the
+    final shuffle moves ≤ n_buckets rows per partition.  The λ(bucket)
+    log-ratio table is a ≤ n_buckets-row broadcast dim, so scoring is
+    one map-side join + one hash agg on the doc id.  No shuffle ever
+    carries the corpus text."""
+    from direct_spark_sql_spark.operators.dedup import token_windows
+    from direct_spark_sql_spark.operators.text import tokens
+
+    def feats(df: DataFrame) -> DataFrame:
+        toks = tokens(text_col)
+        uni = df.select(F.col(id_col), F.explode(toks).alias("__f"))
+        bi = df.filter(F.size(toks) >= 2).select(
+            F.col(id_col), F.explode(token_windows(text_col, 2)).alias("__f")
+        )
+        return uni.unionByName(bi).select(
+            id_col, (h64(F.col("__f")) % F.lit(n_buckets)).alias("__b")
+        )
+
+    # Collapse corpus features to per-(doc, bucket) counts FIRST and
+    # materialize ONCE (localCheckpoint — the graph/minhash precedent
+    # for multi-consumed intermediates): both downstream consumers (the
+    # raw distribution agg and the scoring rollup) read the
+    # materialized blocks, so the expensive bigram explode runs exactly
+    # once, and the scoring join moves distinct (doc, bucket) pairs
+    # instead of every occurrence.
+    corp_c = (
+        feats(corpus)
+        .groupBy(id_col, "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint()
+    )
+    ct = feats(target).groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__ct")
+    )
+    cr = corp_c.groupBy("__b").agg(F.sum("__c").cast("long").alias("__cr"))
+    tt = ct.agg(F.coalesce(F.sum("__ct"), F.lit(0)).cast("long").alias("__tt"))
+    tr = cr.agg(F.coalesce(F.sum("__cr"), F.lit(0)).cast("long").alias("__tr"))
+    b = float(n_buckets)
+    lam = (
+        cr.join(ct, "__b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "__b",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("__ct"), F.lit(0)).cast("double") + F.lit(1.0))
+                        / (F.col("__tt").cast("double") + F.lit(b))
+                    )
+                    / (
+                        (F.col("__cr").cast("double") + F.lit(1.0))
+                        / (F.col("__tr").cast("double") + F.lit(b))
+                    )
+                )
+                * F.lit(DSIR_LOG_UNITS)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("__lam"),
+        )
+    )
+    return (
+        corp_c.join(F.broadcast(lam), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_feats"),
+            F.sum(F.col("__c") * F.col("__lam")).cast("long").alias("logw_units"),
+        )
+        .withColumn(
+            "log_weight", F.col("logw_units").cast("double") / F.lit(DSIR_LOG_UNITS)
+        )
+    )
+
+
+def unimax_allocation(
+    counts: DataFrame,
+    budget_tokens: "Column | int",
+    epoch_cap: int = 1,
+    domain_col: str = "domain",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): distribute a token budget across domains so every
+    domain is repeated at most ``epoch_cap`` epochs, and whatever budget
+    the capped (small) domains can't absorb is shared EQUALLY among the
+    uncapped (large) ones — the fairness rule that replaces temperature
+    sampling's tail starvation.
+
+    The paper's greedy loop has a closed form over domains sorted by
+    cap = epoch_cap·N_d ascending: walking ranks i = 1..L with prefix
+    P_i = Σ_{j<i} cap_j, the equal share at rank i is
+    s_i = (B − P_i) div (L − i + 1); the first rank k* where
+    cap_{k*} > s_{k*} marks the budget-bound frontier — every domain
+    before k* takes its full cap, every domain from k* on takes s_{k*}
+    (caps are ascending, so none of them can hit their cap).  All
+    integer floor arithmetic — bit-exact in any engine.
+
+    Input: ``counts`` = one row per domain (domain_col, tokens_col).
+    Output adds cap_tokens, alloc_tokens, epochs (single division),
+    budget_bound (this domain got the equal share, not its cap).
+
+    100 TB shape: the waterfill runs on the BOUNDED per-domain frame
+    (≤ thousands of rows for languages/sources) — the single-partition
+    windows below are over that tiny dim, never the corpus; the heavy
+    work (per-domain token totals) is the caller's one map-side
+    combinable agg."""
+    budget = (
+        F.lit(int(budget_tokens)).cast("long")
+        if isinstance(budget_tokens, int)
+        else budget_tokens.cast("long")
+    )
+    cap = (F.lit(int(epoch_cap)).cast("long") * F.col(tokens_col).cast("long"))
+    w = Window.orderBy("cap_tokens", domain_col)
+    frame = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        counts.select(
+            F.col(domain_col),
+            F.col(tokens_col).cast("long").alias(tokens_col),
+            cap.alias("cap_tokens"),
+            budget.alias("__budget"),
+        )
+        .withColumn("__i", F.row_number().over(w))
+        .withColumn("__L", F.count(F.lit(1)).over(frame))
+        .withColumn(
+            "__prefix",
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    share = F.greatest(
+        F.lit(0).cast("long"),
+        F.expr("(__budget - __prefix) div (__L - __i + 1)"),
+    )
+    flagged = ranked.withColumn("__share", share).withColumn(
+        "__over", F.when(F.col("cap_tokens") > F.col("__share"), F.col("__i"))
+    )
+    kstar = F.min("__over").over(frame)
+    final_share = F.max(
+        F.when(F.col("__i") == kstar, F.col("__share"))
+    ).over(frame)
+    return (
+        flagged.withColumn("__kstar", kstar)
+        .withColumn("__s", final_share)
+        .select(
+            domain_col,
+            tokens_col,
+            "cap_tokens",
+            F.when(
+                F.col("__kstar").isNull() | (F.col("__i") < F.col("__kstar")),
+                F.col("cap_tokens"),
+            )
+            .otherwise(F.col("__s"))
+            .cast("long")
+            .alias("alloc_tokens"),
+            (F.col("__kstar").isNotNull() & (F.col("__i") >= F.col("__kstar")))
+            .alias("budget_bound"),
+        )
+        .withColumn(
+            "epochs",
+            F.when(
+                F.col(tokens_col) > 0,
+                F.col("alloc_tokens").cast("double")
+                / F.col(tokens_col).cast("double"),
+            ),
+        )
     )

@@ -2084,6 +2084,179 @@ GROUP BY source ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023) and UniMax language-budget
+# allocation (Chung et al. 2023) — the two data-mixing primitives real
+# pretraining pipelines run between dedup and packing.
+# ---------------------------------------------------------------------------
+
+#: DSIR operating point: src0 is the "target domain" slice, weights over
+#: hashed unigram+bigram features in 1024 buckets (small enough that real
+#: hash collisions occur at every test scale — both engines mirror them).
+DSIR_TARGET_SOURCE = "src0"
+DSIR_BUCKETS = 1024
+
+
+def sample_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus documents by DSIR importance weight against the
+    src0 target slice — the selection DSIR resamples from.  The exact
+    BIGINT fixed-point weight (logw_units) is the ranking and
+    comparison key; ties break on doc_id.  See
+    operators/sampling.py:dsir_log_weights for the 100 TB shape
+    (bucket-capped aggs, broadcast λ dim, no corpus-text shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = sp.dsir_log_weights(
+        d.select("doc_id", "text"),
+        d.filter(F.col("source") == DSIR_TARGET_SOURCE).select("doc_id", "text"),
+        n_buckets=DSIR_BUCKETS,
+    )
+    return (
+        w.join(d.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_feats", "logw_units", "log_weight")
+        .orderBy(F.desc("logw_units"), "doc_id")
+        .limit(20)
+    )
+
+
+def sample_dsir_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DSIR distribution shift: mean log importance weight of
+    each source against the src0 target — the corpus-level readout of
+    which sources already resemble the target domain (the number DSIR's
+    selection curves are drawn from).  Integer unit sums, one final
+    division."""
+    d = load_table(spark, sf_dir, "documents")
+    w = sp.dsir_log_weights(
+        d.select("doc_id", "text"),
+        d.filter(F.col("source") == DSIR_TARGET_SOURCE).select("doc_id", "text"),
+        n_buckets=DSIR_BUCKETS,
+    )
+    return (
+        w.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_scored"),
+            F.sum("logw_units").cast("long").alias("logw_units_total"),
+            (
+                F.sum("logw_units").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(sp.DSIR_LOG_UNITS)
+            ).alias("avg_log_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dsir_ctes() -> str:
+    """Shared DuckDB prefix ending in ``w`` (doc_id, n_feats,
+    logw_units) — the twin of dsir_log_weights at the registered
+    operating point."""
+    b = DSIR_BUCKETS
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+uni AS (SELECT doc_id, tok AS f FROM t, UNNEST(toks) u(tok)),
+bi AS (SELECT doc_id, toks[s + 1] || ' ' || toks[s + 2] AS f
+       FROM (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 2) d,
+            UNNEST(generate_series(0, n - 2)) u(s)),
+feat AS (SELECT doc_id, {h64_sql('f')} % {b} AS bk
+         FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+ct AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS ct
+       FROM feat JOIN documents USING (doc_id)
+       WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY bk),
+cr AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS cr FROM feat GROUP BY bk),
+tt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS tt FROM ct),
+tr AS (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS tr FROM cr),
+lam AS (SELECT cr.bk,
+          CAST(FLOOR(LN(((CAST(COALESCE(ct.ct, 0) AS DOUBLE) + 1.0)
+                         / (CAST(tt AS DOUBLE) + {float(b)}))
+                        / ((CAST(cr.cr AS DOUBLE) + 1.0)
+                           / (CAST(tr AS DOUBLE) + {float(b)})))
+                     * 100000000.0 + 0.5) AS BIGINT) AS lam
+        FROM cr LEFT JOIN ct ON cr.bk = ct.bk CROSS JOIN tt CROSS JOIN tr),
+w AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             CAST(SUM(lam) AS BIGINT) AS logw_units
+      FROM feat JOIN lam USING (bk) GROUP BY doc_id)"""
+
+
+DSIR_TOPK_ORACLE = _dsir_ctes() + """
+SELECT w.doc_id, d.source, n_feats, logw_units,
+       CAST(logw_units AS DOUBLE) / 100000000.0 AS log_weight
+FROM w JOIN documents d USING (doc_id)
+ORDER BY logw_units DESC, doc_id LIMIT 20
+"""
+
+DSIR_SOURCE_SHIFT_ORACLE = _dsir_ctes() + """
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_scored,
+       CAST(SUM(logw_units) AS BIGINT) AS logw_units_total,
+       CAST(SUM(logw_units) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         / 100000000.0 AS avg_log_weight
+FROM w JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+#: UniMax operating point: 1-epoch cap, budget = 80% of total corpus
+#: tokens — at the testdata's zipfian lang mix this caps the small
+#: languages at a full epoch AND budget-bounds `en`, so both branches of
+#: the waterfill are oracle-exercised at every scale factor.
+UNIMAX_EPOCH_CAP = 1
+
+
+def corpus_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax token-budget allocation across languages (Chung et al.
+    2023): every language repeated at most UNIMAX_EPOCH_CAP epochs,
+    leftover budget shared equally among the uncapped large languages —
+    the fairness rule that replaces temperature sampling.  The heavy
+    step is one map-side-combinable per-lang token agg; the waterfill
+    itself runs on the bounded language dim (see
+    operators/sampling.py:unimax_allocation)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy(F.col("lang").alias("domain")).agg(
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens")
+    )
+    total = counts.agg(F.sum("n_tokens").cast("long").alias("__total"))
+    return sp.unimax_allocation(
+        counts.crossJoin(F.broadcast(total)),
+        F.expr("(__total * 8) div 10"),
+        UNIMAX_EPOCH_CAP,
+    ).orderBy("domain")
+
+
+UNIMAX_MIX_ORACLE = f"""
+WITH c AS (SELECT lang AS domain,
+                  CAST(SUM(len({TOKS_SQL})) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY lang),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM c),
+r AS (SELECT domain, n_tokens,
+             CAST({UNIMAX_EPOCH_CAP} * n_tokens AS BIGINT) AS cap_tokens,
+             (tot.total * 8) // 10 AS budget,
+             ROW_NUMBER() OVER (ORDER BY {UNIMAX_EPOCH_CAP} * n_tokens, domain)
+               AS i,
+             COUNT(*) OVER () AS L,
+             CAST(COALESCE(SUM({UNIMAX_EPOCH_CAP} * n_tokens) OVER (
+                    ORDER BY {UNIMAX_EPOCH_CAP} * n_tokens, domain
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS prefix
+      FROM c, tot),
+s AS (SELECT *, GREATEST(CAST(0 AS BIGINT),
+                         (budget - prefix) // (L - i + 1)) AS share FROM r),
+k AS (SELECT *, MIN(CASE WHEN cap_tokens > share THEN i END) OVER () AS kstar
+      FROM s),
+f AS (SELECT *, MAX(CASE WHEN i = kstar THEN share END) OVER () AS s_star
+      FROM k),
+a AS (SELECT domain, n_tokens, cap_tokens,
+             CAST(CASE WHEN kstar IS NULL OR i < kstar THEN cap_tokens
+                       ELSE s_star END AS BIGINT) AS alloc_tokens,
+             (kstar IS NOT NULL AND i >= kstar) AS budget_bound
+      FROM f)
+SELECT domain, n_tokens, cap_tokens, alloc_tokens, budget_bound,
+       CASE WHEN n_tokens > 0 THEN
+         CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       END AS epochs
+FROM a ORDER BY domain
+"""
+
+
+# ---------------------------------------------------------------------------
 # Market-basket pair affinity (support / lift)
 # ---------------------------------------------------------------------------
 
@@ -2515,5 +2688,36 @@ QUERIES: list[Query] = [
         oracle=_mix_oracle(),
         tags=("sampling",),
         doc="deterministic domain-weighted data mixing (hash-salted per domain)",
+    ),
+    Query(
+        name="sample_dsir_topk",
+        spark_fn=sample_dsir_topk,
+        oracle=DSIR_TOPK_ORACLE,
+        tags=("sampling", "text"),
+        doc="DSIR importance resampling (Xie et al. 2023): top-20 docs by "
+            "hashed unigram+bigram log importance weight vs the src0 "
+            "target slice; exact BIGINT fixed-point ranking key",
+    ),
+    Query(
+        name="sample_dsir_source_shift",
+        spark_fn=sample_dsir_source_shift,
+        oracle=DSIR_SOURCE_SHIFT_ORACLE,
+        tags=("sampling", "text"),
+        bench=True,
+        doc="per-source mean DSIR log importance weight vs the src0 "
+            "target — which sources already resemble the target domain; "
+            "bucket-capped aggs + broadcast lambda dim",
+    ),
+    Query(
+        name="corpus_unimax_mix",
+        spark_fn=corpus_unimax_mix,
+        oracle=UNIMAX_MIX_ORACLE,
+        tags=("sampling", "corpus"),
+        bench=True,
+        doc="UniMax budget allocation (Chung et al. 2023): epoch-capped "
+            "waterfill of a token budget across languages — closed-form "
+            "windows over the bounded language dim; both cap and "
+            "budget-bound branches exercised at the registered operating "
+            "point",
     ),
 ]

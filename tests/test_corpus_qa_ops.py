@@ -948,3 +948,57 @@ def test_exact_substring_spans_stop_gram_cap(spark, tmp_path):
     plan = dedup_exact_substring_spans_capped(spark, str(tmp_path))._jdf \
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_unimax_allocation_waterfill(spark):
+    """UniMax closed-form waterfill (Chung et al. 2023) against the
+    paper's greedy loop by hand: caps ascending, prefix-shared budget,
+    first over-cap rank defines the equal share for everything after."""
+    from direct_spark_sql_spark.operators.sampling import unimax_allocation
+
+    c = spark.createDataFrame(
+        [("a", 100), ("b", 200), ("c", 700)], "domain string, n_tokens long"
+    )
+    # B=500, C=1: a,b capped; c gets the remaining 200
+    out = {r.domain: (r.alloc_tokens, r.budget_bound, r.epochs)
+           for r in unimax_allocation(c, 500, 1).collect()}
+    assert out == {"a": (100, False, 1.0), "b": (200, False, 1.0),
+                   "c": (200, True, 200.0 / 700.0)}
+    # budget >= sum caps: everyone fully capped, nothing budget-bound
+    out = {r.domain: r.alloc_tokens for r in unimax_allocation(c, 2000, 1).collect()}
+    assert out == {"a": 100, "b": 200, "c": 700}
+    # zero budget: all zero via the clamped share
+    assert all(r.alloc_tokens == 0 for r in unimax_allocation(c, 0, 1).collect())
+    # epoch cap 2, B=900: caps (200,400,1400); i2 share 350 < 400 -> k*=2
+    out = {r.domain: (r.alloc_tokens, r.budget_bound)
+           for r in unimax_allocation(c, 900, 2).collect()}
+    assert out == {"a": (200, False), "b": (350, True), "c": (350, True)}
+    # allocation never exceeds budget
+    assert sum(a for a, _ in out.values()) <= 900
+
+
+def test_dsir_weights_rank_target_like_docs(spark):
+    """DSIR importance weights: documents sharing the target slice's
+    n-gram distribution must outrank off-domain documents; the BIGINT
+    unit sum is consistent with the reported double."""
+    from direct_spark_sql_spark.operators.sampling import (
+        DSIR_LOG_UNITS,
+        dsir_log_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog ran very fast today"),
+            (3, "stock market prices fell sharply overnight"),
+            (4, "the cat ate the fish"),
+        ],
+        "doc_id long, text string",
+    )
+    target = docs.filter("doc_id in (1, 4)")  # the cat domain
+    w = {r.doc_id: r for r in dsir_log_weights(docs, target).collect()}
+    assert w[1].log_weight > w[3].log_weight
+    assert w[4].log_weight > w[2].log_weight
+    for r in w.values():
+        assert abs(r.log_weight - r.logw_units / DSIR_LOG_UNITS) < 1e-12
+        assert r.n_feats > 0
