@@ -209,6 +209,11 @@ _NLJ_ALLOWED = {
                                    # metadata-sized
     "decontam_width_curve",        # 3-row width curve × broadcast 1-row
                                    # corpus total (bm25_search precedent)
+    "sample_dsir_topk",            # λ table (≤1024 bucket rows) × broadcast
+    "sample_dsir_source_shift",    # 1-row target/raw totals (bm25 precedent)
+    "corpus_unimax_mix",           # lang dim × broadcast 1-row corpus-total
+                                   # (budget derives from it); waterfill runs
+                                   # on the bounded lang frame
 }
 
 
