@@ -298,41 +298,64 @@ def dsir_log_weights(
     final shuffle moves ≤ n_buckets rows per partition.  The λ(bucket)
     log-ratio table is a ≤ n_buckets-row broadcast dim, so scoring is
     one map-side join + one hash agg on the doc id.  No shuffle ever
-    carries the corpus text."""
-    from direct_spark_sql_spark.operators.dedup import token_windows
-    from direct_spark_sql_spark.operators.text import tokens
+    carries the corpus text.
 
-    def feats(df: DataFrame) -> DataFrame:
-        toks = tokens(text_col)
-        uni = df.select(F.col(id_col), F.explode(toks).alias("__f"))
-        bi = df.filter(F.size(toks) >= 2).select(
-            F.col(id_col), F.explode(token_windows(text_col, 2)).alias("__f")
-        )
-        return uni.unionByName(bi).select(
-            id_col, (h64(F.col("__f")) % F.lit(n_buckets)).alias("__b")
-        )
-
+    Split into :func:`dsir_lambda_table` (fit) + :func:`dsir_score`
+    (apply) so the streaming admission gate can train λ offline once
+    and score arriving shards with it — the paper's deployment."""
     # Collapse corpus features to per-(doc, bucket) counts FIRST and
     # materialize ONCE (localCheckpoint — the graph/minhash precedent
     # for multi-consumed intermediates): both downstream consumers (the
-    # raw distribution agg and the scoring rollup) read the
-    # materialized blocks, so the expensive bigram explode runs exactly
-    # once, and the scoring join moves distinct (doc, bucket) pairs
-    # instead of every occurrence.
-    corp_c = (
-        feats(corpus)
+    # raw distribution agg inside the λ fit and the scoring rollup)
+    # read the materialized blocks, so the expensive bigram explode
+    # runs exactly once, and the scoring join moves distinct
+    # (doc, bucket) pairs instead of every occurrence.
+    corp_c = _dsir_feat_counts(corpus, text_col, id_col, n_buckets).localCheckpoint()
+    lam = _dsir_lambda_from_counts(corp_c, target, text_col, id_col, n_buckets)
+    return _dsir_score_counts(corp_c, lam, id_col)
+
+
+def _dsir_feat_counts(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, __b, __c): per-document hashed-feature bucket counts —
+    unigrams ∪ bigrams, h64 % n_buckets (map-side explode + one
+    bucket-bounded hash agg)."""
+    from direct_spark_sql_spark.operators.dedup import token_windows
+    from direct_spark_sql_spark.operators.text import tokens
+
+    toks = tokens(text_col)
+    uni = df.select(F.col(id_col), F.explode(toks).alias("__f"))
+    bi = df.filter(F.size(toks) >= 2).select(
+        F.col(id_col), F.explode(token_windows(text_col, 2)).alias("__f")
+    )
+    return (
+        uni.unionByName(bi)
+        .select(id_col, (h64(F.col("__f")) % F.lit(n_buckets)).alias("__b"))
         .groupBy(id_col, "__b")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-        .localCheckpoint()
     )
-    ct = feats(target).groupBy("__b").agg(
-        F.count(F.lit(1)).cast("long").alias("__ct")
+
+
+def _dsir_lambda_from_counts(
+    corp_c: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """λ table (__b, __lam): 1e-8-snapped ln(p_target/q_raw) per hashed
+    bucket, add-1 smoothed — ≤ n_buckets rows, the broadcastable model."""
+    ct = (
+        _dsir_feat_counts(target, text_col, id_col, n_buckets)
+        .groupBy("__b")
+        .agg(F.sum("__c").cast("long").alias("__ct"))
     )
     cr = corp_c.groupBy("__b").agg(F.sum("__c").cast("long").alias("__cr"))
     tt = ct.agg(F.coalesce(F.sum("__ct"), F.lit(0)).cast("long").alias("__tt"))
     tr = cr.agg(F.coalesce(F.sum("__cr"), F.lit(0)).cast("long").alias("__tr"))
     b = float(n_buckets)
-    lam = (
+    return (
         cr.join(ct, "__b", "left")
         .crossJoin(F.broadcast(tt))
         .crossJoin(F.broadcast(tr))
@@ -356,8 +379,15 @@ def dsir_log_weights(
             .alias("__lam"),
         )
     )
+
+
+def _dsir_score_counts(
+    counts: DataFrame, lam: DataFrame, id_col: str
+) -> DataFrame:
+    """Apply a λ table to per-(doc, bucket) counts: broadcast join + one
+    hash agg on the id — the entire online scoring path."""
     return (
-        corp_c.join(F.broadcast(lam), "__b")
+        counts.join(F.broadcast(lam), "__b")
         .groupBy(id_col)
         .agg(
             F.sum("__c").cast("long").alias("n_feats"),
@@ -366,6 +396,40 @@ def dsir_log_weights(
         .withColumn(
             "log_weight", F.col("logw_units").cast("double") / F.lit(DSIR_LOG_UNITS)
         )
+    )
+
+
+def dsir_lambda_table(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Fit the DSIR importance model offline: the ≤ n_buckets-row λ
+    table from a (pilot) corpus sample and the target slice.  Pair with
+    :func:`dsir_score` to screen arriving shards online."""
+    return _dsir_lambda_from_counts(
+        _dsir_feat_counts(corpus, text_col, id_col, n_buckets),
+        target,
+        text_col,
+        id_col,
+        n_buckets,
+    )
+
+
+def dsir_score(
+    docs: DataFrame,
+    lam: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Score documents with a FIXED λ table (the online half of DSIR):
+    map-side feature hashing + broadcast λ join + one id hash agg.
+    ``n_buckets`` must match the table's fit."""
+    return _dsir_score_counts(
+        _dsir_feat_counts(docs, text_col, id_col, n_buckets), lam, id_col
     )
 
 

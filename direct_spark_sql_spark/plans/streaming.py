@@ -442,6 +442,53 @@ def _stream_decontam_norm_oracle() -> str:
     return _BENCH_DECONTAM_8GRAM_NORM_ORACLE
 
 
+def streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR admission scoring (Xie et al. 2023, deployed the
+    way the paper deploys it): the importance model — the ≤1024-row
+    λ(bucket) log-ratio table — is fit OFFLINE once from the corpus and
+    the src0 target slice (operators/sampling.py:dsir_lambda_table);
+    the corpus then arrives in 3 id-ranged micro-batches and each is
+    scored with the cached broadcast λ (streaming/pipelines.py:
+    run_stream_dsir_gate).  A document's weight depends only on its own
+    features and the fixed λ, so the accumulated scores are chunking-
+    independent and must equal the batch operator — the oracle IS the
+    batch DSIR per-document SQL."""
+    from direct_spark_sql_spark.operators.sampling import dsir_lambda_table
+    from direct_spark_sql_spark.plans.analytics import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_SOURCE,
+    )
+    from direct_spark_sql_spark.sources.registry import (
+        dataset_tag,
+        load_table,
+        warehouse_path,
+    )
+    from direct_spark_sql_spark.streaming import run_stream_dsir_gate
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    lam = dsir_lambda_table(
+        d.select("doc_id", "text"),
+        d.filter(F.col("source") == DSIR_TARGET_SOURCE).select("doc_id", "text"),
+        n_buckets=DSIR_BUCKETS,
+    )
+    root = warehouse_path("stream_dsir", dataset_tag(sf_dir))
+    stream = _doc_chunk_stream(spark, d.select("doc_id", "text"), root)
+    return run_stream_dsir_gate(stream, lam, n_buckets=DSIR_BUCKETS).orderBy(
+        "doc_id"
+    )
+
+
+def _stream_dsir_oracle() -> str:
+    from direct_spark_sql_spark.plans.analytics import _dsir_ctes
+
+    return _dsir_ctes() + """
+SELECT doc_id, n_feats, logw_units,
+       CAST(logw_units AS DOUBLE) / 100000000.0 AS log_weight
+FROM w ORDER BY doc_id
+"""
+
+
+
 def streaming_zonemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest with live data-skipping-index maintenance: events
     split into 3 chunk files arrive as separate micro-batches; each lands
@@ -692,4 +739,10 @@ QUERIES = [
               "(lowercase+punct-strip) 8-gram any-collision scoring of each "
               "arriving micro-batch; accumulated flags equal the batch "
               "normalized-decontam operator"),
+    Query("streaming_dsir_gate", streaming_dsir_gate,
+          _stream_dsir_oracle(), ("streaming", "sampling", "text"),
+          doc="streaming DSIR scoring gate: λ table fit offline (pilot "
+              "corpus + src0 target), each arriving micro-batch scored via "
+              "the cached broadcast λ; accumulated exact-unit weights equal "
+              "the batch DSIR operator"),
 ]

@@ -650,3 +650,56 @@ def run_stream_decontam_gate(
     if state["flagged"] is None:
         raise RuntimeError("stream produced no batches")
     return state["flagged"]
+
+
+def run_stream_dsir_gate(
+    docs: DataFrame,
+    lam: DataFrame,
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Streaming DSIR scoring gate: every arriving micro-batch of corpus
+    documents is importance-scored against a FIXED λ table (fit offline
+    by operators/sampling.py:dsir_lambda_table from a pilot corpus +
+    target slice — exactly the paper's deployment, where the importance
+    model is trained once and applied to shards as they land).
+
+    The λ table is ≤ n_buckets rows: cached once, broadcast into every
+    batch's scoring join (the decontam gate's gram-set discipline).  A
+    document's weight depends only on its own features and the fixed λ,
+    so the accumulated output equals the batch operator over the closed
+    input regardless of chunking — the replayable contract the oracle
+    checks.
+
+    Returns the accumulated (id, n_feats, logw_units, log_weight)."""
+    import tempfile
+
+    from direct_spark_sql_spark.operators.sampling import dsir_score
+
+    lam_c = lam.cache()
+    state: dict[str, DataFrame | None] = {"scored": None}
+
+    def score_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        scored = dsir_score(
+            batch_df, lam_c, id_col=id_col, n_buckets=n_buckets
+        ).localCheckpoint(eager=True)
+        state["scored"] = (
+            scored
+            if state["scored"] is None
+            else state["scored"].unionByName(scored).localCheckpoint(eager=True)
+        )
+
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                docs.writeStream.foreachBatch(score_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        lam_c.unpersist()
+    if state["scored"] is None:
+        raise RuntimeError("stream produced no batches")
+    return state["scored"]
