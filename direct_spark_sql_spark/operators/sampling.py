@@ -502,13 +502,16 @@ def unimax_allocation(
     flagged = ranked.withColumn("__share", share).withColumn(
         "__over", F.when(F.col("cap_tokens") > F.col("__share"), F.col("__i"))
     )
-    kstar = F.min("__over").over(frame)
-    final_share = F.max(
-        F.when(F.col("__i") == kstar, F.col("__share"))
-    ).over(frame)
+    # materialize k* before the share lookup so the second window
+    # references a plain column, not a nested window expression
     return (
-        flagged.withColumn("__kstar", kstar)
-        .withColumn("__s", final_share)
+        flagged.withColumn("__kstar", F.min("__over").over(frame))
+        .withColumn(
+            "__s",
+            F.max(
+                F.when(F.col("__i") == F.col("__kstar"), F.col("__share"))
+            ).over(frame),
+        )
         .select(
             domain_col,
             tokens_col,

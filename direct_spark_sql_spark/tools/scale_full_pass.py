@@ -25,6 +25,12 @@ import time
 
 
 def run_pass(extra_deep: list[str] | None = None) -> dict:
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    if repo not in sys.path:  # bench.py lives at the repo root; make the
+        sys.path.insert(0, repo)  # import cwd-independent
+
     from bench import DEEP_WATCH_NAMES
     from direct_spark_sql_spark.plans.registry import all_queries
     from direct_spark_sql_spark.session import Engine
@@ -33,9 +39,6 @@ def run_pass(extra_deep: list[str] | None = None) -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    repo = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
 
     engine = (
         Engine.builder()
