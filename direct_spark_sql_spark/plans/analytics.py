@@ -2210,6 +2210,13 @@ def corpus_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself runs on the bounded language dim (see
     operators/sampling.py:unimax_allocation)."""
     d = load_table(spark, sf_dir, "documents")
+    # The ≤|langs|-row counts frame is consumed by both the budget total
+    # and the waterfill, so the token scan recomputes lazily per
+    # consumer.  Measured at 1×/100×, that beats materializing it (an
+    # eager localCheckpoint added ~3.5 s of fixed job overhead for a
+    # 5-row frame — 7× slower at 100×); at true 100 TB a caller would
+    # persist this bounded frame once and hand it to
+    # sp.unimax_allocation directly, which accepts any counts input.
     counts = d.groupBy(F.col("lang").alias("domain")).agg(
         F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens")
     )
