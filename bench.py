@@ -32,6 +32,15 @@ skew bound) don't need at ~2/3 of the tier cost.  A wall-clock budget
 tiers and per-query drops are reported in the summary instead of the
 whole process being SIGKILLed with no output.
 
+Every warmup/measure call runs through a per-query guard (round 11,
+after one uncaught RECURSION_ROW_LIMIT_EXCEEDED at the 30× deep tier
+exited the process with zero output and destroyed the round-10 perf
+record): a raising query costs the round only its own number, failures
+are recorded in ``errors["tier:name"]`` / ``summary.query_errors``, and
+the JSON line always emits.  The deep tier additionally refuses to
+promote a 10× entrant whose ratio already exceeds 2× the scale factor
+(``pick_deep_cohort`` → ``skipped_unsafe``).
+
 Tier scheduling is DEBT-AWARE: the full result of every run is persisted
 to baselines/bench_last_run.json, and the next run reads that record and
 runs any previously skipped tiers (and, within each probe tier,
