@@ -410,3 +410,53 @@ def test_bench_emits_json_when_a_query_raises(
         (tmp_path / "baselines" / "bench_last_run.json").read_text()
     )
     assert persisted["summary"]["query_errors"] == ["base:boom_q"]
+
+
+def test_bench_scale_tier_isolates_scale_only_failure(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """The EXACT round-10 failure class: a query green at base scale
+    that raises only on the scaled dataset (recursive_cte_tree_depth hit
+    Spark's recursion row limit only at 30×).  The scale tier must
+    record the error under scale:<name>, keep the query's base number,
+    finish the tier, and emit the JSON line."""
+    import json
+    from types import SimpleNamespace
+
+    import bench
+    from direct_spark_sql_spark.plans import registry
+
+    def ok_fn(spark, sf_dir):
+        return spark.range(10).toDF("x")
+
+    def scale_boom_fn(spark, sf_dir):
+        if "scaledata" in sf_dir:
+            raise RuntimeError("blows up only at scale")
+        return spark.range(10).toDF("x")
+
+    fakes = [
+        SimpleNamespace(name="ok_q", bench=True, spark_fn=ok_fn),
+        SimpleNamespace(name="scale_boom_q", bench=True, spark_fn=scale_boom_fn),
+    ]
+    monkeypatch.setattr(registry, "all_queries", lambda: fakes)
+    for var in ("FACADE", "DEEP_SCALE", "SKEW"):
+        monkeypatch.setenv(f"SPARK_GRAFT_SKIP_{var}", "1")
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_FACTOR", "2")
+    (tmp_path / "baselines").mkdir()
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_STATE_DIR", str(tmp_path))
+    from tests.conftest import SF_DIR
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", SF_DIR)
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # base tier: BOTH queries green (the failure is scale-only)
+    assert out["queries"]["scale_boom_q"] > 0 and out["queries"]["ok_q"] > 0
+    # scale tier: the good query measured, the bad one isolated by name
+    assert out["scale_probe"]["queries"]["ok_q"] > 0
+    assert "scale_boom_q" not in out["scale_probe"]["queries"]
+    assert "blows up only at scale" in out["errors"]["scale:scale_boom_q"]
+    assert out["summary"]["query_errors"] == ["scale:scale_boom_q"]
+    assert out["summary"]["truncated"] is False
