@@ -85,6 +85,22 @@ def fold_skew_into_regression_count(out: dict) -> int | None:
     return (base or 0) + len(hits)
 
 
+def skew_rotation_order(names: "list[str]", cursor: "dict[str, int]") -> list:
+    """Least-recently-probed first (never-probed = -1 sorts ahead of the
+    seeded 0), name as the deterministic tie-break — the skew tier's
+    rotation rule (VERDICT r11 #4), module-level so the harness test can
+    pin the cycling property without a bench run."""
+    return sorted(names, key=lambda n: (cursor.get(n, -1), n))
+
+
+def skew_stale_names(
+    names: "set[str]", cursor: "dict[str, int]", seq: int
+) -> list:
+    """Names whose last actual probe is >3 epochs behind ``seq`` — the
+    rotation-failure signal surfaced as ``summary.skew_stale``."""
+    return sorted(n for n in names if cursor.get(n, 0) < seq - 3)
+
+
 #: Deep-scale (30×) static watch list: historical worst 10× ratios
 #: through round 5 (PCA 2.5×@10×, as-of 2.05×, basket 2.14×, IVF 2.02×)
 #: plus the two heaviest round-6 pins.  Shared with
@@ -389,11 +405,24 @@ def main() -> None:
                 else None
             ),
             "scale_superlinear": out.get("scale_probe", {}).get("superlinear"),
+            # ANN quality gate (VERDICT r11 #5): non-empty means recall@10
+            # at the scaled embeddings fell below its pinned floor — an
+            # index-quality failure timing ratios can't see
+            "ivf_recall_below_floor": out.get("scale_probe", {}).get(
+                "ivf_recall_below_floor"
+            ),
+            "ivf_recall_at_scale": out.get("scale_probe", {}).get(
+                "ivf_recall_at_scale"
+            ),
             "deep_scale_superlinear": out.get("deep_scale_probe", {}).get(
                 "superlinear"
             ),
             "skew_fragile": out.get("skew_probe", {}).get("skew_fragile"),
             "skew_regressions": out.get("skew_probe", {}).get("skew_regressions"),
+            # staleness bound (VERDICT r11 #4): skew queries whose last
+            # actual probe is >3 epochs old — non-empty means the
+            # rotation cursor is failing to cycle, not just one slow run
+            "skew_stale": out.get("skew_probe", {}).get("skew_stale"),
             "facade_p50_ms": out.get("facade_latency", {}).get("p50_ms"),
             "facade_cache_hit_rate": out.get("facade_latency", {}).get(
                 "cache_hit_rate"
@@ -697,6 +726,46 @@ def main() -> None:
             out["scale_probe"]["rotated_out"] = rotated_out
         if s_dropped:
             out["scale_probe"]["dropped_on_budget"] = s_dropped
+        # ANN recall gate at scale (VERDICT r11 #5): recall degrades with
+        # corpus growth at fixed K/nprobe, and the sf0.01 oracle checks
+        # only pin the small-N value — so the tier re-measures recall@10
+        # vs the brute-force twin ON THE SCALED EMBEDDINGS and gates it
+        # against a pinned floor (round-12 measured values at 10×:
+        # IVF 1.0, IVF+PQ 0.9 — key-shifted copies co-locate in one cell,
+        # so a healthy index recovers nearly all of them; a recall
+        # collapse here means the cell assignment or shortlist rerank
+        # broke under data growth, which no timing ratio can see).
+        recall_floors = {
+            "embedding_ivf_recall": float(
+                os.environ.get("SPARK_GRAFT_IVF_RECALL_FLOOR", "0.8")
+            ),
+            "embedding_ivf_pq_recall": float(
+                os.environ.get("SPARK_GRAFT_IVF_PQ_RECALL_FLOOR", "0.7")
+            ),
+        }
+        recalls: dict[str, float] = {}
+        for rname in recall_floors:
+            if remaining() < 45:
+                s_dropped.append(rname)
+                out["scale_probe"]["dropped_on_budget"] = s_dropped
+                continue
+            rq = next((q for q in all_queries() if q.name == rname), None)
+            if rq is None:
+                continue
+            val = guarded(
+                "scale_recall",
+                rname,
+                lambda rq=rq: float(
+                    rq.spark_fn(spark, scale_dir).collect()[0]["recall_at_k"]
+                ),
+            )
+            if val is not None:
+                recalls[rname] = val
+        out["scale_probe"]["ivf_recall_at_scale"] = recalls
+        out["scale_probe"]["ivf_recall_floors"] = recall_floors
+        out["scale_probe"]["ivf_recall_below_floor"] = sorted(
+            n for n, v in recalls.items() if v < recall_floors[n]
+        )
 
     def tier_deep_scale() -> None:
         # Deep scale probe: the queries whose 10× ratios have run worst in
@@ -838,11 +907,31 @@ def main() -> None:
         k_timings: dict[str, float] = {}
         k_base: dict[str, float] = {}
         k_dropped: list[str] = []
-        # debt-first within the tier (same rule as the deep tier's picks):
-        # queries this tier dropped on budget LAST run probe first, so a
-        # slow host can't starve the same skew evidence twice running
+        # Persistent rotation cursor (VERDICT r11 #4): {name: seq} of the
+        # last run that actually probed each skew query.  Ordering by
+        # least-recently-probed PROVABLY cycles the whole set — it
+        # subsumes the old debt-first rule (a dropped query keeps its
+        # stale stamp, so it sorts first next run) and additionally
+        # bounds staleness: with ~half the set probed per budgeted run,
+        # every name is re-probed within 2 runs, and the skew_stale
+        # readout below turns a rotation failure into a visible signal
+        # instead of a silent coverage gap.  Absent cursor (first run):
+        # every name seeds at 0 — "unknown age, clock starts now".
+        cursor_path = os.path.join(state_dir, "baselines", "skew_cursor.json")
+        try:
+            with open(cursor_path) as f:
+                skew_cursor = {
+                    k: int(v) for k, v in json.load(f)["checked"].items()
+                }
+        except (OSError, ValueError, KeyError):
+            skew_cursor = {}
+        for n in skew_names:
+            skew_cursor.setdefault(n, 0)
+        skew_seq = max(skew_cursor.values(), default=0) + 1
+        order = {n: i for i, n in enumerate(
+            skew_rotation_order(list(skew_names), skew_cursor))}
         picks = [q for q in all_queries() if q.name in skew_names]
-        picks.sort(key=lambda q: (q.name not in prev_skew_dropped, q.name))
+        picks.sort(key=lambda q: order[q.name])
         for q in picks:
             if remaining() < 45:
                 k_dropped.append(q.name)
@@ -871,6 +960,7 @@ def main() -> None:
             )
             if t is not None:
                 k_timings[q.name] = round(t, 4)
+                skew_cursor[q.name] = skew_seq
         k_ratios = {
             name: round(k_timings[name] / k_base[name], 2)
             for name in k_timings
@@ -888,6 +978,11 @@ def main() -> None:
                 skew_pins = json.load(f)
         except (OSError, ValueError):
             pass
+        # Staleness bound: a skew query whose last probe is >3 runs old
+        # means the rotation is NOT cycling (budget drops notwithstanding,
+        # 2 runs cover the whole set) — surfaced in the summary so the
+        # gap is a flag, not an archaeology exercise over skew_history.
+        skew_stale = skew_stale_names(skew_names, skew_cursor, skew_seq)
         out["skew_probe"] = {
             "hot_key_fraction": 0.1,
             "queries": k_timings,
@@ -898,9 +993,16 @@ def main() -> None:
                 for n, r in k_ratios.items()
                 if n in skew_pins and r > 2.0 * skew_pins[n] and r > 1.5
             ),
+            "skew_stale": skew_stale,
+            "skew_epoch": skew_seq,
         }
         if k_dropped:
             out["skew_probe"]["dropped_on_budget"] = k_dropped
+        try:
+            with open(cursor_path, "w") as f:
+                json.dump({"checked": skew_cursor}, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
         # Append this run's ratios to the per-round history file — the
         # probe is the round's most valuable scale signal and should not
         # live only in the truncated BENCH tail (VERDICT r6 #8).

@@ -296,7 +296,7 @@ def dsir_log_weights(
     group on the bucket key, whose cardinality is capped at
     ``n_buckets`` — partial aggregation collapses them map-side and the
     final shuffle moves ≤ n_buckets rows per partition.  The λ(bucket)
-    log-ratio table is a ≤ n_buckets-row broadcast dim, so scoring is
+    log-ratio table is an exactly-n_buckets-row broadcast dim, so scoring is
     one map-side join + one hash agg on the doc id.  No shuffle ever
     carries the corpus text.
 
@@ -345,7 +345,15 @@ def _dsir_lambda_from_counts(
     n_buckets: int,
 ) -> DataFrame:
     """λ table (__b, __lam): 1e-8-snapped ln(p_target/q_raw) per hashed
-    bucket, add-1 smoothed — ≤ n_buckets rows, the broadcastable model."""
+    bucket, add-1 smoothed — EXACTLY n_buckets rows, the broadcastable
+    model.  The table is DENSE over the full bucket space (ADVICE r11):
+    add-1 smoothing defines a ratio for every bucket, including ones
+    the fit corpus never produced (ct=0, cr=0 → λ = ln((tr+b)/(tt+b))
+    in units), so the online use — scoring arriving shards whose
+    features hash to buckets absent from the pilot — matches the
+    paper's smoothing instead of silently dropping those features at
+    the scoring join.  The spine is a bounded spark.range(n_buckets)
+    (default 1024), so the density costs nothing at any corpus size."""
     ct = (
         _dsir_feat_counts(target, text_col, id_col, n_buckets)
         .groupBy("__b")
@@ -355,8 +363,12 @@ def _dsir_lambda_from_counts(
     tt = ct.agg(F.coalesce(F.sum("__ct"), F.lit(0)).cast("long").alias("__tt"))
     tr = cr.agg(F.coalesce(F.sum("__cr"), F.lit(0)).cast("long").alias("__tr"))
     b = float(n_buckets)
+    spine = corp_c.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("__b")
+    )
     return (
-        cr.join(ct, "__b", "left")
+        spine.join(cr, "__b", "left")
+        .join(ct, "__b", "left")
         .crossJoin(F.broadcast(tt))
         .crossJoin(F.broadcast(tr))
         .select(
@@ -368,7 +380,7 @@ def _dsir_lambda_from_counts(
                         / (F.col("__tt").cast("double") + F.lit(b))
                     )
                     / (
-                        (F.col("__cr").cast("double") + F.lit(1.0))
+                        (F.coalesce(F.col("__cr"), F.lit(0)).cast("double") + F.lit(1.0))
                         / (F.col("__tr").cast("double") + F.lit(b))
                     )
                 )
@@ -406,9 +418,11 @@ def dsir_lambda_table(
     id_col: str = "doc_id",
     n_buckets: int = 1024,
 ) -> DataFrame:
-    """Fit the DSIR importance model offline: the ≤ n_buckets-row λ
-    table from a (pilot) corpus sample and the target slice.  Pair with
-    :func:`dsir_score` to screen arriving shards online."""
+    """Fit the DSIR importance model offline: the exactly-n_buckets-row
+    λ table (dense over the bucket space, so shards whose features hash
+    to buckets the pilot never saw still score with the paper's add-1
+    smoothed ratio) from a (pilot) corpus sample and the target slice.
+    Pair with :func:`dsir_score` to screen arriving shards online."""
     return _dsir_lambda_from_counts(
         _dsir_feat_counts(corpus, text_col, id_col, n_buckets),
         target,

@@ -193,6 +193,101 @@ FROM spans
 ORDER BY doc_id, span_start
 """
 
+#: Lee et al.'s production excision operating point: only maximal
+#: duplicated spans of >= 50 tokens are removed.  Binds at sf0.01 (the
+#: driver gate's corpus has spans on both sides of 50).
+EXACT_SUBSTR_MIN_SPAN_LEN = 50
+
+
+def dedup_exact_substring_spans_len50(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_exact_substring_spans at the paper's excision operating
+    point (VERDICT r11 #3): Lee et al. excise maximal duplicated
+    substrings of >= 50 tokens — the 8-gram windows SEED the spans, but
+    the removal decision is on the merged maximal span's length, so a
+    short repeated quote is flagged by the len-8 report and correctly
+    NOT excised here.  Post-merge length filter; same 100 TB shape as
+    the base report (operators/dedup.py:duplicated_span_report)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.duplicated_span_report(
+        d, w=SPAN_W, min_span_len=EXACT_SUBSTR_MIN_SPAN_LEN
+    ).orderBy("doc_id", "span_start")
+
+
+EXACT_SUBSTRING_SPANS_LEN50_ORACLE = EXACT_SUBSTRING_SPANS_CTES + f"""
+SELECT doc_id, span_start, span_end, n_hits
+FROM spans
+WHERE span_end - span_start + 1 >= {EXACT_SUBSTR_MIN_SPAN_LEN}
+ORDER BY doc_id, span_start
+"""
+
+
+def dedup_exact_substring_economics_len50(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The sizing rollup at the len-50 excision point: per source, how
+    many tokens actually get excised when only >= 50-token maximal
+    spans are removed — reported alongside the len-8 economics so the
+    pipeline decision compares the paper's operating point against the
+    flag-everything floor.  Same LEFT-join rollup shape as
+    dedup_exact_substring_economics."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    spans = dd.duplicated_span_report(
+        d.select("doc_id", "text"),
+        w=SPAN_W,
+        min_span_len=EXACT_SUBSTR_MIN_SPAN_LEN,
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("dup_toks")
+    )
+    docs = d.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("dup_toks").cast("long").alias("n_docs_with_dups"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.coalesce(F.sum("dup_toks"), F.lit(0))
+            .cast("long")
+            .alias("tokens_in_dup_spans"),
+        )
+        .withColumn(
+            "dup_token_frac",
+            F.when(
+                F.col("tokens_total") > 0,
+                F.col("tokens_in_dup_spans").cast("double")
+                / F.col("tokens_total").cast("double"),
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+EXACT_SUBSTRING_ECONOMICS_LEN50_ORACLE = EXACT_SUBSTRING_SPANS_CTES + f"""
+, spans50 AS (SELECT * FROM spans
+              WHERE span_end - span_start + 1 >= {EXACT_SUBSTR_MIN_SPAN_LEN}),
+per_doc AS (SELECT doc_id, SUM(span_end - span_start + 1) AS dup_toks
+            FROM spans50 GROUP BY doc_id),
+docs AS (SELECT d2.doc_id, d2.source, len({TOKS_SQL}) AS n_tokens
+         FROM documents d2)
+SELECT source,
+       CAST(COUNT(dup_toks) AS BIGINT) AS n_docs_with_dups,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(COALESCE(SUM(dup_toks), 0) AS BIGINT) AS tokens_in_dup_spans,
+       CASE WHEN SUM(n_tokens) > 0 THEN
+         CAST(COALESCE(SUM(dup_toks), 0) AS DOUBLE)
+           / CAST(SUM(n_tokens) AS DOUBLE)
+       END AS dup_token_frac
+FROM docs LEFT JOIN per_doc USING (doc_id)
+GROUP BY source
+ORDER BY source
+"""
+
 
 def dedup_exact_substring_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr duplication economics — the number the paper itself
@@ -502,8 +597,10 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from direct_spark_sql_spark.operators import dedup as dd
 
-    fp = tx.fingerprint(scored)
-    kept = dd.keep_min_id(fp, "fp_content", "doc_id").filter(
+    fp = tx.fingerprint(scored).select(
+        "fp_content", "doc_id", "source", "n_tokens", "quality_score", "plang"
+    )
+    kept = dd.canonical_min_rows(fp, "fp_content", "doc_id").filter(
         (F.col("plang") == "en") & (F.col("quality_score") >= 0.5)
     )
     mixed = sp.domain_weighted_sample(
@@ -2164,13 +2261,15 @@ ct AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS ct
 cr AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS cr FROM feat GROUP BY bk),
 tt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS tt FROM ct),
 tr AS (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS tr FROM cr),
-lam AS (SELECT cr.bk,
+sp AS (SELECT UNNEST(generate_series(0, {b - 1})) AS bk),
+lam AS (SELECT sp.bk,
           CAST(FLOOR(LN(((CAST(COALESCE(ct.ct, 0) AS DOUBLE) + 1.0)
                          / (CAST(tt AS DOUBLE) + {float(b)}))
-                        / ((CAST(cr.cr AS DOUBLE) + 1.0)
+                        / ((CAST(COALESCE(cr.cr, 0) AS DOUBLE) + 1.0)
                            / (CAST(tr AS DOUBLE) + {float(b)})))
                      * 100000000.0 + 0.5) AS BIGINT) AS lam
-        FROM cr LEFT JOIN ct ON cr.bk = ct.bk CROSS JOIN tt CROSS JOIN tr),
+        FROM sp LEFT JOIN cr ON sp.bk = cr.bk LEFT JOIN ct ON sp.bk = ct.bk
+        CROSS JOIN tt CROSS JOIN tr),
 w AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
              CAST(SUM(lam) AS BIGINT) AS logw_units
       FROM feat JOIN lam USING (bk) GROUP BY doc_id)"""
@@ -2438,6 +2537,23 @@ QUERIES: list[Query] = [
             "2..cap): hot grams broadcast-anti-joined map-side before "
             "the shuffle, so no gram key exceeds cap rows — the "
             "provably-unskewed 100 TB form of the span family",
+    ),
+    Query(
+        name="dedup_exact_substring_spans_len50",
+        spark_fn=dedup_exact_substring_spans_len50,
+        oracle=EXACT_SUBSTRING_SPANS_LEN50_ORACLE,
+        tags=("dedup", "text"),
+        doc="span report at Lee et al.'s excision operating point: only "
+            "maximal duplicated spans of >= 50 tokens survive — post-merge "
+            "length filter over the 8-gram-seeded islands",
+    ),
+    Query(
+        name="dedup_exact_substring_economics_len50",
+        spark_fn=dedup_exact_substring_economics_len50,
+        oracle=EXACT_SUBSTRING_ECONOMICS_LEN50_ORACLE,
+        tags=("dedup", "text"),
+        doc="per-source excised-token sizing at the len-50 operating point, "
+            "reported alongside the len-8 economics",
     ),
     Query(
         name="tfidf_cosine_pairs",

@@ -202,9 +202,24 @@ def recursive_cte_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the provably-shrinking ``cur DIV 2`` walk (≤64 iterations),
     so the limit's anti-runaway purpose is already served by the data.
     On a real 100 TB corpus the per-iteration frontier still shuffles
-    and spills normally; only the cumulative-row guard is widened."""
+    and spills normally; only the cumulative-row guard is widened.
+
+    The widened limit is scoped to THIS query (ADVICE r11): the conf is
+    live only while the recursion executes — the ≤64-row grouped result
+    is materialized eagerly (localCheckpoint) under the raised limit,
+    and the prior value is restored in a finally, so later queries in
+    the shared session keep the runaway-recursion guard the conf exists
+    for.  Timing stays honest: bench measures spark_fn + materialize
+    together, so the eager execution lands inside the measured window."""
+    prior = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
-    return sql_query(spark, sf_dir, _RECURSIVE_DEPTH_SPARK)
+    try:
+        return sql_query(spark, sf_dir, _RECURSIVE_DEPTH_SPARK).localCheckpoint()
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prior)
 
 
 # ---------------------------------------------------------------------------

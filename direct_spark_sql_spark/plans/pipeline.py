@@ -1089,9 +1089,11 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "n_tokens", "quality_score",
         tx.predicted_language("text").alias("plang"),
     )
-    fp = tx.fingerprint(scored)
+    fp = tx.fingerprint(scored).select(
+        "fp_content", "doc_id", "n_tokens", "quality_score", "plang"
+    )
     return (
-        dd.keep_min_id(fp, "fp_content", "doc_id")
+        dd.canonical_min_rows(fp, "fp_content", "doc_id")
         .filter((F.col("plang") == "en") & (F.col("quality_score") >= 0.5))
         .select("doc_id", "n_tokens", "quality_score")
         .orderBy("doc_id")

@@ -27,6 +27,7 @@ and per-execution-stable ``now()`` semantics
 from __future__ import annotations
 
 import re
+import sys
 import threading
 import time
 from collections import OrderedDict, deque
@@ -70,6 +71,35 @@ def _copy_containers(value: Any) -> Any:
     if isinstance(value, bytearray):
         return bytearray(value)
     return value
+
+
+def _approx_value_bytes(value: Any) -> int:
+    """Approximate in-memory weight of one result cell: getsizeof for
+    scalars, shallow-recursive for the container shapes result rows can
+    hold (list/dict/Row/bytes).  An estimate, not an audit — the byte
+    budget needs the right order of magnitude, not allocator truth."""
+    if isinstance(value, (list, tuple, Row)):
+        return sys.getsizeof(value) + sum(_approx_value_bytes(v) for v in value)
+    if isinstance(value, dict):
+        return sys.getsizeof(value) + sum(
+            _approx_value_bytes(k) + _approx_value_bytes(v)
+            for k, v in value.items()
+        )
+    return sys.getsizeof(value)
+
+
+def _approx_rows_bytes(rows: tuple) -> int:
+    """Approximate byte weight of a cached result: exact walk up to 64
+    rows, then extrapolated from that sample — wide/tall results are
+    exactly the ones worth bounding, and a full walk of a 100k-row
+    result on every put would tax the facade's hot path."""
+    n = len(rows)
+    if n == 0:
+        return 0
+    sample = rows[:64]
+    sampled = sum(_approx_value_bytes(r) for r in sample)
+    return int(sampled * (n / len(sample)))
+
 
 #: Config preset — the cluster-friendly analogue of the reference's pinned
 #: profile (DirectSparkSession.scala:326-337).  The reference pins
@@ -245,9 +275,32 @@ class EngineBuilder:
         self._app_name = name
         return self
 
-    def config(self, key: str, value: str) -> "EngineBuilder":
-        self._conf[key] = value
+    def config(
+        self, key: "str | dict | None" = None, value: Any = None
+    ) -> "EngineBuilder":
+        """Set one conf or many — the reference Builder's typed overloads
+        (String/Long/Double/Boolean and the whole-SparkConf form,
+        DirectSparkSession.scala:254-297) collapse in Python to value
+        coercion plus a dict overload (VERDICT r11 #8).  Booleans render
+        JVM-style lowercase ``true``/``false``; ints and floats via str."""
+        if isinstance(key, dict):
+            if value is not None:
+                raise TypeError("config(dict) takes no second argument")
+            for k, v in key.items():
+                self._conf[k] = self._coerce_conf(v)
+            return self
+        if key is None:
+            raise TypeError("config() requires a key or a dict")
+        self._conf[key] = self._coerce_conf(value)
         return self
+
+    @staticmethod
+    def _coerce_conf(value: Any) -> str:
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        if isinstance(value, (int, float, str)):
+            return str(value)
+        raise TypeError(f"unsupported conf value type: {type(value).__name__}")
 
     def enable_hive_support(self) -> "EngineBuilder":
         """Opt into a Hive-enabled session state so ``CREATE [TEMPORARY]
@@ -276,10 +329,20 @@ class EngineBuilder:
 
 class _LRU:
     """Tiny thread-safe LRU (reference: Guava cache, max "direct.plan.cache.size"
-    entries, DirectSparkSession.scala:411-415)."""
+    entries, DirectSparkSession.scala:411-415).
 
-    def __init__(self, capacity: int = 1000):
+    Optionally byte-budgeted (VERDICT r11 #7): entry and row caps alone
+    let a thousand wide-row results pin real driver memory, so ``put``
+    accepts the entry's approximate byte weight and eviction also runs
+    while the tracked total exceeds ``max_bytes``.  An entry that alone
+    exceeds the whole budget is refused outright (caching it would just
+    evict everything else and still bust the budget)."""
+
+    def __init__(self, capacity: int = 1000, max_bytes: int | None = None):
         self.capacity = capacity
+        self.max_bytes = max_bytes
+        self.bytes = 0
+        self._sizes: dict[str, int] = {}
         self._data: OrderedDict[str, Any] = OrderedDict()
         self._lock = threading.Lock()
         self.hits = 0
@@ -294,21 +357,35 @@ class _LRU:
             self.hits += 1
             return self._data[key]
 
-    def put(self, key: str, value: Any) -> None:
+    def _evict_locked(self, key: str) -> None:
+        del self._data[key]
+        self.bytes -= self._sizes.pop(key, 0)
+
+    def put(self, key: str, value: Any, nbytes: int = 0) -> None:
         with self._lock:
+            if key in self._data:
+                self._evict_locked(key)
+            if self.max_bytes is not None and nbytes > self.max_bytes:
+                return
             self._data[key] = value
+            self._sizes[key] = nbytes
+            self.bytes += nbytes
             self._data.move_to_end(key)
-            while len(self._data) > self.capacity:
-                self._data.popitem(last=False)
+            while len(self._data) > self.capacity or (
+                self.max_bytes is not None and self.bytes > self.max_bytes
+            ):
+                self._evict_locked(next(iter(self._data)))
 
     def clear(self) -> None:
         with self._lock:
             self._data.clear()
+            self._sizes.clear()
+            self.bytes = 0
 
     def drop_where(self, predicate) -> None:
         with self._lock:
             for key in [k for k in self._data if predicate(k)]:
-                del self._data[key]
+                self._evict_locked(key)
 
 
 class Engine:
@@ -319,6 +396,7 @@ class Engine:
         spark: SparkSession,
         plan_cache_size: int = 1000,
         result_cache_size: int = 64,
+        result_cache_max_bytes: int = 256 << 20,
     ):
         self.spark = spark
         self._namespace = ""
@@ -356,7 +434,10 @@ class Engine:
         #: is eligible only when the statement text AND the analyzed plan
         #: are deterministic, non-streaming, and read no files (file data
         #: can change outside the facade's view of the world).
-        self._result_cache = _LRU(result_cache_size)
+        #: entry cap AND a ~256 MiB approximate byte budget (VERDICT
+        #: r11 #7): the row cap alone lets a thousand wide-row results
+        #: pin real driver memory.
+        self._result_cache = _LRU(result_cache_size, result_cache_max_bytes)
         self.result_cache_enabled = result_cache_size > 0
         #: rows above this are never result-cached (driver-memory bound)
         self.result_cache_max_rows = 100_000
@@ -653,7 +734,9 @@ class Engine:
             with self._lock:
                 if epoch == self._invalidation_epoch:
                     self._result_cache.put(
-                        key, (table.schema, stored, df, snap, mutable)
+                        key,
+                        (table.schema, stored, df, snap, mutable),
+                        nbytes=_approx_rows_bytes(stored),
                     )
         return table
 
@@ -948,6 +1031,8 @@ class Engine:
                     "result_misses": r.misses,
                     "result_entries": len(r._data),
                     "result_capacity": r.capacity,
+                    "result_bytes": r.bytes,
+                    "result_max_bytes": r.max_bytes,
                 }
             )
         return out
@@ -1113,6 +1198,7 @@ class Engine:
             self.spark.newSession(),
             self._plan_cache.capacity,
             self._result_cache.capacity,
+            result_cache_max_bytes=self._result_cache.max_bytes,
         )
         child.result_cache_enabled = self.result_cache_enabled
         child.result_cache_max_rows = self.result_cache_max_rows

@@ -4,7 +4,18 @@ subset of queries:
 
     python -m direct_spark_sql_spark.tools.oracle_sweep \
         [--sf-dir /root/testdata/sf0.01] [--out baselines/oracle_sweep_rN.json] \
+        [--rotate N [--cursor baselines/oracle_sweep_sf01_cursor.json]] \
         [name ...]
+
+``--rotate N`` is the SCALED-correctness gate (VERDICT r11 #1): pick the
+N oracle-bearing queries least recently checked at this tier (cursor
+file persists a per-name sequence number, never-checked first, name
+order as tie-break), run them, and advance the cursor for the ones that
+passed — failures keep their stale stamp so they re-enter the next
+cohort.  Run it at ``--sf-dir /root/testdata/sf0.1`` in the round-close
+discipline: every other correctness check runs at sf0.01, so
+cardinality-dependent wrongness (overflow, cap/df thresholds crossing,
+AQE plan changes at real sizes) is invisible without this tier.
 
 For every registered query with an oracle it runs BOTH engines and
 compares schema-sorted, row-order-insensitive, exact values — STRICTLY,
@@ -26,6 +37,32 @@ import os
 import sys
 import time
 import traceback
+
+
+DEFAULT_CURSOR = "baselines/oracle_sweep_sf01_cursor.json"
+
+
+def load_cursor(path: str) -> dict:
+    """{name: seq} last-checked sequence stamps; {} if absent/corrupt."""
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        return {k: int(v) for k, v in d.get("checked", {}).items()}
+    except (OSError, ValueError, KeyError):
+        return {}
+
+
+def pick_cohort(all_names: list[str], checked: dict, n: int) -> list[str]:
+    """The n least-recently-checked names: never-checked first (stamp
+    -1), then ascending stamp; name order breaks ties so the rotation
+    is deterministic and provably cycles — every name is drawn within
+    ceil(len/n) invocations."""
+    return sorted(all_names, key=lambda x: (checked.get(x, -1), x))[:n]
+
+
+def save_cursor(path: str, checked: dict) -> None:
+    with open(path, "w") as f:
+        json.dump({"checked": checked}, f, indent=1, sort_keys=True)
 
 
 def run_sweep(sf_dir: str, names: list[str] | None = None) -> dict:
@@ -102,6 +139,7 @@ def run_sweep(sf_dir: str, names: list[str] | None = None) -> dict:
         "sf_dir": sf_dir,
         "total": len(queries),
         "ok": len(ok),
+        "ok_names": sorted(ok),
         # always the dict — {} means clean; emitting [] when clean gave
         # downstream diff consumers an inconsistent type (ADVICE r9)
         "bad": bad,
@@ -115,6 +153,8 @@ def main() -> None:
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
     out_path = None
+    rotate = 0
+    cursor_path = DEFAULT_CURSOR
     names: list[str] = []
     it = iter(args)
     for a in it:
@@ -122,9 +162,28 @@ def main() -> None:
             sf_dir = next(it)
         elif a == "--out":
             out_path = next(it)
+        elif a == "--rotate":
+            rotate = int(next(it))
+        elif a == "--cursor":
+            cursor_path = next(it)
         else:
             names.append(a)
+    if rotate:
+        from direct_spark_sql_spark.plans.registry import all_queries
+
+        oracle_names = [q.name for q in all_queries() if q.oracle is not None]
+        checked = load_cursor(cursor_path)
+        names = pick_cohort(oracle_names, checked, rotate)
     result = run_sweep(sf_dir, names or None)
+    if rotate:
+        # Advance only the names that PASSED: a failure keeps its stale
+        # stamp and re-enters the next cohort until fixed.
+        seq = max(checked.values(), default=0) + 1
+        for n in result["ok_names"]:
+            checked[n] = seq
+        save_cursor(cursor_path, checked)
+        result["cursor"] = cursor_path
+        result["cohort"] = names
     line = json.dumps(result)
     print(line)
     if out_path:

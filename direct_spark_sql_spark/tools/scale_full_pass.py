@@ -24,6 +24,14 @@ import sys
 import time
 
 
+def gate_green(errors: dict, x10_names: set, headline_names: set) -> tuple:
+    """(green, x10_missing): zero errors AND full headline coverage in
+    x10 — both halves of the docstring contract (ADVICE r11), factored
+    out so the harness test can pin it without a scaled run."""
+    missing = sorted(headline_names - x10_names)
+    return (not errors and not missing), missing
+
+
 def run_pass(extra_deep: list[str] | None = None) -> dict:
     repo = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -92,7 +100,15 @@ def run_pass(extra_deep: list[str] | None = None) -> dict:
     run_tier(
         "x30", deep, int(os.environ.get("SPARK_GRAFT_DEEP_SCALE_FACTOR", "30"))
     )
-    out["green"] = not out["errors"]
+    # Green is BOTH halves of the docstring contract (ADVICE r11): zero
+    # errors AND every bench-flagged name actually present in x10 — so a
+    # headline query that vanished upstream of the per-query try (e.g. a
+    # registry import regression silently shrinking all_queries()) fails
+    # the gate instead of passing by absence.
+    headline_names = {q.name for q in all_queries() if q.bench}
+    out["green"], out["x10_missing"] = gate_green(
+        out["errors"], set(out["x10"]), headline_names
+    )
     return out
 
 

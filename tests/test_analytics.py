@@ -470,3 +470,20 @@ def test_global_shuffle_shards_negative_and_string_keys(spark):
     assert sorted((r.doc_id, r.rank) for r in tagain) == sorted(
         (r.doc_id, r.rank) for r in tout
     )
+
+
+def test_recursive_cte_conf_scoped_to_query(spark):
+    """ADVICE r11: recursive_cte_tree_depth widens cteRecursionRowLimit
+    only for its own execution — the session-wide runaway-recursion
+    guard must be back at its prior value after the call, and the
+    returned (eagerly materialized) frame must still be readable."""
+    from direct_spark_sql_spark.plans.conformance_ext import (
+        recursive_cte_tree_depth,
+    )
+
+    key = "spark.sql.cteRecursionRowLimit"
+    before = spark.conf.get(key, None)
+    df = recursive_cte_tree_depth(spark, "/root/testdata/sf0.001")
+    assert spark.conf.get(key, None) == before
+    assert spark.conf.get(key, None) != "2000000000"
+    assert df.count() > 0

@@ -1002,3 +1002,100 @@ def test_dsir_weights_rank_target_like_docs(spark):
     for r in w.values():
         assert abs(r.log_weight - r.logw_units / DSIR_LOG_UNITS) < 1e-12
         assert r.n_feats > 0
+
+
+def test_dsir_score_unseen_buckets_use_smoothed_default(spark):
+    """Online DSIR (ADVICE r11): a shard whose features hash to buckets
+    the pilot corpus never produced must still score — add-1 smoothing
+    defines λ = ln(((ct+1)/(tt+b)) / ((cr+1)/(tr+b))) for EVERY bucket,
+    so the λ table is dense over the bucket space and no feature is
+    silently dropped from n_feats/logw_units at the scoring join."""
+    import math
+
+    from direct_spark_sql_spark.operators.sampling import (
+        DSIR_LOG_UNITS,
+        dsir_lambda_table,
+        dsir_score,
+    )
+
+    pilot = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    target = pilot.filter("doc_id = 1")
+    n_buckets = 64
+    lam = dsir_lambda_table(pilot, target, n_buckets=n_buckets)
+    # Dense: exactly n_buckets rows, every bucket scored.
+    assert lam.count() == n_buckets
+
+    # A shard of entirely novel vocabulary: every feature hashes to some
+    # bucket; with a sparse λ most/all would miss the pilot's buckets and
+    # the doc would lose features (or vanish).  Dense λ keeps them all.
+    shard = spark.createDataFrame(
+        [(10, "zq xv wk pj")], "doc_id long, text string"
+    )
+    rows = dsir_score(shard, lam, n_buckets=n_buckets).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # 4 unigrams + 3 bigrams = 7 features, none dropped.
+    assert r.n_feats == 7
+
+    # Any feature in a pilot-unseen bucket scores the smoothed default
+    # λ = ln((1/(tt+b)) / (1/(tr+b))) = ln((tr+b)/(tt+b)) in 1e-8 units.
+    # Totals from the pilot: target doc 1 has 3 uni + 2 bi = 5 features;
+    # corpus has 10.  Verify via the lam table itself: a bucket with no
+    # pilot mass must carry exactly that default.
+    tt, tr, b = 5.0, 10.0, float(n_buckets)
+    default_units = math.floor(
+        math.log(((0 + 1) / (tt + b)) / ((0 + 1) / (tr + b))) * DSIR_LOG_UNITS
+        + 0.5
+    )
+    from direct_spark_sql_spark.operators.sampling import _dsir_feat_counts
+
+    seen = {
+        row["__b"]
+        for row in _dsir_feat_counts(pilot, "text", "doc_id", n_buckets)
+        .select("__b")
+        .distinct()
+        .collect()
+    }
+    unseen_lams = {
+        row["__lam"] for row in lam.collect() if row["__b"] not in seen
+    }
+    assert unseen_lams == {default_units}
+
+
+def test_span_report_min_span_len_is_excision_policy(spark):
+    """VERDICT r11 #3 planted case: a 20-token repeat is flagged by the
+    len-8 report but NOT excised at Lee et al.'s len-50 operating point;
+    a 60-token repeat is flagged by both, with identical offsets."""
+    from direct_spark_sql_spark.operators.dedup import duplicated_span_report
+
+    short_rep = " ".join(f"s{i}" for i in range(20))   # 20-token repeat
+    long_rep = " ".join(f"L{i}" for i in range(60))    # 60-token repeat
+    docs = spark.createDataFrame(
+        [
+            (1, short_rep + " filler one two three"),
+            (2, "prefix words here " + short_rep),
+            (3, long_rep + " tail"),
+            (4, "head " + long_rep),
+            (5, "entirely unique text with no repeats at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    base = duplicated_span_report(docs, w=8).collect()
+    len50 = duplicated_span_report(docs, w=8, min_span_len=50).collect()
+
+    base_docs = {r.doc_id for r in base}
+    # len-8 flags both repeats
+    assert {1, 2, 3, 4} <= base_docs and 5 not in base_docs
+    # len-50 excises ONLY the 60-token repeat
+    assert {r.doc_id for r in len50} == {3, 4}
+    # every surviving span is >= 50 tokens and appears verbatim in base
+    base_set = {(r.doc_id, r.span_start, r.span_end) for r in base}
+    for r in len50:
+        assert r.span_end - r.span_start + 1 >= 50
+        assert (r.doc_id, r.span_start, r.span_end) in base_set
+    # the 20-token repeat was genuinely present at len-8 (not vacuous)
+    d1 = [r for r in base if r.doc_id == 1]
+    assert any(r.span_end - r.span_start + 1 == 20 for r in d1)

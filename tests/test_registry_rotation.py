@@ -114,3 +114,28 @@ def test_real_registry_places_never_checked_in_sweep_window(monkeypatch):
             default=len(qs),
         )
         assert max(never_legacy) < first_checked_green
+
+
+def test_sf01_sweep_cursor_rotation_cycles():
+    """VERDICT r11 #1 plumbing: the sf0.1 sweep cursor picks
+    least-recently-checked first (never-checked ahead of everything),
+    ties broken by name, and advancing passed names provably cycles
+    the full population."""
+    from direct_spark_sql_spark.tools.oracle_sweep import pick_cohort
+
+    names = [f"q{i:02d}" for i in range(10)]
+    checked: dict = {}
+    drawn: list = []
+    # 4 invocations of 3 cover all 10 within ceil(10/3)=4 rounds
+    for seq in range(1, 5):
+        cohort = pick_cohort(names, checked, 3)
+        for n in cohort:
+            checked[n] = seq
+        drawn += cohort
+    assert set(drawn) == set(names)
+    # a failure (stamp not advanced) re-enters the very next cohort
+    checked2 = dict(checked)
+    del checked2["q05"]
+    assert "q05" in pick_cohort(names, checked2, 3)
+    # deterministic: same state -> same cohort
+    assert pick_cohort(names, checked2, 3) == pick_cohort(names, checked2, 3)

@@ -460,3 +460,48 @@ def test_bench_scale_tier_isolates_scale_only_failure(
     assert "blows up only at scale" in out["errors"]["scale:scale_boom_q"]
     assert out["summary"]["query_errors"] == ["scale:scale_boom_q"]
     assert out["summary"]["truncated"] is False
+
+
+def test_scale_full_pass_green_requires_headline_coverage():
+    """ADVICE r11: the pre-seal scale gate's green is (no errors) AND
+    (every headline name present in x10) — a query that vanished
+    upstream of the per-query try (registry shrink, swallowed
+    exception) fails the gate instead of passing by absence."""
+    from direct_spark_sql_spark.tools.scale_full_pass import gate_green
+
+    heads = {"a", "b", "c"}
+    assert gate_green({}, {"a", "b", "c"}, heads) == (True, [])
+    # an error alone kills it
+    assert gate_green({"x10:a": "boom"}, {"a", "b", "c"}, heads)[0] is False
+    # full absence of a headline name kills it even with zero errors
+    green, missing = gate_green({}, {"a", "c"}, heads)
+    assert green is False and missing == ["b"]
+
+
+def test_skew_rotation_cursor_cycles_and_bounds_staleness():
+    """VERDICT r11 #4: least-recently-probed ordering cycles the whole
+    skew set within ceil(N/k) runs, a budget-dropped query re-enters the
+    very next run, and skew_stale flags exactly the names >3 epochs old."""
+    from bench import skew_rotation_order, skew_stale_names
+
+    names = [f"s{i:02d}" for i in range(19)]
+    cursor = {n: 0 for n in names}  # first-run seeding
+    probed: set = set()
+    # 10 probed per run (budget), 2 runs must cover all 19
+    for seq in (1, 2):
+        order = skew_rotation_order(names, cursor)
+        for n in order[:10]:
+            cursor[n] = seq
+        probed.update(order[:10])
+    assert probed == set(names)
+    # a query missed for 4 epochs becomes stale; everyone else is fine
+    cursor2 = {n: 5 for n in names}
+    cursor2["s07"] = 1
+    assert skew_stale_names(set(names), cursor2, 5) == ["s07"]
+    assert skew_stale_names(set(names), cursor2, 4) == []
+    # never-probed seeds (0) age into staleness like everything else
+    cursor3 = dict(cursor2)
+    del cursor3["s03"]
+    assert "s03" in skew_stale_names(set(names), cursor3, 5)
+    # dropped query (stale stamp) sorts first next run
+    assert skew_rotation_order(names, cursor2)[0] == "s07"
