@@ -1113,17 +1113,42 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 # ---------------------------------------------------------------------------
 
 def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev / mean from exact decimal moment sums.
+
+    The variance NUMERATOR n·Σx² − (Σx)² is computed ENTIRELY IN DECIMAL
+    and cast to double only for the final division (round 12): evaluated
+    in doubles, `a*b - c*d` is exactly the shape compilers contract into
+    a fused multiply-add, and DuckDB's compiled C++ fuses while the JVM
+    does not — a 1-ULP divergence invisible at sf0.01 that the first
+    sf0.1 sweep caught on this very query.  With an exact-integer-valued
+    numerator, what remains in floating point is one divide and one sqrt
+    — single IEEE operations, bit-identical on any engine.
+
+    Digit budget (exact up to per-group n ≤ 1e8, |x| ≤ 1e4 with 2 dp):
+    s1 ≤ 1e12 → DECIMAL(17,2): the square types as (35,4) — under Spark's 38 cap so no silent scale reduction, and product width 34 puts DuckDB on its INT128 multiply path (a 13-digit operand fits the value but DuckDB's int64 product overflows; 19 digits squares past Spark's cap and loses a scale digit); s2 ≤ 1e16 at 4 dp →
+    (21,4), n·s2 → (31,4); numerator → (32,4) — all under 38 in both
+    engines' width rules.  Beyond the envelope the decimals overflow
+    LOUDLY (NULL/error, a differential mismatch) instead of silently
+    drifting."""
     c = load_table(spark, sf_dir, "customer")
     x = F.col("c_acctbal").cast(DEC_PRICE)
     n = F.count(F.lit(1)).cast("double")
+    nd = F.count(F.lit(1)).cast("decimal(9,0)")
     s1 = F.sum(x).cast("decimal(24,6)").cast("double")
-    s2 = F.sum((x * x).cast("decimal(28,4)")).cast("decimal(30,6)").cast("double")
+    s1d = F.sum(x).cast("decimal(17,2)")
+    s2d = F.sum((x * x).cast("decimal(28,4)")).cast("decimal(21,4)")
+    # round the exact numerator to INTEGER units before the double
+    # cast: at sf0.1 it carries 18 significant digits, past the
+    # 15-digit window where decimal->double casts are bit-identical
+    # across engines (plans/base.py); at scale 0 it stays under 2^53
+    # for n*var <= 9e15 (n ~ 9e8 at acctbal variance), exact in both
+    num = (nd * s2d - s1d * s1d).cast("decimal(20,0)").cast("double")
     return (
         c.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            ((n * s2 - s1 * s1) / (n * (n - F.lit(1.0)))).alias("var_samp"),
-            F.sqrt((n * s2 - s1 * s1) / (n * (n - F.lit(1.0)))).alias("stddev_samp"),
+            (num / (n * (n - F.lit(1.0)))).alias("var_samp"),
+            F.sqrt(num / (n * (n - F.lit(1.0)))).alias("stddev_samp"),
             (s1 / n).alias("mean"),
         )
         .orderBy("c_mktsegment")
@@ -1135,58 +1160,119 @@ WITH m AS (
   SELECT c_mktsegment,
          CAST(COUNT(*) AS DOUBLE) AS n,
          COUNT(*) AS n_out,
+         CAST(COUNT(*) AS DECIMAL(9,0)) AS nd,
          CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 6) AS DECIMAL(24,6)) AS DOUBLE) AS s1,
-         CAST(CAST(ROUND(SUM(CAST(CAST(c_acctbal AS DECIMAL(14,2)) * CAST(c_acctbal AS DECIMAL(14,2)) AS DECIMAL(28,4))), 6) AS DECIMAL(30,6)) AS DOUBLE) AS s2
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DECIMAL(17,2)) AS s1d,
+         CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(14,2)) * CAST(c_acctbal AS DECIMAL(14,2)) AS DECIMAL(28,4))) AS DECIMAL(21,4)) AS s2d
   FROM customer GROUP BY c_mktsegment
+),
+m2 AS (
+  SELECT *, CAST(CAST(ROUND(nd * s2d - CAST(s1d AS DECIMAL(19,2)) * CAST(s1d AS DECIMAL(19,2)), 0) AS DECIMAL(20,0)) AS DOUBLE) AS num FROM m
 )
 SELECT c_mktsegment, n_out AS n,
-       (n * s2 - s1 * s1) / (n * (n - 1.0)) AS var_samp,
-       sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))) AS stddev_samp,
+       num / (n * (n - 1.0)) AS var_samp,
+       sqrt(num / (n * (n - 1.0))) AS stddev_samp,
        s1 / n AS mean
-FROM m ORDER BY c_mktsegment
+FROM m2 ORDER BY c_mktsegment
+"""
+
+
+def _corr_moment_cols():
+    """Shared exact-decimal Pearson/regression moments (round 12, the
+    FMA-divergence class the first sf0.1 sweep exposed on
+    agg_moment_stats): every ``a·b − c·d`` numerator/denominator is
+    computed ENTIRELY IN DECIMAL and cast to double only once — what
+    remains in floating point is divisions, sqrts, and standalone
+    multiplies, single IEEE operations no compiler can contract.
+
+    The price column is rescaled to 1e-4 units FIRST (an exact decimal
+    multiply by 0.0001, both engines): in raw units n·Σy² − (Σy)²
+    reaches 3.6e19 at sf0.1 — past the 2^53 window where decimal→double
+    casts are bit-identical across engines (plans/base.py), so the old
+    form was one unlucky dataset from a 1-ULP hash mismatch even with
+    integer moments.  The rescale cancels exactly in the dimensionless
+    corr/r² and is multiplied back through slope/intercept with exact
+    powers of ten.  Digit budget (hash-exact per group): all three
+    centered second moments stay under 2^53 through ~30× the sf0.1
+    group sizes (num ≈ 3.7e12 unscaled at sf0.1, ×~n² growth); beyond
+    that, rescale x as well.
+
+    Returns (n_double, n_long, num_s, dxx, dyy0) Spark columns where
+    corr = num_s / (sqrt(dxx)·sqrt(dyy0)), slope = 1e4·num_s/dxx."""
+    x = F.col("l_quantity").cast(DEC_QTY)
+    y = F.col("l_extendedprice").cast(DEC_PRICE)
+    ys = (y * F.lit("0.0001").cast("decimal(5,4)")).cast("decimal(8,6)")
+    nd = F.count(F.lit(1)).cast("decimal(9,0)")
+    sx = F.round(F.sum(x), 0).cast("decimal(14,0)")
+    sy_s = F.round(F.sum(ys), 3).cast("decimal(14,3)")
+    sxx = F.round(F.sum((x * x).cast("decimal(28,4)")), 0).cast("decimal(16,0)")
+    syy_s = F.round(F.sum(ys * ys), 3).cast("decimal(16,3)")
+    sxy_s = F.round(F.sum(x * ys), 3).cast("decimal(16,3)")
+    num_s = (nd * sxy_s - sx * sy_s).cast("double")
+    dxx = (nd * sxx - sx * sx).cast("double")
+    dyy0 = F.round(nd * syy_s - sy_s * sy_s, 0).cast("decimal(20,0)").cast("double")
+    return (
+        F.count(F.lit(1)).cast("double"),
+        F.count(F.lit(1)),
+        num_s,
+        dxx,
+        dyy0,
+        sx.cast("double"),
+        sy_s.cast("double"),
+    )
+
+
+#: DuckDB twin of _corr_moment_cols — identical cast/round chain.
+_CORR_MOMENT_CTE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS n_out,
+         CAST(COUNT(*) AS DECIMAL(9,0)) AS nd,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 0) AS DECIMAL(14,0)) AS sx,
+         CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(8,6))), 3) AS DECIMAL(14,3)) AS sy_s,
+         CAST(ROUND(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,4))), 0) AS DECIMAL(16,0)) AS sxx,
+         CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(8,6)) * CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(8,6))), 3) AS DECIMAL(16,3)) AS syy_s,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(8,6))), 3) AS DECIMAL(16,3)) AS sxy_s
+  FROM lineitem GROUP BY l_returnflag
+),
+m2 AS (
+  -- every product casts one operand to width >= 19: DuckDB's int64
+  -- multiply path caps the RESULT at DECIMAL(18) and overflow-errors,
+  -- regardless of the algebraic width (seen at sf0.1, round 12)
+  SELECT l_returnflag, n, n_out,
+         CAST(CAST(nd AS DECIMAL(19,0)) * sxy_s
+              - CAST(sx AS DECIMAL(19,0)) * sy_s AS DOUBLE) AS num_s,
+         CAST(CAST(nd AS DECIMAL(19,0)) * sxx
+              - CAST(sx AS DECIMAL(19,0)) * sx AS DOUBLE) AS dxx,
+         CAST(CAST(ROUND(CAST(nd AS DECIMAL(19,0)) * syy_s
+                         - CAST(sy_s AS DECIMAL(19,3)) * sy_s, 0)
+              AS DECIMAL(20,0)) AS DOUBLE) AS dyy0,
+         CAST(sx AS DOUBLE) AS sxd,
+         CAST(sy_s AS DOUBLE) AS sy_sd
+  FROM m
+)
 """
 
 
 def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation of quantity and extended price per return flag,
-    from exact decimal moment sums."""
+    """Pearson correlation of quantity and extended price per return
+    flag, from exact decimal moment sums (see _corr_moment_cols for the
+    round-12 FMA/2^53 hardening; the 1e-4 price rescale cancels exactly
+    in the dimensionless correlation)."""
     l = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast(DEC_QTY)
-    y = F.col("l_extendedprice").cast(DEC_PRICE)
-    n = F.count(F.lit(1)).cast("double")
-    # moments round to integers before the double cast: Σy² reaches ~2e13
-    # here (~2e19 unscaled at scale 6), far past the 15-significant-digit
-    # window where decimal→double is bit-identical across engines (see
-    # plans/base.py); at scale 0 every moment stays below 2^53 up to sf≈1.
-    sx = F.sum(x).cast("decimal(24,0)").cast("double")
-    sy = F.sum(y).cast("decimal(24,0)").cast("double")
-    sxx = F.sum((x * x).cast("decimal(28,4)")).cast("decimal(30,0)").cast("double")
-    syy = F.sum((y * y).cast("decimal(30,4)")).cast("decimal(32,0)").cast("double")
-    sxy = F.sum((x * y).cast("decimal(29,4)")).cast("decimal(31,0)").cast("double")
-    corr = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
-    )
+    n, n_out, num_s, dxx, dyy0, _, _ = _corr_moment_cols()
+    corr = num_s / (F.sqrt(dxx) * F.sqrt(dyy0))
     return (
         l.groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n"), corr.alias("qty_price_corr"))
+        .agg(n_out.alias("n"), corr.alias("qty_price_corr"))
         .orderBy("l_returnflag")
     )
 
 
-AGG_CORR_ORACLE = """
-WITH m AS (
-  SELECT l_returnflag,
-         CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS n_out,
-         CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 0) AS DECIMAL(24,0)) AS DOUBLE) AS sx,
-         CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 0) AS DECIMAL(24,0)) AS DOUBLE) AS sy,
-         CAST(CAST(ROUND(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,4))), 0) AS DECIMAL(30,0)) AS DOUBLE) AS sxx,
-         CAST(CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2)) AS DECIMAL(30,4))), 0) AS DECIMAL(32,0)) AS DOUBLE) AS syy,
-         CAST(CAST(ROUND(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2)) AS DECIMAL(29,4))), 0) AS DECIMAL(31,0)) AS DOUBLE) AS sxy
-  FROM lineitem GROUP BY l_returnflag
-)
+AGG_CORR_ORACLE = _CORR_MOMENT_CTE + """
 SELECT l_returnflag, n_out AS n,
-       (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS qty_price_corr
-FROM m ORDER BY l_returnflag
+       num_s / (sqrt(dxx) * sqrt(dyy0)) AS qty_price_corr
+FROM m2 ORDER BY l_returnflag
 """
 
 

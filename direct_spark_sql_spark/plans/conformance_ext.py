@@ -1471,29 +1471,31 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 
 def agg_regression_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear-regression aggregates (regr_slope/intercept/r2 semantics) of
-    extended price on quantity per return flag, computed from exact
-    decimal moment sums so both engines run identical double arithmetic
-    (same discipline as agg_correlation; built-in regr_* accumulate in
-    floating point with engine-specific ordering and cannot hash-match)."""
+    """Linear-regression aggregates (regr_slope/intercept/r2 semantics)
+    of extended price on quantity per return flag, from the shared
+    exact-decimal moments (conformance._corr_moment_cols — round-12
+    FMA/2^53 hardening; built-in regr_* accumulate in floating point
+    with engine-specific ordering and cannot hash-match).
+
+    Unit bookkeeping: num_s/dxx is the slope in 1e-4-price units, so
+    slope multiplies back by the exactly-representable 1e4 (one IEEE
+    multiply); r² is dimensionless (rescale cancels).  The intercept's
+    ``sy − slope·sx`` remains a double a−b·c — the one residual
+    FMA-contraction surface in the suite (an exact-decimal form needs
+    sy·dxx ≈ 1e22, past every cast window); if the sf0.1 rotation ever
+    flags intercept alone, that contraction is the cause and the fix is
+    a coarser documented output grain, not a wider decimal."""
+    from direct_spark_sql_spark.plans.conformance import _corr_moment_cols
+
     l = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("decimal(12,2)")
-    y = F.col("l_extendedprice").cast("decimal(14,2)")
-    n = F.count(F.lit(1)).cast("double")
-    sx = F.sum(x).cast("decimal(24,0)").cast("double")
-    sy = F.sum(y).cast("decimal(24,0)").cast("double")
-    sxx = F.sum((x * x).cast("decimal(28,4)")).cast("decimal(30,0)").cast("double")
-    syy = F.sum((y * y).cast("decimal(30,4)")).cast("decimal(32,0)").cast("double")
-    sxy = F.sum((x * y).cast("decimal(29,4)")).cast("decimal(31,0)").cast("double")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    intercept = (sy - slope * sx) / n
-    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
-        (n * sxx - sx * sx) * (n * syy - sy * sy)
-    )
+    n, n_out, num_s, dxx, dyy0, sxd, sy_sd = _corr_moment_cols()
+    slope = num_s / dxx * F.lit(10000.0)
+    intercept = (sy_sd * F.lit(10000.0) - slope * sxd) / n
+    r2 = (num_s * num_s) / (dxx * dyy0)
     return (
         l.groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            n_out.alias("n"),
             slope.alias("slope"),
             intercept.alias("intercept"),
             r2.alias("r2"),
@@ -1502,24 +1504,19 @@ def agg_regression_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-REGRESSION_ORACLE = """
-WITH m AS (
-  SELECT l_returnflag,
-         CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS n_out,
-         CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 0) AS DECIMAL(24,0)) AS DOUBLE) AS sx,
-         CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 0) AS DECIMAL(24,0)) AS DOUBLE) AS sy,
-         CAST(CAST(ROUND(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,4))), 0) AS DECIMAL(30,0)) AS DOUBLE) AS sxx,
-         CAST(CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2)) AS DECIMAL(30,4))), 0) AS DECIMAL(32,0)) AS DOUBLE) AS syy,
-         CAST(CAST(ROUND(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2)) AS DECIMAL(29,4))), 0) AS DECIMAL(31,0)) AS DOUBLE) AS sxy
-  FROM lineitem GROUP BY l_returnflag
-)
+def _regression_oracle() -> str:
+    from direct_spark_sql_spark.plans.conformance import _CORR_MOMENT_CTE
+
+    return _CORR_MOMENT_CTE + """
 SELECT l_returnflag, n_out AS n,
-       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
-       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
-FROM m ORDER BY l_returnflag
+       num_s / dxx * 10000.0 AS slope,
+       (sy_sd * 10000.0 - (num_s / dxx * 10000.0) * sxd) / n AS intercept,
+       (num_s * num_s) / (dxx * dyy0) AS r2
+FROM m2 ORDER BY l_returnflag
 """
+
+
+REGRESSION_ORACLE = _regression_oracle()
 
 
 def agg_median_countif_boolagg(spark: SparkSession, sf_dir: str) -> DataFrame:
