@@ -184,3 +184,93 @@ def pack_sequences(
         contributed.cast("long").alias("n_contributed"),
         (F.col("start_tok") >= seq_start).alias("is_head"),
     )
+
+
+def pack_bins_harmonic(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    capacity: int = 512,
+    k_max: int = 8,
+    partitions: int = 8,
+) -> DataFrame:
+    """Whole-document bin packing into fixed-capacity training contexts —
+    the padding-free-batching step for pipelines that do NOT split
+    documents across sequences (instruction tuning, long-context SFT),
+    the sibling of :func:`pack_sequences`' concat-then-chunk model.
+
+    Uses the HARMONIC packing rule (Lee & Lee, JACM 1985): an item of
+    size s in (C/(k+1), C/k] belongs to class k and bins of class k hold
+    exactly k items — k items of size <= C/k always fit, the waste is
+    bounded (asymptotic ratio ~1.69x optimal), and unlike first-fit the
+    assignment is a CLOSED FORM over (class, rank): no sequential bin
+    state, so it distributes and an oracle can replay it with one
+    ROW_NUMBER per class.  class_k = min(k_max, C div s); items larger
+    than C are class 0 (one per bin, ``oversize`` = true — upstream
+    chunking's job, flagged not dropped); items of size <= C/k_max pool
+    into class k_max.
+
+    100 TB shape: ONE distributed prefix-sum rank over the composite
+    (class, id) order (token_prefix_sums' TeraSort-style range buckets —
+    never a per-class single-partition window; a class here holds a
+    corpus-scale fraction of all documents, exactly the hot-partition
+    trap), then per-class rank = global rank − class offset where the
+    offsets are a <= k_max+1-row broadcast.  Bin assignment is a pure
+    per-row expression after that.
+
+    Returns (id, token_col, class_k, bin_index, oversize) — bin_index is
+    0-based within the class; (class_k, bin_index) is the global bin key.
+    ``id_col`` must render zero-padded (non-negative ints), matching the
+    shuffle-shard oracle discipline."""
+    cls = (
+        F.when(F.col(token_col) > capacity, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(int(k_max)),
+                F.floor(F.lit(int(capacity)) / F.col(token_col)),
+            )
+        )
+        .cast("int")
+    )
+    base = df.filter(F.col(token_col) >= 1).select(
+        F.col(id_col), F.col(token_col).cast("long").alias(token_col)
+    ).withColumn("class_k", cls)
+    ordered = base.withColumn(
+        "__ord", F.format_string("%02d|%019d", F.col("class_k"), F.col(id_col))
+    ).withColumn("__one", F.lit(1))
+    ranked = token_prefix_sums(ordered, "__ord", "__one", partitions)
+    # class offsets from BASE, not from ranked: the counts are identical
+    # (rank is a permutation within each class) and reading base keeps
+    # the expensive prefix-sum window out of this tiny side branch —
+    # the canonical_min_rows lesson (don't execute a heavy subtree twice
+    # when a cheap projection answers the same question).
+    offsets = (
+        base.groupBy("class_k")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__class_off",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("class_k").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("class_k", "__class_off")
+    )
+    per_bin = F.when(F.col("class_k") == 0, F.lit(1)).otherwise(F.col("class_k"))
+    return (
+        ranked.join(F.broadcast(offsets), "class_k")
+        .withColumn("__crank", F.col("end_tok") - F.col("__class_off"))
+        .select(
+            id_col,
+            token_col,
+            "class_k",
+            F.floor((F.col("__crank") - F.lit(1)) / per_bin)
+            .cast("long")
+            .alias("bin_index"),
+            (F.col("class_k") == 0).alias("oversize"),
+        )
+    )

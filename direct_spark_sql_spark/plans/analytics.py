@@ -1850,6 +1850,104 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Harmonic whole-document bin packing operating point: capacity 64
+#: tokens binds every class on the testdata (doc lengths run ~11-99
+#: tokens: classes 1-5 populate AND the >64-token tail exercises the
+#: oversize flag); k_max 8 is the classic HARMONIC_8 (~1.69x-optimal).
+PACK_BIN_CAPACITY = 64
+PACK_BIN_KMAX = 8
+
+
+def pack_bins_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document harmonic bin packing (Lee & Lee 1985) of the
+    corpus into 64-token contexts — the padding-free-batching sibling of
+    pack_training_sequences for pipelines that never split a document.
+    Doc-level assignment output so the differential check pins every
+    single document's (class, bin).  See
+    operators/packing.py:pack_bins_harmonic for the 100 TB shape (one
+    distributed prefix-sum rank, class offsets broadcast, closed-form
+    bin index — no per-class single-partition window, no bin state)."""
+    from direct_spark_sql_spark.operators.packing import pack_bins_harmonic
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return pack_bins_harmonic(
+        d, capacity=PACK_BIN_CAPACITY, k_max=PACK_BIN_KMAX
+    ).orderBy("doc_id")
+
+
+def pack_bins_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class packing economics of pack_bins_assignment: bins used,
+    docs and tokens packed, and the fill fraction (packed tokens over
+    bin capacity) — the waste report that justifies the harmonic rule's
+    ~1.69x bound against one-doc-per-context padding.  Oversize class 0
+    reports capacity = its own token mass (one doc per bin, no pad)."""
+    from direct_spark_sql_spark.operators.packing import pack_bins_harmonic
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    a = pack_bins_harmonic(d, capacity=PACK_BIN_CAPACITY, k_max=PACK_BIN_KMAX)
+    cap = F.when(
+        F.col("class_k") == 0, F.col("tokens_packed").cast("double")
+    ).otherwise((F.col("n_bins") * F.lit(PACK_BIN_CAPACITY)).cast("double"))
+    return (
+        a.groupBy("class_k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.max("bin_index") + 1).cast("long").alias("n_bins"),
+            F.sum("n_tokens").cast("long").alias("tokens_packed"),
+        )
+        .withColumn(
+            "fill_frac",
+            F.when(cap > 0, F.col("tokens_packed").cast("double") / cap),
+        )
+        .orderBy("class_k")
+    )
+
+
+def _pack_bins_ctes() -> str:
+    c, k = PACK_BIN_CAPACITY, PACK_BIN_KMAX
+    return f"""
+WITH t AS (SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
+           FROM documents),
+cls AS (SELECT doc_id, n_tokens,
+               CAST(CASE WHEN n_tokens > {c} THEN 0
+                    ELSE LEAST({k}, {c} // n_tokens) END AS INT) AS class_k
+        FROM t WHERE n_tokens >= 1),
+r AS (SELECT doc_id, n_tokens, class_k,
+             ROW_NUMBER() OVER (PARTITION BY class_k ORDER BY doc_id) AS rn
+      FROM cls),
+asg AS (SELECT doc_id, n_tokens, class_k,
+               CAST((rn - 1) // (CASE WHEN class_k = 0 THEN 1
+                                      ELSE class_k END) AS BIGINT) AS bin_index,
+               class_k = 0 AS oversize
+        FROM r)"""
+
+
+PACK_BINS_ASSIGNMENT_ORACLE = _pack_bins_ctes() + """
+SELECT doc_id, n_tokens, class_k, bin_index, oversize
+FROM asg ORDER BY doc_id
+"""
+
+PACK_BINS_STATS_ORACLE = _pack_bins_ctes() + f"""
+, s AS (SELECT class_k,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MAX(bin_index) + 1 AS BIGINT) AS n_bins,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_packed
+        FROM asg GROUP BY class_k)
+SELECT class_k, n_docs, n_bins, tokens_packed,
+       CASE WHEN class_k = 0 THEN
+              CASE WHEN tokens_packed > 0 THEN 1.0 END
+            WHEN n_bins * {PACK_BIN_CAPACITY} > 0 THEN
+              CAST(tokens_packed AS DOUBLE)
+                / CAST(n_bins * {PACK_BIN_CAPACITY} AS DOUBLE)
+       END AS fill_frac
+FROM s ORDER BY class_k
+"""
+
+
 #: Candidate training-sequence lengths for the packing-efficiency report
 PACK_EFF_LENGTHS = (256, 512, 1024)
 
@@ -2763,6 +2861,24 @@ QUERIES: list[Query] = [
         oracle=PACK_SEQUENCES_ORACLE,
         tags=("text", "packing"),
         doc="concat-then-chunk 512-token sequence packing via distributed prefix sum",
+    ),
+    Query(
+        name="pack_bins_assignment",
+        spark_fn=pack_bins_assignment,
+        oracle=PACK_BINS_ASSIGNMENT_ORACLE,
+        tags=("text", "packing"),
+        doc="harmonic whole-document bin packing (Lee & Lee 1985) into "
+            "64-token contexts: closed-form (class, rank) assignment via one "
+            "distributed prefix-sum rank — doc-level bin assignment, "
+            "oversize flagged",
+    ),
+    Query(
+        name="pack_bins_stats",
+        spark_fn=pack_bins_stats,
+        oracle=PACK_BINS_STATS_ORACLE,
+        tags=("text", "packing", "pipeline"),
+        doc="per-class packing economics (bins, fill fraction) of the "
+            "harmonic assignment",
     ),
     Query(
         name="corpus_packing_efficiency",

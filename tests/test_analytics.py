@@ -487,3 +487,52 @@ def test_recursive_cte_conf_scoped_to_query(spark):
     assert spark.conf.get(key, None) == before
     assert spark.conf.get(key, None) != "2000000000"
     assert df.count() > 0
+
+
+def test_pack_bins_harmonic_planted_and_invariants(spark):
+    """Harmonic packing: planted classes/bins plus the rule's guarantees
+    — class k holds items of size <= C/k, k items per bin, so no bin of
+    class >= 1 overflows the capacity; oversize items get their own
+    flagged bin."""
+    from direct_spark_sql_spark.operators.packing import pack_bins_harmonic
+
+    # capacity 100, k_max 4: sizes pick classes 1,2,4 and one oversize
+    rows = [
+        (1, 80),   # class 1 (51..100): own bin
+        (2, 90),   # class 1
+        (3, 40),   # class 2 (34..50): pairs
+        (4, 45),   # class 2
+        (5, 50),   # class 2
+        (6, 10),   # class 4 (<=25 pools at k_max): quads
+        (7, 20),
+        (8, 25),
+        (9, 5),
+        (10, 24),
+        (11, 150),  # oversize
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {r.doc_id: r for r in pack_bins_harmonic(
+        df, capacity=100, k_max=4).collect()}
+    assert len(out) == 11
+    assert out[1].class_k == 1 and out[2].class_k == 1
+    assert out[1].bin_index != out[2].bin_index  # class 1: one per bin
+    assert {out[d].class_k for d in (3, 4, 5)} == {2}
+    # class 2 in id order: (3,4) share bin 0, (5) starts bin 1
+    assert out[3].bin_index == 0 and out[4].bin_index == 0
+    assert out[5].bin_index == 1
+    # class 4 quads: ids 6,7,8,9 -> bin 0; id 10 -> bin 1
+    assert [out[d].bin_index for d in (6, 7, 8, 9, 10)] == [0, 0, 0, 0, 1]
+    assert out[11].class_k == 0 and out[11].oversize
+    # capacity invariant: every class>=1 bin's token sum <= capacity
+    from collections import defaultdict
+    fills = defaultdict(int)
+    for r in out.values():
+        if r.class_k >= 1:
+            fills[(r.class_k, r.bin_index)] += r.n_tokens
+    assert all(v <= 100 for v in fills.values())
+    # items-per-bin invariant
+    counts = defaultdict(int)
+    for r in out.values():
+        counts[(r.class_k, r.bin_index)] += 1
+    for (ck, _), cnt in counts.items():
+        assert cnt <= (1 if ck == 0 else ck)
