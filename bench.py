@@ -899,6 +899,12 @@ def main() -> None:
             # grain before any join; corpus df via a ≤|sources|-row
             # window) is exactly what this probe validates (r10)
             "dedup_chunk_frequency",
+            # harmonic bin packing (r12): the mass-duplicate slice piles
+            # 10% of documents into ONE harmonic class — the distributed
+            # prefix-sum rank's range buckets (keyed on order statistics,
+            # not the class) must absorb it; a per-class window would
+            # serialize exactly here
+            "pack_bins_assignment",
         }
         skew_dir = os.path.join(
             state_dir, "spark-warehouse", "skewdata", f"sf{sf}skew",
