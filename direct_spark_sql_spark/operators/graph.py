@@ -117,3 +117,53 @@ def bellman_ford(
             .localCheckpoint()
         )
     return dist
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-duplicate-safe train/validation/test assignment: the split
+    is drawn per duplicate CLUSTER, not per document, so two near-copies
+    can never straddle an evaluation boundary — the leakage mode a
+    per-document hash split silently allows (a test document whose
+    near-duplicate sits in train is a memorization freebie; the
+    dedup_split_leakage query MEASURES that failure, this operator
+    PREVENTS it by construction).
+
+    Every document's split key is its connected component over the
+    near-dup pair graph (min-id canonical, :func:`connected_components`);
+    documents in no pair are their own singleton component.  The draw is
+    the corpus-standard deterministic hash bucket (h64 % 100 against
+    integer percent cuts) — reproducible run-to-run, engine-to-engine,
+    and stable under corpus growth for unchanged clusters.
+
+    Returns (id, component, split) with split in
+    {'train','validation','test'}.
+
+    100 TB shape: the pair graph is the LSH output (corpus-sparse); CC
+    is the bounded-iteration min-label propagation; the final assignment
+    is a LEFT join from docs to the (node, component) labels — an
+    equi-join on the unique doc id — plus a map-side hash.  Nothing
+    shuffles the corpus text."""
+    from direct_spark_sql_spark.hashing import h64
+
+    cc = connected_components(pairs, id_a, id_b)
+    labeled = docs.select(id_col).join(
+        cc.select(F.col("node").alias(id_col), "component"), id_col, "left"
+    )
+    comp = F.coalesce(F.col("component"), F.col(id_col)).cast("long")
+    bucket = h64(comp) % 100
+    split = (
+        F.when(bucket < F.lit(int(train_pct)), F.lit("train"))
+        .when(bucket < F.lit(int(train_pct + val_pct)), F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return labeled.select(
+        id_col, comp.alias("component"), split.alias("split")
+    )

@@ -792,6 +792,103 @@ FROM comp GROUP BY component ORDER BY component
 """
 
 
+def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate-safe train/val/test assignment (90/5/5): every
+    document's split is drawn from its MinHash-LSH duplicate CLUSTER's
+    canonical id, so near-copies never straddle an eval boundary — the
+    prevention counterpart of dedup_split_leakage's measurement.  See
+    operators/graph.py:cluster_safe_split for the 100 TB shape (sparse
+    pair graph -> bounded min-label CC -> one id equi-join + map-side
+    hash; the corpus text never shuffles)."""
+    from direct_spark_sql_spark.operators.graph import cluster_safe_split
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dd.minhash_near_duplicates(d, min_est_jaccard=0.5)
+    return cluster_safe_split(
+        d.select("doc_id"), pairs, train_pct=90, val_pct=5
+    ).orderBy("doc_id")
+
+
+def split_cluster_safe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split's acceptance report: per-split document and cluster
+    counts PLUS the leakage proof — the number of near-dup pairs whose
+    endpoints land in different splits, zero by construction (each pair
+    shares a component, components draw one split).  A per-document hash
+    split fails exactly this column."""
+    from direct_spark_sql_spark.operators.graph import cluster_safe_split
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dd.minhash_near_duplicates(d, min_est_jaccard=0.5)
+    asg = cluster_safe_split(d.select("doc_id"), pairs, train_pct=90, val_pct=5)
+    a = asg.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    b = asg.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    leaks = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("leaked_pairs_total"))
+    )
+    return (
+        asg.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("component").cast("long").alias("n_components"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .orderBy("split")
+    )
+
+
+def _split_cluster_ctes() -> str:
+    """Recursive transitive closure over the minhash pairs (the
+    dup-groups oracle's reach CTE) + the component-hash split draw."""
+    comp_expr = "CAST(COALESCE(c.component, d.doc_id) AS BIGINT)"
+    bucket = f"{h64_sql(comp_expr)} % 100"
+    return f"""WITH RECURSIVE {_minhash_pairs_ctes()},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+),
+comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a),
+asg AS (
+  SELECT d.doc_id,
+         {comp_expr} AS component,
+         CASE WHEN {bucket} < 90 THEN 'train'
+              WHEN {bucket} < 95 THEN 'validation'
+              ELSE 'test' END AS split
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)"""
+
+
+SPLIT_CLUSTER_SAFE_ORACLE = _split_cluster_ctes() + """
+SELECT doc_id, component, split FROM asg ORDER BY doc_id
+"""
+
+SPLIT_CLUSTER_AUDIT_ORACLE = _split_cluster_ctes() + """,
+leaks AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS leaked_pairs_total
+  FROM pairs p
+  JOIN asg a ON p.id_a = a.doc_id
+  JOIN asg b ON p.id_b = b.doc_id
+  WHERE a.split <> b.split
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+       leaked_pairs_total
+FROM asg CROSS JOIN leaks
+GROUP BY split, leaked_pairs_total
+ORDER BY split
+"""
+
+
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch of lineitem part keys — engine-portable
     (deterministic hash) unlike HLL, so the *estimate itself* is oracle-
@@ -3692,6 +3789,16 @@ QUERIES = [
     Query("dedup_duplicate_groups", dedup_duplicate_groups, _dup_groups_oracle(),
           ("dedup", "pipeline", "graph"),
           doc="connected components over the near-dup pair graph"),
+    Query("split_cluster_safe", split_cluster_safe, SPLIT_CLUSTER_SAFE_ORACLE,
+          ("sampling", "dedup", "pipeline", "graph"),
+          doc="near-dup-safe 90/5/5 split: the draw is per duplicate "
+              "CLUSTER (CC canonical id hash), so near-copies never "
+              "straddle an eval boundary — doc-level assignment"),
+    Query("split_cluster_safe_audit", split_cluster_safe_audit,
+          SPLIT_CLUSTER_AUDIT_ORACLE,
+          ("sampling", "dedup", "pipeline", "graph"),
+          doc="per-split doc/cluster counts + the zero-leaked-pairs proof "
+              "column a per-document hash split fails"),
     Query("sample_hash_uniform", sample_hash_uniform, SAMPLE_UNIFORM_ORACLE,
           ("sampling", "pipeline")),
     Query("sample_hash_split", sample_hash_split, SAMPLE_SPLIT_ORACLE,

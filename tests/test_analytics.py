@@ -536,3 +536,31 @@ def test_pack_bins_harmonic_planted_and_invariants(spark):
         counts[(r.class_k, r.bin_index)] += 1
     for (ck, _), cnt in counts.items():
         assert cnt <= (1 if ck == 0 else ck)
+
+
+def test_cluster_safe_split_never_leaks_pairs(spark):
+    """cluster_safe_split: both endpoints of every near-dup pair land in
+    the same split (the leakage a per-document hash draw allows);
+    singletons get their own component; percent cuts respected."""
+    from direct_spark_sql_spark.operators.graph import cluster_safe_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 41)], "doc_id long"
+    )
+    # 3 clusters: {1,2,3} (chained), {10,11}, {20,21}; rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r for r in cluster_safe_split(docs, pairs).collect()}
+    assert len(out) == 40
+    # chained cluster shares one component (min id) and one split
+    assert {out[d].component for d in (1, 2, 3)} == {1}
+    assert len({out[d].split for d in (1, 2, 3)}) == 1
+    assert out[10].split == out[11].split and out[10].component == 10
+    assert out[20].split == out[21].split and out[20].component == 20
+    # singletons are their own component
+    assert out[7].component == 7 and out[33].component == 33
+    assert {r.split for r in out.values()} <= {"train", "validation", "test"}
+    # the draw is the component hash: duplicate of a doc's own assignment
+    again = {r.doc_id: r.split for r in cluster_safe_split(docs, pairs).collect()}
+    assert again == {k: v.split for k, v in out.items()}
