@@ -1496,8 +1496,8 @@ a AS (
          CAST(count(*) AS BIGINT) AS n_events,
          CAST(SUM(tm) AS BIGINT) AS st,
          CAST(SUM(tm * tm) AS BIGINT) AS stt,
-         CAST(CAST(ROUND(SUM(v), 6) AS DECIMAL(24,6)) AS DOUBLE) AS sv,
-         CAST(CAST(ROUND(SUM(CAST(tm AS DECIMAL(20,0)) * v), 6) AS DECIMAL(24,6))
+         CAST(CAST(ROUND(SUM(v), 2) AS DECIMAL(24,2)) AS DOUBLE) AS sv,
+         CAST(CAST(ROUND(SUM(CAST(tm AS DECIMAL(20,0)) * v), 2) AS DECIMAL(24,2))
               AS DOUBLE) AS stv
   FROM b GROUP BY user_id)
 SELECT user_id, n_events,

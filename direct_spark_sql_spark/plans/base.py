@@ -146,7 +146,7 @@ CHARGE_SQL = f"({REVENUE_SQL}) * CAST(1 + CAST(l_tax AS DECIMAL(7,4)) AS DECIMAL
 # -- exact double egress ------------------------------------------------------
 #
 # Two cross-engine hazards force every decimal aggregate through a
-# ROUND-to-6 + DECIMAL(24,6) funnel before the final DOUBLE cast:
+# ROUND + DECIMAL(24,s) funnel before the final DOUBLE cast:
 #
 # 1. Decimal→double conversion is only bit-identical while the decimal fits
 #    in 15 significant digits (≤ 2^53 unscaled): past that, DuckDB
@@ -155,10 +155,21 @@ CHARGE_SQL = f"({REVENUE_SQL}) * CAST(1 + CAST(l_tax AS DECIMAL(7,4)) AS DECIMAL
 # 2. Decimal *downscale* casts round HALF_UP (away from zero) in Spark but
 #    TRUNCATE in DuckDB (seen on embedding norms: 0.999999936 → 1.000000 vs
 #    0.999999).  Both engines' ROUND(decimal, n) agree (half away from
-#    zero), so the oracle SQL wraps the expression in ROUND(x, 6) before
+#    zero), so the oracle SQL wraps the expression in ROUND(x, s) before
 #    its cast; Spark's cast already behaves as ROUND and needs no wrapper.
+#
+# The MONEY funnel's scale is 2 (cents), not 6 (round 12): hazard (1) is
+# a function of the SUM's unscaled magnitude, and at scale 6 a corpus-
+# scale revenue rollup crosses 2^53 around group sums of $9e9 — the
+# sf1-equivalent probe caught exactly that on Q1's sum_charge.  At cents
+# the bit-identical window is group sums < $9e13 (≈100× the sf0.1 probe
+# data per group); sub-cent product tails (price·(1−disc)·(1+tax)) are
+# quantized identically on both engines by the shared ROUND rule.
+# Bounded-magnitude families keep scale-6 funnels where the precision is
+# load-bearing: embedding dots/norms (unit vectors — operators/
+# similarity.py pins its own DEC_OUT) and per-dimension stats.
 
-DEC_OUT = "decimal(24,6)"
+DEC_OUT = "decimal(24,2)"
 
 
 def sum_money(col) -> "F.Column":  # Spark side
@@ -168,4 +179,4 @@ def sum_money(col) -> "F.Column":  # Spark side
 
 
 def sum_money_sql(expr: str) -> str:  # DuckDB oracle side
-    return f"CAST(CAST(ROUND(SUM({expr}), 6) AS DECIMAL(24,6)) AS DOUBLE)"
+    return f"CAST(CAST(ROUND(SUM({expr}), 2) AS DECIMAL(24,2)) AS DOUBLE)"

@@ -252,10 +252,10 @@ def agg_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_GROUP_ORACLE = """
 SELECT c_mktsegment,
        COUNT(*) AS n_customers,
-       CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 6) AS DECIMAL(24,6)) AS DOUBLE) AS total_bal,
+       CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DECIMAL(24,2)) AS DOUBLE) AS total_bal,
        MIN(c_acctbal) AS min_bal,
        MAX(c_acctbal) AS max_bal,
-       CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 6) AS DECIMAL(24,6)) AS DOUBLE) / COUNT(*) AS avg_bal
+       CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DECIMAL(24,2)) AS DOUBLE) / COUNT(*) AS avg_bal
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
@@ -501,7 +501,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINDOW_MOVING_ORACLE = """
 SELECT o_orderkey, o_custkey,
-       CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w, 6) AS DECIMAL(24,6)) AS DOUBLE)
+       CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w, 2) AS DECIMAL(24,2)) AS DOUBLE)
          / COUNT(*) OVER w AS moving_avg_price
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -545,7 +545,7 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER
                     (PARTITION BY o_custkey ORDER BY o_orderdate
                      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
-                    AS DECIMAL(24,6)) AS DOUBLE) AS trailing_30d_volume
+                    AS DECIMAL(24,2)) AS DOUBLE) AS trailing_30d_volume
         FROM orders ORDER BY o_orderkey
         """,
     )
@@ -555,8 +555,8 @@ WINDOW_RANGE_INTERVAL_ORACLE = """
 SELECT o_orderkey, o_custkey,
        CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER
             (PARTITION BY o_custkey ORDER BY o_orderdate
-             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 6)
-            AS DECIMAL(24,6)) AS DOUBLE) AS trailing_30d_volume
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)
+            AS DECIMAL(24,2)) AS DOUBLE) AS trailing_30d_volume
 FROM orders ORDER BY o_orderkey
 """
 
@@ -580,7 +580,7 @@ WINDOW_RUNNING_ORACLE = """
 SELECT o_orderkey, o_custkey,
        CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER
             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS DECIMAL(24,6)) AS DOUBLE) AS running_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DECIMAL(24,2)) AS DOUBLE) AS running_total
 FROM orders ORDER BY o_orderkey
 """
 
@@ -750,7 +750,7 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_custkey, c_acctbal
         FROM customer
-        WHERE c_acctbal > (SELECT CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 6) AS DECIMAL(24,6)) AS DOUBLE)
+        WHERE c_acctbal > (SELECT CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DECIMAL(24,2)) AS DOUBLE)
                                   / COUNT(*) FROM customer)
         ORDER BY c_custkey
         """,
@@ -760,7 +760,7 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCALAR_SUBQUERY_ORACLE = """
 SELECT c_custkey, c_acctbal
 FROM customer
-WHERE c_acctbal > (SELECT CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 6) AS DECIMAL(24,6)) AS DOUBLE)
+WHERE c_acctbal > (SELECT CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DECIMAL(24,2)) AS DOUBLE)
                           / COUNT(*) FROM customer)
 ORDER BY c_custkey
 """
@@ -926,7 +926,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_TUMBLING_ORACLE = """
 SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events,
-       CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 6) AS DECIMAL(24,6)) AS DOUBLE) AS total_value
+       CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DECIMAL(24,2)) AS DOUBLE) AS total_value
 FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type
 """
 
@@ -1308,7 +1308,7 @@ def events_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_ROLLUP_ORACLE = """
 SELECT DATE_TRUNC('day', ts) AS day_start, event_type,
        COUNT(*) AS n_events,
-       CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 6) AS DECIMAL(24,6)) AS DOUBLE) AS total_value
+       CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DECIMAL(24,2)) AS DOUBLE) AS total_value
 FROM events GROUP BY day_start, event_type ORDER BY day_start, event_type
 """
 

@@ -77,8 +77,8 @@ w AS (
          CAST(p.p90 AS DOUBLE) AS p90,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(CAST(ROUND(SUM(CAST(LEAST(GREATEST(l.l_extendedprice, p.p10), p.p90)
-                                  AS DECIMAL(14,2))), 6)
-                   AS DECIMAL(24,6)) AS DOUBLE) AS winsorized_sum
+                                  AS DECIMAL(14,2))), 2)
+                   AS DECIMAL(24,2)) AS DOUBLE) AS winsorized_sum
   FROM lineitem l JOIN p ON p.l_returnflag = l.l_returnflag
   GROUP BY l.l_returnflag, p.p10, p.p90
 )
@@ -393,7 +393,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(24,6)").cast("double").alias("sum_value"),
+            .cast("decimal(24,2)").cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("win_start"),
@@ -416,7 +416,7 @@ win AS (
 )
 SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end, event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DECIMAL(24,6)) AS DOUBLE) AS sum_value
+       CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DECIMAL(24,2)) AS DOUBLE) AS sum_value
 FROM win GROUP BY win_start, event_type ORDER BY win_start, event_type
 """
 

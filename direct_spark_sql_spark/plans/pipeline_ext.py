@@ -1084,7 +1084,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.sum(revenue).cast("decimal(24,6)").cast("double").alias("revenue"),
+            F.sum(revenue).cast("decimal(24,2)").cast("double").alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -1094,8 +1094,8 @@ JOIN_SKEW_SALTED_ORACLE = """
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_lines,
        CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
-             * CAST(1 - CAST(l_discount AS DECIMAL(7,4)) AS DECIMAL(8,4))), 6)
-            AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+             * CAST(1 - CAST(l_discount AS DECIMAL(7,4)) AS DECIMAL(8,4))), 2)
+            AS DECIMAL(24,2)) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """

@@ -197,7 +197,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_STATIC_ENRICH_ORACLE = """
 SELECT c_mktsegment, COUNT(*) AS n_events,
-       CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 6) AS DECIMAL(24,6)) AS DOUBLE)
+       CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DECIMAL(24,2)) AS DOUBLE)
          AS total_value
 FROM events JOIN customer ON c_custkey = user_id
 GROUP BY c_mktsegment ORDER BY c_mktsegment

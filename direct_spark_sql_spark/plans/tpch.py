@@ -69,13 +69,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 6) AS DECIMAL(24,6)) AS DOUBLE)       AS sum_qty,
-       CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 6) AS DECIMAL(24,6)) AS DOUBLE)  AS sum_base_price,
-       CAST(CAST(ROUND(SUM({REVENUE_SQL}), 6) AS DECIMAL(24,6)) AS DOUBLE)                           AS sum_disc_price,
-       CAST(CAST(ROUND(SUM({CHARGE_SQL}), 6) AS DECIMAL(24,6)) AS DOUBLE)                            AS sum_charge,
-       CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 6) AS DECIMAL(24,6)) AS DOUBLE) / COUNT(*)      AS avg_qty,
-       CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 6) AS DECIMAL(24,6)) AS DOUBLE) / COUNT(*) AS avg_price,
-       CAST(CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(7,4))), 6) AS DECIMAL(24,6)) AS DOUBLE) / COUNT(*)       AS avg_disc,
+       CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DECIMAL(24,2)) AS DOUBLE)       AS sum_qty,
+       CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DECIMAL(24,2)) AS DOUBLE)  AS sum_base_price,
+       CAST(CAST(ROUND(SUM({REVENUE_SQL}), 2) AS DECIMAL(24,2)) AS DOUBLE)                           AS sum_disc_price,
+       CAST(CAST(ROUND(SUM({CHARGE_SQL}), 2) AS DECIMAL(24,2)) AS DOUBLE)                            AS sum_charge,
+       CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DECIMAL(24,2)) AS DOUBLE) / COUNT(*)      AS avg_qty,
+       CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DECIMAL(24,2)) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(7,4))), 2) AS DECIMAL(24,2)) AS DOUBLE) / COUNT(*)       AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -115,7 +115,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_ORACLE = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       CAST(CAST(ROUND(SUM({REVENUE_SQL}), 6) AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+       CAST(CAST(ROUND(SUM({REVENUE_SQL}), 2) AS DECIMAL(24,2)) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -163,7 +163,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q5_ORACLE = f"""
-SELECT n_name, CAST(CAST(ROUND(SUM({REVENUE_SQL}), 6) AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+SELECT n_name, CAST(CAST(ROUND(SUM({REVENUE_SQL}), 2) AS DECIMAL(24,2)) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -198,6 +198,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.lit(0),
             )
+            .cast(DEC_OUT)
             .cast("double")
             .alias("revenue")
         )
@@ -205,7 +206,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q6_ORACLE = """
-SELECT CAST(CAST(ROUND(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(7,4))), 0), 6) AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+SELECT CAST(CAST(ROUND(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(7,4))), 0), 2) AS DECIMAL(24,2)) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -278,7 +279,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_ORACLE = f"""
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       CAST(CAST(ROUND(SUM({REVENUE_SQL}), 6) AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+       CAST(CAST(ROUND(SUM({REVENUE_SQL}), 2) AS DECIMAL(24,2)) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -313,7 +314,7 @@ def q_region_year_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_REGION_YEAR_ORACLE = """
 SELECT r_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
-       CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 6) AS DECIMAL(24,6)) AS DOUBLE) AS total_volume,
+       CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DECIMAL(24,2)) AS DOUBLE) AS total_volume,
        COUNT(*) AS order_count
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -344,8 +345,8 @@ def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_TOP_PARTS_ORACLE = f"""
 SELECT p_brand,
-       CAST(CAST(ROUND(SUM({REVENUE_SQL}), 6) AS DECIMAL(24,6)) AS DOUBLE) AS revenue,
-       CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 6) AS DECIMAL(24,6)) AS DOUBLE) AS total_qty
+       CAST(CAST(ROUND(SUM({REVENUE_SQL}), 2) AS DECIMAL(24,2)) AS DOUBLE) AS revenue,
+       CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DECIMAL(24,2)) AS DOUBLE) AS total_qty
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand

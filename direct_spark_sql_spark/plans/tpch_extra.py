@@ -568,7 +568,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q17_ORACLE = """
-SELECT CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 6) AS DECIMAL(24,6)) AS DOUBLE) / 7.0 AS avg_yearly
+SELECT CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DECIMAL(24,2)) AS DOUBLE) / 7.0 AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#1' AND p_size < 15
@@ -607,7 +607,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q18_ORACLE = """
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-       CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 6) AS DECIMAL(24,6)) AS DOUBLE) AS total_qty
+       CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DECIMAL(24,2)) AS DOUBLE) AS total_qty
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -801,14 +801,14 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q22_ORACLE = """
 SELECT cntrycode, COUNT(*) AS numcust,
-       CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 6) AS DECIMAL(24,6)) AS DOUBLE) AS totacctbal
+       CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DECIMAL(24,2)) AS DOUBLE) AS totacctbal
 FROM (
   SELECT c_custkey, c_acctbal, c_nationkey % 7 AS cntrycode
   FROM customer
   WHERE c_nationkey % 7 IN (1, 2, 3)
 ) c
 WHERE c_acctbal > (
-  SELECT CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 6) AS DECIMAL(24,6)) AS DOUBLE) / COUNT(*)
+  SELECT CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DECIMAL(24,2)) AS DOUBLE) / COUNT(*)
   FROM customer
   WHERE c_acctbal > 0.0 AND c_nationkey % 7 IN (1, 2, 3)
 )

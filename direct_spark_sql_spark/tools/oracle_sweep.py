@@ -87,8 +87,14 @@ def run_sweep(sf_dir: str, names: list[str] | None = None) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written datasets (the bench's scaled/skewed probes) are
+        # DIRECTORIES of part files; glob them so the oracle can run at
+        # any tier's data, not just the driver's single-file testdata.
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     queries = all_queries()

@@ -214,6 +214,9 @@ _NLJ_ALLOWED = {
     "corpus_unimax_mix",           # lang dim × broadcast 1-row corpus-total
                                    # (budget derives from it); waterfill runs
                                    # on the bounded lang frame
+    "split_cluster_safe_audit",    # ≤3-row per-split rollup × broadcast
+                                   # 1-row leaked-pairs count (the
+                                   # quality_constraint_audit precedent)
 }
 
 
