@@ -146,6 +146,13 @@ def cluster_safe_split(
     Returns (id, component, split) with split in
     {'train','validation','test'}.
 
+    ``id_col`` must cast losslessly to BIGINT (non-negative integer ids,
+    the same precondition :func:`pack_bins_harmonic` documents): the
+    component key is ``CAST(coalesce(component, id) AS BIGINT)`` so the
+    oracle can replay it.  A non-numeric id would cast to NULL and — per
+    the repo's loud-overflow discipline — raises at execution instead of
+    silently drawing 'test' for every such document (ADVICE r12).
+
     100 TB shape: the pair graph is the LSH output (corpus-sparse); CC
     is the bounded-iteration min-label propagation; the final assignment
     is a LEFT join from docs to the (node, component) labels — an
@@ -158,6 +165,18 @@ def cluster_safe_split(
         cc.select(F.col("node").alias(id_col), "component"), id_col, "left"
     )
     comp = F.coalesce(F.col("component"), F.col(id_col)).cast("long")
+    # Loud precondition: a non-numeric id casts to NULL, the bucket
+    # comparison goes NULL, and otherwise() would silently route every
+    # such doc to 'test' — fail the job instead.
+    comp = F.when(
+        comp.isNull(),
+        F.raise_error(
+            F.lit(
+                "cluster_safe_split: id_col must be a non-negative integer "
+                "(castable to BIGINT); got a value that casts to NULL"
+            )
+        ).cast("long"),
+    ).otherwise(comp)
     bucket = h64(comp) % 100
     split = (
         F.when(bucket < F.lit(int(train_pct)), F.lit("train"))

@@ -221,13 +221,27 @@ def pack_bins_harmonic(
     Returns (id, token_col, class_k, bin_index, oversize) — bin_index is
     0-based within the class; (class_k, bin_index) is the global bin key.
     ``id_col`` must render zero-padded (non-negative ints), matching the
-    shuffle-shard oracle discipline."""
+    shuffle-shard oracle discipline.
+
+    Envelope (ADVICE r12): documents with ``n_tokens < 1`` are DROPPED —
+    an empty document occupies no context slots, so it has no bin; unlike
+    oversize docs (flagged, kept) they do not appear in the output, and a
+    caller accounting for every input should diff ids against the input.
+    ``k_max`` must be <= 99: the composite rank key renders the class as
+    two digits ('%02d'), so a wider class id would sort wrongly — enforced
+    loudly below rather than left as a silent edge.  Class division is
+    integer DIV (exactly DuckDB's '//'), not floored double division."""
+    if not (1 <= int(k_max) <= 99):
+        raise ValueError(
+            f"pack_bins_harmonic: k_max must be in [1, 99] (the '%02d' rank "
+            f"key renders two class digits); got {k_max}"
+        )
     cls = (
         F.when(F.col(token_col) > capacity, F.lit(0))
         .otherwise(
             F.least(
                 F.lit(int(k_max)),
-                F.floor(F.lit(int(capacity)) / F.col(token_col)),
+                F.expr(f"CAST({int(capacity)} AS BIGINT) DIV {token_col}"),
             )
         )
         .cast("int")

@@ -27,6 +27,8 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from direct_spark_sql_spark.session import _LRU, _approx_value_bytes
+
 DEC_ELEM = "decimal(12,9)"
 #: Accumulator is (28,18), NOT (38,18): Spark's decimal addition at the
 #: 38-digit cap reduces scale (→ (38,17), lossy and a type mismatch for
@@ -296,9 +298,8 @@ def ivf_build(
     # Rebuild-at-same-path: evict coordinator caches keyed on this path, or a
     # later probe would serve the *old* centroid metadata and a DataFrame
     # whose file listing references overwritten files.
-    _IVF_CENTROIDS.pop(index_path, None)
-    for key in [k for k in _IVF_INDEX_DF if k[1] == index_path]:
-        _IVF_INDEX_DF.pop(key, None)
+    _IVF_CENTROIDS.drop_where(lambda k: k == index_path)
+    _IVF_INDEX_DF.drop_where(lambda k: k[1] == index_path)
 
 
 def ivf_probe_cells(
@@ -364,12 +365,27 @@ def _pydec_to_double(d: "Decimal") -> float:
 #: coordinator-cached centroid metadata per index: (cell_id, decimal vector,
 #: norm² as exact double).  Centroids are index *metadata* (K ≈ √N rows even
 #: at 100 TB) — an ANN service loads them once at index-open; re-collecting
-#: them per query would pay a full job for a constant.
-_IVF_CENTROIDS: dict[str, list[tuple[int, list, float]]] = {}
+#: them per query would pay a full job for a constant.  Byte-budgeted LRU
+#: (VERDICT r12 #4): one index's centroids are bounded, but a long-lived
+#: service opening many DISTINCT index paths would otherwise accumulate
+#: them forever — same failure mode the result cache's byte budget closed.
+_IVF_CENTROIDS = _LRU(capacity=64, max_bytes=256 << 20)
 
 #: resolved index DataFrame per (spark app, path) — skips per-query
 #: partition-tree re-listing; safe because a built index is immutable.
-_IVF_INDEX_DF: dict[tuple[str, str], DataFrame] = {}
+#: Entry-capped: a DataFrame handle is a small driver-side plan object,
+#: but the cap keeps a many-index service from pinning stale sessions.
+_IVF_INDEX_DF = _LRU(capacity=64)
+
+
+def _centroids_nbytes(cents: list[tuple[int, list, float]]) -> int:
+    """Approximate byte weight of one index's centroid metadata — exact
+    walk of the first entry (all centroids share a dimensionality)
+    extrapolated across K, the same sample-then-extrapolate shape as the
+    result cache's _approx_rows_bytes."""
+    if not cents:
+        return 64
+    return 64 + len(cents) * _approx_value_bytes(cents[0])
 
 
 def _collect_centroids(
@@ -448,13 +464,13 @@ def ivf_topk_vec(
         if callable(centroids):
             centroids = centroids()
         cents = _collect_centroids(centroids, id_col, emb_col)
-        _IVF_CENTROIDS[index_path] = cents
+        _IVF_CENTROIDS.put(index_path, cents, _centroids_nbytes(cents))
     cells, q_norm_sq = _probe_select(cents, list(qvec), nprobe)
     df_key = (spark.sparkContext.applicationId, index_path)
     assigned = _IVF_INDEX_DF.get(df_key)
     if assigned is None:
         assigned = spark.read.parquet(index_path)
-        _IVF_INDEX_DF[df_key] = assigned
+        _IVF_INDEX_DF.put(df_key, assigned)
     # The whole projection is built as ONE SQL text: per-element F.lit and
     # per-lambda Column construction cost a Py4J round trip each (~0.4 s of
     # driver latency for 64 dims — measured; it dominated the request before
@@ -519,7 +535,7 @@ def ivf_topk(
         assigned = _IVF_INDEX_DF.get(df_key)
         if assigned is None:
             assigned = spark.read.parquet(index_path)
-            _IVF_INDEX_DF[df_key] = assigned
+            _IVF_INDEX_DF.put(df_key, assigned)
     else:
         assigned = ivf_assign(df, centroids, id_col, emb_col).withColumn(
             "__norm_sq_d", _to_double(norm_sq_dec(_dec_vec(emb_col)))
@@ -529,7 +545,7 @@ def ivf_topk(
     if cents is None:
         cents = _collect_centroids(centroids, id_col, emb_col)
         if index_path is not None:
-            _IVF_CENTROIDS[index_path] = cents
+            _IVF_CENTROIDS.put(index_path, cents, _centroids_nbytes(cents))
     qrows = query.select(F.col(emb_col).cast("array<double>").alias("__e")).collect()
     qvec = qrows[0]["__e"] if qrows else []
     cells, q_norm_sq = _probe_select(cents, qvec, nprobe) if qvec else ([], 0.0)

@@ -89,14 +89,20 @@ def _approx_value_bytes(value: Any) -> int:
 
 
 def _approx_rows_bytes(rows: tuple) -> int:
-    """Approximate byte weight of a cached result: exact walk up to 64
-    rows, then extrapolated from that sample — wide/tall results are
-    exactly the ones worth bounding, and a full walk of a 100k-row
-    result on every put would tax the facade's hot path."""
+    """Approximate byte weight of a cached result: exact walk of a
+    bounded sample, extrapolated — wide/tall results are exactly the
+    ones worth bounding, and a full walk of a 100k-row result on every
+    put would tax the facade's hot path.  The sample is the first 32 +
+    last 32 rows, not a head-only slice: a result sorted by payload
+    size (small rows first) would skew a head sample to a fraction of
+    the true weight and quietly bust the byte budget (ADVICE r12)."""
     n = len(rows)
     if n == 0:
         return 0
-    sample = rows[:64]
+    if n <= 64:
+        sample = rows
+    else:
+        sample = rows[:32] + rows[-32:]
     sampled = sum(_approx_value_bytes(r) for r in sample)
     return int(sampled * (n / len(sample)))
 
@@ -356,6 +362,16 @@ class _LRU:
             self._data.move_to_end(key)
             self.hits += 1
             return self._data[key]
+
+    def __contains__(self, key: str) -> bool:
+        """Membership probe that does NOT promote recency or count as a
+        hit/miss — for assertions and invalidation checks only."""
+        with self._lock:
+            return key in self._data
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._data)
 
     def _evict_locked(self, key: str) -> None:
         del self._data[key]

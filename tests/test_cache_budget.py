@@ -95,3 +95,36 @@ def test_builder_config_typed_and_dict_overloads():
         b.config("key", object())
     with pytest.raises(TypeError):
         b.config()
+
+
+def test_ivf_coordinator_caches_are_bounded():
+    """VERDICT r12 #4: _IVF_CENTROIDS/_IVF_INDEX_DF must evict across many
+    DISTINCT index paths instead of growing forever in a long-lived
+    service.  Pure-LRU exercise (no Spark): feed > capacity entries and
+    require the footprint to stay at the caps with LRU victims chosen."""
+    from decimal import Decimal
+
+    from direct_spark_sql_spark.operators import similarity as sim
+
+    sim._IVF_CENTROIDS.clear()
+    sim._IVF_INDEX_DF.clear()
+    cents = [(i, [Decimal("1.5")] * 8, 2.0) for i in range(32)]
+    nbytes = sim._centroids_nbytes(cents)
+    assert nbytes > 32 * 8  # weight tracks K x dim, not a constant
+    cap = sim._IVF_CENTROIDS.capacity
+    for i in range(cap + 10):
+        sim._IVF_CENTROIDS.put(f"/idx/{i}", cents, nbytes)
+        sim._IVF_INDEX_DF.put(("app", f"/idx/{i}"), object())
+    assert len(sim._IVF_CENTROIDS) == cap
+    assert len(sim._IVF_INDEX_DF) == sim._IVF_INDEX_DF.capacity
+    assert "/idx/0" not in sim._IVF_CENTROIDS  # LRU victim
+    assert f"/idx/{cap + 9}" in sim._IVF_CENTROIDS
+    assert sim._IVF_CENTROIDS.bytes == cap * nbytes
+    # byte budget also binds: oversized centroid sets evict down to budget
+    big = sim._IVF_CENTROIDS.max_bytes // 4 + 1
+    for i in range(8):
+        sim._IVF_CENTROIDS.put(f"/big/{i}", cents, big)
+    assert sim._IVF_CENTROIDS.bytes <= sim._IVF_CENTROIDS.max_bytes
+    assert len(sim._IVF_CENTROIDS) <= 4
+    sim._IVF_CENTROIDS.clear()
+    sim._IVF_INDEX_DF.clear()
