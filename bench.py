@@ -146,6 +146,39 @@ def pick_deep_cohort(
     return names, skipped
 
 
+def pick_noise_retimes(
+    timings: "dict[str, float]",
+    base_q: "dict[str, float]",
+    threshold: float = 1.3,
+) -> list:
+    """The base-tier queries whose single-run ratio vs their pin exceeds
+    ``threshold`` — the host-noise re-run rule (VERDICT r12 #7) encoded:
+    BASELINE.md's four-run provenance table shows this VM swinging
+    IDENTICAL runs up to 3.9×, so a >1.3× single-run ratio is not
+    regression evidence until the query has been re-timed solo.  Pure and
+    module-level so the harness test can pin the rule with planted
+    timings.  Sorted for deterministic re-time order."""
+    return sorted(
+        n
+        for n, t in timings.items()
+        if base_q.get(n) and t > threshold * base_q[n]
+    )
+
+
+def apply_retimes(
+    timings: "dict[str, float]", retimed: "dict[str, float]"
+) -> dict:
+    """Effective per-query numbers for the REGRESSION gate only: the best
+    of the uniform base-tier sample and the solo re-time.  The recorded
+    ``queries`` timings stay the uniformly-collected ones (the pinning
+    policy is one warmup + best-of-3 for every query, no conditional
+    resampling); only the regression DECISION uses the extra evidence."""
+    return {
+        n: min(t, retimed[n]) if n in retimed else t
+        for n, t in timings.items()
+    }
+
+
 def pick_scale_cohort(
     queries: list, prev_dropped: set, probe_hist: dict, cap: int
 ) -> tuple[list, list]:
@@ -531,10 +564,30 @@ def main() -> None:
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             baseline = json.load(f)
+        # Host-noise re-run rule (VERDICT r12 #7): any query whose single
+        # base-tier number ran >1.3× its pin is re-timed solo (best-of-2,
+        # already JIT/cache-warm) before the regression gate reads it —
+        # a genuine regression stays slow on the re-time; a noise spike
+        # (GC pause, page-cache miss, co-tenant burst) does not.  The
+        # recorded timings stay the uniform best-of-3 sample; only the
+        # regression decision consumes the extra evidence.
+        retimed: dict[str, float] = {}
+        for name in pick_noise_retimes(timings, base_q):
+            if remaining() < 45:
+                break
+            q = next((q for q in bench_queries if q.name == name), None)
+            if q is None:
+                continue
+            t2 = guarded("retime", name, lambda q=q: measure(q, 2))
+            if t2 is not None:
+                retimed[name] = round(t2, 4)
+        if retimed:
+            out["noise_retimed"] = retimed
+        effective = apply_retimes(timings, retimed)
         regressions = {
             name: {"sec": t, "baseline_sec": base_q[name],
                    "ratio": round(t / base_q[name], 2)}
-            for name, t in timings.items()
+            for name, t in effective.items()
             if name in base_q and t > 2.0 * base_q[name]
         }
         out["baseline_total_sec"] = baseline.get("total_sec")

@@ -1134,7 +1134,10 @@ def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("c_acctbal").cast(DEC_PRICE)
     n = F.count(F.lit(1)).cast("double")
     nd = F.count(F.lit(1)).cast("decimal(9,0)")
-    s1 = F.sum(x).cast("decimal(24,6)").cast("double")
+    # cents egress (numeric lint, r13): Σx has exactly 2 dp, so the old
+    # scale-6 funnel carried no extra precision but shrank the 2^53
+    # bit-identical window 1e4× (to ~9e5 rows/group at |x| ≤ 1e4).
+    s1 = F.sum(x).cast(DEC_OUT).cast("double")
     s1d = F.sum(x).cast("decimal(17,2)")
     s2d = F.sum((x * x).cast("decimal(28,4)")).cast("decimal(21,4)")
     # round the exact numerator to INTEGER units before the double
@@ -1161,7 +1164,7 @@ WITH m AS (
          CAST(COUNT(*) AS DOUBLE) AS n,
          COUNT(*) AS n_out,
          CAST(COUNT(*) AS DECIMAL(9,0)) AS nd,
-         CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 6) AS DECIMAL(24,6)) AS DOUBLE) AS s1,
+         CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DECIMAL(24,2)) AS DOUBLE) AS s1,
          CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DECIMAL(17,2)) AS s1d,
          CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(14,2)) * CAST(c_acctbal AS DECIMAL(14,2)) AS DECIMAL(28,4))) AS DECIMAL(21,4)) AS s2d
   FROM customer GROUP BY c_mktsegment

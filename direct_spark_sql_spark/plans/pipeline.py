@@ -771,21 +771,64 @@ def dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_groups(pairs).orderBy("component")
 
 
+def _cc_min_label_ctes(levels: int = 16) -> str:
+    """Connected components as a FIXED-DEPTH hash-to-min ladder over an
+    in-scope ``edges(s, d)`` CTE (both directions) — the scale-capable
+    oracle twin of operators/graph.py:connected_components, yielding
+    ``comp(node, component)`` with component = min node id.
+
+    Replaces the old ``reach`` transitive-closure CTE (r13): reach
+    materializes Σ|C|² rows — every node × everything it can reach — and
+    at the x10 tier the duplicate cliques made DuckDB spill ~60 GB of
+    temp before the resource fence killed it.  Each ladder level here is
+    one |V|+|E| pass: a node's next label is the min of its own label,
+    its label's label (pointer shortcutting) and its neighbors' labels
+    (propagation) — Hash-to-Min (Rastogi et al., ICDE 2013) converges in
+    O(log |C|) rounds with shortcutting, so 16 levels cover any component
+    a real pair graph produces.  Every level is MATERIALIZED: DuckDB 1.x
+    inlines plain CTEs per reference, and three references per level
+    would re-expand the plan 3^levels times.  If the ladder has NOT
+    converged (some edge still joins two labels), ``comp`` emits a
+    sentinel (-1, -1) row — a LOUD differential mismatch instead of
+    silently wrong labels."""
+    parts = [
+        "m0 AS MATERIALIZED (SELECT s AS node, LEAST(s, MIN(d)) AS label"
+        " FROM edges GROUP BY s)"
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f"m{k} AS MATERIALIZED (\n"
+            f"  SELECT a.node, MIN(LEAST(a.label, COALESCE(p.label, a.label),\n"
+            f"                           COALESCE(nb.label, a.label))) AS label\n"
+            f"  FROM m{k - 1} a\n"
+            f"  LEFT JOIN m{k - 1} p ON a.label = p.node\n"
+            f"  LEFT JOIN edges e ON a.node = e.s\n"
+            f"  LEFT JOIN m{k - 1} nb ON e.d = nb.node\n"
+            f"  GROUP BY a.node)"
+        )
+    parts.append(
+        f"comp AS (\n"
+        f"  SELECT node, label AS component FROM m{levels}\n"
+        f"  UNION ALL\n"
+        f"  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) WHERE EXISTS (\n"
+        f"    SELECT 1 FROM edges e\n"
+        f"    JOIN m{levels} x ON x.node = e.s\n"
+        f"    JOIN m{levels} y ON y.node = e.d\n"
+        f"    WHERE x.label <> y.label))"
+    )
+    return ",\n".join(parts)
+
+
 def _dup_groups_oracle() -> str:
-    """Transitive closure by recursive CTE over the same minhash pairs."""
+    """Min-label connected components over the same minhash pairs."""
     return f"""
-WITH RECURSIVE {_minhash_pairs_ctes()},
-edges AS (
+WITH {_minhash_pairs_ctes()},
+edges AS MATERIALIZED (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION
   SELECT id_b, id_a FROM pairs
 ),
-reach(a, b) AS (
-  SELECT s, s FROM edges
-  UNION
-  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
-),
-comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
+{_cc_min_label_ctes()}
 SELECT component, COUNT(*) AS group_size,
        string_agg(CAST(node AS VARCHAR), ',' ORDER BY CAST(node AS VARCHAR)) AS member_ids
 FROM comp GROUP BY component ORDER BY component
@@ -841,22 +884,18 @@ def split_cluster_safe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _split_cluster_ctes() -> str:
-    """Recursive transitive closure over the minhash pairs (the
-    dup-groups oracle's reach CTE) + the component-hash split draw."""
+    """Min-label connected components over the minhash pairs (the
+    dup-groups oracle's hash-to-min ladder) + the component-hash split
+    draw."""
     comp_expr = "CAST(COALESCE(c.component, d.doc_id) AS BIGINT)"
     bucket = f"{h64_sql(comp_expr)} % 100"
-    return f"""WITH RECURSIVE {_minhash_pairs_ctes()},
-edges AS (
+    return f"""WITH {_minhash_pairs_ctes()},
+edges AS MATERIALIZED (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION
   SELECT id_b, id_a FROM pairs
 ),
-reach(a, b) AS (
-  SELECT s, s FROM edges
-  UNION
-  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
-),
-comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a),
+{_cc_min_label_ctes()},
 asg AS (
   SELECT d.doc_id,
          {comp_expr} AS component,

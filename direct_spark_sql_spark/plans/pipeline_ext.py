@@ -1374,19 +1374,16 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cluster_canonical_oracle() -> str:
     from direct_spark_sql_spark.plans.pipeline import _STOP_SQL, _minhash_pairs_ctes
 
+    from direct_spark_sql_spark.plans.pipeline import _cc_min_label_ctes
+
     return f"""
-WITH RECURSIVE {_minhash_pairs_ctes()},
-edges AS (
+WITH {_minhash_pairs_ctes()},
+edges AS MATERIALIZED (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION
   SELECT id_b, id_a FROM pairs
 ),
-reach(a, b) AS (
-  SELECT s, s FROM edges
-  UNION
-  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
-),
-comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a),
+{_cc_min_label_ctes()},
 qt AS (
   SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents
   WHERE doc_id IN (SELECT node FROM comp)

@@ -65,7 +65,14 @@ def save_cursor(path: str, checked: dict) -> None:
         json.dump({"checked": checked}, f, indent=1, sort_keys=True)
 
 
-def run_sweep(sf_dir: str, names: list[str] | None = None) -> dict:
+def run_sweep(
+    sf_dir: str,
+    names: list[str] | None = None,
+    per_query_timeout_s: float = 0.0,
+    verbose: bool = False,
+) -> dict:
+    import threading
+
     import duckdb
     import pandas as pd
 
@@ -86,6 +93,22 @@ def run_sweep(sf_dir: str, names: list[str] | None = None) -> dict:
     spark = engine.spark
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # Resource fences (r13 incident): one pathological oracle plan at a
+    # scaled tier (an inequality join gone quadratic) spilled ~60 GB of
+    # DuckDB temp in minutes and nearly filled the host disk.  Cap both
+    # memory and spill so such a query FAILS AND IS RECORDED as bad —
+    # triageable evidence — instead of taking the machine down.
+    con.execute(
+        f"SET memory_limit='{os.environ.get('DSS_SWEEP_MEMLIMIT', '24GB')}'"
+    )
+    con.execute("SET temp_directory='.tmp'")
+    try:
+        con.execute(
+            "SET max_temp_directory_size="
+            f"'{os.environ.get('DSS_SWEEP_TMPLIMIT', '16GB')}'"
+        )
+    except duckdb.Error:
+        pass  # older DuckDB: memory_limit alone still bounds most plans
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         # Spark-written datasets (the bench's scaled/skewed probes) are
@@ -105,18 +128,33 @@ def run_sweep(sf_dir: str, names: list[str] | None = None) -> dict:
         if missing:
             raise SystemExit(f"unknown query names: {sorted(missing)}")
 
+    def _oracle_df(sql: str):
+        """Run the oracle with an interrupt timer: a DuckDB plan that
+        blows past the per-query budget is cancelled (raising here, so
+        the query records as bad) rather than running unbounded."""
+        if not per_query_timeout_s:
+            return con.execute(sql).df()
+        timer = threading.Timer(per_query_timeout_s, con.interrupt)
+        timer.start()
+        try:
+            return con.execute(sql).df()
+        finally:
+            timer.cancel()
+
     ok: list[str] = []
     bad: dict[str, str] = {}
     rows_only: dict[str, int] = {}
+    timings: dict[str, float] = {}
     t0 = time.perf_counter()
     for i, q in enumerate(sorted(queries, key=lambda q: q.name)):
+        tq = time.perf_counter()
         try:
             df = q.spark_fn(spark, sf_dir)
             if q.oracle is None:
                 rows_only[q.name] = df.count()
                 continue
             got = normalize(df.toPandas())
-            want = normalize(con.execute(q.oracle).df())
+            want = normalize(_oracle_df(q.oracle))
             if list(got.columns) != list(want.columns):
                 bad[q.name] = (
                     f"columns: spark={list(got.columns)} oracle={list(want.columns)}"
@@ -135,6 +173,17 @@ def run_sweep(sf_dir: str, names: list[str] | None = None) -> dict:
             bad[q.name] = str(e).split("\n")[0][:300]
         except Exception:
             bad[q.name] = traceback.format_exc().splitlines()[-1][:300]
+        finally:
+            timings[q.name] = round(time.perf_counter() - tq, 2)
+            if verbose:
+                status = (
+                    "ok" if q.name in ok
+                    else "BAD" if q.name in bad
+                    else "rows_only"
+                )
+                print(
+                    f"  {q.name}: {status} ({timings[q.name]}s)", flush=True
+                )
         if (i + 1) % 25 == 0:
             print(
                 f"  [{i + 1}/{len(queries)}] ok={len(ok)} bad={len(bad)} "
@@ -151,6 +200,7 @@ def run_sweep(sf_dir: str, names: list[str] | None = None) -> dict:
         "bad": bad,
         "rows_only": sorted(rows_only),
         "rows_only_counts": rows_only,
+        "timings_s": timings,
         "wall_s": round(time.perf_counter() - t0, 1),
     }
 
@@ -161,6 +211,8 @@ def main() -> None:
     out_path = None
     rotate = 0
     cursor_path = DEFAULT_CURSOR
+    timeout_s = 0.0
+    verbose = False
     names: list[str] = []
     it = iter(args)
     for a in it:
@@ -172,6 +224,10 @@ def main() -> None:
             rotate = int(next(it))
         elif a == "--cursor":
             cursor_path = next(it)
+        elif a == "--timeout":
+            timeout_s = float(next(it))
+        elif a == "--verbose":
+            verbose = True
         else:
             names.append(a)
     if rotate:
@@ -180,7 +236,9 @@ def main() -> None:
         oracle_names = [q.name for q in all_queries() if q.oracle is not None]
         checked = load_cursor(cursor_path)
         names = pick_cohort(oracle_names, checked, rotate)
-    result = run_sweep(sf_dir, names or None)
+    result = run_sweep(
+        sf_dir, names or None, per_query_timeout_s=timeout_s, verbose=verbose
+    )
     if rotate:
         # Advance only the names that PASSED: a failure keeps its stale
         # stamp and re-enters the next cohort until fixed.

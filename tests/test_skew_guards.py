@@ -505,3 +505,30 @@ def test_skew_rotation_cursor_cycles_and_bounds_staleness():
     assert "s03" in skew_stale_names(set(names), cursor3, 5)
     # dropped query (stale stamp) sorts first next run
     assert skew_rotation_order(names, cursor2)[0] == "s07"
+
+
+def test_noise_retime_rule_planted_timings():
+    """Host-noise re-run rule (VERDICT r12 #7): a >1.3x single-run ratio
+    picks the query for a solo re-time, and the regression gate reads
+    the BEST of the two samples — a planted noise spike (10 s first
+    sample, 0.9 s re-time vs a 1.0 s pin) must not report as a
+    regression, while a genuinely slow query (re-time still 3x pin)
+    must."""
+    from bench import apply_retimes, pick_noise_retimes
+
+    pins = {"noisy": 1.0, "slow": 1.0, "fine": 1.0, "unpinned": None}
+    timings = {"noisy": 10.0, "slow": 3.1, "fine": 1.2, "unpinned": 9.9}
+    picks = pick_noise_retimes(timings, {k: v for k, v in pins.items() if v})
+    # >1.3x pins only; no pin -> never picked; sorted for determinism
+    assert picks == ["noisy", "slow"]
+    effective = apply_retimes(timings, {"noisy": 0.9, "slow": 3.0})
+    assert effective["noisy"] == 0.9   # noise spike cleared by re-time
+    assert effective["slow"] == 3.0    # genuine slowness survives
+    assert effective["fine"] == 1.2    # untouched
+    # the regression gate's 2x bar over the effective numbers
+    regressions = {
+        n for n, t in effective.items() if pins.get(n) and t > 2.0 * pins[n]
+    }
+    assert regressions == {"slow"}
+    # re-time WORSE than the first sample never replaces it (min wins)
+    assert apply_retimes({"q": 2.0}, {"q": 5.0})["q"] == 2.0
