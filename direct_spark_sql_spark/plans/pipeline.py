@@ -240,13 +240,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Shared CTE block (t→sh→sizes→freq→blocked→inter) for set-overlap
 #: dedup oracles — the SQL twin of operators/dedup.py:
 #: _blocked_shingle_overlap, used by the Jaccard and containment oracles.
+# Every multiply-referenced CTE is MATERIALIZED (r13): DuckDB 1.x inlines
+# plain CTEs once PER REFERENCE, so `sh` (the full shingle unnest) was
+# recomputed ~5x — and `blocked` self-joined — with all copies' hash
+# tables in flight at once; at the x10 tier that spilled tens of GB of
+# temp before the sweep's resource fence killed it.  Purely physical:
+# results are identical, the pipeline just runs each stage once.
 SHINGLE_OVERLAP_CTES = f"""
-WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
-sh AS (SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS s FROM t),
-sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
-freq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
-blocked AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s) WHERE df <= 1000),
-inter AS (
+WITH t AS MATERIALIZED (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS s FROM t),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+freq AS MATERIALIZED (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+blocked AS MATERIALIZED (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s) WHERE df <= 1000),
+inter AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
   FROM blocked a JOIN blocked b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
@@ -689,23 +695,29 @@ def _minhash_pairs_ctes(
     agree = " + ".join(
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(dd.NUM_PERM)
     )
-    return f"""t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
-sh AS (SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS s FROM t),
-h AS (SELECT doc_id, {h64_sql('s')} % {P} AS h FROM sh),
-sig AS (SELECT doc_id,
+    # MATERIALIZED throughout (r13): `sig` alone is referenced ~18x once
+    # DuckDB inlines the band/cand/pairs chain (4 band branches, the cap
+    # join, the self-join, two pairs joins), and each inlined copy reruns
+    # the full shingle unnest + 16-way MIN aggregation — at the x10 tier
+    # those concurrent hash tables spilled past a 40 GB temp fence.
+    # Physical-only change: each stage now runs exactly once.
+    return f"""t AS MATERIALIZED (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS s FROM t),
+h AS MATERIALIZED (SELECT doc_id, {h64_sql('s')} % {P} AS h FROM sh),
+sig AS MATERIALIZED (SELECT doc_id,
         {sig_cols}
         FROM h GROUP BY doc_id),
-bands0 AS ({band_selects}),
-bok AS (SELECT band_idx, band_hash FROM bands0
+bands0 AS MATERIALIZED ({band_selects}),
+bok AS MATERIALIZED (SELECT band_idx, band_hash FROM bands0
         GROUP BY band_idx, band_hash
         HAVING COUNT(*) <= {cap if cap is not None else "COUNT(*)"}),
-bands AS (SELECT b.* FROM bands0 b JOIN bok USING (band_idx, band_hash)),
-cand AS (
+bands AS MATERIALIZED (SELECT b.* FROM bands0 b JOIN bok USING (band_idx, band_hash)),
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT id_a, id_b, CAST({agree} AS DOUBLE) / {float(dd.NUM_PERM)} AS est_jaccard
   FROM cand
   JOIN sig sa ON sa.doc_id = id_a

@@ -81,9 +81,18 @@ def run_sweep(
     from direct_spark_sql_spark.sources.registry import TABLES
     from tests.conftest import normalize
 
+    # DSS_SWEEP_MASTER overrides the master URL — e.g.
+    # 'local-cluster[2,2,2048]' runs the whole differential on a real
+    # multi-JVM scheduler (separate executor JVMs + remote Python
+    # workers + serialized exchanges, the paths local[n] shortcuts).
+    master = os.environ.get(
+        "DSS_SWEEP_MASTER",
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]",
+    )
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
     engine = (
         Engine.builder()
-        .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
+        .master(master)
         .app_name("oracle-sweep")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false")
