@@ -289,6 +289,63 @@ ORDER BY source
 """
 
 
+def dedup_exact_substring_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr via a TRUE distributed suffix array (VERDICT r12 #8):
+    Lee et al.'s exact maximal-match semantics at the len-50 excision
+    point — prefix-doubling suffix ranks (TeraSort-style distributed
+    dense ranks, O(N log L) shuffles), SA-neighbor LCP by binary
+    descent, per-position dup_len, interval-union spans.  The 8-gram
+    span family APPROXIMATES this (merged islands of short-gram hits
+    can chain matches from different places); here a 49-token repeat is
+    excluded at len-50 and a 50-token repeat caught exactly
+    (tests/test_suffix_sa.py plants both).
+
+    The oracle is deliberately a DIFFERENT algorithm: by the covering
+    theorem (operators/suffix.py module docstring) the union of
+    [p, p+dup_len-1] over dup_len >= L equals the union of duplicated
+    L-gram windows, so DuckDB replays plain 50-gram counting and the
+    differential cross-validates two independent formulations."""
+    from direct_spark_sql_spark.operators.suffix import exact_substring_spans_sa
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_substring_spans_sa(
+        d, min_len=EXACT_SUBSTR_MIN_SPAN_LEN
+    ).orderBy("doc_id", "span_start")
+
+
+def _exact_substring_sa_oracle(min_len: int) -> str:
+    """Duplicated min_len-gram coverage islands — the covering-theorem
+    twin of the suffix-array spans (same merge rule as the span family:
+    consecutive window starts <= min_len apart share an island)."""
+    return f"""
+WITH t AS MATERIALIZED (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= {min_len}),
+w AS MATERIALIZED (
+  SELECT doc_id, s AS p, array_to_string(toks[s + 1 : s + {min_len}], ' ') AS gram
+  FROM d, UNNEST(generate_series(0, n - {min_len})) AS u(s)),
+gc AS (SELECT gram FROM w GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (SELECT w.doc_id, CAST(w.p AS BIGINT) AS p FROM w JOIN gc USING (gram)),
+b AS (SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                       <= {min_len} THEN 0 ELSE 1 END AS brk
+      FROM hits),
+isl AS (SELECT doc_id, p,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+        FROM b),
+spans AS (SELECT doc_id, MIN(p) AS span_start,
+                 CAST(MAX(p) + {min_len - 1} AS BIGINT) AS span_end
+          FROM isl GROUP BY doc_id, island)
+SELECT doc_id, CAST(span_start AS BIGINT) AS span_start, span_end,
+       CAST(span_end - span_start + 1 AS BIGINT) AS span_len
+FROM spans ORDER BY doc_id, span_start
+"""
+
+
+EXACT_SUBSTRING_SA_ORACLE = _exact_substring_sa_oracle(EXACT_SUBSTR_MIN_SPAN_LEN)
+
+
 def dedup_exact_substring_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr duplication economics — the number the paper itself
     reports (several percent of C4 sits inside duplicated substrings):
@@ -2652,6 +2709,16 @@ QUERIES: list[Query] = [
         tags=("dedup", "text"),
         doc="per-source excised-token sizing at the len-50 operating point, "
             "reported alongside the len-8 economics",
+    ),
+    Query(
+        name="dedup_exact_substring_sa",
+        spark_fn=dedup_exact_substring_sa,
+        oracle=EXACT_SUBSTRING_SA_ORACLE,
+        tags=("dedup", "text"),
+        doc="ExactSubstr via TRUE distributed suffix array: prefix-doubling "
+            "ranks + SA-neighbor LCP descent + per-position dup_len; exact "
+            "49/50 boundary at the paper's len-50 point; oracle is the "
+            "independent 50-gram coverage formulation (covering theorem)",
     ),
     Query(
         name="tfidf_cosine_pairs",
