@@ -1690,29 +1690,32 @@ def _srp_oracle() -> str:
             f"SELECT vec_id, {b} AS band_idx, ({bits}) AS band_val FROM proj"
         )
     bands_sql = "\nUNION ALL\n".join(band_selects)
+    # proj keeps the exploded form (one pass, 16 projections share it);
+    # the pairwise dots use the correlated list-dot funnel — the
+    # exploded cand-join form materialized |cand|x64 rows (the r13 x10
+    # sweep's slowest survivor at 407 s / heavy spill).
     return f"""
-WITH ex AS (
+WITH ex AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(embedding, 1) AS s_i,
          CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS a
   FROM embeddings
 ),
-proj AS (SELECT vec_id,
+proj AS MATERIALIZED (SELECT vec_id,
          {projections}
          FROM ex GROUP BY vec_id),
-bt AS ({bands_sql}),
-cand AS (
+bt AS MATERIALIZED ({bands_sql}),
+cand AS MATERIALIZED (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bt a JOIN bt b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id
 ),
-norms AS (SELECT vec_id, CAST(CAST(ROUND(SUM(a * a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS nn
+norms AS MATERIALIZED (SELECT vec_id, CAST(CAST(ROUND(SUM(a * a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS nn
           FROM ex GROUP BY vec_id),
 dots AS (
-  SELECT c.id_a, c.id_b, CAST(CAST(ROUND(SUM(xa.a * xb.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot
+  SELECT c.id_a, c.id_b, {_dec_dot_sql("ea.embedding", "eb.embedding")} AS dot
   FROM cand c
-  JOIN ex xa ON xa.vec_id = c.id_a
-  JOIN ex xb ON xb.vec_id = c.id_b AND xb.s_i = xa.s_i
-  GROUP BY c.id_a, c.id_b
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
 )
 SELECT d.id_a, d.id_b, CASE WHEN na.nn > 0 AND nb.nn > 0
        THEN d.dot / (sqrt(na.nn) * sqrt(nb.nn)) ELSE -2.0 END AS cosine
@@ -1725,37 +1728,82 @@ ORDER BY id_a, id_b
 """
 
 
+#: SemDeDup centroid-count rule: K = max(IVF_K, ceil(N / BUDGET)) keeps
+#: the MEAN cluster size bounded by BUDGET, so the within-cluster pair
+#: join is O(N x BUDGET) — linear in the corpus — instead of O(N^2/K)
+#: with a fixed K (the r13 x10 sweep blew a 16 GB DuckDB temp fence on
+#: exactly that: 20k vectors over 8 clusters is 25M pairs x 64 dims).
+#: This is the paper's own production shape (Abbas et al. scale cluster
+#: COUNT with corpus size, holding cluster size near-constant).  At the
+#: driver gate (N = 500) the rule yields exactly IVF_K = 8, so sf0.01
+#: results are bit-identical to the fixed-K fixture.
+SEMDEDUP_CLUSTER_BUDGET = 64
+
+_SEMDEDUP_K_SQL = (
+    f"GREATEST({IVF_K}, CAST(CEIL("
+    f"(SELECT COUNT(*) FROM embeddings) / {SEMDEDUP_CLUSTER_BUDGET}.0"
+    f") AS BIGINT))"
+)
+
+
+def _semdedup_centroids(e: DataFrame) -> DataFrame:
+    """First-K-vectors centroid fixture at the self-scaling K above —
+    one metadata-cheap count() to size K, identical to the oracle's
+    scalar subquery."""
+    import math
+
+    k = max(IVF_K, math.ceil(e.count() / SEMDEDUP_CLUSTER_BUDGET))
+    return e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= k))
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic deduplication: IVF-cluster the embedding space,
     then prune each vector whose cosine to a lower-id member of its own
     cluster reaches the threshold.  Candidate generation is confined to
-    clusters (equi-join on cluster_id — never all-pairs); pair cosines are
-    exact-decimal so the prune decisions hash-match the DuckDB replay."""
+    clusters (equi-join on cluster_id — never all-pairs), and the
+    cluster COUNT scales with the corpus (SEMDEDUP_CLUSTER_BUDGET) so
+    the pair join stays linear; pair cosines are exact-decimal so the
+    prune decisions hash-match the DuckDB replay."""
     e = load_table(spark, sf_dir, "embeddings")
-    centroids = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K))
-    return sim.semantic_dedup(e, centroids, threshold=0.35).orderBy("vec_id")
+    return sim.semantic_dedup(
+        e, _semdedup_centroids(e), threshold=0.35
+    ).orderBy("vec_id")
 
 
 #: Shared CTE prefix (ex→nrm→cc→cosc→assign→pair→dots→cosp→agg) — the
 #: DuckDB twin of operators/similarity.py:semantic_dedup's per-vector
 #: max-cosine-to-a-lower-cluster-member state; reused by the SemDeDup
 #: query and its threshold curve so a formula fix never chases copies.
+# Exact-decimal dot of two FLOAT[] columns via a correlated lock-step
+# UNNEST — the identical cast/round funnel the old exploded-join form
+# used (DOUBLE → DECIMAL(12,9) per element, SUM, ROUND 6, DECIMAL(24,6),
+# DOUBLE), so results are bit-identical.  The r13 x10 sweep retired the
+# join form: ex-join-ex on the dimension index materialized N×K×64 rows
+# (~400M at x10) and spilled past an 18 GB temp fence; this form's
+# biggest relation is the N×K cross join itself (6.3M rows at x10), the
+# per-row dot never leaves its row.
+def _dec_dot_sql(a: str, b: str) -> str:
+    return (
+        "(SELECT CAST(CAST(ROUND(SUM("
+        "CAST(CAST(x AS DOUBLE) AS DECIMAL(12,9))"
+        " * CAST(CAST(y AS DOUBLE) AS DECIMAL(12,9))), 6) AS DECIMAL(24,6))"
+        f" AS DOUBLE) FROM (SELECT UNNEST({a}) AS x, UNNEST({b}) AS y))"
+    )
+
+
 _SEMANTIC_CTES = f"""
-WITH ex AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,9)) AS a
+WITH nrm AS MATERIALIZED (
+  SELECT vec_id, {_dec_dot_sql("embedding", "embedding")} AS nn
   FROM embeddings
 ),
-nrm AS (
-  SELECT vec_id, CAST(CAST(ROUND(SUM(a * a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS nn
-  FROM ex GROUP BY vec_id
+cents AS MATERIALIZED (
+  SELECT vec_id AS cluster_id, embedding AS cemb
+  FROM embeddings WHERE vec_id BETWEEN 1 AND {_SEMDEDUP_K_SQL}
 ),
 cc AS (
-  SELECT x.vec_id, c.vec_id AS cluster_id,
-         CAST(CAST(ROUND(SUM(x.a * c.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot
-  FROM ex x
-  JOIN ex c ON c.i = x.i AND c.vec_id BETWEEN 1 AND {IVF_K}
-  GROUP BY x.vec_id, c.vec_id
+  SELECT e.vec_id, c.cluster_id,
+         {_dec_dot_sql("e.embedding", "c.cemb")} AS dot
+  FROM embeddings e CROSS JOIN cents c
 ),
 cosc AS (
   SELECT cc.vec_id, cc.cluster_id, cc.dot / (sqrt(nx.nn) * sqrt(nc.nn)) AS cos
@@ -1763,7 +1811,7 @@ cosc AS (
   JOIN nrm nx ON nx.vec_id = cc.vec_id
   JOIN nrm nc ON nc.vec_id = cc.cluster_id
 ),
-assign AS (
+assign AS MATERIALIZED (
   SELECT vec_id, cluster_id FROM (
     SELECT vec_id, cluster_id,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster_id) AS rn
@@ -1775,13 +1823,12 @@ pair AS (
   FROM assign a JOIN assign b
     ON b.cluster_id = a.cluster_id AND b.vec_id < a.vec_id
 ),
-dots AS (
+dots AS MATERIALIZED (
   SELECT p.id_a, p.id_b,
-         CAST(CAST(ROUND(SUM(xa.a * xb.a), 6) AS DECIMAL(24,6)) AS DOUBLE) AS dot
+         {_dec_dot_sql("ea.embedding", "eb.embedding")} AS dot
   FROM pair p
-  JOIN ex xa ON xa.vec_id = p.id_a
-  JOIN ex xb ON xb.vec_id = p.id_b AND xb.i = xa.i
-  GROUP BY p.id_a, p.id_b
+  JOIN embeddings ea ON ea.vec_id = p.id_a
+  JOIN embeddings eb ON eb.vec_id = p.id_b
 ),
 cosp AS (
   SELECT d.id_a, CASE WHEN na.nn > 0 AND nb.nn > 0
@@ -1833,8 +1880,9 @@ def dedup_semantic_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFram
     curve / DP release argument); counts and the retention division are
     integer-derived."""
     e = load_table(spark, sf_dir, "embeddings")
-    centroids = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K))
-    sd = sim.semantic_dedup(e, centroids, threshold=0.35).select("max_cos_lower")
+    sd = sim.semantic_dedup(
+        e, _semdedup_centroids(e), threshold=0.35
+    ).select("max_cos_lower")
     aggs = [F.count(F.lit(1)).cast("long").alias("n_vectors")]
     for i, t in enumerate(SEMDEDUP_CURVE_THRESHOLDS):
         aggs.append(
