@@ -192,3 +192,54 @@ def cluster_conf(
             }
         )
     return conf
+
+
+def ship_package(spark) -> str | None:
+    """Ship this package's source to the cluster's executors.
+
+    In ``local[n]`` the executor Python workers share the driver's
+    working directory and ``sys.path``, so imports inside UDFs /
+    ``mapInPandas`` / UDTFs resolve for free — which silently hides a
+    real deployment gap: on any REAL cluster (and on
+    ``local-cluster[...]``, which the r13 multi-JVM differential runs),
+    executor-side pickles that reference ``direct_spark_sql_spark``
+    die with ModuleNotFoundError (12/313 queries: every codec
+    ``mapInPandas``, the Python data source, the UDTF, and
+    ``applyInPandas`` state).  The fix is the standard one a 100 TB
+    deployment uses: zip the package once and ``sc.addPyFile`` it —
+    Spark distributes the archive and prepends it to every executor
+    worker's ``sys.path``.
+
+    Idempotent per session (re-adding the same path is a no-op warning);
+    returns the shipped zip path, or None when the package isn't a
+    plain directory (already running from an archive)."""
+    import os
+    import tempfile
+    import zipfile
+
+    import direct_spark_sql_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    if not os.path.isdir(pkg_dir):
+        return None
+    zip_path = os.path.join(
+        tempfile.gettempdir(),
+        f"direct_spark_sql_spark-{os.path.getmtime(pkg_dir):.0f}.zip",
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".part"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, dirs, files in os.walk(pkg_dir):
+                dirs[:] = [d for d in dirs if d != "__pycache__"]
+                for name in files:
+                    if not name.endswith((".py", ".json")):
+                        continue
+                    full = os.path.join(root, name)
+                    rel = os.path.join(
+                        "direct_spark_sql_spark",
+                        os.path.relpath(full, pkg_dir),
+                    )
+                    zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    return zip_path

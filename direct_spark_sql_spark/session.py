@@ -330,7 +330,21 @@ class EngineBuilder:
             builder = builder.config(k, v)
         if self._hive:
             builder = builder.enableHiveSupport()
-        return Engine(builder.getOrCreate())
+        spark = builder.getOrCreate()
+        # Non-local masters run executor Python workers in their own
+        # processes/machines where this package isn't importable; ship
+        # it once via addPyFile (deploy.ship_package) so UDF/UDTF/
+        # mapInPandas pickles resolve — the standard cluster deployment
+        # step local[n] silently skips (r13 local-cluster differential).
+        master = spark.sparkContext.master or ""
+        if not master.startswith("local["):
+            from direct_spark_sql_spark.deploy import ship_package
+
+            try:
+                ship_package(spark)
+            except Exception:
+                pass  # a cluster with pre-installed packages needs nothing
+        return Engine(spark)
 
 
 class _LRU:

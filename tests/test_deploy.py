@@ -152,3 +152,42 @@ def test_semantic_preset_holds_on_live_session(spark):
         assert cluster[k] == v
         if k not in overridden:
             assert spark.conf.get(k) == v
+
+
+def test_ship_package_zips_importable_source(spark, tmp_path, monkeypatch):
+    """deploy.ship_package (r13): on a non-local master, executor Python
+    workers can't import this package (12/313 queries died with
+    ModuleNotFoundError on the local-cluster differential) — the shipped
+    zip must contain the package's modules at the right archive paths
+    and be registered with addPyFile."""
+    import sys
+    import zipfile
+
+    from direct_spark_sql_spark import deploy
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    # tempfile caches gettempdir; force re-read
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "tempdir", None)
+    added = []
+
+    class FakeSC:
+        def addPyFile(self, path):
+            added.append(path)
+
+    class FakeSpark:
+        sparkContext = FakeSC()
+
+    zip_path = deploy.ship_package(FakeSpark())
+    assert zip_path and added == [zip_path]
+    with zipfile.ZipFile(zip_path) as zf:
+        names = set(zf.namelist())
+    # package modules live under the package dir in the archive, so the
+    # executor's sys.path entry (the zip root) resolves the import
+    assert "direct_spark_sql_spark/__init__.py" in names
+    assert "direct_spark_sql_spark/session.py" in names
+    assert "direct_spark_sql_spark/operators/multimodal.py" in names
+    assert not any(n.endswith(".pyc") for n in names)
+    # idempotent: second call reuses the cached zip (mtime-keyed)
+    assert deploy.ship_package(FakeSpark()) == zip_path
