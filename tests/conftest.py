@@ -20,6 +20,32 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "8")
 
 
+def parse_extra_conf(extra: str) -> list[tuple[str, str]]:
+    """Parse the robustness-hook conf string: ';'-separated k=v pairs.
+
+    The separator is ';' (NOT ',') because conf VALUES legitimately
+    contain commas (spark.sql.optimizer.excludedRules=A,B,C).
+
+    Separator-mistake guard (round 13): a comma-joined conf string
+    parses as ONE pair whose value swallows the remaining "spark.x=1"
+    pairs.  Spark accepts the malformed value without an error and the
+    axis run silently measures a DIFFERENT hostile config (observed:
+    every query ~100-300x slower, still passing — the worst kind of
+    silent harness failure).  Fail fast instead of launching a
+    mislabeled axis.
+    """
+    pairs: list[tuple[str, str]] = []
+    for pair in filter(None, extra.split(";")):
+        k, _, v = pair.partition("=")
+        if "=" in v and "spark." in v:
+            raise ValueError(
+                "SPARK_GRAFT_TEST_EXTRA_CONF pairs must be ';'-separated; "
+                f"value of {k!r} looks like swallowed pairs: {v!r}"
+            )
+        pairs.append((k.strip(), v.strip()))
+    return pairs
+
+
 @pytest.fixture(scope="session")
 def spark():
     from direct_spark_sql_spark.session import Engine
@@ -36,10 +62,10 @@ def spark():
     # SPARK_GRAFT_TEST_EXTRA_CONF="spark.sql.adaptive.enabled=false" runs
     # the whole differential suite under a hostile config — results must
     # not depend on AQE, partition counts, or codegen being on.
-    extra = os.environ.get("SPARK_GRAFT_TEST_EXTRA_CONF", "")
-    for pair in filter(None, extra.split(";")):
-        k, _, v = pair.partition("=")
-        builder = builder.config(k.strip(), v.strip())
+    # The separator is ';' (NOT ',') because conf VALUES legitimately
+    # contain commas (spark.sql.optimizer.excludedRules=A,B,C).
+    for k, v in parse_extra_conf(os.environ.get("SPARK_GRAFT_TEST_EXTRA_CONF", "")):
+        builder = builder.config(k, v)
     engine = builder.get_or_create()
     engine.spark.sparkContext.setLogLevel("ERROR")
     yield engine.spark

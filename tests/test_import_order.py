@@ -74,3 +74,29 @@ print(len(qs))
     assert res.returncode == 0, res.stderr
     assert "MISSING from the registry" in res.stderr
     assert "'mlops'" in res.stderr
+
+
+def test_extra_conf_separator_guard():
+    """The hostile-axis conf hook must reject comma-joined pairs: Spark
+    silently accepts the swallowed-pairs value and the run measures a
+    different (and pathologically slow) config than its label claims."""
+    import pytest
+
+    from tests.conftest import parse_extra_conf
+
+    ok = parse_extra_conf(
+        "spark.sql.adaptive.enabled=false;"
+        "spark.sql.optimizer.excludedRules=PushDownPredicates,ReorderJoin"
+    )
+    assert ok == [
+        ("spark.sql.adaptive.enabled", "false"),
+        (
+            "spark.sql.optimizer.excludedRules",
+            "PushDownPredicates,ReorderJoin",
+        ),
+    ]
+    with pytest.raises(ValueError, match="swallowed pairs"):
+        parse_extra_conf(
+            "spark.sql.windowExec.buffer.in.memory.threshold=1,"
+            "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold=1"
+        )
