@@ -260,27 +260,51 @@ def basket_affinity(
     lift are single IEEE expressions over those counts, so both engines
     produce bit-identical doubles.
 
-    Scale posture: the only shuffles are (1) the distinct on
-    (basket, item) and (2) the self-equi-join on basket_col — Spark reuses
-    the exchange for both sides (same child plan), and the expansion per
-    basket is bounded by the per-basket distinct-item count, not data
-    volume.  The 1-row total is broadcast.  No all-pairs product anywhere.
+    Scale posture (round-13 shape): ONE shuffle keyed by basket_col builds
+    the per-basket distinct-item set (``collect_set`` dedups map-side, so
+    the exchange moves distinct pairs, not raw rows), and every downstream
+    statistic derives from that single aggregate — unordered pairs expand
+    *inside the row* (sorted set + nested ``transform``, the covariance
+    pattern), item counts are one explode + bounded-key agg, the total is a
+    1-row count.  This replaces the previous distinct + self-equi-join on
+    basket_col: same exact BIGINT counts (the set expansion enumerates
+    exactly the a.item < b.item join matches), minus the join's second
+    shuffle and sort.  Per-basket expansion stays bounded by the distinct-
+    item count per basket — identical to the join's per-key blowup — and
+    the pair/item aggregates are bounded by the item vocabulary.  No
+    all-pairs product anywhere.
     """
-    ob = baskets.select(
-        F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
-    ).distinct()
-    a = ob.alias("a")
-    b = ob.alias("b")
+    arr = baskets.groupBy(F.col(basket_col).alias("bk")).agg(
+        F.array_sort(F.collect_set(F.col(item_col))).alias("xs")
+    )
+    n = F.size("xs")
+    # null basket keys: the old self-join (a.bk = b.bk) never matched NULL,
+    # so the NULL-key group contributes items but no pairs — keep that.
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(2)),
+            lambda i: F.transform(
+                F.sequence(i + F.lit(1), n - F.lit(1)),
+                lambda j: F.struct(
+                    F.get("xs", i.cast("int")).alias("item_a"),
+                    F.get("xs", j.cast("int")).alias("item_b"),
+                ),
+            ),
+        )
+    )
     pair_counts = (
-        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.item") < F.col("b.item")))
-        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        arr.filter(F.col("bk").isNotNull() & (n >= 2))
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("pair_baskets"))
         .filter(F.col("pair_baskets") >= min_pair_baskets)
     )
-    item_counts = ob.groupBy("item").agg(
-        F.count(F.lit(1)).cast("long").alias("item_baskets")
+    item_counts = (
+        arr.select(F.explode("xs").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("item_baskets"))
     )
-    total = ob.agg(F.countDistinct("bk").cast("long").alias("n_baskets"))
+    total = arr.agg(F.count(F.col("bk")).cast("long").alias("n_baskets"))
     ia = item_counts.alias("ia")
     ib = item_counts.alias("ib")
     joined = (

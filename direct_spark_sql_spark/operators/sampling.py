@@ -277,6 +277,7 @@ def dsir_log_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 1024,
+    target_ids: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every corpus
@@ -302,7 +303,15 @@ def dsir_log_weights(
 
     Split into :func:`dsir_lambda_table` (fit) + :func:`dsir_score`
     (apply) so the streaming admission gate can train λ offline once
-    and score arriving shards with it — the paper's deployment."""
+    and score arriving shards with it — the paper's deployment.
+
+    ``target_ids`` (round-13 fast path): when the target slice is a
+    SUBSET of ``corpus`` identified by ``id_col`` values (the registered
+    source-shift readout: target = one source of the same corpus), pass
+    its ids instead of ``target`` and the target's bucket counts are
+    derived from the corpus' own per-(doc, bucket) counts by one doc-id
+    join — the target text is never tokenized or exploded a second time.
+    Bit-identical λ/weights (same integer counts either way)."""
     # Collapse corpus features to per-(doc, bucket) counts FIRST and
     # materialize ONCE (localCheckpoint — the graph/minhash precedent
     # for multi-consumed intermediates): both downstream consumers (the
@@ -311,7 +320,15 @@ def dsir_log_weights(
     # runs exactly once, and the scoring join moves distinct
     # (doc, bucket) pairs instead of every occurrence.
     corp_c = _dsir_feat_counts(corpus, text_col, id_col, n_buckets).localCheckpoint()
-    lam = _dsir_lambda_from_counts(corp_c, target, text_col, id_col, n_buckets)
+    if target_ids is not None:
+        ct = (
+            corp_c.join(target_ids.select(id_col), id_col)
+            .groupBy("__b")
+            .agg(F.sum("__c").cast("long").alias("__ct"))
+        )
+        lam = _dsir_lambda_from_target_bucket_counts(corp_c, ct, n_buckets)
+    else:
+        lam = _dsir_lambda_from_counts(corp_c, target, text_col, id_col, n_buckets)
     return _dsir_score_counts(corp_c, lam, id_col)
 
 
@@ -337,28 +354,18 @@ def _dsir_feat_counts(
     )
 
 
-def _dsir_lambda_from_counts(
-    corp_c: DataFrame,
-    target: DataFrame,
-    text_col: str,
-    id_col: str,
-    n_buckets: int,
+def _dsir_lambda_from_target_bucket_counts(
+    corp_c: DataFrame, ct: DataFrame, n_buckets: int
 ) -> DataFrame:
-    """λ table (__b, __lam): 1e-8-snapped ln(p_target/q_raw) per hashed
-    bucket, add-1 smoothed — EXACTLY n_buckets rows, the broadcastable
-    model.  The table is DENSE over the full bucket space (ADVICE r11):
-    add-1 smoothing defines a ratio for every bucket, including ones
-    the fit corpus never produced (ct=0, cr=0 → λ = ln((tr+b)/(tt+b))
-    in units), so the online use — scoring arriving shards whose
-    features hash to buckets absent from the pilot — matches the
-    paper's smoothing instead of silently dropping those features at
-    the scoring join.  The spine is a bounded spark.range(n_buckets)
-    (default 1024), so the density costs nothing at any corpus size."""
-    ct = (
-        _dsir_feat_counts(target, text_col, id_col, n_buckets)
-        .groupBy("__b")
-        .agg(F.sum("__c").cast("long").alias("__ct"))
-    )
+    """λ table from the corpus per-(doc, bucket) counts plus the TARGET
+    side already reduced to per-bucket totals ``(__b, __ct)`` — the shared
+    tail of the two fit paths.  Round-13 split: when the target slice is a
+    SUBSET of the corpus (the registered source-shift query), its bucket
+    totals are derivable from ``corp_c`` by one doc-id join, which skips
+    re-tokenizing and re-exploding the target's text entirely (the fit's
+    second-most-expensive stage); the generic path still hashes the target
+    independently.  Identical integer totals either way, so λ is
+    bit-identical."""
     cr = corp_c.groupBy("__b").agg(F.sum("__c").cast("long").alias("__cr"))
     tt = ct.agg(F.coalesce(F.sum("__ct"), F.lit(0)).cast("long").alias("__tt"))
     tr = cr.agg(F.coalesce(F.sum("__cr"), F.lit(0)).cast("long").alias("__tr"))
@@ -391,6 +398,31 @@ def _dsir_lambda_from_counts(
             .alias("__lam"),
         )
     )
+
+
+def _dsir_lambda_from_counts(
+    corp_c: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """λ table (__b, __lam): 1e-8-snapped ln(p_target/q_raw) per hashed
+    bucket, add-1 smoothed — EXACTLY n_buckets rows, the broadcastable
+    model.  The table is DENSE over the full bucket space (ADVICE r11):
+    add-1 smoothing defines a ratio for every bucket, including ones
+    the fit corpus never produced (ct=0, cr=0 → λ = ln((tr+b)/(tt+b))
+    in units), so the online use — scoring arriving shards whose
+    features hash to buckets absent from the pilot — matches the
+    paper's smoothing instead of silently dropping those features at
+    the scoring join.  The spine is a bounded spark.range(n_buckets)
+    (default 1024), so the density costs nothing at any corpus size."""
+    ct = (
+        _dsir_feat_counts(target, text_col, id_col, n_buckets)
+        .groupBy("__b")
+        .agg(F.sum("__c").cast("long").alias("__ct"))
+    )
+    return _dsir_lambda_from_target_bucket_counts(corp_c, ct, n_buckets)
 
 
 def _dsir_score_counts(

@@ -779,15 +779,26 @@ def label_centroid_classify(
         F.col(label_col).cast("long").alias("label"),
         F.col("pred_label").cast("long").alias("pred_label"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
-    totals = conf.groupBy("label").agg(F.sum("n_vectors").alias("__tot"))
+    # Per-label fractions via a window over the BOUNDED (≤ L²-row)
+    # confusion relation rather than a groupBy(label)+broadcast join-back:
+    # the join-back's broadcast subplan duplicated the entire upstream
+    # centroid+assignment pipeline in the physical plan (round-13 plan
+    # audit: two full ObjectHashAggregate/Generate chains), re-running the
+    # most expensive stage; the window keys on `label`, whose cardinality
+    # is the label vocabulary (not data volume), so no skew exposure.
+    # Same BIGINT per-label sum, same single IEEE division — bit-identical.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label")
     return (
-        conf.join(F.broadcast(totals), "label")
-        .select(
+        conf.select(
             "label",
             "pred_label",
             "n_vectors",
-            (F.col("n_vectors").cast("double") / F.col("__tot").cast("double"))
-            .alias("frac"),
+            (
+                F.col("n_vectors").cast("double")
+                / F.sum("n_vectors").over(w).cast("double")
+            ).alias("frac"),
         )
         .orderBy("label", "pred_label")
     )

@@ -2356,10 +2356,15 @@ def sample_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/sampling.py:dsir_log_weights for the 100 TB shape
     (bucket-capped aggs, broadcast λ dim, no corpus-text shuffle)."""
     d = load_table(spark, sf_dir, "documents")
+    # target = one source of the SAME corpus: pass target ids so the λ fit
+    # derives the target's bucket counts from the corpus per-(doc, bucket)
+    # counts instead of tokenizing the slice a second time (bit-identical
+    # integers; operators/sampling.py round-13 fast path).
     w = sp.dsir_log_weights(
         d.select("doc_id", "text"),
-        d.filter(F.col("source") == DSIR_TARGET_SOURCE).select("doc_id", "text"),
+        None,
         n_buckets=DSIR_BUCKETS,
+        target_ids=d.filter(F.col("source") == DSIR_TARGET_SOURCE).select("doc_id"),
     )
     return (
         w.join(d.select("doc_id", "source"), "doc_id")
@@ -2376,10 +2381,15 @@ def sample_dsir_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection curves are drawn from).  Integer unit sums, one final
     division."""
     d = load_table(spark, sf_dir, "documents")
+    # target = one source of the SAME corpus: pass target ids so the λ fit
+    # derives the target's bucket counts from the corpus per-(doc, bucket)
+    # counts instead of tokenizing the slice a second time (bit-identical
+    # integers; operators/sampling.py round-13 fast path).
     w = sp.dsir_log_weights(
         d.select("doc_id", "text"),
-        d.filter(F.col("source") == DSIR_TARGET_SOURCE).select("doc_id", "text"),
+        None,
         n_buckets=DSIR_BUCKETS,
+        target_ids=d.filter(F.col("source") == DSIR_TARGET_SOURCE).select("doc_id"),
     )
     return (
         w.join(d.select("doc_id", "source"), "doc_id")

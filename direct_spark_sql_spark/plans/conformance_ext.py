@@ -1566,12 +1566,19 @@ QUERIES += [
 # pattern (bitmap_bucket_number / bitmap_bit_position / bitmap_count).
 # ---------------------------------------------------------------------------
 
+# Round 13: the three identical scalar subqueries of the 'ALL' branch
+# (one global COUNT DISTINCT each) are hoisted into the single ``tot``
+# CTE — same value, same comparison arithmetic, one distinct-scan
+# instead of three.
 _HLL_SPARK = """
 WITH sk AS (
   SELECT o_orderpriority,
          hll_sketch_agg(o_custkey) AS sk,
          COUNT(DISTINCT o_custkey) AS exact_cnt
   FROM orders GROUP BY o_orderpriority
+),
+tot AS (
+  SELECT COUNT(DISTINCT o_custkey) AS n FROM orders
 )
 SELECT o_orderpriority,
        CAST(exact_cnt AS BIGINT) AS exact_cnt,
@@ -1580,11 +1587,10 @@ SELECT o_orderpriority,
 FROM sk
 UNION ALL
 SELECT 'ALL' AS o_orderpriority,
-       (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders),
-       abs(hll_sketch_estimate(hll_union_agg(sk))
-           - (SELECT COUNT(DISTINCT o_custkey) FROM orders))
-         <= 0.05 * (SELECT COUNT(DISTINCT o_custkey) FROM orders)
-FROM sk
+       CAST(MAX(n) AS BIGINT),
+       abs(hll_sketch_estimate(hll_union_agg(sk)) - MAX(n))
+         <= 0.05 * MAX(n)
+FROM sk CROSS JOIN tot
 ORDER BY o_orderpriority
 """
 

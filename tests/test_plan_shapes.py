@@ -217,6 +217,11 @@ _NLJ_ALLOWED = {
     "split_cluster_safe_audit",    # ≤3-row per-split rollup × broadcast
                                    # 1-row leaked-pairs count (the
                                    # quality_constraint_audit precedent)
+    "sketch_hll_union_estimate",   # 'ALL' branch: ≤5-row priority rollup ×
+                                   # broadcast 1-row global COUNT DISTINCT
+                                   # (r13 hoist of 3 identical scalar
+                                   # subqueries into one tot CTE — the
+                                   # decontam_width_curve precedent)
 }
 
 
