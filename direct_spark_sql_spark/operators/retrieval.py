@@ -101,18 +101,32 @@ def bm25_topk(
     idf uses the +1 ("BM25+-style") form ``ln(1 + (N - df + 0.5)/(df + 0.5))``
     so scores are always positive.  Ties break on id for a deterministic
     top-k cut.
+
+    Round-13 shape (guide §7.2 duplicated subtrees, §8 lightweight
+    proxy): the three consumers of the tokenized corpus (1-row stats,
+    per-(doc, term) tf, per-doc lengths) used to each re-run the full
+    tokenize — three corpus scans per query.  Now ONE pass projects the
+    narrow per-doc proxy ``(id, dl, query-term tokens)`` — the full token
+    array never leaves the scan task — and that proxy is eagerly
+    localCheckpoint-ed (the dsir corp_c precedent) so all three consumers
+    read the materialized narrow frame.  Equivalence: ``dl`` is the same
+    ``size(tokens)``; filtering the token array to query terms *before*
+    explode yields the same (id, term) multiset as filtering after —
+    identical BIGINT tf/df counts, bit-identical scores.
     """
-    base = docs.select(F.col(id_col), tx.tokens(text_col).alias("toks")).withColumn(
-        "dl", F.size("toks").cast("long")
-    )
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    toks = tx.tokens(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("dl"),
+        F.filter(toks, lambda t: F.array_contains(term_arr, t)).alias("qtoks"),
+    ).localCheckpoint()
     stats = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
     )
-    term_arr = F.array(*[F.lit(t) for t in terms])
     tf = (
-        base.select(id_col, F.explode("toks").alias("term"))
-        .filter(F.array_contains(term_arr, F.col("term")))
+        base.select(id_col, F.explode("qtoks").alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )

@@ -1122,6 +1122,43 @@ def semantic_dedup(
 # Distributed PCA: covariance accumulation + coordinator eigendecomposition
 # ---------------------------------------------------------------------------
 
+def _scan_splits_below_parallelism(df: DataFrame) -> bool:
+    """True when the frame's parquet scan would open on fewer input splits
+    than the cluster's default parallelism — the tiny-local-file /
+    few-row-group case where a pre-expansion round-robin repartition pays.
+
+    Estimated with Spark's own split arithmetic (Σ ceil(bytes /
+    maxPartitionBytes) over the scan's files, driver-side Hadoop listing)
+    instead of ``df.rdd.getNumPartitions()``: the RDD probe builds the
+    full physical plan plus a Python-RDD conversion per call, which
+    round-13 profiling measured as the dominant plan-construction cost.
+    Conservative on any error (returns False — no extra exchange)."""
+    try:
+        spark = df.sparkSession
+        par = spark.sparkContext.defaultParallelism
+        files = df.inputFiles()
+        if not files:
+            return True  # in-memory relation: spreading is free
+        if len(files) >= par:
+            return False
+        max_pb = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        splits = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            fs = p.getFileSystem(hconf)
+            size = fs.getFileStatus(p).getLen()
+            splits += max(1, -(-size // max_pb))
+            if splits >= par:
+                return False
+        return splits < par
+    except Exception:  # noqa: BLE001 — sizing probe only, never correctness
+        return False
+
+
 def covariance_entries(
     df: DataFrame, emb_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
@@ -1145,10 +1182,15 @@ def covariance_entries(
     # handful of row-group splits on a cluster) it would otherwise run on
     # that few tasks.  A round-robin repartition of the *pre-expansion*
     # rows (cheap: one narrow vector per row) spreads the expansion across
-    # the full parallelism.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    # the full parallelism.  The split estimate is driver-side file-size
+    # arithmetic (Spark's own bytes/maxPartitionBytes split math) — the
+    # previous ``df.rdd.getNumPartitions()`` probe forced a full physical
+    # plan + Python-RDD conversion on every call (round-13 measurement:
+    # the probe alone dominated plan-construction time).  Either way the
+    # result is unaffected: the repartition only spreads rows, and every
+    # downstream sum is exact decimal (order-independent).
+    if _scan_splits_below_parallelism(df):
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     v = df.select(_dec_vec(emb_col).alias("v"))
     n_dim = F.size("v")
     idx = F.sequence(F.lit(0), n_dim - F.lit(1))

@@ -343,10 +343,19 @@ def boilerplate_ngrams(
     """
     grams = F.array_distinct(word_ngrams(text_col, n))
     g = df.select(id_col, group_col, F.explode(grams).alias("gram"))
+    # Round 13 (guide §7.2): the boiler set is consumed multiple times
+    # (the per-doc annotate join below, plus callers' per-group rollups),
+    # and each consumer's plan re-ran the full corpus gram-explode+agg
+    # chain that produces it.  boiler is the BOUNDED high-df tail (size
+    # capped by gram diversity / min_df, not data volume), so an eager
+    # localCheckpoint materializes it once and every consumer reads the
+    # tiny table — the corpus is gram-exploded twice total (df count +
+    # annotate), never three times.  Same rows, lineage only.
     boiler = (
         g.groupBy(group_col, "gram")
         .agg(F.count("*").alias("gram_df"))
         .filter(F.col("gram_df") >= int(min_df))
+        .localCheckpoint()
     )
     per_doc = (
         g.join(

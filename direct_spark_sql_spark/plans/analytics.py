@@ -2473,20 +2473,28 @@ def corpus_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     step is one map-side-combinable per-lang token agg; the waterfill
     itself runs on the bounded language dim (see
     operators/sampling.py:unimax_allocation)."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
-    # The ≤|langs|-row counts frame is consumed by both the budget total
-    # and the waterfill, so the token scan recomputes lazily per
-    # consumer.  Measured at 1×/100×, that beats materializing it (an
-    # eager localCheckpoint added ~3.5 s of fixed job overhead for a
-    # 5-row frame — 7× slower at 100×); at true 100 TB a caller would
-    # persist this bounded frame once and hand it to
-    # sp.unimax_allocation directly, which accepts any counts input.
+    # Round 13 (guide §7.2 duplicated subtrees): the budget total is a
+    # window SUM over the ≤|langs|-row counts frame instead of a separate
+    # agg + crossJoin — the crossJoin's broadcast subplan duplicated the
+    # whole tokenize+agg chain, re-running the corpus token scan (the
+    # query's entire cost) a second time.  The window keys the bounded
+    # lang dim into one task — exactly where the waterfill already runs —
+    # so the heavy scan executes ONCE and the budget arithmetic is the
+    # same exact BIGINT sum (order-independent), bit-identical output.
     counts = d.groupBy(F.col("lang").alias("domain")).agg(
         F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens")
     )
-    total = counts.agg(F.sum("n_tokens").cast("long").alias("__total"))
+    whole = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_total = counts.withColumn(
+        "__total", F.sum("n_tokens").over(whole).cast("long")
+    )
     return sp.unimax_allocation(
-        counts.crossJoin(F.broadcast(total)),
+        with_total,
         F.expr("(__total * 8) div 10"),
         UNIMAX_EPOCH_CAP,
     ).orderBy("domain")
