@@ -248,6 +248,31 @@ def main() -> None:
 
     last_plan_metrics: dict[str, dict[str, int]] = {}
 
+    # JVM-side plan-metric rollup (round 13): compile-if-needed the repo's
+    # helper jar, ADD JAR it, and instantiate org.dss.udf.PlanMetricsRollup
+    # through the session's context classloader (ADD JAR classes are not
+    # visible to the py4j gateway's root classloader).  Any failure —
+    # no javac on the host, classloader quirks — degrades to the Python
+    # walk with identical semantics, never to a missing rollup.
+    _rollup_box: list = []
+
+    def _jvm_rollup():
+        if _rollup_box:
+            return _rollup_box[0]
+        try:
+            from direct_spark_sql_spark.functions.jvm import ensure_udf_jar
+
+            jar = ensure_udf_jar()
+            spark.sql(f"ADD JAR '{jar}'")
+            cl = spark._jvm.java.lang.Thread.currentThread().getContextClassLoader()
+            # Class.newInstance: py4j can't express the zero-arg
+            # getDeclaredConstructor() varargs call
+            inst = cl.loadClass("org.dss.udf.PlanMetricsRollup").newInstance()
+        except Exception:
+            inst = None
+        _rollup_box.append(inst)
+        return inst
+
     def measure(q, runs: int, data_dir: str = None) -> float:
         # A FRESH DataFrame per run: re-collecting the same object lets
         # Spark skip completed shuffle stages and under-reports.
@@ -265,27 +290,43 @@ def main() -> None:
         # cores would devastate a 1000-executor cluster).
         if df is not None:
             try:
-                from direct_spark_sql_spark.session import _walk_plan_metrics
+                jplan = df._jdf.queryExecution().executedPlan()
+                rollup = _jvm_rollup()
+                if rollup is not None:
+                    # Round 13: identical walk, done JVM-side in one py4j
+                    # call per metric.  The Python-side node walk cost
+                    # 1-11 s of py4j round trips per query (measured) —
+                    # pure measurement overhead that was starving the
+                    # probe tiers and the noise re-time pass out of the
+                    # wall budget on a slow host.
+                    last_plan_metrics[q.name] = {
+                        "shuffle_bytes_written": int(
+                            rollup.sumMetric(jplan, "shuffleBytesWritten")
+                        ),
+                        "spill_bytes": int(rollup.sumMetric(jplan, "spillSize")),
+                    }
+                else:
+                    from direct_spark_sql_spark.session import _walk_plan_metrics
 
-                nodes: list = []
-                _walk_plan_metrics(df._jdf.queryExecution().executedPlan(), nodes)
+                    nodes: list = []
+                    _walk_plan_metrics(jplan, nodes)
 
-                def total(metric):
-                    # v > 0 skips SQLMetric's -1 "unset" sentinel on
-                    # unexecuted nodes — same semantics as the session's
-                    # _compute_metrics rollup, so pins recorded here agree
-                    # with last_metrics() for the same plan
-                    return sum(
-                        v
-                        for n in nodes
-                        if (v := n["metrics"].get(metric)) is not None
-                        and v > 0
-                    )
+                    def total(metric):
+                        # v > 0 skips SQLMetric's -1 "unset" sentinel on
+                        # unexecuted nodes — same semantics as the session's
+                        # _compute_metrics rollup, so pins recorded here agree
+                        # with last_metrics() for the same plan
+                        return sum(
+                            v
+                            for n in nodes
+                            if (v := n["metrics"].get(metric)) is not None
+                            and v > 0
+                        )
 
-                last_plan_metrics[q.name] = {
-                    "shuffle_bytes_written": total("shuffleBytesWritten"),
-                    "spill_bytes": total("spillSize"),
-                }
+                    last_plan_metrics[q.name] = {
+                        "shuffle_bytes_written": total("shuffleBytesWritten"),
+                        "spill_bytes": total("spillSize"),
+                    }
             except Exception:
                 pass
         return best

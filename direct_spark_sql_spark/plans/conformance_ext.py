@@ -164,11 +164,33 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 # UNION-distinct recursion, so termination must come from the data).
 # ---------------------------------------------------------------------------
 
+# Round 13 (guide §1.2 — fewer passes): the recursive member walks in
+# JUMPS of composed halvings — ``cur DIV 2^k`` with ``depth + k`` for the
+# largest menu step 2^k <= cur — instead of one halving per iteration.
+# Integer division composes exactly ((n DIV 2^a) DIV 2^b = n DIV 2^(a+b)),
+# and a jump taken only when cur >= 2^k cannot skip the terminal (every
+# intermediate halving stays >= 2), so each document's terminal
+# (depth, cur<=1) row — the only rows the outer SELECT keeps — is
+# bit-identical to the DIV-2 walk the DuckDB oracle still runs.  What
+# changes is the iteration count: ~log2(max_id)/8 UnionLoop iterations
+# instead of log2(max_id), i.e. ~4 jobs instead of ~13 at sf0.1 (each
+# iteration is a full scheduled job — measured 176 jobs / 4 runs before).
 _RECURSIVE_DEPTH_SPARK = """
 WITH RECURSIVE walk AS (
   SELECT doc_id, doc_id AS cur, 0 AS depth FROM documents
   UNION ALL
-  SELECT doc_id, cur DIV 2 AS cur, depth + 1 AS depth FROM walk WHERE cur > 1
+  SELECT doc_id,
+         CASE WHEN cur >= 65536 THEN cur DIV 65536
+              WHEN cur >= 256   THEN cur DIV 256
+              WHEN cur >= 16    THEN cur DIV 16
+              WHEN cur >= 4     THEN cur DIV 4
+              ELSE cur DIV 2 END AS cur,
+         depth + CASE WHEN cur >= 65536 THEN 16
+                      WHEN cur >= 256   THEN 8
+                      WHEN cur >= 16    THEN 4
+                      WHEN cur >= 4     THEN 2
+                      ELSE 1 END AS depth
+  FROM walk WHERE cur > 1
 )
 SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(doc_id) AS BIGINT) AS sum_ids

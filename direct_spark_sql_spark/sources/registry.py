@@ -50,6 +50,30 @@ TABLES: tuple[str, ...] = (
 )
 
 
+#: Per-session memo of *lazy scan plans* (round 13, guide §7.3 — driver
+#: overhead): ``spark.read.parquet`` re-reads the footer (schema) and
+#: re-lists the path on every call, and nearly every registered query
+#: calls ``load_table`` 1-4 times per construction, so the bench paid
+#: hundreds of redundant driver-side footer reads per run.  The memo
+#: holds ONLY the unresolved DataFrame (metadata) — never rows; every
+#: action on it still scans the parquet from disk, so result-freshness
+#: semantics are untouched.  Keys carry the file's mtime+size, so a
+#: rewritten dataset (scale probes regenerate dirs in place) misses the
+#: cache instead of serving a stale file listing; sessions are weak keys
+#: so dead sessions' plans are dropped.  Remote/unstattable paths skip
+#: the memo entirely.
+import weakref
+
+_TABLE_PLANS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def clear_table_plan_cache() -> None:
+    """Drop every memoized scan plan (tests / dataset-rewrite hooks)."""
+    _TABLE_PLANS.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table.
 
@@ -63,13 +87,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     convert with exact integer µs arithmetic — identical to DuckDB's own
     ns→µs truncation, so oracles stay bit-exact.
     """
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
+        # set on every call (cache hit or not) — callers may have unset it
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None:
+        per_session = _TABLE_PLANS.setdefault(spark, {})
+        cached = per_session.get(key)
+        if cached is not None:
+            return cached
+    df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if key is not None:
+        per_session[key] = df
+    return df
 
 
 def register_star_schema(spark: SparkSession, sf_dir: str) -> None:
