@@ -418,9 +418,19 @@ def minhash_near_duplicates(
     generation (quadratic-blow-up skew guard — see the constant's note
     for the recall statement); run the exact fingerprint path first to
     collapse the mass-duplicate clusters such buckets represent."""
+    # Round-13 (guide §7.2 duplicated subtrees): the band table below is
+    # consumed FOUR times (hot-bucket count, the anti-join's stream side,
+    # and both self-join sides), and each consumer used to re-run the
+    # whole signature pipeline — the shingle explode + NUM_PERM-way MIN
+    # agg, the query's dominant scan — from the raw text.  Eagerly
+    # localCheckpoint the signature table (bounded: one row of ~2×NUM_PERM
+    # longs per document, never the text) so every consumer reads the
+    # materialized frame; the band expansion re-derived from it is a
+    # cheap map-side projection.  Lineage-only change: same rows, same
+    # values (the bm25/dsir corp_c precedent).
     sig = minhash_signatures(df, id_col, text_col, shingles_df).withColumn(
         "sig", F.array(*[F.col(f"m{i}") for i in range(NUM_PERM)])
-    )
+    ).localCheckpoint()
     bt = _band_table_with_sig(sig, id_col, bands, rows)
     # Skew guard: drop over-cap band buckets before the self-join (see
     # MAX_BAND_BUCKET).  The hot-bucket list is tiny (<= band_rows / cap
@@ -489,7 +499,12 @@ def band_cap_audit(
     One band-table scan + bounded aggs; the affected-docs count is a
     semi-join against the (tiny) over-cap bucket list, and the final
     combine is a 1-row × 1-row cross."""
-    sig = minhash_signatures(df, id_col, text_col)
+    # Round-13 (guide §7.2): the band table feeds three subtrees (the
+    # bucket-size agg, the semi-join's stream side, and the over-cap
+    # filter side derived from the agg) — checkpoint the bounded
+    # signature table once so none of them re-runs the shingle explode +
+    # MIN-agg pipeline from raw text.  Lineage-only; values unchanged.
+    sig = minhash_signatures(df, id_col, text_col).localCheckpoint()
     bt = lsh_band_table(sig, id_col)
     bs = bt.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("n"))
     over = F.col("n") > MAX_BAND_BUCKET

@@ -118,13 +118,32 @@ def cosine_topk(
     """Top-k rows of ``df`` by cosine similarity to the single-row ``query``
     DataFrame (column ``{emb_col}``).  The query side is broadcast; the scan
     side never shuffles until the bounded top-k."""
-    q = F.broadcast(query.select(F.col(emb_col).alias("__q")))
-    joined = df.crossJoin(q)
-    return (
-        joined.select(
-            F.col(id_col),
-            cosine_dec(_dec_vec(emb_col), _dec_vec("__q")).alias("cosine"),
+    # Round-13 (guide §1.2 per-task work): decimal HOF arithmetic runs
+    # interpreted, so the query side's decimal cast and norm are computed
+    # ONCE in the broadcast subplan (not per scanned row), and the data
+    # row's decimal vector + norm² are hoisted into their own projections
+    # so the cosine evaluates each exactly once (the ivf_assign pattern).
+    # Same operands, same order — sqrt(na)·sqrt(nb) over identical
+    # doubles — so every cosine is bit-identical; the (na>0)&(nb>0)
+    # zero-norm guard tests the same norm² values as before.
+    q = F.broadcast(
+        query.select(
+            _dec_vec(emb_col).alias("__qdec"),
+            _to_double(norm_sq_dec(_dec_vec(emb_col))).alias("__qn2"),
         )
+    )
+    prepped = (
+        df.crossJoin(q)
+        .withColumn("__vdec", _dec_vec(emb_col))
+        .withColumn("__vn2", _to_double(norm_sq_dec(F.col("__vdec"))))
+    )
+    cos = F.when(
+        (F.col("__vn2") > F.lit(0.0)) & (F.col("__qn2") > F.lit(0.0)),
+        _to_double(dot_dec(F.col("__vdec"), F.col("__qdec")))
+        / (F.sqrt(F.col("__vn2")) * F.sqrt(F.col("__qn2"))),
+    ).otherwise(F.lit(-2.0))
+    return (
+        prepped.select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
@@ -147,15 +166,32 @@ def cosine_topk_batch(
     (q_id, id, cosine, rk) with rk ≤ k."""
     from pyspark.sql import Window as W
 
+    # Round-13: same hoist as cosine_topk — per-query decimal cast + norm²
+    # precomputed in the broadcast subplan, per-data-row decimal vector +
+    # norm² in their own projections, so the per-(row × query) work is one
+    # decimal dot instead of two casts and three norms.  Bit-identical
+    # (same operands, same order, same zero-norm guard).
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("__qid"), F.col(emb_col).alias("__q")
+            F.col(query_id_col).alias("__qid"),
+            _dec_vec(emb_col).alias("__qdec"),
+            _to_double(norm_sq_dec(_dec_vec(emb_col))).alias("__qn2"),
         )
     )
-    scored = df.crossJoin(q).select(
-        F.col("__qid").alias(query_id_col),
-        F.col(id_col),
-        cosine_dec(_dec_vec(emb_col), _dec_vec("__q")).alias("cosine"),
+    cos = F.when(
+        (F.col("__vn2") > F.lit(0.0)) & (F.col("__qn2") > F.lit(0.0)),
+        _to_double(dot_dec(F.col("__vdec"), F.col("__qdec")))
+        / (F.sqrt(F.col("__vn2")) * F.sqrt(F.col("__qn2"))),
+    ).otherwise(F.lit(-2.0))
+    scored = (
+        df.withColumn("__vdec", _dec_vec(emb_col))
+        .withColumn("__vn2", _to_double(norm_sq_dec(F.col("__vdec"))))
+        .crossJoin(q)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            cos.alias("cosine"),
+        )
     )
     w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), id_col)
     return (
@@ -1439,17 +1475,28 @@ def ivf_pq_topk(
         F.col("cell_id").isin([int(c) for c in cells])
     ).select(id_col)
     sub = dims // m
-    elems = df.select(
-        F.col(id_col),
-        F.posexplode(_dec_vec(emb_col)).alias("i0", "a"),
-    ).select(
-        id_col,
-        "a",
-        F.floor(F.col("i0") / sub).cast("int").alias("j"),
-        F.pmod(F.col("i0"), F.lit(sub)).cast("int").alias("pos"),
-    )
-    cb = elems.filter(
-        (F.col(id_col) >= 1) & (F.col(id_col) <= n_codes)
+
+    # Round-13 (guide §3.3 "explode after, not before"): each consumer
+    # explodes its OWN pre-filtered slice of the corpus instead of
+    # sharing one full-corpus explode — the probed semi-join now prunes
+    # BEFORE the ×dims posexplode and the interpreted decimal cast, so
+    # only nprobe/n_cells of the corpus pays them, and the codebook /
+    # query slices become pushed-down id-range scans.  Explode commutes
+    # with an id filter, so every (id, j, pos, a) multiset — and every
+    # downstream decimal sum — is unchanged.
+    def _sub_elems(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col),
+            F.posexplode(_dec_vec(emb_col)).alias("i0", "a"),
+        ).select(
+            id_col,
+            "a",
+            F.floor(F.col("i0") / sub).cast("int").alias("j"),
+            F.pmod(F.col("i0"), F.lit(sub)).cast("int").alias("pos"),
+        )
+
+    cb = _sub_elems(
+        df.filter((F.col(id_col) >= 1) & (F.col(id_col) <= n_codes))
     ).select(
         (F.col(id_col) - 1).cast("int").alias("c"),
         "j",
@@ -1461,7 +1508,7 @@ def ivf_pq_topk(
     # lists give a real deployment (codes there are precomputed; the
     # arithmetic and result are the same)
     d2 = (
-        elems.join(probed, id_col, "semi")
+        _sub_elems(df.join(probed, id_col, "semi"))
         .join(cb, ["j", "pos"])
         .groupBy(id_col, "j", "c")
         .agg(F.sum(diff * diff).cast("decimal(24,6)").alias("d2"))
@@ -1470,7 +1517,7 @@ def ivf_pq_topk(
         F.min(F.struct("d2", "c")).alias("mc")
     ).select(id_col, "j", F.col("mc.c").alias("code"))
     qd = (
-        elems.filter(F.col(id_col) == query_id)
+        _sub_elems(df.filter(F.col(id_col) == query_id))
         .join(cb, ["j", "pos"])
         .groupBy("j", "c")
         .agg(F.sum(diff * diff).cast("decimal(24,6)").alias("qd2"))
