@@ -274,9 +274,16 @@ def basket_affinity(
     the pair/item aggregates are bounded by the item vocabulary.  No
     all-pairs product anywhere.
     """
+    # Round-13 (guide §7.2): the per-basket set aggregate below feeds FOUR
+    # subtrees (pair expansion, both item-count broadcast sides, the
+    # 1-row total), and each used to re-run the collect_set shuffle from
+    # the raw rows.  Eagerly localCheckpoint the narrow (basket, sorted
+    # item set) frame — the minhash/bm25 precedent — so the shuffle runs
+    # once; the bounded item-count agg is likewise checkpointed so the two
+    # broadcast sides share it.  Lineage-only: same rows, same values.
     arr = baskets.groupBy(F.col(basket_col).alias("bk")).agg(
         F.array_sort(F.collect_set(F.col(item_col))).alias("xs")
-    )
+    ).localCheckpoint()
     n = F.size("xs")
     # null basket keys: the old self-join (a.bk = b.bk) never matched NULL,
     # so the NULL-key group contributes items but no pairs — keep that.
@@ -303,6 +310,7 @@ def basket_affinity(
         arr.select(F.explode("xs").alias("item"))
         .groupBy("item")
         .agg(F.count(F.lit(1)).cast("long").alias("item_baskets"))
+        .localCheckpoint()
     )
     total = arr.agg(F.count(F.col("bk")).cast("long").alias("n_baskets"))
     ia = item_counts.alias("ia")

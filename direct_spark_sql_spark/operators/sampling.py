@@ -341,13 +341,23 @@ def _dsir_feat_counts(
     from direct_spark_sql_spark.operators.dedup import token_windows
     from direct_spark_sql_spark.operators.text import tokens
 
+    # Round-13 (guide §1.2 fewer passes): the unigram and bigram features
+    # used to be TWO scan+tokenize branches union'd together; one select
+    # concatenates both feature arrays per document and explodes once —
+    # same (id, feature) multiset (explode of a concat = union of the
+    # explodes; docs with <2 tokens contribute an empty bigram slice
+    # exactly like the old size>=2 filter), so every downstream bucket
+    # count is bit-identical while the corpus is scanned and tokenized
+    # once instead of twice.
     toks = tokens(text_col)
-    uni = df.select(F.col(id_col), F.explode(toks).alias("__f"))
-    bi = df.filter(F.size(toks) >= 2).select(
-        F.col(id_col), F.explode(token_windows(text_col, 2)).alias("__f")
+    feats = F.concat(
+        toks,
+        F.when(F.size(toks) >= 2, token_windows(text_col, 2)).otherwise(
+            F.array().cast("array<string>")
+        ),
     )
     return (
-        uni.unionByName(bi)
+        df.select(F.col(id_col), F.explode(feats).alias("__f"))
         .select(id_col, (h64(F.col("__f")) % F.lit(n_buckets)).alias("__b"))
         .groupBy(id_col, "__b")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))

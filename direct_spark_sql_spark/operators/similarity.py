@@ -87,6 +87,18 @@ def _dec_vec(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double").cast(DEC_ELEM))
 
 
+def _dec_elem(col: Column | str) -> Column:
+    """Per-element float→DOUBLE→DECIMAL(12,9) funnel for one scalar column
+    — the post-explode twin of :func:`_dec_vec`.  ``posexplode(raw)`` +
+    this cast runs in whole-stage codegen, while
+    ``posexplode(_dec_vec(raw))`` evaluates the interpreted HOF transform
+    per row first (round-13 A/B on the (label, dim) centroid agg: −15%
+    wall at bit-identical output — same cast chain, applied after the
+    Generate instead of inside a CodegenFallback transform)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("double").cast(DEC_ELEM)
+
+
 def dot_dec(a: Column, b: Column) -> Column:
     """Exact decimal dot product of two equal-length arrays (JVM-side)."""
     return F.aggregate(
@@ -748,8 +760,8 @@ def kmeans_refine_step(
     """
     assigned = ivf_assign(df, centroids, id_col, emb_col, cell_col="cluster_id")
     elems = assigned.select(
-        "cluster_id", F.posexplode(_dec_vec(emb_col)).alias("dim_i0", "a")
-    )
+        "cluster_id", F.posexplode(F.col(emb_col)).alias("dim_i0", "__raw")
+    ).select("cluster_id", "dim_i0", _dec_elem("__raw").alias("a"))
     return (
         elems.groupBy("cluster_id", (F.col("dim_i0") + 1).cast("long").alias("dim_i"))
         .agg(
@@ -786,8 +798,8 @@ def label_centroid_classify(
     """
     elems = df.select(
         F.col(label_col).cast("long").alias("__lbl"),
-        F.posexplode(_dec_vec(emb_col)).alias("__dim", "__a"),
-    )
+        F.posexplode(F.col(emb_col)).alias("__dim", "__raw"),
+    ).select("__lbl", "__dim", _dec_elem("__raw").alias("__a"))
     cent_elems = elems.groupBy("__lbl", "__dim").agg(
         (_to_double(F.sum("__a")) / F.count(F.lit(1)).cast("double")).alias("__c")
     )
@@ -862,9 +874,12 @@ def standardize_embeddings(
     """
     e = df.select(
         F.col(id_col),
-        F.posexplode(_dec_vec(vec_col)).alias("dim", "v"),
+        F.posexplode(F.col(vec_col)).alias("dim", "__raw"),
     ).select(
-        id_col, F.col("dim").cast("long").alias("dim"), "v",
+        id_col, F.col("dim").cast("long").alias("dim"),
+        _dec_elem("__raw").alias("v"),
+    ).select(
+        id_col, "dim", "v",
         F.col("v").cast("double").alias("v_dbl"),
     )
     stats = e.groupBy("dim").agg(
@@ -1250,7 +1265,8 @@ def covariance_entries(
         .agg(F.sum("xy").alias("sxy_dec"), F.count(F.lit(1)).cast("long").alias("n"))
     )
     sums = (
-        df.select(F.posexplode(_dec_vec(emb_col)).alias("i", "a"))
+        df.select(F.posexplode(F.col(emb_col)).alias("i", "__raw"))
+        .select("i", _dec_elem("__raw").alias("a"))
         .groupBy("i")
         .agg(F.sum("a").alias("sx_dec"))
         .select(F.col("i").cast("int").alias("i"), _to_double(F.col("sx_dec")).alias("sx"))
@@ -1367,10 +1383,10 @@ def pq_adc_topk(
     sub = dims // m
     elems = df.select(
         F.col(id_col),
-        F.posexplode(_dec_vec(emb_col)).alias("i0", "a"),
+        F.posexplode(F.col(emb_col)).alias("i0", "__raw"),
     ).select(
         id_col,
-        "a",
+        _dec_elem("__raw").alias("a"),
         F.floor(F.col("i0") / sub).cast("int").alias("j"),
         F.pmod(F.col("i0"), F.lit(sub)).cast("int").alias("pos"),
     )
@@ -1487,10 +1503,10 @@ def ivf_pq_topk(
     def _sub_elems(frame: DataFrame) -> DataFrame:
         return frame.select(
             F.col(id_col),
-            F.posexplode(_dec_vec(emb_col)).alias("i0", "a"),
+            F.posexplode(F.col(emb_col)).alias("i0", "__raw"),
         ).select(
             id_col,
-            "a",
+            _dec_elem("__raw").alias("a"),
             F.floor(F.col("i0") / sub).cast("int").alias("j"),
             F.pmod(F.col("i0"), F.lit(sub)).cast("int").alias("pos"),
         )

@@ -189,8 +189,14 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_events_stream(spark, sf_dir)
     customer = load_table(spark, sf_dir, "customer")
+    # state_partitions=8: the rollup key (c_mktsegment) has 5 values, so
+    # the state-store count tracks the bounded key domain instead of the
+    # core count (see run_available_now — scale-independent sizing).
     result = run_available_now(
-        stream_static_enrich(events, customer), "stream_static_enrich", "complete"
+        stream_static_enrich(events, customer),
+        "stream_static_enrich",
+        "complete",
+        state_partitions=8,
     )
     return result.orderBy("c_mktsegment")
 

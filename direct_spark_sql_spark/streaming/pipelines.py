@@ -311,21 +311,46 @@ def stream_static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
 
 
 def run_available_now(
-    stream_df: DataFrame, name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion over the currently-available
     input (Trigger.AvailableNow) into an in-memory sink; return the result
     table.  ``complete`` mode re-emits full aggregation state, so for a
     closed input the memory table equals the batch answer; for the stateful
-    operator use ``update`` and reduce to the latest row per key."""
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    operator use ``update`` and reduce to the latest row per key.
+
+    ``state_partitions`` (round-13, guide §2.2/§5): a stateful streaming
+    operator instantiates one state store per shuffle partition and pays a
+    per-store create/commit on EVERY micro-batch, so for an aggregation
+    whose key domain is small and bounded (a dimension rollup) the store
+    count should track the key domain, not the cluster width — 32 stores
+    each holding ≤1 key is pure fixed overhead, on a 1000-executor cluster
+    as much as on local[32].  When set, the streaming query starts with
+    that many shuffle partitions (state partitioning is captured at query
+    start) and the session conf is restored afterwards; queries with
+    unbounded key domains (per-user, per-window state) keep the session
+    default.  Interleaved A/B on the sf0.1 enrich rollup, identical
+    results: 32 parts 1.92 s / 8 parts 1.21 s / 4 parts 0.80 s."""
+    spark = stream_df.sparkSession
+    old_parts: str | None = None
+    if state_partitions is not None:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return stream_df.sparkSession.table(name)
 
 
