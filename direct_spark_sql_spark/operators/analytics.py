@@ -375,6 +375,18 @@ def psi_drift(
             F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
         )
     )
+    return psi_from_merged(merged)
+
+
+def psi_from_merged(merged: DataFrame) -> DataFrame:
+    """PSI tail over an already-merged ``(bin, n_ref, n_cur)`` frame.
+
+    Split out of :func:`psi_drift` (r13) so a caller whose two slices come
+    from ONE source can build the merged frame in a single pass
+    (conditional counts in one groupBy) instead of scanning the source
+    twice and full-outer-joining — identical BIGINT inputs, identical
+    arithmetic, one corpus scan instead of two.
+    """
     tot = merged.agg(
         F.sum("n_ref").cast("long").alias("tot_ref"),
         F.sum("n_cur").cast("long").alias("tot_cur"),

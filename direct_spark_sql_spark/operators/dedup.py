@@ -261,6 +261,12 @@ def cross_source_duplication(
     10¹².  Output bounded at S(S-1)/2 rows.
     """
     key_col = F.col(key) if isinstance(key, str) else key
+    # Examined r13, deliberately NOT localCheckpoint-ed: both self-join
+    # sides are the identical aggregate, and AQE's ReusedExchange already
+    # runs the caller's scan+fingerprint pipeline ONCE at runtime
+    # (asserted by tests/test_plan_shapes.py:
+    # test_cross_source_matrix_reuses_exchange); an eager materialization
+    # here just breaks that reuse for zero gain (measured 0.52 → 0.55 s).
     per_src = df.groupBy(
         key_col.alias("dup_key"), F.col(source_col).alias("src")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
@@ -1157,11 +1163,18 @@ def chunk_frequency_report(
     per-source doc tally joins in at the bounded source grain, and the
     final rollup groups on source."""
     ch = chunk_table(df, id_col, text_col, w=w, extra_cols=(source_col,))
+    # n_docs rides the SAME pass (r13; was a second scan+tokenize joined
+    # back on source): every document with >= 1 chunk emits exactly one
+    # chunk_idx == 0 row, so counting first-chunks per (chunk, source) and
+    # summing them in the source rollup IS the per-source document count
+    # (identical to the old ``size(tokens) > 0`` scan — chunk_table's
+    # filter is that same predicate).
     cs = ch.groupBy("chunk", source_col).agg(
         F.count(F.lit(1)).alias("n_occ"),
         F.sum("chunk_toks").alias("toks"),
         F.count_distinct(F.col(id_col)).alias("nd"),
         F.max("chunk_toks").alias("chunk_toks"),
+        F.sum(F.when(F.col("chunk_idx") == 0, 1).otherwise(0)).alias("n_first"),
     )
     dfreq = F.sum("nd").over(Window.partitionBy("chunk"))
     cs = cs.withColumn("dfreq", dfreq)
@@ -1175,15 +1188,10 @@ def chunk_frequency_report(
         F.sum(F.when(dup, F.col("toks")).otherwise(F.lit(0)))
         .cast("long")
         .alias("tokens_removed"),
-    )
-    toks = tokens(text_col)
-    n_docs = (
-        df.filter(F.size(toks) > 0)
-        .groupBy(source_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        F.sum("n_first").cast("long").alias("n_docs"),
     )
     return (
-        per_source.join(n_docs, source_col)
+        per_source
         .withColumn(
             "removal_rate",
             F.col("tokens_removed").cast("double")

@@ -109,15 +109,35 @@ def _language_hit_struct(col: Column | str) -> Column:
 
 def predicted_language(col: Column | str = "text") -> Column:
     """argmax of lexicon hit counts; deterministic tiebreak = alphabetical
-    language code (greatest(...) with ordered CASE)."""
+    language code (greatest(...) with ordered CASE).
+
+    r13: the argmax runs inside the aggregate's FINISH lambda.  The old
+    form read 11 struct fields off the aggregate *expression* (5 in
+    greatest + 5 CASE arms + the guard), and every GetStructField copy
+    re-ran the whole interpreted per-token walk — 11 token passes per
+    row.  Inside finish, ``acc`` is the already-computed accumulator
+    (a lambda variable — field reads are O(1)), so the walk runs ONCE.
+    Same greatest/CASE arithmetic on the same counts, identical output."""
     langs = sorted(LANG_LEXICONS)
-    counts = _language_hit_struct(col)
-    best = F.greatest(*[counts[f"c_{l}"] for l in langs])
-    expr = None
-    for lang in langs:
-        cond = counts[f"c_{lang}"] == best
-        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
-    return F.when(best > 0, expr).otherwise(F.lit("und"))
+    arrs = {l: F.array(*[F.lit(w) for w in LANG_LEXICONS[l]]) for l in langs}
+    zero = F.struct(*[F.lit(0).cast("int").alias(f"c_{l}") for l in langs])
+
+    def step(acc: Column, t: Column) -> Column:
+        return F.struct(*[
+            (acc[f"c_{l}"] + F.when(F.array_contains(arrs[l], t), 1).otherwise(0))
+            .alias(f"c_{l}")
+            for l in langs
+        ])
+
+    def finish(acc: Column) -> Column:
+        best = F.greatest(*[acc[f"c_{l}"] for l in langs])
+        expr = None
+        for lang in langs:
+            cond = acc[f"c_{lang}"] == best
+            expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+        return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+    return F.aggregate(tokens(col), zero, step, finish)
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -126,21 +146,35 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     The composite is a linear combination evaluated in a fixed order so the
     IEEE result is reproducible across engines.
+
+    r13 shape: the token array and the four integer counts are hoisted
+    into their own projections (the ivf_assign pattern — CollapseProject
+    keeps non-cheap aliases referenced more than once in their own
+    Project), so the interpreted split+filter tokenize chain runs ONCE
+    per row instead of once per feature reference (~12× before: every
+    ratio and the composite re-derived tokens(text) independently).
+    The ratios divide the identical integer-derived doubles in the same
+    order — bit-identical output.
     """
-    toks = tokens(text_col)
-    n_tok = F.size(toks).cast("long")
-    n_uniq = F.size(F.array_distinct(toks)).cast("long")
-    total_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
-    )
-    n_stop = _hit_count(toks, STOPWORDS)
-    ttr = n_uniq.cast("double") / n_tok
-    avg_len = total_len.cast("double") / n_tok
-    stop_ratio = n_stop.cast("double") / n_tok
-    return df.select(
+    tdf = df.select("*", tokens(text_col).alias("__qf_toks"))
+    toks = F.col("__qf_toks")
+    cdf = tdf.select(
         "*",
-        n_tok.alias("n_tokens"),
-        n_uniq.alias("n_unique_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+        ).alias("__qf_total_len"),
+        _hit_count(toks, STOPWORDS).alias("__qf_n_stop"),
+    )
+    n_tok = F.col("n_tokens")
+    ttr = F.col("n_unique_tokens").cast("double") / n_tok
+    avg_len = F.col("__qf_total_len").cast("double") / n_tok
+    stop_ratio = F.col("__qf_n_stop").cast("double") / n_tok
+    return cdf.select(
+        *df.columns,
+        "n_tokens",
+        "n_unique_tokens",
         ttr.alias("type_token_ratio"),
         avg_len.alias("avg_token_len"),
         stop_ratio.alias("stopword_ratio"),
@@ -171,17 +205,23 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
       near-duplicates)
     - ``fp_rolling``  — additive rolling hash: sum of per-token 60-bit
       hashes mod 2^31-1 (order-insensitive but multiplicity-sensitive)
+
+    r13: the token array is hoisted into its own projection so the
+    split+filter tokenize chain runs once per row instead of once per
+    fingerprint (fp_content and fp_rolling each re-derived it).  Same
+    hash arithmetic over the same array — identical output.
     """
-    toks = tokens(text_col)
+    tdf = df.select("*", tokens(text_col).alias("__fp_toks"))
+    toks = F.col("__fp_toks")
     rolling = F.aggregate(
         F.transform(toks, lambda t: h64(t) % MERSENNE_P),
         F.lit(0).cast("long"),
         lambda acc, h: (acc + h) % MERSENNE_P,
     )
-    return df.select(
-        "*",
+    return tdf.select(
+        *df.columns,
         F.md5(F.col(text_col)).alias("fp_md5"),
-        content_fingerprint(text_col).alias("fp_content"),
+        h64(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("fp_content"),
         rolling.alias("fp_rolling"),
     )
 

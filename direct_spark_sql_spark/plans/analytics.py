@@ -2597,6 +2597,12 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs: slice A (reference) vs slice B (current), binned
     token-count histograms, per-bin PSI contributions and the exact total.
     The halves are split by MD5 parity of doc_id so both engines agree.
+
+    One corpus pass (r13): both halves come from the same scan, so the
+    merged (bin, n_ref, n_cur) frame is ONE groupBy with conditional
+    counts — identical BIGINTs to the old per-half aggregate + full-outer
+    join (a bin appears iff either half has a row in it), at half the
+    scan/tokenize cost and no join.
     """
     from direct_spark_sql_spark.hashing import h64
 
@@ -2605,12 +2611,17 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h64(F.col("doc_id")) % 2).alias("half"),
         F.floor(F.size(tokens("text")) / F.lit(PSI_BIN_W)).cast("long").alias("bin"),
     )
-    counts = lambda h: (  # noqa: E731
-        binned.filter(F.col("half") == h)
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # h64 is a 60-bit NON-NEGATIVE integer (hashing.py), so half ∈ {0, 1}
+    # exhaustively — n_ref + n_cur covers every row and the bin set is
+    # identical to the old per-half union.
+    merged = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("half") == 0, 1)).cast("long").alias("n_ref"),
+            F.count(F.when(F.col("half") == 1, 1)).cast("long").alias("n_cur"),
+        )
     )
-    return an.psi_drift(counts(0), counts(1))
+    return an.psi_from_merged(merged)
 
 
 PSI_DRIFT_ORACLE = f"""

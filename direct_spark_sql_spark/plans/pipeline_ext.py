@@ -2110,9 +2110,14 @@ def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from direct_spark_sql_spark.operators import text as tx
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # localCheckpoint (r13): token_budget_sample reads this frame twice —
+    # the per-source rate aggregate and the keep-filter probe side — and
+    # each reference re-ran the corpus scan+tokenize.  Materializing the
+    # NARROW (doc_id, source, n_tokens) proxy (the bm25/dsir precedent)
+    # tokenizes once; lineage-only, same rows.
     toks = d.select(
         "doc_id", "source", tx.token_count("text").alias("n_tokens")
-    )
+    ).localCheckpoint()
     kept = sp.token_budget_sample(
         toks, key="doc_id", domain="source", token_col="n_tokens",
         budgets=_TOKEN_BUDGETS, default_budget=_TOKEN_BUDGET_DEFAULT,

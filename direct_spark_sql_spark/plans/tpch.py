@@ -147,15 +147,32 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
+    # Pre-reduce the LINEITEM side before the l⋈o join (r13, guide §2.3):
+    # every surviving row has its supplier in an ASIA nation, so
+    # broadcasting the ASIA-restricted supplier dim into lineitem FIRST
+    # drops ~80% of l (1 of 5 regions) map-side — no new shuffle at any
+    # scale, and the big side of the orderkey join shrinks ~5×.  The
+    # customer side keeps the original post-join broadcast shape (pushing
+    # a dim into o makes o's size opaque to the planner and turned the
+    # orderkey join into a shuffle at sf0.1 — measured +0.45 s and a
+    # shuffle-pin break — while o is the small side anyway).  The
+    # c_nationkey = s_nationkey equality rides the customer broadcast
+    # join as before; inner joins and filters commute, so the result is
+    # identical.
+    n_asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    s_asia = s.join(
+        F.broadcast(n_asia), s.s_nationkey == n_asia.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    lf = l.join(F.broadcast(s_asia), l.l_suppkey == s_asia.s_suppkey)
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        lf.join(o, lf.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
-            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+            F.broadcast(c),
+            (F.col("o_custkey") == c.c_custkey)
+            & (c.c_nationkey == F.col("s_nationkey")),
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(F.sum(_revenue()).cast(DEC_OUT).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")

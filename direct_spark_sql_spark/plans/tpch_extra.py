@@ -114,11 +114,26 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
     )
+    # Pre-reduce the LINEITEM side before the l⋈o join (r13, guide §2.3):
+    # the final pair filter only admits supplier nations {3, 7}, so
+    # broadcasting the nation-restricted supplier dim into lineitem FIRST
+    # drops ~92% of l (2 of 25 nations) map-side — no new shuffle at any
+    # scale, and the big side of the orderkey join shrinks ~12×.  The
+    # customer side keeps the original post-join broadcast shape: pushing
+    # the dim into o instead makes o's size opaque to the planner and
+    # turned the orderkey join into a shuffle at sf0.1 (measured +0.4 s
+    # and a 900 B → MB shuffle-pin break), while o is the *small* side
+    # anyway.  Inner joins and filters commute, so the surviving pairs —
+    # and the exact decimal revenue sums — are identical.
+    two = ("NATION_3", "NATION_7")
+    sn = s.join(
+        F.broadcast(n1.filter(F.col("supp_nation").isin(*two))),
+        F.col("s_nationkey") == F.col("n1_key"),
+    ).select("s_suppkey", "supp_nation")
+    lf = l.join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
     pair = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        lf.join(o, lf.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
             ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
@@ -394,11 +409,17 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
         .select("o_orderkey", "o_custkey")
     )
-    per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
+    # Aggregate before the join (r13, guide §2.3): count orders per
+    # custkey FIRST (map-side combinable — the shuffle carries one
+    # (custkey, count) row per customer instead of every order row), then
+    # left-join customer and coalesce the missing side to 0.  A customer
+    # with no qualifying orders had c_count = COUNT(o_orderkey) = 0 in
+    # the old left-outer + count form, and gets coalesce(NULL, 0) = 0
+    # here; matched customers get the identical BIGINT count.
+    per_cust_o = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_ord"))
+    per_cust = c.join(
+        per_cust_o, c.c_custkey == per_cust_o.o_custkey, "left_outer"
+    ).select(F.coalesce(F.col("n_ord"), F.lit(0).cast("long")).alias("c_count"))
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
@@ -712,6 +733,16 @@ ORDER BY s_suppkey
 # ---------------------------------------------------------------------------
 
 def q21_suppliers_at_fault(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Examined r13, deliberately left as semi + anti joins: the
+    per-order-aggregate rewrite (join each R row to (n_supp, n_r_supp)
+    per order, filter n_supp >= 2 AND n_r_supp = 1 — provably
+    row-identical to the EXISTS/NOT EXISTS pair, oracle-verified
+    bit-exact at sf0.01 + sf0.1) was measured 0.66 → 0.93 s at sf0.1 and
+    is NOT clearly fewer bytes at scale either: lineitem carries ~1 line
+    per (order, supplier), so the (order, supplier) grain barely
+    collapses map-side and the agg shuffles ≈ the same volume the
+    semi/anti passes do, while locally it replaces two broadcast
+    hash joins with two real exchanges (15 KB → ~15 MB shuffle)."""
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
