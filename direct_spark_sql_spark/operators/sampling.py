@@ -393,9 +393,13 @@ def _dsir_lambda_from_target_bucket_counts(
     spine = corp_c.sparkSession.range(n_buckets).select(
         F.col("id").cast("long").alias("__b")
     )
+    # Explicit broadcasts (r13): cr and ct are bucket-space aggregates —
+    # ≤ n_buckets rows by construction, a CONSTANT at any data scale — but
+    # the planner can't see that through the aggregation and planned the
+    # ct join as a SortMergeJoin (sort + exchange on the λ fit path).
     return (
-        spine.join(cr, "__b", "left")
-        .join(ct, "__b", "left")
+        spine.join(F.broadcast(cr), "__b", "left")
+        .join(F.broadcast(ct), "__b", "left")
         .crossJoin(F.broadcast(tt))
         .crossJoin(F.broadcast(tr))
         .select(

@@ -272,6 +272,20 @@ def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
 # Repetition features (Gopher-style quality signals)
 # ---------------------------------------------------------------------------
 
+def let_once(value: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``value`` ONCE per row and
+    apply ``body`` to the bound lambda variable (``transform`` over a
+    1-element array).  Spark SQL has no subexpression sharing across an
+    expression tree for interpreted (CodegenFallback) children, and
+    filter pushdown re-inlines Project aliases into predicates — so a
+    non-cheap expression referenced k times inside one column/predicate
+    re-evaluates k times.  Binding through a lambda variable makes every
+    reference an O(1) variable read.  ``body`` receives exactly the value
+    it would have been given textually, so semantics (incl. NULL) are
+    unchanged."""
+    return F.transform(F.array(value), body)[0]
+
+
 def word_ngrams(col: Column | str, n: int) -> Column:
     """ALL word n-grams in order (multiplicity preserved — the repetition
     signals need totals, unlike dedup's distinct shingles).  Same fast
@@ -282,9 +296,11 @@ def word_ngrams(col: Column | str, n: int) -> Column:
     norm = F.regexp_replace(F.regexp_replace(c, " +", " "), "^ | $", "")
     body = " ".join(["[^ ]+"] * n)
     full = F.regexp_extract_all(norm, F.lit(f"(^|[ ])(?=({body}))"), 2)
-    toks = tokens(c)
-    return F.when(F.size(toks) >= n, full).otherwise(
-        F.array(F.array_join(toks, " "))
+    return let_once(
+        tokens(c),
+        lambda t: F.when(F.size(t) >= n, full).otherwise(
+            F.array(F.array_join(t, " "))
+        ),
     )
 
 
@@ -306,11 +322,16 @@ REP_DUP3_GATE = 0.03
 def dup_ngram_frac(col: Column | str = "text", n: int = 3) -> Column:
     """Fraction of word-n-gram instances that are repeats of an earlier
     instance within the SAME document — the Gopher-family intra-document
-    repetition signal, as a map-only column (no shuffle, no explode)."""
-    grams = word_ngrams(col, n)
-    return (F.size(grams) - F.size(F.array_distinct(grams))).cast(
-        "double"
-    ) / F.size(grams)
+    repetition signal, as a map-only column (no shuffle, no explode).
+
+    r13: the gram array is let-bound — the formula references it three
+    times, and each textual copy re-ran the n-gram regex extraction per
+    row (and survives filter pushdown, where a Project hoist does not)."""
+    return let_once(
+        word_ngrams(col, n),
+        lambda g: (F.size(g) - F.size(F.array_distinct(g))).cast("double")
+        / F.size(g),
+    )
 
 
 def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -318,40 +339,44 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     duplicate-token fraction, duplicate-3-gram fraction, and the fraction
     of tokens taken by the single most frequent token.
 
-    The duplicate fractions are map-only array arithmetic; the top-token
-    share is one hash aggregation keyed (doc, token) with map-side combine
-    then a per-doc rollup — shuffle volume is bounded by vocabulary size
-    per document, not corpus size."""
-    toks = tokens(text_col)
-    grams = word_ngrams(text_col, 3)
-    n_tok = F.size(toks).cast("long")
-    n_gram = F.size(grams).cast("long")
-    base = df.select(
-        "*",
-        n_tok.alias("__n_tok"),
-        ((n_tok - F.size(F.array_distinct(toks))).cast("double") / n_tok).alias(
-            "dup_token_frac"
-        ),
-        ((n_gram - F.size(F.array_distinct(grams))).cast("double") / n_gram).alias(
-            "dup_3gram_frac"
-        ),
-        F.explode(toks).alias("__tok"),
+    r13: ALL THREE signals are now map-only array arithmetic — no explode,
+    no shuffle at all.  The top-token count used to be a (doc, token)
+    hash aggregation plus a per-doc rollup, both keyed on every caller
+    column INCLUDING the raw text — two corpus-text shuffles for a
+    per-row statistic.  The max multiplicity of any token equals the
+    longest equal-run in the SORTED token array, computed per row by one
+    aggregate walk (prev, run, best); empty/null-token documents are
+    filtered exactly as the old explode dropped them.  Token and gram
+    arrays are let-bound (:func:`let_once`) so the tokenize and n-gram
+    regex chains run once per row."""
+    base0 = df.select("*", tokens(text_col).alias("__rf_toks"))
+    tcol = F.col("__rf_toks")
+    n_tok = F.size(tcol).cast("long")
+    dup_tok = (n_tok - F.size(F.array_distinct(tcol))).cast("double") / n_tok
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
     )
-    id_cols = [c for c in df.columns]
-    counted = base.groupBy(*id_cols, "__n_tok", "dup_token_frac",
-                           "dup_3gram_frac", "__tok").count()
-    return (
-        counted.groupBy(*id_cols, "__n_tok", "dup_token_frac", "dup_3gram_frac")
-        .agg(F.max("count").alias("__top"))
-        .select(
-            *id_cols,
-            F.col("__n_tok").alias("n_tokens"),
-            "dup_token_frac",
-            "dup_3gram_frac",
-            (F.col("__top").cast("double") / F.col("__n_tok")).alias(
-                "top_token_frac"
-            ),
+
+    def step(acc: Column, t: Column) -> Column:
+        run_new = F.when(t == acc["prev"], acc["run"] + F.lit(1)).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"),
+            run_new.alias("run"),
+            F.greatest(acc["best"], run_new).alias("best"),
         )
+
+    top_run = let_once(
+        F.array_sort(tcol),
+        lambda s: F.aggregate(s, zero, step, lambda acc: acc["best"]),
+    )
+    return base0.filter(F.size(tcol) > 0).select(
+        *df.columns,
+        n_tok.alias("n_tokens"),
+        dup_tok.alias("dup_token_frac"),
+        dup_ngram_frac(text_col, 3).alias("dup_3gram_frac"),
+        (top_run.cast("long").cast("double") / n_tok).alias("top_token_frac"),
     )
 
 

@@ -21,20 +21,25 @@ from direct_spark_sql_spark.sources.registry import load_table
 
 def _dedup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One order per (custkey, orderdate) — keep max orderkey — so the
-    as-of match is deterministic on both engines."""
+    as-of match is deterministic on both engines.
+
+    r13: ``max(struct(...))`` forced a SortAggregate (struct aggregation
+    buffers aren't UnsafeRow-mutable), paying a per-partition sort on
+    both the partial and final stages.  ``max(o_orderkey)`` +
+    ``max_by(o_totalprice, o_orderkey)`` computes the same row — the
+    struct compared on o_orderkey first and orderkeys are globally
+    unique, so the price tiebreak could never engage; max_by's tie case
+    is equally unreachable — with flat long/double buffers that
+    hash-aggregate (the canonical_min_rows min_by precedent).  This is
+    literally the oracle's own arg_max form (_DEDUP_ORDERS_SQL)."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
     )
     return (
         o.groupBy("o_custkey", "o_orderdate")
         .agg(
-            F.max(F.struct("o_orderkey", "o_totalprice")).alias("s"),
-        )
-        .select(
-            "o_custkey",
-            "o_orderdate",
-            F.col("s.o_orderkey").alias("o_orderkey"),
-            F.col("s.o_totalprice").alias("o_totalprice"),
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
         )
     )
 

@@ -234,18 +234,28 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: order counts by priority where some line item shipped
-    late (> 30 days after order date).  Semi-join — reference runs this via
-    its hash semi join (DirectHashJoin.scala:169-182)."""
+    late (> 30 days after order date).
+
+    r13 (guide §2.3 aggregate-before-join): the correlated EXISTS only
+    needs each order's LATEST ship date — ``EXISTS(line: shipdate >
+    odate+30)  <=>  MAX(shipdate) > odate+30`` (MAX ignores NULL
+    shipdates exactly as the EXISTS predicate rejects them) — so
+    lineitem collapses map-side to one (orderkey, max_shipdate) row per
+    order before any join, instead of the semi-join building a hash
+    relation over every raw lineitem row.  Inner join ≡ semi here: the
+    aggregate side has exactly one row per orderkey."""
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    late = o.join(
-        l,
-        (o.o_orderkey == l.l_orderkey)
-        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
-        "left_semi",
+    lmax = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("__max_ship"))
+    )
+    late = o.join(lmax, o.o_orderkey == lmax.l_orderkey).filter(
+        F.col("__max_ship") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
     )
     return (
         late.groupBy("o_orderpriority")

@@ -604,6 +604,16 @@ WHERE p_brand = 'Brand#1' AND p_size < 15
 # ---------------------------------------------------------------------------
 
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 (guide §1.2): the per-order quantity aggregate IS the output's
+    total_qty, so lineitem is scanned and shuffled ONCE — the old plan
+    semi-joined on the aggregate and then re-joined raw lineitem to
+    re-sum the very same groups.  The HAVING filter keeps the original
+    raw-double ``SUM(l_quantity) > 150`` (matching the oracle's
+    subquery); total_qty keeps the exact decimal funnel, computed in the
+    same aggregate over the same rows — values identical, one lineitem
+    pass instead of two.  Each surviving order is one row in o and one
+    group in the old final groupBy, so the join emits exactly the old
+    result rows."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
@@ -611,16 +621,20 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("qty"))
+        .agg(
+            F.sum("l_quantity").alias("qty"),
+            F.sum(F.col("l_quantity").cast(DEC_QTY)).cast(DEC_OUT).cast("double").alias("total_qty"),
+        )
         .filter(F.col("qty") > 150)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
+        .select(F.col("l_orderkey").alias("big_orderkey"), "total_qty")
     )
     return (
-        o.join(big, o.o_orderkey == F.col("big_orderkey"), "left_semi")
+        o.join(big, o.o_orderkey == F.col("big_orderkey"))
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast(DEC_QTY)).cast(DEC_OUT).cast("double").alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )

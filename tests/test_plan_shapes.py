@@ -56,9 +56,17 @@ def test_q6_scan_prunes_columns(spark):
     assert "l_returnflag" not in plan.split("ReadSchema")[1][:400]
 
 
-def test_semi_join_for_exists(spark):
+def test_q4_aggregates_lineitem_before_join(spark):
+    """r13: the EXISTS collapsed to a per-order MAX(l_shipdate) aggregate
+    joined to orders (guide §2.3 aggregate-before-join) — lineitem must
+    collapse map-side BEFORE any join, never feed a semi-join's hash
+    relation as raw rows.  The late filter compares the aggregated max,
+    so no Window/expansion may appear either."""
     plan = _plan(spark, "q4_order_priority")
-    assert "LeftSemi" in plan
+    assert "max(l_shipdate" in plan, "per-order MAX(l_shipdate) aggregate missing"
+    assert "partial_max" in plan, "lineitem aggregate lost its map-side partial stage"
+    assert "LeftSemi" not in plan, "raw-lineitem semi-join shape resurfaced"
+    assert "CartesianProduct" not in plan
 
 
 def test_minhash_no_cartesian(spark):
