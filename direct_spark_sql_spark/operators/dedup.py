@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from direct_spark_sql_spark.hashing import MERSENNE_P, h64, minhash_coeffs
-from direct_spark_sql_spark.operators.text import tokens
+from direct_spark_sql_spark.operators.text import let_once, tokens
 
 # MinHash configuration (shared with the oracle builders in plans/pipeline.py)
 #
@@ -85,9 +85,15 @@ def shingles(col: Column | str = "text", n: int = SHINGLE_N) -> Column:
     norm = F.regexp_replace(F.regexp_replace(c, " +", " "), "^ | $", "")
     body = " ".join(["[^ ]+"] * n)
     full = F.regexp_extract_all(norm, F.lit(f"(^|[ ])(?=({body}))"), 2)
-    toks = tokens(c)
+    # let-bound (r13): the token array was re-derived per reference —
+    # 2 tokenize chains per row; identical branch arithmetic either way.
     return F.array_distinct(
-        F.when(F.size(toks) >= n, full).otherwise(F.array(F.array_join(toks, " ")))
+        let_once(
+            tokens(c),
+            lambda t: F.when(F.size(t) >= n, full).otherwise(
+                F.array(F.array_join(t, " "))
+            ),
+        )
     )
 
 
@@ -100,13 +106,14 @@ def token_windows(col: Column | str = "text", w: int = 8) -> Column:
     norm = F.regexp_replace(F.regexp_replace(c, " +", " "), "^ | $", "")
     body = " ".join(["[^ ]+"] * w)
     full = F.regexp_extract_all(norm, F.lit(f"(^|[ ])(?=({body}))"), 2)
-    toks = tokens(c)
-    return (
-        F.when(F.size(toks) >= w, full)
+    # let-bound (r13): was 3 tokenize chains per row, one per reference.
+    return let_once(
+        tokens(c),
+        lambda t: F.when(F.size(t) >= w, full)
         # zero-token docs contribute NO windows (not [""], which would
         # surface the empty string as a "duplicated span")
-        .when(F.size(toks) >= 1, F.array(F.array_join(toks, " ")))
-        .otherwise(F.array().cast("array<string>"))
+        .when(F.size(t) >= 1, F.array(F.array_join(t, " ")))
+        .otherwise(F.array().cast("array<string>")),
     )
 
 
