@@ -243,6 +243,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     cell_col: str = "cell_id",
+    drop_unassigned: bool = False,
 ) -> DataFrame:
     """IVF cell assignment: each vector gets the centroid with the highest
     cosine (ties → lowest cell id).
@@ -287,6 +288,20 @@ def ivf_assign(
         .withColumn("__vdec", _dec_vec(emb_col))
         .withColumn("__vnorm", F.sqrt(_to_double(norm_sq_dec(F.col("__vdec")))))
     )
+    if drop_unassigned:
+        # ``best.cell >= 0``  <=>  ``__vnorm > 0 AND size(__cents) > 0``:
+        # every kept centroid has cnorm > 0 (filter above), so a
+        # nonzero-norm vector gets a finite cosine (|cos| ≤ 1 ≪ 2) from
+        # the FIRST centroid and the -1 sentinel cannot survive; a
+        # zero-norm vector's cosines are all NULL (never beat the
+        # accumulator) and an empty centroid list returns the init — both
+        # leave -1.  Filtering on the CHEAP norm (one self-dot) here
+        # keeps the K-dot argmax evaluated ONCE: a caller-side filter on
+        # the sentinel re-inlined the whole argmax into the pushed-down
+        # predicate, doubling the assignment stage (r13 plan audit of
+        # embedding_centroid_classify: the argmax appeared in both the
+        # join condition and the project).
+        prepped = prepped.filter((F.col("__vnorm") > 0) & (F.size("__cents") > 0))
     scored = F.transform(
         F.col("__cents"),
         lambda c: F.struct(
@@ -817,12 +832,15 @@ def label_centroid_classify(
     # sentinel; unlike the IVF probe path, nothing downstream here drops
     # them via a cell equi-join, and the DuckDB oracle's NaN-first
     # ROW_NUMBER would assign such a vector a real label — an engine
-    # mismatch on degenerate corpora.  Exclude the sentinel explicitly:
-    # a zero-norm vector has no cosine-nearest centroid to be audited
-    # against, so it does not belong in the confusion matrix.
+    # mismatch on degenerate corpora.  drop_unassigned excludes them
+    # INSIDE the assignment via the equivalent cheap pre-filter (r13):
+    # a post-hoc ``pred_label >= 0`` filter was pushed down with the
+    # full argmax expression re-inlined, running the K-dot assignment
+    # twice per row.
     assigned = ivf_assign(
-        df, centroids, id_col=id_col, emb_col=emb_col, cell_col="pred_label"
-    ).filter(F.col("pred_label") >= 0)
+        df, centroids, id_col=id_col, emb_col=emb_col, cell_col="pred_label",
+        drop_unassigned=True,
+    )
     conf = assigned.groupBy(
         F.col(label_col).cast("long").alias("label"),
         F.col("pred_label").cast("long").alias("pred_label"),
