@@ -27,6 +27,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from direct_spark_sql_spark.operators.text import let_once
 from direct_spark_sql_spark.session import _LRU, _approx_value_bytes
 
 DEC_ELEM = "decimal(12,9)"
@@ -228,13 +229,21 @@ def cosine_dec(a: Column, b: Column) -> Column:
     near-dup thresholds yet vanish from the oracle replay.  With the
     sentinel, degenerate vectors deterministically sink to the bottom
     of rankings and fail every threshold, identically in both engines
-    (every oracle cosine site carries the matching CASE WHEN)."""
-    na = _to_double(norm_sq_dec(a))
-    nb = _to_double(norm_sq_dec(b))
-    return F.when(
-        (na > F.lit(0.0)) & (nb > F.lit(0.0)),
-        _to_double(dot_dec(a, b)) / (F.sqrt(na) * F.sqrt(nb)),
-    ).otherwise(F.lit(-2.0))
+    (every oracle cosine site carries the matching CASE WHEN).
+
+    r13: inputs and norms are let-bound (operators/text.py:let_once).
+    The textual formula references ``a``/``b`` three times each (guard
+    norm, denominator norm, dot) and ``na``/``nb`` twice — with callers
+    passing cast-transform expressions, one cosine re-ran the per-element
+    decimal cast up to 3× per side and each norm walk twice.  Bound as
+    lambda variables everything evaluates once; identical IEEE/decimal
+    arithmetic on the same values."""
+    return let_once(a, lambda aa: let_once(b, lambda bb: let_once(
+        _to_double(norm_sq_dec(aa)), lambda na: let_once(
+            _to_double(norm_sq_dec(bb)), lambda nb: F.when(
+                (na > F.lit(0.0)) & (nb > F.lit(0.0)),
+                _to_double(dot_dec(aa, bb)) / (F.sqrt(na) * F.sqrt(nb)),
+            ).otherwise(F.lit(-2.0))))))
 
 
 def ivf_assign(
@@ -662,26 +671,36 @@ def srp_band_table(
     (callers see the row count difference) rather than mis-bucketed."""
     planes = rademacher_planes(bands * bits_per_band, dims)
     df = df.filter(F.size(F.col(emb_col)) == dims)
-    v = _dec_vec(emb_col)
-    # projection for plane p: aggregate of ±emb[i] — signs as a literal array
-    band_structs = []
-    for b in range(bands):
-        val: Column | None = None
-        for r in range(bits_per_band):
-            p = b * bits_per_band + r
-            signs = F.array(*[F.lit(s) for s in planes[p]])
-            proj = F.aggregate(
-                F.zip_with(v, signs, lambda x, s: x * s.cast(DEC_ELEM)),
-                F.lit(0).cast(DEC_ACC),
-                _acc_add,
+
+    # projection for plane p: aggregate of ±emb[i] — signs as a literal
+    # array.  The decimal vector is let-bound (r13): all bands·bits
+    # projections live in ONE explode-input expression, and each used to
+    # re-run the per-element float→decimal cast transform — 48 casts of
+    # the whole vector per row, now one.
+    def _bands(v: Column) -> Column:
+        band_structs = []
+        for b in range(bands):
+            val: Column | None = None
+            for r in range(bits_per_band):
+                p = b * bits_per_band + r
+                signs = F.array(*[F.lit(s) for s in planes[p]])
+                proj = F.aggregate(
+                    F.zip_with(v, signs, lambda x, s: x * s.cast(DEC_ELEM)),
+                    F.lit(0).cast(DEC_ACC),
+                    _acc_add,
+                )
+                bit = F.when(proj > 0, F.lit(1 << r).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                val = bit if val is None else val + bit
+            band_structs.append(
+                F.struct(F.lit(b).alias("band_idx"), val.alias("band_val"))
             )
-            bit = F.when(proj > 0, F.lit(1 << r).cast("long")).otherwise(F.lit(0).cast("long"))
-            val = bit if val is None else val + bit
-        band_structs.append(
-            F.struct(F.lit(b).alias("band_idx"), val.alias("band_val"))
-        )
+        return F.array(*band_structs)
+
     return df.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bd")
+        F.col(id_col),
+        F.explode(let_once(_dec_vec(emb_col), _bands)).alias("bd"),
     ).select(id_col, "bd.band_idx", "bd.band_val")
 
 
@@ -979,14 +998,26 @@ def standardized_outliers(
 
 def _int8_codes(vec: Column) -> Column:
     """The quantize_int8 code formula as a reusable column expression
-    (identical arithmetic — see quantize_int8's exactness note)."""
-    x = F.transform(vec, lambda v: v.cast("double"))
-    mn = F.array_min(x)
-    rng = F.array_max(x) - mn
-    return F.transform(
-        x,
-        lambda v: F.when(rng == F.lit(0.0), F.lit(0)).otherwise(
-            (F.floor((v - mn) * F.lit(254.0) / rng + F.lit(0.5)) - F.lit(127)).cast("int")
+    (identical arithmetic — see quantize_int8's exactness note).
+
+    r13: the double array, min and range are let-bound (operators/text.py
+    :func:`let_once`) — mn/rng used to sit INSIDE the per-element lambda
+    as full array_min/array_max expressions, re-walking the vector per
+    element (O(d²) per row); bound as lambda variables they are O(1)
+    reads and the quantize is one O(d) pass.  Same IEEE arithmetic."""
+    return let_once(
+        F.transform(vec, lambda v: v.cast("double")),
+        lambda x: let_once(
+            F.array_min(x),
+            lambda mn: let_once(
+                F.array_max(x) - mn,
+                lambda rng: F.transform(
+                    x,
+                    lambda v: F.when(rng == F.lit(0.0), F.lit(0)).otherwise(
+                        (F.floor((v - mn) * F.lit(254.0) / rng + F.lit(0.5)) - F.lit(127)).cast("int")
+                    ),
+                ),
+            ),
         ),
     )
 
@@ -1090,17 +1121,26 @@ def sq8_rerank_topk(
             .cast("long"),
         )
 
-    ma_a, ma_q = maxabs(F.col(emb_col)), maxabs(F.col("__q"))
-    intdot = F.aggregate(
-        F.zip_with(
-            codes(F.col(emb_col), ma_a),
-            codes(F.col("__q"), ma_q),
-            lambda x, y: x * y,
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    # r13: both maxabs walks are let-bound — each used to be embedded in
+    # the per-element quantize lambda (and the score factor), re-walking
+    # the vector per element: O(d²) per row, now one O(d) pass each.
+    # Identical IEEE arithmetic on the same values.
+    def _score(ma_a: Column, ma_q: Column) -> Column:
+        intdot = F.aggregate(
+            F.zip_with(
+                codes(F.col(emb_col), ma_a),
+                codes(F.col("__q"), ma_q),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return ((ma_a / F.lit(127.0)) * (ma_q / F.lit(127.0))) * intdot.cast("double")
+
+    score = let_once(
+        maxabs(F.col(emb_col)),
+        lambda ma_a: let_once(maxabs(F.col("__q")), lambda ma_q: _score(ma_a, ma_q)),
     )
-    score = ((ma_a / F.lit(127.0)) * (ma_q / F.lit(127.0))) * intdot.cast("double")
     short = (
         df.crossJoin(q)
         .select(id_col, emb_col, "__q", score.alias("approx_dot"))
