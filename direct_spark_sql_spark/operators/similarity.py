@@ -1531,87 +1531,178 @@ def ivf_pq_topk(
     funnel, so cell choice, codes, ADC estimates AND the reranked
     cosines are bit-identical in any engine.
 
+    Round-14 (guide §2.4 remove shuffles outright; the ivf_topk /
+    ivf_topk_vec coordinator precedent): the probe, the codebook and the
+    query's m × n_codes ADC lookup table are all *index metadata* — a
+    bounded handful of rows a FAISS coordinator holds in memory.  One
+    17-row coordinator job collects them; the lookup table is computed
+    in exact Python decimal (the :func:`_pydec9` funnel, bit-identical
+    to the Spark/DuckDB arithmetic by construction and verified by the
+    differential suite); and the per-query Spark work collapses to ONE
+    map-only pass over the probed cells — per row: m in-row argmins
+    over the literal codebook (the identical (a−b)² decimal sums,
+    accumulated exactly as the old hash aggregate did) and a sum of m
+    literal-table lookups, which is the textbook ADC read path — then a
+    bounded TakeOrdered(shortlist) and the unchanged decimal-cosine
+    rerank on ``shortlist`` rows.  The old shape shuffled the
+    (id, j, c) encode aggregate (N·m·n_codes rows) plus two more agg
+    exchanges per query; this shape shuffles nothing but the two
+    bounded top-k heaps at any corpus size.
+
+    Fixed-dims precondition (also documented on ivf_assign's ragged
+    guard): every vector is assumed ``dims`` long — the subvector
+    zip_with pads ragged rows with NULLs, whereas the old per-element
+    join silently dropped missing positions.  The embedding corpora
+    this engine replays are fixed-width by construction.
+
     Returns the ``k`` best (vec_id, adc_dist, cosine) by exact cosine
     descending, ties on id.
     """
-    centroids = df.filter(
-        (F.col(id_col) >= 1) & (F.col(id_col) <= n_cells)
-    )
-    data = df.filter(F.col(id_col) != query_id)
-    query = df.filter(F.col(id_col) == query_id)
-    cells, _qn = _ivf_probe(query, centroids, nprobe, id_col, emb_col)
+    sub = dims // m
+    mx = max(n_cells, n_codes)
+    meta = {
+        int(r["__id"]): list(r["__e"])
+        for r in df.filter(
+            (F.col(id_col) == query_id)
+            | ((F.col(id_col) >= 1) & (F.col(id_col) <= mx))
+        )
+        .select(
+            F.col(id_col).cast("long").alias("__id"),
+            F.col(emb_col).cast("array<double>").alias("__e"),
+        )
+        .collect()
+    }
+
+    def _empty() -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.lit(0.0).alias("adc_dist"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
+
+    qvec = meta.get(int(query_id))
+    if qvec is None:
+        return _empty()
+    qdec = [_pydec9(x) for x in qvec]
+    qn = _pydec_to_double(sum(x * x for x in qdec))
+
+    # Python replica of _ivf_probe: cosine_dec's exact funnel per
+    # centroid (−2.0 sentinel when either norm is zero — zero-norm
+    # centroids are SCORED here, not dropped, exactly like the old
+    # Spark probe), ordered by (cos desc, cell_id), top nprobe.
+    import math
+
+    scored = []
+    for cid in range(1, n_cells + 1):
+        cvec = meta.get(cid)
+        if cvec is None:
+            continue
+        cdec = [_pydec9(x) for x in cvec]
+        cn = _pydec_to_double(sum(x * x for x in cdec))
+        cos = (
+            _pydec_to_double(sum(a * b for a, b in zip(cdec, qdec)))
+            / (math.sqrt(cn) * math.sqrt(qn))
+            if cn > 0 and qn > 0
+            else -2.0
+        )
+        scored.append((cos, cid))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    cells = [cid for _, cid in scored[:nprobe]]
+
+    # codebook (entry c = subvectors of vector c+1) + the query's ADC
+    # lookup table, in exact decimal: products of DECIMAL(12,9) are
+    # exact, Python's unbounded Decimal sums them exactly (the Spark
+    # aggregate kept ≤ DECIMAL(37,18), also exact at these magnitudes),
+    # and the table entry quantizes HALF_UP to 6 dp — the identical
+    # CAST(… AS DECIMAL(24,6)) the old qd aggregate applied.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    bdec = {
+        cid - 1: [_pydec9(x) for x in meta[cid]]
+        for cid in range(1, n_codes + 1)
+        if cid in meta
+    }
+    cs = sorted(bdec)
+    if not cells or not cs:
+        return _empty()
+    q6 = Decimal("1e-6")
+    qd2 = {
+        (j, c): sum(
+            (qdec[j * sub + p] - bdec[c][j * sub + p]) ** 2
+            for p in range(sub)
+        ).quantize(q6, rounding=ROUND_HALF_UP)
+        for j in range(m)
+        for c in cs
+    }
+
     base = (
         assigned
         if assigned is not None
-        else ivf_assign(data, centroids, id_col, emb_col, "cell_id")
-    )
-    probed = base.filter(
-        F.col("cell_id").isin([int(c) for c in cells])
-    ).select(id_col)
-    sub = dims // m
-
-    # Round-13 (guide §3.3 "explode after, not before"): each consumer
-    # explodes its OWN pre-filtered slice of the corpus instead of
-    # sharing one full-corpus explode — the probed semi-join now prunes
-    # BEFORE the ×dims posexplode and the interpreted decimal cast, so
-    # only nprobe/n_cells of the corpus pays them, and the codebook /
-    # query slices become pushed-down id-range scans.  Explode commutes
-    # with an id filter, so every (id, j, pos, a) multiset — and every
-    # downstream decimal sum — is unchanged.
-    def _sub_elems(frame: DataFrame) -> DataFrame:
-        return frame.select(
-            F.col(id_col),
-            F.posexplode(F.col(emb_col)).alias("i0", "__raw"),
-        ).select(
+        else ivf_assign(
+            df.filter(F.col(id_col) != query_id),
+            df.filter((F.col(id_col) >= 1) & (F.col(id_col) <= n_cells)),
             id_col,
-            _dec_elem("__raw").alias("a"),
-            F.floor(F.col("i0") / sub).cast("int").alias("j"),
-            F.pmod(F.col("i0"), F.lit(sub)).cast("int").alias("pos"),
+            emb_col,
+            "cell_id",
+        )
+    )
+    src = base.filter(F.col("cell_id").isin([int(c) for c in cells])).select(
+        F.col(id_col), F.col(emb_col), _dec_vec(emb_col).alias("__vdec")
+    )
+
+    # per-subspace in-row argmin: d2s[c] = round6(Σ_pos (a − b_c)²) over
+    # the literal codebook — the same (13,9) diff, exact (27,18)
+    # product and exact decimal sum as the old join+aggregate, rounded
+    # at the same point; array_position(·, array_min(·)) is argmin with
+    # ties to the smallest c (first occurrence), the old
+    # min(struct(d2, c)) / ROW_NUMBER tie-break.
+    def _adc_j(j: int) -> Column:
+        blit = "array(" + ",".join(
+            "array("
+            + ",".join(
+                f"CAST('{bdec[c][j * sub + p]}' AS {DEC_ELEM})"
+                for p in range(sub)
+            )
+            + ")"
+            for c in cs
+        ) + ")"
+        d2s = F.expr(
+            f"transform({blit}, b -> CAST(aggregate("
+            f"zip_with(slice(__vdec, {j * sub + 1}, {sub}), b,"
+            f" (x, y) -> (x - y) * (x - y)),"
+            f" CAST(0 AS {DEC_ACC}), (acc, x) -> CAST(acc + x AS {DEC_ACC})"
+            f") AS {DEC_OUT}))"
+        )
+        qlit = F.expr(
+            "array("
+            + ",".join(f"CAST('{qd2[(j, c)]}' AS {DEC_OUT})" for c in cs)
+            + ")"
+        )
+        return let_once(
+            d2s,
+            lambda dd: F.element_at(
+                qlit, F.array_position(dd, F.array_min(dd)).cast("int")
+            ),
         )
 
-    cb = _sub_elems(
-        df.filter((F.col(id_col) >= 1) & (F.col(id_col) <= n_codes))
-    ).select(
-        (F.col(id_col) - 1).cast("int").alias("c"),
-        "j",
-        "pos",
-        F.col("a").alias("b"),
-    )
-    diff = F.col("a") - F.col("b")
-    # encode only the probed vectors: the pruned-scan shape the inverted
-    # lists give a real deployment (codes there are precomputed; the
-    # arithmetic and result are the same)
-    d2 = (
-        _sub_elems(df.join(probed, id_col, "semi"))
-        .join(cb, ["j", "pos"])
-        .groupBy(id_col, "j", "c")
-        .agg(F.sum(diff * diff).cast("decimal(24,6)").alias("d2"))
-    )
-    codes = d2.groupBy(id_col, "j").agg(
-        F.min(F.struct("d2", "c")).alias("mc")
-    ).select(id_col, "j", F.col("mc.c").alias("code"))
-    qd = (
-        _sub_elems(df.filter(F.col(id_col) == query_id))
-        .join(cb, ["j", "pos"])
-        .groupBy("j", "c")
-        .agg(F.sum(diff * diff).cast("decimal(24,6)").alias("qd2"))
-    )
-    adc = (
-        codes.join(F.broadcast(qd), (codes.j == qd.j) & (codes.code == qd.c))
-        .groupBy(id_col)
-        .agg(
-            F.sum("qd2").cast("decimal(24,6)").cast("double").alias("adc_dist")
+    adc_sum = _adc_j(0)
+    for j in range(1, m):
+        adc_sum = adc_sum + _adc_j(j)
+    short = (
+        src.select(
+            F.col(id_col),
+            F.col(emb_col),
+            adc_sum.cast(DEC_OUT).cast("double").alias("adc_dist"),
         )
+        .orderBy("adc_dist", id_col)
+        .limit(shortlist)
     )
-    short = adc.orderBy("adc_dist", id_col).limit(shortlist)
-    q = F.broadcast(query.select(F.col(emb_col).alias("__q")))
+    q_lit = _dec_vec(F.lit([float(x) for x in qvec]).cast("array<double>"))
     return (
-        df.join(short, id_col)
-        .crossJoin(q)
-        .select(
+        short.select(
             id_col,
             "adc_dist",
-            cosine_dec(_dec_vec(emb_col), _dec_vec("__q")).alias("cosine"),
+            cosine_dec(_dec_vec(emb_col), q_lit).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
