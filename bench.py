@@ -168,11 +168,17 @@ def pick_noise_retimes(
 def apply_retimes(
     timings: "dict[str, float]", retimed: "dict[str, float]"
 ) -> dict:
-    """Effective per-query numbers for the REGRESSION gate only: the best
-    of the uniform base-tier sample and the solo re-time.  The recorded
-    ``queries`` timings stay the uniformly-collected ones (the pinning
-    policy is one warmup + best-of-3 for every query, no conditional
-    resampling); only the regression DECISION uses the extra evidence."""
+    """Effective per-query numbers: the best of the uniform base-tier
+    sample and the solo re-time.  Since round 13 these ARE the recorded
+    ``queries`` timings (min over identical executions — the solo
+    re-time is the same fresh-plan + materialize measurement); the
+    uniformly-collected sample is preserved for every adjusted name
+    under ``queries_uniform_best3`` and the pure-uniform total under
+    the top-level ``uniform_total_sec``, so both policies' totals are
+    always reported side by side (VERDICT r13 #2: a min-only record
+    re-times only slow outliers and would otherwise bias the recorded
+    total downward relative to pre-r13 rounds with nothing to compare
+    against)."""
     return {
         n: min(t, retimed[n]) if n in retimed else t
         for n, t in timings.items()
@@ -432,6 +438,16 @@ def main() -> None:
         return out_prev
 
     prev_summary = _load_prev_summary()
+    # Full previous-run record (not just debt keys): the scale tier reuses
+    # the PREVIOUS run's 10× cohort when the core count differs, so the
+    # driver's 8-vs-32-core pair probes the SAME queries at 10× and the
+    # scaling ratios are data-bound instead of the sf0.1 overhead floor
+    # (VERDICT r13 #7 / next-round #4).
+    try:
+        with open(last_run_path) as f:
+            prev_run_full = json.load(f)
+    except (OSError, ValueError):
+        prev_run_full = {}
     prev_skipped = set(prev_summary.get("skipped_tiers") or [])
     prev_dropped = set(prev_summary.get("dropped_on_budget") or [])
 
@@ -619,6 +635,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     out["value"] = total
+    # The pure 1-warmup best-of-3 total, BEFORE any noise re-time can
+    # substitute per-query minima — always present so the uniform-policy
+    # number is comparable round over round even when re-times fire
+    # (VERDICT r13 #2: dual-report both totals at top level).
+    out["uniform_total_sec"] = total
+    out["cpus"] = int(cpus) if str(cpus).isdigit() else cpus
     # base-tier executed-plan rollups (snapshot before the probe tiers
     # re-run measure() and overwrite per-name entries)
     out["plan_metrics"] = dict(last_plan_metrics)
@@ -817,17 +839,54 @@ def main() -> None:
                 probe_hist: dict[str, float] = json.load(f)
         except (OSError, ValueError):
             probe_hist = {}
-        cohort, rotated_out = pick_scale_cohort(
-            bench_queries, prev_scale_dropped, probe_hist, cap
+        # Core-scaling comparability (round 14): when the previous run
+        # used a DIFFERENT core count (the driver benches 32 then 8),
+        # re-probe ITS 10× cohort instead of rotating — the two runs'
+        # scale_probe maps then share query names, giving a per-query
+        # core-scaling ratio at a tier where queries are data-bound
+        # (at sf0.1 they sit on the scheduling/Arrow overhead floor and
+        # 8-vs-32 ratios measure nothing — VERDICT r13).  Same-cpus runs
+        # keep the least-recently-probed rotation and its history.
+        prev_cpus = prev_run_full.get("cpus")
+        prev_scale_names = set(
+            (prev_run_full.get("scale_probe") or {}).get("queries") or {}
         )
+        cohort_reused = (
+            prev_cpus is not None
+            and str(prev_cpus) != str(cpus)
+            and bool(prev_scale_names)
+        )
+        if cohort_reused:
+            cohort = [q for q in bench_queries if q.name in prev_scale_names]
+            rotated_out = sorted(
+                q.name for q in bench_queries if q.name not in prev_scale_names
+            )
+        else:
+            cohort, rotated_out = pick_scale_cohort(
+                bench_queries, prev_scale_dropped, probe_hist, cap
+            )
         s_timings: dict[str, float] = {}
         s_dropped: list[str] = []
+        ckpt_bytes: dict[str, int] = {}
+
+        def _storage_bytes():
+            # total bytes pinned in the block manager (localCheckpointed
+            # frames + broadcasts) — the §5 lineage-cut audit channel.
+            # Fail-silent (None): a py4j hiccup here must cost only the
+            # audit datapoint, never pollute query_errors for the tier.
+            try:
+                infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+                return sum(i.memSize() + i.diskSize() for i in infos)
+            except Exception:  # noqa: BLE001
+                return None
+
         for q in cohort:
             # deadline check per query: a slow host truncates the tail of
             # the tier (recorded in `dropped`), never the whole output
             if remaining() < 60:
                 s_dropped.append(q.name)
                 continue
+            sb0 = _storage_bytes()
             # warmup + best-of-2 (uniform sampling on BOTH sides of every
             # ratio within the tier; a single run is noisy enough — GC
             # pause, page-cache miss — to false-flag superlinear, while a
@@ -842,6 +901,15 @@ def main() -> None:
             )
             if t is not None:
                 s_timings[q.name] = round(t, 4)
+                # localCheckpoint size audit at the 10× tier (VERDICT r13
+                # #6): approximate high-water delta of block-manager bytes
+                # across this query's runs.  Async ContextCleaner unpins
+                # earlier queries' blocks concurrently, so this is an
+                # order-of-magnitude audit (is any checkpointed proxy
+                # corpus-proportional?), not an exact ledger.
+                sb1 = _storage_bytes()
+                if sb0 is not None and sb1 is not None:
+                    ckpt_bytes[q.name] = max(int(sb1 - sb0), 0)
         now = time.time()
         for name in s_timings:
             probe_hist[name] = now
@@ -863,7 +931,10 @@ def main() -> None:
             "superlinear": sorted(
                 n for n, r in ratios.items() if r > factor * 1.25
             ),
+            "checkpoint_bytes": ckpt_bytes,
         }
+        if cohort_reused:
+            out["scale_probe"]["cohort_reused_from_cpus"] = prev_cpus
         if rotated_out:
             out["scale_probe"]["rotated_out"] = rotated_out
         if s_dropped:
@@ -1188,10 +1259,15 @@ def main() -> None:
         # reports honest per-query drops — strictly better than skipping
         # the whole tier (on a cold cache the generation cost just means
         # fewer measured queries, still reported)
+        # skew runs BEFORE the deep tier (round 14): it is the only §2
+        # skew-evidence channel and sat last in the wall budget for two
+        # straight rounds (r12 dropped 5 queries, r13 skipped the tier
+        # outright — VERDICT r13 #3); the deep tier re-probes queries the
+        # 10× tier already measured this run, so it degrades more cheaply.
         "facade_latency": ("SPARK_GRAFT_SKIP_FACADE", 60, tier_facade),
         "scale_probe": ("SPARK_GRAFT_SKIP_SCALE", 110, tier_scale),
-        "deep_scale_probe": ("SPARK_GRAFT_SKIP_DEEP_SCALE", 110, tier_deep_scale),
         "skew_probe": ("SPARK_GRAFT_SKIP_SKEW", 90, tier_skew),
+        "deep_scale_probe": ("SPARK_GRAFT_SKIP_DEEP_SCALE", 110, tier_deep_scale),
     }
     order = [t for t in tiers if t in prev_skipped] + [
         t for t in tiers if t not in prev_skipped
@@ -1211,7 +1287,13 @@ def main() -> None:
         guarded("tier", name, fn)
 
     _summarize(False)
-    print(json.dumps(out))
+    # flush=True is load-bearing: stdout is block-buffered when piped, and
+    # the driver's `timeout 580` SIGTERM during a slow spark.stop() below
+    # (handler reset to SIG_DFL by then) would otherwise kill the process
+    # with the line only PARTIALLY flushed — round 12's summary reached the
+    # driver mid-JSON and cost that round its per-query prev/now record
+    # (VERDICT r13 #5).  Nothing prints to stdout after this line.
+    print(json.dumps(out), flush=True)
     # Persist the COMPLETE record (the driver keeps only a 2000-char tail):
     # next run's tier scheduler reads summary.skipped_tiers/dropped from
     # here, and the judge can diff per-query times without reconstructing

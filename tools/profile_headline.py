@@ -1,4 +1,4 @@
-"""Round-13 measurement harness (guide §1): per-headline-query timing
+"""Round-13/14 measurement harness (guide §1): per-headline-query timing
 breakdown + explain("formatted") capture.
 
 For every bench-flagged registry query, records
@@ -8,12 +8,12 @@ For every bench-flagged registry query, records
 - t_warm:  best of N warm materializations (bench methodology),
 - t_noop:  best of N warm noop-sink writes (guide §1.4 — computation
   without the Arrow-collect tax, for diagnosis only),
-- plan:    .explain("formatted") text, written to plans/r13/<name>_<tag>.txt,
+- plan:    .explain("formatted") text, written to plans/<tier>/<name>_<tag>.txt,
 - exchanges / pyevals / subqueries: counted off the plan text.
 
 Usage: python tools/profile_headline.py [tag] [query ...]
   tag defaults to "before"; with no query names, profiles every bench query.
-Output JSON: /tmp/r13_profile_<tag>.json
+Output JSON: /tmp/r14_profile_<tag>.json
 """
 
 from __future__ import annotations
@@ -49,7 +49,7 @@ def main() -> None:
     from direct_spark_sql_spark.plans.registry import all_queries
 
     qs = [q for q in all_queries() if q.bench and (not only or q.name in only)]
-    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("PROFILE_PLAN_TIER", "r14"))
     os.makedirs(plan_dir, exist_ok=True)
 
     out: dict[str, dict] = {}
@@ -97,7 +97,7 @@ def main() -> None:
         out[q.name] = rec
         print(json.dumps({q.name: rec}), flush=True)
 
-    path = f"/tmp/r13_profile_{tag}.json"
+    path = f"/tmp/r14_profile_{tag}.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     total_warm = sum(r.get("t_warm", 0.0) for r in out.values())
