@@ -26,6 +26,7 @@ and per-execution-stable ``now()`` semantics
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 import threading
@@ -120,6 +121,25 @@ ENGINE_CONF: dict[str, str] = {
     # parquet scans: pushdown + pruning are defaults, keep them explicit
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.codegen.wholeStage": "true",
+    # Runtime Bloom-filter join pre-filtering (guide §3.2, SPARK-32268):
+    # enabled by default in Spark 4, but the stock thresholds make it
+    # fire almost never — creation side capped at 10 MB (a selectively
+    # filtered dimension at any real scale is bigger; the FILTER itself
+    # stays ~1 MB, sized by expectedNumItems, so a larger creation side
+    # costs one extra aggregate scan, not memory) and application side
+    # must exceed 10 GB (skipping exactly the mid-size fact scans where
+    # dropping non-matching rows before the exchange pays).  Raising /
+    # lowering these is scale-directional: at cluster scale the filter
+    # fires MORE, never less.  64 MB keeps the sf0.1 base tier (11 MB
+    # lineitem) bit-identical in plan; the 30× tier measured q10
+    # 2.54 → 1.86 s with might_contain pruning lineitem before its
+    # orderkey shuffle.  Env-overridable for probes.
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": (
+        os.environ.get("SPARK_GRAFT_BLOOM_CREATION_SIDE", "512MB")
+    ),
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": (
+        os.environ.get("SPARK_GRAFT_BLOOM_APP_SIDE", "64MB")
+    ),
 }
 
 #: Nondeterministic-expression detection (plan-cache bypass).  Two classes
