@@ -301,7 +301,15 @@ def ivf_assign(
         # ``best.cell >= 0``  <=>  ``__vnorm > 0 AND size(__cents) > 0``:
         # every kept centroid has cnorm > 0 (filter above), so a
         # nonzero-norm vector gets a finite cosine (|cos| ≤ 1 ≪ 2) from
-        # the FIRST centroid and the -1 sentinel cannot survive; a
+        # the FIRST centroid and the -1 sentinel cannot survive.
+        # FIXED-DIMS PRECONDITION (ADVICE r13): the equivalence assumes
+        # every vector matches the centroids' dimensionality — on a
+        # ragged corpus a positive-norm vector of a DIFFERENT length
+        # gets all-NULL cosines from zip_with padding (argmax leaves -1)
+        # yet passes this norm filter.  The embedding corpora this
+        # engine replays are fixed-width by construction (same contract
+        # as ivf_pq_topk's literal-codebook subspace slices); a ragged
+        # deployment must pre-filter on size(emb) at the call site.  A
         # zero-norm vector's cosines are all NULL (never beat the
         # accumulator) and an empty centroid list returns the init — both
         # leave -1.  Filtering on the CHEAP norm (one self-dot) here

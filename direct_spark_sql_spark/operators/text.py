@@ -87,12 +87,24 @@ def language_scores(col: Column | str = "text") -> list[tuple[str, Column]]:
     return [(lang, _hit_count(toks, lex)) for lang, lex in LANG_LEXICONS.items()]
 
 
-def _language_hit_struct(col: Column | str) -> Column:
+def _language_hit_struct(
+    col: Column | str, finish=None, toks: Column | None = None
+) -> Column:
     """All lexicon hit counts in a SINGLE token-array pass: one aggregate
     accumulating a struct of per-language counters, instead of one filter
     pass per language.  HOFs evaluate interpreted (CodegenFallback), so the
     per-token walk dominates — folding 5 passes into 1 measured 40% faster
-    on the sf0.1 documents corpus at identical output."""
+    on the sf0.1 documents corpus at identical output.
+
+    ``finish`` (optional) runs inside the aggregate's FINISH lambda where
+    ``acc`` is the computed accumulator (field reads are O(1)) — the ONE
+    place per-language argmax/ratio logic belongs (r13: reading struct
+    fields off the aggregate *expression* re-ran the whole walk per
+    field).  :func:`predicted_language` reuses this accumulator rather
+    than forking its own copy (ADVICE r13).  ``toks`` (optional) is an
+    already-computed token-array column — pass it when the caller has
+    hoisted ``tokens(col)`` into a projection so the pipeline tokenizes
+    once, not once per operator."""
     langs = sorted(LANG_LEXICONS)
     arrs = {l: F.array(*[F.lit(w) for w in LANG_LEXICONS[l]]) for l in langs}
     zero = F.struct(*[F.lit(0).cast("int").alias(f"c_{l}") for l in langs])
@@ -104,10 +116,15 @@ def _language_hit_struct(col: Column | str) -> Column:
             for l in langs
         ])
 
-    return F.aggregate(tokens(col), zero, step)
+    arr = toks if toks is not None else tokens(col)
+    if finish is None:
+        return F.aggregate(arr, zero, step)
+    return F.aggregate(arr, zero, step, finish)
 
 
-def predicted_language(col: Column | str = "text") -> Column:
+def predicted_language(
+    col: Column | str = "text", toks: Column | None = None
+) -> Column:
     """argmax of lexicon hit counts; deterministic tiebreak = alphabetical
     language code (greatest(...) with ordered CASE).
 
@@ -117,17 +134,10 @@ def predicted_language(col: Column | str = "text") -> Column:
     re-ran the whole interpreted per-token walk — 11 token passes per
     row.  Inside finish, ``acc`` is the already-computed accumulator
     (a lambda variable — field reads are O(1)), so the walk runs ONCE.
-    Same greatest/CASE arithmetic on the same counts, identical output."""
+    Same greatest/CASE arithmetic on the same counts, identical output.
+    r14: the accumulator itself is :func:`_language_hit_struct`'s — one
+    source for the per-language counting logic (ADVICE r13)."""
     langs = sorted(LANG_LEXICONS)
-    arrs = {l: F.array(*[F.lit(w) for w in LANG_LEXICONS[l]]) for l in langs}
-    zero = F.struct(*[F.lit(0).cast("int").alias(f"c_{l}") for l in langs])
-
-    def step(acc: Column, t: Column) -> Column:
-        return F.struct(*[
-            (acc[f"c_{l}"] + F.when(F.array_contains(arrs[l], t), 1).otherwise(0))
-            .alias(f"c_{l}")
-            for l in langs
-        ])
 
     def finish(acc: Column) -> Column:
         best = F.greatest(*[acc[f"c_{l}"] for l in langs])
@@ -137,10 +147,12 @@ def predicted_language(col: Column | str = "text") -> Column:
             expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
         return F.when(best > 0, expr).otherwise(F.lit("und"))
 
-    return F.aggregate(tokens(col), zero, step, finish)
+    return _language_hit_struct(col, finish=finish, toks=toks)
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str = "text", toks: Column | None = None
+) -> DataFrame:
     """Per-document quality features: token counts, type-token ratio,
     average token length, stopword ratio, and a composite score.
 
@@ -155,8 +167,18 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     ratio and the composite re-derived tokens(text) independently).
     The ratios divide the identical integer-derived doubles in the same
     order — bit-identical output.
+
+    ``toks`` (r14): an already-computed token-array column.  Composed
+    pipelines (corpus_curation and friends) run quality features,
+    language id AND fingerprints over the same text — without sharing,
+    each operator hoists its OWN tokenize (3 interpreted split+filter
+    walks per row across the pipeline).  Passing the shared array makes
+    this stage an O(1) column reference; the feature arithmetic is
+    unchanged either way.
     """
-    tdf = df.select("*", tokens(text_col).alias("__qf_toks"))
+    tdf = df.select(
+        "*", (toks if toks is not None else tokens(text_col)).alias("__qf_toks")
+    )
     toks = F.col("__qf_toks")
     cdf = tdf.select(
         "*",
@@ -186,17 +208,26 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def content_fingerprint(col: Column | str = "text") -> Column:
-    """The order/multiplicity-insensitive content fingerprint expression:
-    60-bit hash of the sorted distinct token list — ONE formula source
-    for :func:`fingerprint` and every query that measures "exact"
-    duplication (corpus_datasheet), so the duplication notion can never
-    silently fork (review r10)."""
-    toks = tokens(col)
+def content_fingerprint_from_tokens(toks: Column) -> Column:
+    """The order/multiplicity-insensitive content fingerprint over an
+    already-computed token array: 60-bit hash of the sorted distinct
+    token list.  THE one formula source (review r10 / ADVICE r13):
+    :func:`content_fingerprint` and :func:`fingerprint` both call this
+    core, so the duplication notion can never silently fork between the
+    string-input and hoisted-token paths."""
     return h64(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
 
 
-def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+def content_fingerprint(col: Column | str = "text") -> Column:
+    """String-input form of :func:`content_fingerprint_from_tokens` —
+    used by every query that measures "exact" duplication
+    (corpus_datasheet) directly from text."""
+    return content_fingerprint_from_tokens(tokens(col))
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", toks: Column | None = None
+) -> DataFrame:
     """Document fingerprints:
 
     - ``fp_md5``      — exact-content fingerprint (MD5 hex of raw text)
@@ -210,18 +241,23 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     split+filter tokenize chain runs once per row instead of once per
     fingerprint (fp_content and fp_rolling each re-derived it).  Same
     hash arithmetic over the same array — identical output.
+    r14: fp_content goes through content_fingerprint_from_tokens (one
+    formula source, ADVICE r13), and ``toks`` lets composed pipelines
+    pass their shared hoisted token array (see quality_features).
     """
-    tdf = df.select("*", tokens(text_col).alias("__fp_toks"))
-    toks = F.col("__fp_toks")
+    tdf = df.select(
+        "*", (toks if toks is not None else tokens(text_col)).alias("__fp_toks")
+    )
+    tok_arr = F.col("__fp_toks")
     rolling = F.aggregate(
-        F.transform(toks, lambda t: h64(t) % MERSENNE_P),
+        F.transform(tok_arr, lambda t: h64(t) % MERSENNE_P),
         F.lit(0).cast("long"),
         lambda acc, h: (acc + h) % MERSENNE_P,
     )
     return tdf.select(
         *df.columns,
         F.md5(F.col(text_col)).alias("fp_md5"),
-        h64(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("fp_content"),
+        content_fingerprint_from_tokens(tok_arr).alias("fp_content"),
         rolling.alias("fp_rolling"),
     )
 
@@ -348,7 +384,16 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     aggregate walk (prev, run, best); empty/null-token documents are
     filtered exactly as the old explode dropped them.  Token and gram
     arrays are let-bound (:func:`let_once`) so the tokenize and n-gram
-    regex chains run once per row."""
+    regex chains run once per row.
+
+    Contract note (ADVICE r13): output is strictly PER ROW — one result
+    row per surviving input row.  The pre-r13 explode+groupBy over all
+    ``df.columns`` collapsed fully-identical input rows into one output
+    row with merged token counts; for a corpus with a unique key column
+    (every caller here) the two are identical, but a caller feeding
+    duplicate rows gets per-row stats from this form.  The oracles that
+    replay these signals (text_repetition_scores et al.) compute per-row
+    over unique doc_ids, matching this contract."""
     base0 = df.select("*", tokens(text_col).alias("__rf_toks"))
     tcol = F.col("__rf_toks")
     n_tok = F.size(tcol).cast("long")

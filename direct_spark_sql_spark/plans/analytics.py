@@ -646,15 +646,20 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r7 #1)."""
     from direct_spark_sql_spark.operators import text as tx
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    feats = tx.quality_features(d)
+    # r14: one shared hoisted token array across the three text operators
+    # (the corpus_curation pattern) — tokenize once per row, not 3×.
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", tx.tokens("text").alias("__toks")
+    )
+    feats = tx.quality_features(d, toks=F.col("__toks"))
     scored = feats.select(
         "doc_id", "source", "text", "n_tokens", "quality_score",
-        tx.predicted_language("text").alias("plang"),
+        tx.predicted_language("text", toks=F.col("__toks")).alias("plang"),
+        "__toks",
     )
     from direct_spark_sql_spark.operators import dedup as dd
 
-    fp = tx.fingerprint(scored).select(
+    fp = tx.fingerprint(scored, toks=F.col("__toks")).select(
         "fp_content", "doc_id", "source", "n_tokens", "quality_score", "plang"
     )
     kept = dd.canonical_min_rows(fp, "fp_content", "doc_id").filter(
