@@ -346,7 +346,19 @@ def minhash_signatures(
     aggregation, which map-side-combines to NUM_PERM values per document
     per partition before moving anything.  ``shingles_df`` (a precomputed
     :func:`shingle_table`) skips the explode when shared with other ops —
-    its global distinct changes nothing under MIN."""
+    its global distinct changes nothing under MIN.
+
+    r14 examined, measured, REJECTED: a map-only in-row form (let-bound
+    h64 walk + ``array_min`` per permutation — provably row- and
+    value-identical, verified) removes this aggregate exchange outright,
+    but the exchange is only ~2×NUM_PERM longs per document map-side
+    combined (≈640 KB at sf0.1) while the in-row form moves the
+    permutation arithmetic from whole-stage codegen into 1+NUM_PERM
+    interpreted HOF walks per row: interleaved same-session A/B of the
+    checkpoint materialization measured old 1.03-1.34 s vs new
+    1.21-1.44 s (~20% slower) at identical output.  The codegen explode
+    + map-combined MIN is the right shape at every scale — the shuffle
+    grain is signature-sized, never corpus-sized."""
     if shingles_df is not None:
         sh = shingles_df
     else:
