@@ -319,27 +319,96 @@ def dsir_log_weights(
     SUBSET of ``corpus`` identified by ``id_col`` values (the registered
     source-shift readout: target = one source of the same corpus), pass
     its ids instead of ``target`` and the target's bucket counts are
-    derived from the corpus' own per-(doc, bucket) counts by one doc-id
-    join — the target text is never tokenized or exploded a second time.
-    Bit-identical λ/weights (same integer counts either way)."""
-    # Collapse corpus features to per-(doc, bucket) counts FIRST and
-    # materialize ONCE (localCheckpoint — the graph/minhash precedent
-    # for multi-consumed intermediates): both downstream consumers (the
-    # raw distribution agg inside the λ fit and the scoring rollup)
-    # read the materialized blocks, so the expensive bigram explode
-    # runs exactly once, and the scoring join moves distinct
-    # (doc, bucket) pairs instead of every occurrence.
-    corp_c = _dsir_feat_counts(corpus, text_col, id_col, n_buckets).localCheckpoint()
+    derived from the corpus' own per-document bucket features by one
+    doc-id join — the target text is never tokenized or exploded a
+    second time.  Bit-identical λ/weights (same integer counts).
+
+    r14 (guide §2.4 — remove shuffles outright): the materialized
+    intermediate is now the per-document bucket ARRAY (map-only — the
+    old per-(doc, bucket) count table paid a corpus-grain aggregate
+    exchange just to build the checkpoint), the fit aggregates are
+    bucket-grain (≤ n_buckets rows after map-side combine), and scoring
+    is IN-ROW: λ collapses to a one-row n_buckets array broadcast and
+    log w(doc) = Σ_occurrences λ[bucket] runs inside the scan — no
+    scoring join, no per-doc aggregate shuffle.  Bit-identical: the
+    bucket array preserves the exploded feature multiset, integer sums
+    are order-independent, and Σ_f c(f)·λ(f) = Σ_occurrences λ(bucket).
+    """
+    corp_f = _dsir_feat_buckets(corpus, text_col, id_col, n_buckets).localCheckpoint()
+    occ = corp_f.select(F.col(id_col), F.explode("__barr").alias("__b"))
+    cr = occ.groupBy("__b").agg(F.count(F.lit(1)).cast("long").alias("__cr"))
     if target_ids is not None:
         ct = (
-            corp_c.join(target_ids.select(id_col), id_col)
+            occ.join(target_ids.select(id_col), id_col)
             .groupBy("__b")
-            .agg(F.sum("__c").cast("long").alias("__ct"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__ct"))
         )
-        lam = _dsir_lambda_from_target_bucket_counts(corp_c, ct, n_buckets)
     else:
-        lam = _dsir_lambda_from_counts(corp_c, target, text_col, id_col, n_buckets)
-    return _dsir_score_counts(corp_c, lam, id_col)
+        ct = (
+            _dsir_feat_buckets(target, text_col, id_col, n_buckets)
+            .select(F.explode("__barr").alias("__b"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).cast("long").alias("__ct"))
+        )
+    lam = _dsir_lambda_from_target_bucket_counts(cr, ct, n_buckets)
+    return _dsir_score_buckets(corp_f, lam, id_col)
+
+
+def _dsir_feat_buckets(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, __barr): per-document hashed-feature bucket array — unigrams
+    ∪ bigrams, h64 % n_buckets, multiplicity preserved, ONE map-only
+    pass (no explode, no aggregate, no shuffle).  Documents with zero
+    features are dropped, exactly as the exploded form's empty arrays
+    produced no rows (NULL text → NULL array → also dropped)."""
+    from direct_spark_sql_spark.operators.dedup import token_windows
+    from direct_spark_sql_spark.operators.text import tokens
+
+    toks = tokens(text_col)
+    feats = F.concat(
+        toks,
+        F.when(F.size(toks) >= 2, token_windows(text_col, 2)).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.transform(feats, lambda f: h64(f) % F.lit(n_buckets)).alias("__barr"),
+    ).filter(F.size("__barr") > 0)
+
+
+def _dsir_score_buckets(
+    feat: DataFrame, lam: DataFrame, id_col: str
+) -> DataFrame:
+    """Apply a dense λ table to per-document bucket arrays IN-ROW: the λ
+    model (exactly n_buckets rows by construction — the dense spine) is
+    collapsed to ONE array row, broadcast, and each document's score is
+    Σ_occurrences λ[bucket] inside the scan — no scoring join, no
+    per-doc aggregate, no shuffle at any corpus size.  Identical
+    integers to the old (doc, bucket)-grain join + SUM(c·λ): integer
+    addition is order-independent and Σ_f c(f)·λ(f) = Σ_occ λ(bucket)."""
+    lam_arr = F.broadcast(
+        lam.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__b", "__lam"))),
+                lambda s: s["__lam"],
+            ).alias("__lam_arr")
+        )
+    )
+    units = F.aggregate(
+        F.col("__barr"),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.element_at(F.col("__lam_arr"), (b + F.lit(1)).cast("int")),
+    )
+    return feat.crossJoin(lam_arr).select(
+        F.col(id_col),
+        F.size("__barr").cast("long").alias("n_feats"),
+        units.alias("logw_units"),
+    ).withColumn(
+        "log_weight", F.col("logw_units").cast("double") / F.lit(DSIR_LOG_UNITS)
+    )
 
 
 def _dsir_feat_counts(
@@ -375,22 +444,20 @@ def _dsir_feat_counts(
 
 
 def _dsir_lambda_from_target_bucket_counts(
-    corp_c: DataFrame, ct: DataFrame, n_buckets: int
+    cr: DataFrame, ct: DataFrame, n_buckets: int
 ) -> DataFrame:
-    """λ table from the corpus per-(doc, bucket) counts plus the TARGET
-    side already reduced to per-bucket totals ``(__b, __ct)`` — the shared
-    tail of the two fit paths.  Round-13 split: when the target slice is a
-    SUBSET of the corpus (the registered source-shift query), its bucket
-    totals are derivable from ``corp_c`` by one doc-id join, which skips
-    re-tokenizing and re-exploding the target's text entirely (the fit's
-    second-most-expensive stage); the generic path still hashes the target
-    independently.  Identical integer totals either way, so λ is
-    bit-identical."""
-    cr = corp_c.groupBy("__b").agg(F.sum("__c").cast("long").alias("__cr"))
+    """λ table from BOTH sides already reduced to per-bucket totals —
+    ``(__b, __cr)`` for the raw corpus, ``(__b, __ct)`` for the target —
+    the shared tail of the two fit paths.  Round-13 split: when the
+    target slice is a SUBSET of the corpus (the registered source-shift
+    query), its bucket totals derive from the corpus' own features by
+    one doc-id join, skipping a second tokenize of the target text;
+    the generic path still hashes the target independently.  Identical
+    integer totals either way, so λ is bit-identical."""
     tt = ct.agg(F.coalesce(F.sum("__ct"), F.lit(0)).cast("long").alias("__tt"))
     tr = cr.agg(F.coalesce(F.sum("__cr"), F.lit(0)).cast("long").alias("__tr"))
     b = float(n_buckets)
-    spine = corp_c.sparkSession.range(n_buckets).select(
+    spine = cr.sparkSession.range(n_buckets).select(
         F.col("id").cast("long").alias("__b")
     )
     # Explicit broadcasts (r13): cr and ct are bucket-space aggregates —
@@ -425,7 +492,7 @@ def _dsir_lambda_from_target_bucket_counts(
 
 
 def _dsir_lambda_from_counts(
-    corp_c: DataFrame,
+    cr: DataFrame,
     target: DataFrame,
     text_col: str,
     id_col: str,
@@ -442,11 +509,12 @@ def _dsir_lambda_from_counts(
     the scoring join.  The spine is a bounded spark.range(n_buckets)
     (default 1024), so the density costs nothing at any corpus size."""
     ct = (
-        _dsir_feat_counts(target, text_col, id_col, n_buckets)
+        _dsir_feat_buckets(target, text_col, id_col, n_buckets)
+        .select(F.explode("__barr").alias("__b"))
         .groupBy("__b")
-        .agg(F.sum("__c").cast("long").alias("__ct"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__ct"))
     )
-    return _dsir_lambda_from_target_bucket_counts(corp_c, ct, n_buckets)
+    return _dsir_lambda_from_target_bucket_counts(cr, ct, n_buckets)
 
 
 def _dsir_score_counts(
@@ -479,13 +547,13 @@ def dsir_lambda_table(
     to buckets the pilot never saw still score with the paper's add-1
     smoothed ratio) from a (pilot) corpus sample and the target slice.
     Pair with :func:`dsir_score` to screen arriving shards online."""
-    return _dsir_lambda_from_counts(
-        _dsir_feat_counts(corpus, text_col, id_col, n_buckets),
-        target,
-        text_col,
-        id_col,
-        n_buckets,
+    cr = (
+        _dsir_feat_buckets(corpus, text_col, id_col, n_buckets)
+        .select(F.explode("__barr").alias("__b"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cr"))
     )
+    return _dsir_lambda_from_counts(cr, target, text_col, id_col, n_buckets)
 
 
 def dsir_score(
@@ -496,10 +564,13 @@ def dsir_score(
     n_buckets: int = 1024,
 ) -> DataFrame:
     """Score documents with a FIXED λ table (the online half of DSIR):
-    map-side feature hashing + broadcast λ join + one id hash agg.
-    ``n_buckets`` must match the table's fit."""
-    return _dsir_score_counts(
-        _dsir_feat_counts(docs, text_col, id_col, n_buckets), lam, id_col
+    map-side feature hashing + IN-ROW Σ λ[bucket] against the λ model
+    collapsed to a one-row broadcast array (:func:`_dsir_score_buckets`)
+    — no scoring join, no per-doc aggregate shuffle.  ``n_buckets`` must
+    match the table's fit (the table is dense over the bucket space by
+    construction, which is what lets it collapse to an index array)."""
+    return _dsir_score_buckets(
+        _dsir_feat_buckets(docs, text_col, id_col, n_buckets), lam, id_col
     )
 
 
